@@ -1,0 +1,63 @@
+"""Fixture-table loaders.
+
+The driver generates TPC-H-ish parquet tables plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*/`` (TESTDATA.md).
+All queries read through these loaders so the scan layer stays in one
+place (columnar parquet scan → Catalyst pushdown / pruning applies).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: Small dimension tables that should always be broadcast in joins.
+#: At 100 TB the facts (lineitem/orders/events/documents) scale with SF
+#: while these stay bounded (region=5, nation=25) or grow slowly
+#: (supplier/customer/part) — broadcast-hash-join avoids shuffling the
+#: large side entirely.
+BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the fixture's ts column is parquet TIMESTAMP(NANOS), which the
+        # vectorized reader rejects unless read as raw long ns. Runtime
+        # settable, so this also covers externally-created sessions (the
+        # driver's) that lack the config.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    # rejects; the session sets legacy.parquet.nanosAsLong so it arrives as
+    # nanosecond LongType — convert to a proper (microsecond) timestamp.
+    # Lossless for the fixtures (values are µs-precision) and matches
+    # DuckDB's ns→µs comparison semantics.
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

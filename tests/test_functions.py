@@ -1,0 +1,103 @@
+"""Unit tests: scalar core (hash O9, nested O11, path validation O7/O17).
+
+Golden values mirror the reference's semantics (utils.hash =
+md5(json.dumps(sort_keys=True))[:16], firebase/app/utils.py:29-33; path
+rules firebase/app/artifacts.py:159-172; negative fixtures
+firebase/tests/test_unit.py:42-50).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.hashing import (
+    canonical_json_hash,
+    content_hash_expr,
+    py_hash,
+)
+from aether_firebase_consumer_spark.functions.nested import (
+    get_nested,
+    get_nested_json,
+    replace_nested,
+)
+from aether_firebase_consumer_spark.operators.routing import (
+    handles_topic,
+    path_for_topic,
+    strip_tenant,
+    validate_path,
+)
+
+
+def test_py_hash_matches_reference_algorithm():
+    doc = {"b": 1, "a": {"z": [1, 2], "y": "x"}, "c": None}
+    expected = hashlib.md5(
+        json.dumps(doc, sort_keys=True).encode("utf-8")).hexdigest()[:16]
+    assert py_hash(doc) == expected
+    assert len(py_hash(doc)) == 16
+
+
+def test_canonical_json_hash_udf_byte_parity(spark):
+    df = spark.createDataFrame(
+        [("a", (1, "s"), 3), ("b", (7, ""), 4)],
+        "id string, nested struct<x:int, a:string>, n long")
+    got = {r["id"]: r["h"] for r in df.select(
+        "id", canonical_json_hash(F.struct(*df.columns)).alias("h")).collect()}
+    # the reference hashes the plain dict form of the document
+    assert got["a"] == py_hash({"id": "a", "nested": {"x": 1, "a": "s"}, "n": 3})
+    assert got["b"] == py_hash({"id": "b", "nested": {"x": 7, "a": ""}, "n": 4})
+
+
+def test_content_hash_expr_is_deterministic_and_order_insensitive(spark):
+    df1 = spark.createDataFrame([(1, "x")], ["a", "b"])
+    df2 = spark.createDataFrame([("x", 1)], ["b", "a"]).select("a", "b")
+    h1 = df1.select(content_hash_expr(df1).alias("h")).first()["h"]
+    h2 = df2.select(content_hash_expr(df2).alias("h")).first()["h"]
+    assert h1 == h2
+    assert len(h1) == 16
+
+
+def test_nested_get_set(spark):
+    df = spark.createDataFrame(
+        [(((5,),), '{"b": {"c": 7}}')],
+        "a struct<b:struct<c:int>>, j string")
+    row = df.select(
+        get_nested("a", ["b", "c"]).alias("typed"),
+        get_nested_json("j", ["b", "c"]).cast("int").alias("json"),
+        replace_nested(F.col("a"), ["b", "c"], F.lit(9)).alias("set"),
+    ).first()
+    assert row["typed"] == 5
+    assert row["json"] == 7
+    assert row["set"]["b"]["c"] == 9
+
+
+def test_validate_path_reference_negative_fixtures():
+    # firebase/tests/test_unit.py:42-50
+    assert validate_path("{illegal}/sub/stitution")
+    assert validate_path("too/short")
+    assert not validate_path("_aether/entities/{topic}")
+    assert not validate_path("one")
+    assert validate_path("a/b")
+
+
+def test_tenant_strip_is_anchored_not_charset(spark):
+    # the lstrip bug (firebase/app/artifacts.py:375-376): tenant 'ten'
+    # must not eat leading chars of 'ten.tenant_data'
+    df = spark.createDataFrame([("ten.nets",)], ["topic"])
+    assert df.select(strip_tenant("topic", "ten").alias("n")) \
+             .first()["n"] == "nets"
+
+
+def test_topic_pattern_matching():
+    assert handles_topic("t1.clicks", "c*", "t1")
+    assert handles_topic("t1.clicks", "clicks", "t1")
+    assert not handles_topic("t2.clicks", "c*", "t1")
+    assert not handles_topic("t1.views", "c*", "t1")
+
+
+def test_path_for_topic(spark):
+    df = spark.createDataFrame([("clicks",)], ["t"])
+    assert df.select(path_for_topic("t").alias("p")) \
+             .first()["p"] == "_aether/entities/clicks"

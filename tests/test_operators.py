@@ -1,0 +1,77 @@
+"""Unit tests: filter (O3), mask (O4), routing (O6), change detection
+semantics on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.operators.filtering import FilterConfig, apply_filter
+from aether_firebase_consumer_spark.operators.masking import MaskConfig, apply_mask
+from aether_firebase_consumer_spark.operators.routing import Subscription, route_topics
+
+
+def test_filter_pass_values(spark):
+    df = spark.createDataFrame(
+        [("operational", 1), ("closed", 2), (None, 3)], ["status", "id"])
+    cfg = FilterConfig("status", ["operational"])
+    got = [r["id"] for r in apply_filter(df, cfg).collect()]
+    assert got == [1]
+
+
+def test_filter_not_required_passes_everything(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["status", "id"])
+    cfg = FilterConfig("status", ["a"], requires_approval=False)
+    assert apply_filter(df, cfg).count() == 2
+
+
+def test_filter_json_payload(spark):
+    df = spark.createDataFrame(
+        [('{"operational_status": "operational"}', 1),
+         ('{"operational_status": "closed"}', 2)], ["payload", "id"])
+    cfg = FilterConfig("operational_status", ["operational"])
+    got = [r["id"] for r in
+           apply_filter(df, cfg, json_payload_col="payload").collect()]
+    assert got == [1]
+
+
+def test_mask_drops_above_emit_level(spark):
+    # mirror of the annotated-schema fixture: beds/staff private,
+    # insurance public (firebase/tests/__init__.py:954,965,976,1008)
+    df = spark.createDataFrame(
+        [(1, 5, 2, ["nhis"])], ["id", "beds", "staff_doctors", "insurance"])
+    cls = {"beds": "private", "staff_doctors": "private",
+           "insurance": "public"}
+    cfg = MaskConfig(["public", "private"], "public")
+    out = apply_mask(df, cfg, cls)
+    assert out.columns == ["id", "insurance"]
+    # emit at private → everything emitted
+    cfg_all = MaskConfig(["public", "private"], "private")
+    assert apply_mask(df, cfg_all, cls).columns == df.columns
+
+
+def test_route_first_match_by_sorted_id(spark):
+    df = spark.createDataFrame(
+        [("t1.clicks",), ("t1.views",), ("t2.other",)], ["topic"])
+    subs = [
+        Subscription(id="b-late", topic_pattern="c*",
+                     target_path="late/c/{topic}"),
+        Subscription(id="a-first", topic_pattern="clicks",
+                     target_path="first/x/{topic}"),
+    ]
+    got = {r["topic"]: r["target_path"]
+           for r in route_topics(df, "topic", subs, "t1").collect()}
+    assert got["t1.clicks"] == "first/x/clicks"   # sorted id wins
+    assert got["t1.views"] is None                 # no pattern matches
+    assert got["t2.other"] is None                 # other tenant
+
+def test_masked_columns_pruned_from_scan(spark, tmp_path):
+    # Catalyst must push the masking projection into the parquet scan
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "x", "secret")], ["id", "a", "b"]) \
+         .write.parquet(path)
+    df = spark.read.parquet(path)
+    out = apply_mask(df, MaskConfig(["public", "private"], "public"),
+                     {"b": "private"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "secret" not in plan
+    assert "b" not in out.columns
