@@ -1,1 +1,305 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Window functions, sorts/top-k, set operations, pivot (SURVEY.md §2.2).
+
+All absent from the reference (no window/sort/set-op anywhere in
+firebase/app — SURVEY §0); supplied natively via Catalyst. Every window
+uses a TOTAL order (unique tiebreaker column) so results are
+deterministic and oracle-comparable.
+
+Scale posture: window functions shuffle once on partitionBy keys;
+top-k per group never materializes a full sort (rank filter pushes
+limit into the window sort); global top-k uses TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+
+def _dec(col, p=18, s=2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# ------------------------------------------------------------------ windows
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the canonical pattern; Spark
+    plans a rank-limited sort per partition (no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (c.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("c_mktsegment", "c_custkey", "c_acctbal", "rn"))
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(value - LAG(value) OVER w AS DECIMAL(18,2)) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event-time order per user (the sessionization
+    building block)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value").over(w)).cast("decimal(18,2)").alias("delta"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per user — DECIMAL accumulation so the result
+    is exact and engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(_dec("value")).over(w.rowsBetween(W.unboundedPreceding, 0))
+         .cast("double").alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS last3_total
+    FROM orders
+    """,
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (moving aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("last3_total"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT p_partkey, p_size,
+           COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING
+                          AND CURRENT ROW) AS n_similar_size
+    FROM part
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric key (value-based window)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.orderBy("p_size").rangeBetween(-2, 0)
+    return p.select(
+        "p_partkey", "p_size",
+        F.count("*").over(w).alias("n_similar_size"),
+    )
+
+
+@register(
+    "window_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+    """,
+)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (ties allowed — rank output is still
+    deterministic) and ntile over a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    wq = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )
+
+
+# ------------------------------------------------------------------ sorts
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with pagination: ORDER BY + LIMIT + OFFSET. Spark
+    plans TakeOrdered(30) then drops 10 — never a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+              .orderBy(F.desc("o_totalprice"), "o_orderkey")
+              .offset(10).limit(20))
+
+
+@register(
+    "sort_multi_key_nulls",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN value > 50 THEN value END AS big_value
+    FROM events
+    ORDER BY big_value DESC NULLS LAST, event_id
+    LIMIT 100
+    """,
+)
+def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ordering control (desc_nulls_last) + tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 50, F.col("value")).alias("big_value")
+    return (ev.select("event_id", "event_type", big)
+              .orderBy(F.col("big_value").desc_nulls_last(), "event_id")
+              .limit(100))
+
+
+# ------------------------------------------------------------------ set ops
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): union + dropDuplicates — partial-agg'd."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity preserved)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+# ------------------------------------------------------------------ pivot
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra pass to discover
+    values — required posture at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+             .pivot("l_linestatus", ["O", "F"])
+             .agg(F.sum(_dec("l_quantity"))))
+    return out.select("l_returnflag",
+                      F.col("O").cast("double").alias("O"),
+                      F.col("F").cast("double").alias("F"))
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+    FROM part
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack() — wide→long without a shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("stack(2, 'size', CAST(p_size AS DOUBLE), "
+               "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (attr, val)"),
+    ).select("p_partkey", "attr", "val")
