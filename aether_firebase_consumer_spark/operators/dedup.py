@@ -1,0 +1,171 @@
+"""Deduplication operators (SURVEY.md §2.3 — LLM-data-pipeline surface).
+
+Five families, all shuffle-aware for 100 TB:
+
+- **Exact**: hash-groupBy on a content key (fingerprint), keep-first by
+  a deterministic order — one shuffle on the 16-byte key, never on the
+  payload.
+- **MinHash + LSH**: shingle → k minhashes → band keys → candidate
+  pairs via band-key equi-join → exact Jaccard verify on candidates.
+  The band join shuffles only (band_key, doc_id) pairs; the verify
+  joins shingle sets back in for candidates only. Hash fn is
+  md5(i:shingle) with lexicographic min — portable & oracle-exact; a
+  cheaper xxhash64 variant is provided for production scale.
+- **SimHash**: b-bit signature from per-token hash nibbles; near-dups
+  share the exact signature (or a banded sub-signature).
+- **N-gram Jaccard**: inverted-index join on distinct shingles with
+  per-pair common counts — exact, for moderate corpora or as the
+  verify stage of LSH.
+- **Embedding cosine**: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.text import shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, key: Column, order_col: str,
+                id_col: str) -> DataFrame:
+    """Keep the first row (by ``order_col``) per content key.
+
+    Equivalent to dropDuplicates but with *deterministic* survivor
+    choice (dropDuplicates keeps an arbitrary row — unacceptable for a
+    reproducible data pipeline). One shuffle on the key.
+    """
+    w = W.partitionBy(key).orderBy(order_col, id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
+    """k portable minhashes: sig_i = min over shingles of md5('i:'+s).
+
+    Lexicographic min of md5 hex strings — identical semantics in any
+    engine (and in the DuckDB oracle). Per-row cost k·|shingles| md5s,
+    all inside codegen; for throughput-critical runs use
+    :func:`minhash_signature_xx` (xxhash64, ~10× cheaper)."""
+    return [
+        F.array_min(F.transform(
+            shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        .alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signature_xx(shingle_arr: Column, k: int = 8) -> list[Column]:
+    """Production variant: integer minhash via xxhash64(i, shingle) —
+    cheapest JVM path (no hex strings)."""
+    return [
+        F.array_min(F.transform(
+            shingle_arr, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        .alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, bands: int = 4,
+                        shingle_k: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs that share at
+    least one LSH band. Pipeline:
+      1. per-doc shingle set + k minhashes (single scan, no shuffle)
+      2. explode band keys → shuffle only (band_key, id)
+      3. self-join on band_key (a<b), distinct pairs
+      4. join shingle sets for the two ids, exact Jaccard
+    Skew note: a degenerate band key (e.g. all-empty docs) would hot-spot
+    step 3; AQE skew-join splits it, and empty docs are filtered up
+    front.
+    """
+    rows = k // bands
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_k).alias("sh")) \
+           .filter(F.size("sh") > 0)
+    sig = sh.select("id", "sh", *minhash_signature(F.col("sh"), k))
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    long = banded.select(
+        "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
+        .alias("band_key"))
+    a, b = long.alias("a"), long.alias("b")
+    pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .distinct())
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b",
+                    (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                     / F.size(F.array_union("sh_a", "sh_b")))
+                    .alias("jaccard")))
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(text_tokens: Column, bits: int = 16) -> Column:
+    """b-bit SimHash from token md5 nibbles.
+
+    bit_j = sign of Σ_tokens (nibble_j(md5(tok)) ≥ 8 ? +1 : −1); the
+    signature packs the bits little-endian. One md5 per token (hashed
+    array reused across bits), fold per bit — all codegen.
+    """
+    hashed = F.transform(text_tokens, lambda t: F.md5(t))
+    high = list("89abcdef")
+
+    def bit(j: int) -> Column:
+        tally = F.aggregate(
+            hashed, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.substring(h, j + 1, 1).isin(*high), 1).otherwise(-1))
+        return F.when(tally > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + bit(j)
+    return out.cast("bigint")
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index join.
+
+    explode distinct shingles → equi-join on shingle → per-pair common
+    count → Jaccard from set sizes. Exact but quadratic in the worst
+    case: at 100 TB this is the *verify* stage (run on LSH candidates);
+    standalone it needs a stop-shingle cut (drop shingles with document
+    frequency above a cap) to bound the join fan-out.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_k).alias("sh")) \
+           .filter(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+               .agg(F.count("*").alias("n_common")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_common").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -1,1 +1,205 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication queries over documents (SURVEY.md §2.3).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup, each with a
+fully-equivalent DuckDB oracle (the md5-based portable hashing makes
+even the MinHash pipeline oracle-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.text import fingerprint, shingles, tokens
+from aether_firebase_consumer_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+# Shared DuckDB shingle CTE: 3-token distinct shingles, mirroring
+# functions.text.shingles (sequence → slice → array_join → distinct).
+_SHINGLES_CTE = """
+    shing AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' ')))) > 0
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> ''), ' ')) AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, lang, fp FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint with deterministic
+    keep-first (min doc_id) survivor. One shuffle on the 16-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "lang", fingerprint("text").alias("fp"))
+    return exact_dedup(keyed, F.col("fp"), "doc_id", "doc_id") \
+        .select("doc_id", "lang", "fp")
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(array_to_string(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> ''), ' ')) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper,
+           list_sort(list(doc_id)) AS all_ids
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group report: fingerprint groups with >1 member."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("keeper"),
+             F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+
+
+_K, _BANDS, _ROWS = 8, 4, 2
+_BAND_SQL = ", ".join(
+    "md5(concat_ws('|', " + ", ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS))
+    + f")) AS band{b}"
+    for b in range(_BANDS))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
+      FROM shing
+    ),
+    banded AS (SELECT id, {_BAND_SQL} FROM sig),
+    long AS (
+      SELECT id, unnest([{", ".join(f"band{b}" for b in range(_BANDS))}])
+               AS band_key
+      FROM banded
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM long a JOIN long b
+        ON a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM pairs p
+    JOIN shing sa ON sa.id = p.id_a
+    JOIN shing sb ON sb.id = p.id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) candidate pairs, verified
+    with exact Jaccard ≥ 0.5. The scale path for fuzzy dedup: band join
+    shuffles only (16-byte key, id) — never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=_K, bands=_BANDS)
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST((
+    """ + " + ".join(
+        f"""CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
+               h -> CASE WHEN substr(h, {j + 1}, 1) IN
+                    ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
+               THEN {2 ** j} ELSE 0 END"""
+        for j in range(16)) + """
+             ) AS BIGINT) AS simhash16
+      FROM hashed
+    )
+    SELECT doc_id, simhash16,
+           COUNT(*) OVER (PARTITION BY simhash16) AS n_bucket
+    FROM sigs
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + bucket sizes (same-signature docs
+    are near-dup candidates). Signature is a pure fold over one md5 per
+    token."""
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", simhash(tokens("text"), bits=16).alias("simhash16"))
+    return sigs.withColumn(
+        "n_bucket", F.count("*").over(W.partitionBy("simhash16")))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inv AS (SELECT id, unnest(sh) AS shingle FROM shing),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(c.n_common AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - c.n_common) AS jaccard
+    FROM common c
+    JOIN shing sa ON sa.id = c.id_a
+    JOIN shing sb ON sb.id = c.id_b
+    WHERE CAST(c.n_common AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - c.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index join (the verify
+    primitive; standalone needs a stop-shingle cut at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)

@@ -1,1 +1,163 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Similarity search over the embeddings table (SURVEY.md §2.3):
+brute-force cosine top-k baseline, sign-LSH bucketed ANN as the scale
+path, and embedding-cosine near-dup pairs.
+
+Scale posture: brute force is the *correctness baseline* (O(N) per
+query, embarrassingly parallel, no shuffle beyond the final top-k);
+the LSH variant prunes candidates by bucket equality so each query
+touches ~N/2^planes rows — the right shape when N is 10^10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.vectors import (
+    cosine,
+    dot,
+    hyperplane_signs,
+    lsh_bucket,
+    norm,
+)
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+_COS_SQL = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+            " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+            " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+    SELECT b.vec_id, {_COS_SQL} AS cos_sim, b.label
+    FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+    CROSS JOIN embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector (vec_id=0). The
+    single-row query side is broadcast; TakeOrdered handles the top-k —
+    no global sort, no collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id",
+                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+                "label")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# 8 hyperplanes → 256 buckets; matrix baked as literals in both engines.
+_PLANES = hyperplane_signs("afcs-lsh-v1", n_planes=8, dim=64)
+
+
+def _bucket_sql(alias: str) -> str:
+    terms = []
+    for i, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({alias}.embedding::DOUBLE[], "
+            f"{arr}::DOUBLE[]) > 0 THEN {2 ** i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    ranked AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding')} DESC,
+                        b.vec_id) AS rn
+      FROM q JOIN embeddings b
+        ON {_bucket_sql('q')} = {_bucket_sql('b')}
+       AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: 8 deterministic hyperplanes → 256 buckets; each
+    query only scores its own bucket (≈N/256 candidates), then top-5 per
+    query. The bucket is a plan-time expression — at scale you'd
+    materialize it as a partition column so bucket probes are partition
+    prunes."""
+    from pyspark.sql import Window as W
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("bucket", lsh_bucket(F.col("embedding"), _PLANES))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      "embedding", "bucket")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(q),
+                  (F.col("bucket") == F.col("q_bucket"))
+                  & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "similarity_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.35
+    """,
+)
+def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35), brute-force
+    all-pairs — the verify stage; candidate pruning at scale comes from
+    the LSH buckets above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+@register(
+    "similarity_norms",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS l2_norm,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+               AS sq_norm
+    FROM embeddings
+    """,
+)
+def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms — the normalization primitive (single scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select("vec_id", "label",
+                      norm(e).alias("l2_norm"),
+                      dot(e, e).alias("sq_norm"))

@@ -1,1 +1,150 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis queries over the documents table (SURVEY.md §2.3):
+token counting, quality scoring, language-ID scoring, fingerprinting.
+
+Each is a single-scan, shuffle-free (or single-shuffle) Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_scores,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                      length(text) AS n_chars_actual
+               FROM documents)
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           n_chars_actual,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           CAST(n_chars_actual AS DOUBLE) / len(toks) AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document — single scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(text, ' ') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS npunct
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  + (1.0 - least(5.0 * npunct / greatest(nc, 1), 1.0))
+                 ) / 3, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / diversity / punctuation) —
+    the pre-training corpus filter primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (f"CAST(len(list_filter(toks, t -> t IN ({words}))) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS score_{lang}")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang,
+           {", ".join(_lang_score_sql(lang) for lang in LANG_STOPWORDS)}
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID features: per-language stopword-hit ratios (argmax =
+    predicted language; features emitted so the oracle is exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", *lang_scores("text"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> ''), ' ')) AS fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized token stream +
+    polynomial rolling hash (fold, JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        rolling_hash("text").alias("rolling"),
+    )
+
+
+@register(
+    "text_corpus_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup per language — the dataset-card numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+             (F.sum(F.length("text")).cast("double") / F.count("*"))
+             .cast("double").alias("avg_chars"))
+        .orderBy("lang")
+    )
