@@ -1,0 +1,44 @@
+"""Schema-change detection (reference O14).
+
+The reference compares each message's Avro schema to a per-topic cache,
+logging on change and caching the new one — downstream is schemaless so
+no rewrite happens (``firebase/app/artifacts.py:313-320,378-380``).
+
+Spark streams have a fixed schema per query, so drift here means: the
+*fingerprint* of the (JSON-decoded) batch schema changed between
+micro-batches. On change we log and record; a production deployment
+would stop the query, merge schemas (``mergeSchema``), and restart —
+the detect→stop→evolve→restart choreography the reference hand-waves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class SchemaDriftDetector:
+    def __init__(self, on_change: Callable[[str, str], None] | None = None):
+        self._fingerprints: dict[str, str] = {}
+        self.changes: list[tuple[str, str, str]] = []
+        self.on_change = on_change
+
+    @staticmethod
+    def fingerprint(df: DataFrame) -> str:
+        """Stable hash of the schema JSON — mirrors utils.hash applied
+        to the schema (``firebase/app/utils.py:29-33``)."""
+        return hashlib.md5(df.schema.json().encode()).hexdigest()[:16]
+
+    def observe(self, df: DataFrame, topic: str = "_default") -> bool:
+        """Record the batch schema; returns True if it drifted."""
+        fp = self.fingerprint(df)
+        prev = self._fingerprints.get(topic)
+        self._fingerprints[topic] = fp
+        if prev is not None and prev != fp:
+            self.changes.append((topic, prev, fp))
+            if self.on_change:
+                self.on_change(topic, fp)
+            return True
+        return False

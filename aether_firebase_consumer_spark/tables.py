@@ -41,11 +41,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's) that lack the config.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; the session sets legacy.parquet.nanosAsLong so it arrives as
-    # nanosecond LongType — convert to a proper (microsecond) timestamp.
-    # Lossless for the fixtures (values are µs-precision) and matches
-    # DuckDB's ns→µs comparison semantics.
+    return normalize_event_ts(df)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; with legacy.parquet.nanosAsLong it arrives as
+    nanosecond LongType — convert to a proper (microsecond) timestamp.
+    Lossless for the fixtures (values are µs-precision) and matches
+    DuckDB's ns→µs comparison semantics."""
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn(

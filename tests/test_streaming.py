@@ -1,0 +1,167 @@
+"""End-to-end Structured Streaming tests: the E1 pipeline over a file
+stream into the MERGE upsert sink, hash-gated idempotence (O10), schema
+drift (O14), and a windowed streaming agg vs its batch twin.
+
+Mirrors the reference's integration strategy (produce docs → consume →
+assert docs at the routed path, ``firebase/tests/test_integration.py:57-77``)
+with the file source standing in for Kafka (no broker in the image).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.operators.filtering import FilterConfig
+from aether_firebase_consumer_spark.operators.masking import MaskConfig
+from aether_firebase_consumer_spark.operators.routing import Subscription
+from aether_firebase_consumer_spark.sinks.kv import KVStore
+from aether_firebase_consumer_spark.sinks.upsert import HashStateTable, ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.pipeline import (
+    PipelineConfig,
+    StreamingUpsertJob,
+    transform,
+)
+from aether_firebase_consumer_spark.streaming.schema_drift import SchemaDriftDetector
+from aether_firebase_consumer_spark.tables import normalize_event_ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stream_events_dir(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir(exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    src = str(src)
+    schema = spark.read.parquet(src).schema
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(src))
+
+
+def _docs(spark, tmp_path):
+    """Events as documents: id + topic + payload."""
+    stream = _stream_events_dir(spark, tmp_path)
+    return stream.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("t1."), "event_type").alias("topic"),
+        "user_id", "value", "props")
+
+
+def _cfg(sync_mode="forward"):
+    return PipelineConfig(
+        tenant="t1",
+        filter_config=FilterConfig("topic", ["t1.click", "t1.view"]),
+        mask_config=MaskConfig(["public", "private"], "public"),
+        classifications={"props": "private"},
+        subscriptions=[Subscription(id="s1", topic_pattern="*")],
+        sync_mode=sync_mode,
+    )
+
+
+def _run_job(spark, tmp_path, tag, sync_mode="forward"):
+    doc_table = ParquetUpsertTable(spark, str(tmp_path / f"docs_{tag}"), ["id"])
+    hash_table = HashStateTable(spark, str(tmp_path / f"hashes_{tag}"))
+    job = StreamingUpsertJob(_cfg(sync_mode), doc_table, hash_table)
+    stream = _docs(spark, tmp_path)
+    q = job.writer(stream, str(tmp_path / f"ckpt_{tag}")).start()
+    q.processAllAvailable()
+    q.stop()
+    return doc_table, hash_table, job
+
+
+def test_streaming_pipeline_filters_masks_routes(spark, tmp_path):
+    doc_table, hash_table, job = _run_job(spark, tmp_path, "a")
+    out = doc_table.read()
+    assert out is not None
+    rows = out.collect()
+    assert len(rows) > 0
+    # filter applied: only click/view topics
+    topics = {r["topic"] for r in rows}
+    assert topics == {"t1.click", "t1.view"}
+    # mask applied: private column props is gone
+    assert "props" not in out.columns
+    # route applied: default template path
+    paths = {r["target_path"] for r in rows}
+    assert paths == {"_aether/entities/click", "_aether/entities/view"}
+    # batch-vs-stream parity: same transform on the batch frame
+    batch = spark.read.parquet(str(tmp_path / "stream_src")).select(
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("t1."), "event_type").alias("topic"),
+        "user_id", "value", "props")
+    expected = transform(batch, _cfg()).count()
+    assert len(rows) == expected
+
+
+def test_sync_mode_hash_gating_idempotent(spark, tmp_path):
+    doc_table, hash_table, job = _run_job(spark, tmp_path, "b", "sync")
+    v1 = doc_table.table.current_version() if hasattr(doc_table, "table") \
+        else doc_table.current_version()
+    n1 = doc_table.read().count()
+    assert n1 > 0
+    # run the same data again in a new job (fresh checkpoint, same sinks):
+    # every doc's hash is already stored → anti-join drops everything
+    job2 = StreamingUpsertJob(_cfg("sync"), doc_table, hash_table)
+    stream = _docs(spark, tmp_path)
+    q = job2.writer(stream, str(tmp_path / "ckpt_b2")).start()
+    q.processAllAvailable()
+    q.stop()
+    assert doc_table.read().count() == n1  # no new/changed rows written
+
+
+def test_consume_mode_writes_nothing(spark, tmp_path):
+    doc_table, _, _ = _run_job(spark, tmp_path, "c", "consume")
+    assert doc_table.read() is None
+
+
+def test_schema_drift_detector(spark):
+    d = SchemaDriftDetector()
+    df1 = spark.createDataFrame([(1, "x")], ["a", "b"])
+    df2 = spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"])
+    assert d.observe(df1, "t") is False      # first sight: cached
+    assert d.observe(df1, "t") is False      # unchanged
+    assert d.observe(df2, "t") is True       # drift
+    assert len(d.changes) == 1
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    stream = _stream_events_dir(spark, tmp_path)
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("win_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["window"]["start"], r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    batch = normalize_event_ts(spark.read.parquet(str(tmp_path / "stream_src")))
+    expected = {(r["window"]["start"], r["event_type"]): r["n"]
+                for r in batch.groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n")).collect()}
+    assert got == expected
+
+
+def test_kv_store_golden_roundtrip(spark, tmp_path):
+    # reference round-trip values: firebase/tests/test_unit.py:57-60
+    kv = KVStore(spark, str(tmp_path / "kv"))
+    for i, value in enumerate([1, 1.0, "a", [1, 2, 3], {"a": "b"}]):
+        kv.set(f"some/path/{i}", value)
+    for i, value in enumerate([1, 1.0, "a", [1, 2, 3], {"a": "b"}]):
+        assert kv.get(f"some/path/{i}") == value
+    # overwrite wins
+    kv.set("some/path/0", {"new": [4, 5]})
+    assert kv.get("some/path/0") == {"new": [4, 5]}
+    # delete removes
+    kv.delete("some/path/0")
+    assert kv.get("some/path/0") is None
+    assert kv.get("missing/path") is None
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "up"), ["id"])
+    t.merge(spark.createDataFrame([("a", 1), ("b", 2)], ["id", "v"]))
+    t.merge(spark.createDataFrame([("b", 20), ("c", 3)], ["id", "v"]))
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    t.delete_keys(spark.createDataFrame([("a",)], ["id"]))
+    assert {r["id"] for r in t.read().collect()} == {"b", "c"}
