@@ -1,0 +1,155 @@
+"""Job lifecycle (reference O18) + log ring buffer + introspection
+(O15/O16).
+
+The reference job is a long-lived poll loop with status transitions
+(RECONFIGURE + backoff on connectivity errors, ``firebase/app/
+artifacts.py:263-285``), pause/resume/status via the SDK
+(``README.md:158-177``), a last-100-entries log ring
+(``artifacts.py:225,434-443``), and per-tenant consumer groups
+(``artifacts.py:226-232``).
+
+Spark-first: a job IS a named StreamingQuery. pause/resume = stop/start
+(checkpoint preserves offsets, so resume continues exactly where it
+paused — stronger than the reference's in-memory pause). Status maps
+from ``StreamingQuery.status``; logs come from a bounded deque fed by
+job events. Parallelism: one query per job; executor-side parallelism
+comes from source partitions (the Spark analogue of consumer-group
+rebalancing, O19) — checkpoint dir is per tenant+job exactly like the
+reference's group id ``{tenant}.firebaseconsumer.{job_id}``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable
+
+from pyspark.sql.streaming import StreamingQuery
+
+
+class JobStatus(str, Enum):
+    STOPPED = "stopped"
+    NORMAL = "normal"
+    PAUSED = "paused"
+    RECONFIGURE = "reconfigure"
+    DEAD = "dead"
+
+
+@dataclass
+class LogRing:
+    """Last-N log entries (``callback_logger('JOB', log_stack, 100)``,
+    ``firebase/app/artifacts.py:225``)."""
+
+    limit: int = 100
+    _entries: deque = field(default_factory=deque)
+
+    def log(self, level: str, message: str) -> None:
+        self._entries.append((time.time(), level, message))
+        while len(self._entries) > self.limit:
+            self._entries.popleft()
+
+    def get_logs(self) -> list[tuple[float, str, str]]:
+        """(``get_logs``, ``firebase/app/artifacts.py:434-443``)."""
+        return list(self._entries)
+
+
+class SparkJob:
+    """A named streaming job: builds (or rebuilds) a StreamingQuery via
+    ``start_fn`` and tracks lifecycle + logs."""
+
+    def __init__(self, tenant: str, job_id: str,
+                 start_fn: Callable[[str], StreamingQuery],
+                 checkpoint_root: str):
+        self.tenant = tenant
+        self.job_id = job_id
+        self._start_fn = start_fn
+        # per-tenant+job checkpoint = the consumer-group analogue (O19)
+        self.checkpoint = f"{checkpoint_root}/{tenant}.{job_id}"
+        self.logs = LogRing(100)
+        self.query: StreamingQuery | None = None
+        self._paused = False
+
+    # -- lifecycle (O18) ------------------------------------------------
+    def start(self) -> None:
+        self.query = self._start_fn(self.checkpoint)
+        self._paused = False
+        self.logs.log("INFO", f"job {self.job_id} started")
+
+    def pause(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self._paused = True
+            self.logs.log("INFO", f"job {self.job_id} paused")
+
+    def resume(self) -> None:
+        """Restart from the checkpoint — offsets resume exactly."""
+        if self._paused:
+            self.start()
+            self.logs.log("INFO", f"job {self.job_id} resumed")
+
+    def stop(self) -> None:
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+        self._paused = False
+        self.logs.log("INFO", f"job {self.job_id} stopped")
+
+    def get_status(self) -> JobStatus:
+        if self._paused:
+            return JobStatus.PAUSED
+        if self.query is None:
+            return JobStatus.STOPPED
+        try:
+            if self.query.exception() is not None:
+                return JobStatus.DEAD
+            return JobStatus.NORMAL
+        except Exception:
+            return JobStatus.DEAD
+
+    def get_logs(self) -> list[tuple[float, str, str]]:
+        return self.logs.get_logs()
+
+    # -- introspection (O15/O16) -----------------------------------------
+    def test_connection(self, ping: Callable[[], bool]) -> bool:
+        """Connection test wrapper (``firebase/app/artifacts.py:112-124``):
+        failures are logged and re-raised as a control-plane error."""
+        try:
+            return bool(ping())
+        except Exception as err:
+            self.logs.log("ERROR", f"connection test failed: {err}")
+            raise ConnectionError(str(err)) from err
+
+
+class JobManager:
+    """All jobs for all tenants; list_topics-style introspection over a
+    provided topic lister (Kafka AdminClient in production; a callable
+    here so tests can inject one — the broker is out of scope for the
+    v1 image)."""
+
+    def __init__(self, checkpoint_root: str):
+        self.checkpoint_root = checkpoint_root
+        self.jobs: dict[tuple[str, str], SparkJob] = {}
+
+    def add_job(self, tenant: str, job_id: str,
+                start_fn: Callable[[str], StreamingQuery]) -> SparkJob:
+        job = SparkJob(tenant, job_id, start_fn, self.checkpoint_root)
+        self.jobs[(tenant, job_id)] = job
+        return job
+
+    def get(self, tenant: str, job_id: str) -> SparkJob | None:
+        return self.jobs.get((tenant, job_id))
+
+    def list_jobs(self, tenant: str) -> list[str]:
+        return sorted(j for (t, j) in self.jobs if t == tenant)
+
+    @staticmethod
+    def list_topics(all_topics: list[str], tenant: str) -> list[str]:
+        """Tenant-scoped topic listing (``firebase/app/artifacts.py:
+        409-424``) with an *anchored prefix* strip — fixing the
+        reference's ``split(f'{tenant}.')`` mid-name bug
+        (``artifacts.py:421``)."""
+        prefix = tenant + "."
+        return sorted(t[len(prefix):] for t in all_topics
+                      if t.startswith(prefix))

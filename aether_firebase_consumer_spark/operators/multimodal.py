@@ -1,0 +1,100 @@
+"""Multimodal columns (SURVEY.md §2.3): image/audio/video as opaque
+``binary`` columns with typed metadata, decoded/feature-extracted via
+Arrow-batched ``mapInPandas``.
+
+Design for 100 TB: blobs stay columnar (parquet BinaryType) or become
+*pointers* (uri + byte-range) when objects exceed the row-group sweet
+spot; decode runs executor-side in Arrow batches — the only Python in
+the engine's hot paths, because codec work is genuinely imperative.
+
+The actual image/audio codecs are NOT in this container, so the decode
+kernels are stubbed: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless PIL/soundfile import; the *plumbing*
+(schema, batch iteration, partitioning, UDF signatures) is real and
+tested with the deterministic fake kernel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metadata struct carried next to every blob column
+MEDIA_META_SCHEMA = "struct<n_bytes:bigint, mime:string, source_uri:string>"
+
+FEATURE_SCHEMA = ("doc_id bigint, n_bytes bigint, first_byte int, "
+                  "content_md5 string")
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  mime: str = "application/octet-stream") -> DataFrame:
+    """Build the (payload, media_meta) column pair from a source column.
+    In production the payload arrives as parquet binary or via a
+    pointer fetch; here it's derived so the fixtures can drive it."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.lit(mime).alias("mime"),
+            F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string"))
+             .alias("source_uri"),
+        ))
+
+
+# --------------------------------------------------------------- kernels
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — stubbed: PIL is not in the v1 container."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+        return Image.open(io.BytesIO(payload))
+    except ImportError as err:
+        raise NotImplementedError(
+            "image decode requires PIL (not in this environment); "
+            "the Spark-side plumbing is exercised via fake_features") from err
+
+
+def decode_audio(payload: bytes):
+    """Real audio decode — stubbed: soundfile is not in the container."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as err:
+        raise NotImplementedError(
+            "audio decode requires soundfile (not in this environment)") from err
+
+
+def frame_sample(payload: bytes, every_n: int = 10):
+    """Video frame sampling — stubbed (no av/ffmpeg in the container)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as err:
+        raise NotImplementedError(
+            "frame sampling requires PyAV (not in this environment)") from err
+
+
+# --------------------------------------------------------------- pipeline
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column via
+    mapInPandas — the real distribution path a codec kernel would use.
+    The deterministic fake kernel computes (n_bytes, first_byte, md5)
+    so tests (and the DuckDB oracle) can verify the plumbing exactly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()),
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)

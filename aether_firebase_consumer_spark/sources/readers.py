@@ -1,0 +1,90 @@
+"""Scan builders (reference O1 Kafka source + the file formats the
+reference lacks, SURVEY.md §2.2 row 1).
+
+Batch: parquet / csv / json (+ avro when the spark-avro jar is on the
+classpath). Streaming: file-directory streams and Kafka (gated — no
+broker or kafka jar in the v1 image; the builder returns the configured
+reader so production classpaths work unchanged).
+
+The JSON-document decode path mirrors the reference's Avro-value decode
+(``msg.value`` + ``msg.schema``, ``firebase/app/artifacts.py:310-321``):
+``decode_json_docs`` turns a raw (key, value, topic) frame into typed
+rows via an explicit schema — the "schema travels with the stream"
+contract, with drift handled by SchemaDriftDetector (O14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType | str | None = None,
+             header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)  # never inferSchema in production
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — needs the spark-avro jar (not in the v1 image)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as err:  # jar missing → actionable error
+        raise NotImplementedError(
+            "avro source requires the org.apache.spark:spark-avro jar on "
+            "the classpath (absent in this environment)") from err
+
+
+# ------------------------------------------------------------- streaming
+
+def stream_file_source(spark: SparkSession, path: str,
+                       schema: T.StructType | str,
+                       fmt: str = "parquet") -> DataFrame:
+    """File-directory stream — the test stand-in for Kafka with the same
+    downstream pipeline (streams require an explicit schema)."""
+    return spark.readStream.schema(schema).format(fmt).load(path)
+
+
+def stream_kafka_source(spark: SparkSession, bootstrap: str,
+                        subscribe_pattern: str,
+                        starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka source (reference O1/O2): subscribePattern carries the
+    tenant-prefixed wildcard (``topic_pattern_to_regex``), checkpointing
+    replaces manual offset commit (``conf/consumer/kafka.json:3-6``).
+    Requires the spark-sql-kafka jar (not in the v1 image)."""
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribePattern", subscribe_pattern)
+            .option("startingOffsets", starting_offsets)
+            .load())
+
+
+def decode_json_docs(raw: DataFrame, schema: T.StructType | str,
+                     value_col: str = "value") -> DataFrame:
+    """Decode a raw bytes/string value column into typed rows (the
+    from_avro analogue for JSON payloads): value → from_json(schema),
+    exploded to top-level columns, topic preserved when present."""
+    value = F.col(value_col).cast("string")
+    parsed = raw.withColumn("_doc", F.from_json(value, schema))
+    keep = [c for c in ("topic", "timestamp") if c in raw.columns]
+    return parsed.select(*keep, "_doc.*")

@@ -1,0 +1,145 @@
+"""Control-plane tests: resource validation (O17 incl. the reference's
+negative path fixtures), registry CRUD + tenancy isolation, job
+lifecycle with a real StreamingQuery (O18), topic listing (O15)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.control.jobs import JobManager, JobStatus
+from aether_firebase_consumer_spark.control.resources import (
+    ResourceRegistry,
+    describe,
+    get_schema,
+    validate,
+    validate_pretty,
+)
+
+SUB = {
+    "id": "sub-1",
+    "name": "test sub",
+    "topic_pattern": "survey*",
+    "topic_options": {
+        "masking_emit_level": "public",
+        "filter_required": True,
+        "filter_field_path": "operational_status",
+        "filter_pass_values": ["operational"],
+    },
+    "fb_options": {"target_path": "_aether/entities/{topic}",
+                   "sync_mode": "forward"},
+}
+
+
+def test_validate_subscription_ok():
+    assert validate("subscription", SUB)
+    assert validate_pretty("subscription", SUB)["valid"]
+
+
+@pytest.mark.parametrize("bad_path", ["{illegal}/sub/stitution", "too/short"])
+def test_validate_reference_negative_paths(bad_path):
+    # firebase/tests/test_unit.py:42-50
+    bad = {**SUB, "fb_options": {**SUB["fb_options"], "target_path": bad_path}}
+    report = validate_pretty("subscription", bad)
+    assert not report["valid"]
+    assert report["validation_errors"]
+
+
+def test_validate_missing_required():
+    report = validate_pretty("subscription", {"name": "x"})
+    assert not report["valid"]
+    assert any("id" in e for e in report["validation_errors"])
+
+
+def test_validate_bad_sync_mode():
+    bad = {**SUB, "fb_options": {"sync_mode": "push"}}
+    assert not validate("subscription", bad)
+
+
+def test_describe_and_schema():
+    assert {d["resource_type"] for d in describe()} == \
+        {"sink_instance", "subscription", "job"}
+    assert get_schema("job")["required"] == ["id", "name", "firebase",
+                                             "subscription"]
+
+
+def test_registry_tenancy_isolation():
+    reg = ResourceRegistry()
+    reg.add("t1", "subscription", SUB)
+    # tenant 2 sees nothing (mirrors the reference's commented tenancy
+    # test, firebase/tests/test_integration.py:43-54)
+    assert reg.list("t1", "subscription") == ["sub-1"]
+    assert reg.list("t2", "subscription") == []
+    assert reg.get("t2", "subscription", "sub-1") is None
+    assert reg.delete("t1", "subscription", "sub-1")
+    assert reg.list("t1", "subscription") == []
+
+
+def test_registry_rejects_invalid():
+    reg = ResourceRegistry()
+    with pytest.raises(ValueError):
+        reg.add("t1", "subscription", {"id": "x"})
+
+
+def test_job_lifecycle_with_real_query(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    out_dir = str(tmp_path / "out")
+
+    def start_fn(checkpoint):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (stream.select("n_nationkey", F.upper("n_name").alias("n"))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint)
+                .start())
+
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("t1", "job-1", start_fn)
+    assert job.get_status() == JobStatus.STOPPED
+    job.start()
+    job.query.processAllAvailable()
+    assert job.get_status() == JobStatus.NORMAL
+    job.pause()
+    assert job.get_status() == JobStatus.PAUSED
+    job.resume()
+    job.query.processAllAvailable()
+    assert job.get_status() == JobStatus.NORMAL
+    job.stop()
+    assert job.get_status() == JobStatus.STOPPED
+    # rows made it out; checkpoint prevented duplication across resume
+    assert spark.read.parquet(out_dir).count() == 25
+    # log ring captured lifecycle
+    messages = [m for (_, _, m) in job.get_logs()]
+    assert any("started" in m for m in messages)
+    assert any("paused" in m for m in messages)
+    assert mgr.list_jobs("t1") == ["job-1"]
+
+
+def test_log_ring_bounded():
+    from aether_firebase_consumer_spark.control.jobs import LogRing
+    ring = LogRing(limit=100)
+    for i in range(250):
+        ring.log("INFO", f"m{i}")
+    logs = ring.get_logs()
+    assert len(logs) == 100
+    assert logs[0][2] == "m150" and logs[-1][2] == "m249"
+
+
+def test_list_topics_anchored_prefix():
+    topics = ["t1.surveys", "t1.t1x", "other.t1.thing", "t2.surveys"]
+    # 't1.t1x' keeps its name intact (reference's split() bug would break)
+    assert JobManager.list_topics(topics, "t1") == ["surveys", "t1x"]
+
+
+def test_connection_test_wraps_errors(spark, tmp_path):
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("t1", "job-c", lambda c: None)
+    assert job.test_connection(lambda: True)
+    with pytest.raises(ConnectionError):
+        job.test_connection(lambda: (_ for _ in ()).throw(RuntimeError("down")))

@@ -1,0 +1,89 @@
+"""Sources (csv/json round-trip, json-doc decode, gated avro/kafka) and
+multimodal plumbing (binary+meta, mapInPandas kernel, codec stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.operators.multimodal import (
+    attach_binary,
+    decode_audio,
+    decode_image,
+    extract_features,
+    frame_sample,
+)
+from aether_firebase_consumer_spark.sources.readers import (
+    decode_json_docs,
+    read_avro,
+    read_csv,
+    read_json,
+    stream_file_source,
+)
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(csv_path)
+    df.write.json(json_path)
+    got_csv = read_csv(spark, csv_path, schema="id int, name string")
+    got_json = read_json(spark, json_path, schema="id int, name string")
+    assert sorted((r["id"], r["name"]) for r in got_csv.collect()) == \
+        [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["name"]) for r in got_json.collect()) == \
+        [(1, "a"), (2, "b")]
+
+
+def test_decode_json_docs(spark):
+    raw = spark.createDataFrame(
+        [("t1.surveys", '{"id": "x", "beds": 4}'),
+         ("t1.surveys", '{"id": "y", "beds": null}')],
+        "topic string, value string")
+    out = decode_json_docs(raw, "id string, beds int")
+    rows = {r["id"]: r for r in out.collect()}
+    assert out.columns == ["topic", "id", "beds"]
+    assert rows["x"]["beds"] == 4 and rows["y"]["beds"] is None
+
+
+def test_avro_gated(spark, tmp_path):
+    with pytest.raises(NotImplementedError):
+        read_avro(spark, str(tmp_path / "nope"))
+
+
+def test_file_stream_source(spark, tmp_path):
+    src = tmp_path / "s"
+    src.mkdir()
+    spark.createDataFrame([(1,)], "id int").write.parquet(str(src / "p"))
+    stream = stream_file_source(spark, str(src / "p"), "id int")
+    assert stream.isStreaming
+
+
+def test_multimodal_attach_and_extract(spark):
+    docs = spark.createDataFrame([(7, "hello")], "doc_id long, text string")
+    out = attach_binary(docs)
+    row = out.first()
+    assert bytes(row["payload"]) == b"hello"
+    assert row["media_meta"]["n_bytes"] == 5
+    assert row["media_meta"]["source_uri"] == "mem://doc/7"
+    feats = extract_features(out).first()
+    assert feats["n_bytes"] == 5
+    assert feats["first_byte"] == ord("h")
+    import hashlib
+    assert feats["content_md5"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_codec_stubs_raise():
+    for fn in (decode_image, decode_audio, frame_sample):
+        with pytest.raises(NotImplementedError):
+            fn(b"\x00\x01")
+
+
+def test_binary_meta_prunes_payload(spark, tmp_path):
+    # metadata-only query must not read payload bytes from parquet
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    path = str(tmp_path / "mm")
+    attach_binary(docs).write.parquet(path)
+    df = spark.read.parquet(path).select("doc_id", "media_meta.n_bytes")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
