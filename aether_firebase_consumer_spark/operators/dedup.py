@@ -8,9 +8,10 @@ Five families, all shuffle-aware for 100 TB:
 - **MinHash + LSH**: shingle → k minhashes → band keys → candidate
   pairs via band-key equi-join → exact Jaccard verify on candidates.
   The band join shuffles only (band_key, doc_id) pairs; the verify
-  joins shingle sets back in for candidates only. Hash fn is
-  md5(i:shingle) with lexicographic min — portable & oracle-exact; a
-  cheaper xxhash64 variant is provided for production scale.
+  joins shingle sets back in for candidates only. Hash fn: ONE md5 per
+  shingle → 60-bit int → k affine permutations mod 2^31-1 — portable &
+  oracle-exact at 1/k the hashing cost of per-i md5; a raw xxhash64
+  variant is provided for maximum production throughput.
 - **SimHash**: b-bit signature from per-token hash nibbles; near-dups
   share the exact signature (or a banded sub-signature).
 - **N-gram Jaccard**: inverted-index join on distinct shingles with
@@ -44,16 +45,39 @@ def exact_dedup(df: DataFrame, key: Column, order_col: str,
 
 # ---------------------------------------------------------------- minhash
 
-def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
-    """k portable minhashes: sig_i = min over shingles of md5('i:'+s).
+# Affine-permutation minhash constants: h_i(x) = (A[i]*x + B[i]) mod P.
+# P = 2^31 - 1 (prime); A[i]*(x mod P) < 2^62 so the math stays in int64
+# in both Spark and the DuckDB oracle.
+MH_P = 2_147_483_647
+MH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317,
+        196613, 393241, 786433, 1572869, 3145739, 6291469, 12582917,
+        25165843]
+MH_B = [12582917, 25165843, 50331653, 100663319, 201326611, 402653189,
+        805306457, 1610612741, 769, 1543, 3079, 6151, 12289, 24593,
+        49157, 98317]
 
-    Lexicographic min of md5 hex strings — identical semantics in any
-    engine (and in the DuckDB oracle). Per-row cost k·|shingles| md5s,
-    all inside codegen; for throughput-critical runs use
-    :func:`minhash_signature_xx` (xxhash64, ~10× cheaper)."""
+
+def portable_hash60(s: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, as
+    bigint, reduced mod P. Byte-identical in DuckDB via
+    ``('0x' || substr(md5(s),1,15))::BIGINT % P`` — one md5 per value,
+    every derived minhash is integer math on top."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MH_P
+
+
+def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
+    """k portable minhashes from ONE md5 per shingle:
+    sig_i = min over shingles of (A[i]·h60(s) + B[i]) mod P.
+
+    Single-expression (array transform) form; for large shingle sets
+    prefer the explode + partial-agg form in
+    :func:`lsh_candidate_pairs`, which guarantees one hash evaluation
+    per shingle and map-side combine."""
     return [
         F.array_min(F.transform(
-            shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            shingle_arr,
+            lambda s, i=i: (F.lit(MH_A[i]) * portable_hash60(s)
+                            + F.lit(MH_B[i])) % MH_P))
         .alias(f"mh{i}")
         for i in range(k)
     ]
@@ -89,9 +113,19 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh")) \
            .filter(F.size("sh") > 0)
-    sig = sh.select("id", "sh", *minhash_signature(F.col("sh"), k))
+    # One md5 per shingle (explode), k affine permutations as integer
+    # math, map-side partial MIN combine → the shuffle carries one
+    # k-int row per (id, map-partition), not the shingles.
+    hashed = sh.select("id", F.explode("sh").alias("s")) \
+               .select("id", portable_hash60(F.col("s")).alias("h"))
+    sig = hashed.groupBy("id").agg(*[
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P)
+        .alias(f"mh{i}")
+        for i in range(k)
+    ])
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        F.concat_ws("|", F.lit(b),
+                    *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         .alias(f"band{b}")
         for b in range(bands)
     ]

@@ -12,13 +12,16 @@ from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.functions.text import fingerprint, shingles, tokens
 from aether_firebase_consumer_spark.operators.dedup import (
+    MH_A,
+    MH_B,
+    MH_P,
     exact_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
 from aether_firebase_consumer_spark.plans import register
-from aether_firebase_consumer_spark.tables import load_table
+from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 # Shared DuckDB shingle CTE: 3-token distinct shingles, mirroring
 # functions.text.shingles (sequence → slice → array_join → distinct).
@@ -91,13 +94,18 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+    # Mirrors operators.dedup.portable_hash60 + affine permutation:
+    # one md5 per shingle, k integer permutations on top.
+    return (f"list_min(list_transform(sh, s -> "
+            f"({MH_A[i]} * (('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_P})"
+            f" + {MH_B[i]}) % {MH_P})) AS mh{i}")
 
 
 _K, _BANDS, _ROWS = 8, 4, 2
 _BAND_SQL = ", ".join(
-    "md5(concat_ws('|', " + ", ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS))
-    + f")) AS band{b}"
+    "concat_ws('|', " + ", ".join(
+        [str(b)] + [f"mh{b * _ROWS + r}" for r in range(_ROWS)])
+    + f") AS band{b}"
     for b in range(_BANDS))
 
 
@@ -134,7 +142,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands × 2 rows) candidate pairs, verified
     with exact Jaccard ≥ 0.5. The scale path for fuzzy dedup: band join
     shuffles only (16-byte key, id) — never documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=_K, bands=_BANDS)
     return pairs.filter(F.col("jaccard") >= 0.5)
 
@@ -170,7 +178,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-dup candidates). Signature is a pure fold over one md5 per
     token."""
     from pyspark.sql import Window as W
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     sigs = docs.select(
         "doc_id", simhash(tokens("text"), bits=16).alias("simhash16"))
     return sigs.withColumn(
@@ -201,5 +209,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted-index join (the verify
     primitive; standalone needs a stop-shingle cut at scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)

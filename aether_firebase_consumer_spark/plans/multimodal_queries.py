@@ -14,7 +14,7 @@ from aether_firebase_consumer_spark.operators.multimodal import (
     extract_features,
 )
 from aether_firebase_consumer_spark.plans import register
-from aether_firebase_consumer_spark.tables import load_table
+from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 
 @register(
@@ -56,5 +56,5 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batch
     in/out — the decode-kernel distribution path, with a deterministic
     fake kernel standing in for the absent codecs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return extract_features(attach_binary(docs))

@@ -21,7 +21,7 @@ from aether_firebase_consumer_spark.functions.vectors import (
     norm,
 )
 from aether_firebase_consumer_spark.plans import register
-from aether_firebase_consumer_spark.tables import load_table
+from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 _COS_SQL = ("list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
             " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
@@ -131,8 +131,8 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — the verify stage; candidate pruning at scale comes from
     the LSH buckets above."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("emb_a"))
+    a = fan_out_for_compute(emb).select(F.col("vec_id").alias("id_a"),
+                                        F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("embedding").alias("emb_b"))
     return (

@@ -57,6 +57,27 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out_for_compute(df: DataFrame, min_parallelism: int | None = None
+                        ) -> DataFrame:
+    """Ensure CPU-heavy per-row pipelines (hashing, shingling, vector
+    math, decode UDFs) get cluster-wide parallelism.
+
+    Parquet scans parallelize by file split; a table written as one
+    row group arrives as ONE task no matter how many cores exist — so a
+    hash-heavy stage would run 1/32 speed locally (and 1/N-executor on
+    a cluster reading few huge files). If the scan already has >= cores
+    splits (the normal 100 TB case: thousands of files), this is a
+    no-op — no shuffle is added. Otherwise a round-robin repartition to
+    ``defaultParallelism`` redistributes rows once; the repartition cost
+    is bounded by the small input that caused the under-split.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
