@@ -57,6 +57,7 @@ def _load_all() -> None:
     from aether_firebase_consumer_spark.plans import (  # noqa: F401
         reference_pipeline,
         relational,
+        relational2,
         windows_setops,
         functions_queries,
         streaming_batch,

@@ -52,8 +52,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     DuckDB's ns→µs comparison semantics."""
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer DIV, not `/`: float division loses µs precision on
+            # int64 epoch-ns values (> 2^53) and rounds some stamps up
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
