@@ -1,0 +1,153 @@
+"""Physical-plan regression tests: assert the *scale* properties, not
+just results. These lock in the 100 TB posture — predicate pushdown to
+the parquet scan, column pruning, broadcast joins for bounded
+dimensions, no nested-loop/cartesian fallbacks on keyed joins, map-side
+partial aggregation, top-k as TakeOrdered, and no row-at-a-time Python
+in any hot path (Arrow-batched plans only where Python is required).
+
+A refactor that silently breaks one of these still passes the value
+oracle at sf0.01 but would fall over at 1000x — so it must fail here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(spark, name: str) -> str:
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+# ------------------------------------------------------- pushdown / pruning
+
+def test_q6_filters_push_to_scan(spark):
+    """All three Q6 predicates must reach the parquet reader."""
+    p = explain_formatted(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark):
+    """Q6 touches 4 columns; the scan must not read the rest."""
+    p = explain_formatted(spark, "q6_forecast_revenue")
+    schema_lines = [ln for ln in p.splitlines() if "ReadSchema:" in ln]
+    assert schema_lines, p
+    rs = schema_lines[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in rs
+    for col in ("l_returnflag", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in rs, f"unpruned column {col}: {rs}"
+
+
+def test_flagship_filter_pushdown(spark):
+    """The reference's O3 predicate filter must reach the events scan
+    (the reference hand-rolled this inside its SDK consumer; Catalyst
+    gives it to us for free — confirm it stays free)."""
+    p = explain_formatted(spark, "flagship_filter_mask_route")
+    assert "PushedFilters:" in p
+
+
+# ------------------------------------------------------------- join strategy
+
+def test_dim_joins_are_broadcast(spark):
+    """Bounded dimensions must broadcast — the fact side never shuffles
+    for the join."""
+    for name in ("join_broadcast_dim", "q5_local_supplier_volume",
+                 "q14_promo_effect", "q10_returned_items"):
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" in p, f"{name}: no broadcast join\n{p}"
+
+
+def test_keyed_joins_never_nested_loop(spark):
+    """Joins with an equi component must plan as hash/sort-merge joins —
+    BroadcastNestedLoopJoin or CartesianProduct here would be O(n*m)."""
+    for name in ("join_fact_fact", "join_theta_range", "range_join_events",
+                 "q18_large_volume_customer", "q7_volume_shipping",
+                 "dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name} planned cartesian"
+        assert "BroadcastNestedLoopJoin" not in p, f"{name} planned BNLJ"
+
+
+def test_semi_anti_physical(spark):
+    """EXISTS / NOT EXISTS must stay semi/anti (no full join + filter)."""
+    assert "LeftSemi" in plan(spark, "join_semi")
+    assert "LeftAnti" in plan(spark, "join_anti")
+
+
+# ---------------------------------------------------------------- aggregates
+
+def test_aggs_have_partial_phase(spark):
+    """Group-bys must do map-side combine: two HashAggregate nodes
+    (partial + final) around the exchange."""
+    for name in ("q1_pricing_summary", "agg_stats"):
+        p = plan(spark, name)
+        assert p.count("HashAggregate") >= 2, f"{name}: no partial agg\n{p}"
+
+
+def test_topk_is_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrdered — a global sort
+    materialization at 100 TB is a different (wrong) algorithm."""
+    for name in ("q3_shipping_priority", "q10_returned_items",
+                 "similarity_topk_cosine"):
+        p = plan(spark, name)
+        assert "TakeOrderedAndProject" in p, f"{name}: global sort\n{p}"
+
+
+# ------------------------------------------------------------- Python usage
+
+@pytest.mark.parametrize("name", [
+    "flagship_filter_mask_route", "q1_pricing_summary", "dedup_minhash_lsh",
+    "dedup_simhash", "text_quality_score", "text_lang_id",
+    "similarity_topk_cosine", "similarity_ann_lsh", "content_hash",
+    "change_detection", "asof_join_events", "text_tfidf_topk",
+])
+def test_no_row_python_in_hot_paths(spark, name):
+    """Everything except the multimodal decode kernel must stay JVM-side:
+    no row-at-a-time Python UDF (BatchEvalPython) anywhere, and these
+    queries shouldn't need Arrow-batched Python either."""
+    p = plan(spark, name)
+    assert "BatchEvalPython" not in p, f"{name} uses row Python UDF"
+    assert "ArrowEvalPython" not in p, f"{name} uses a pandas UDF"
+    assert "MapInPandas" not in p, f"{name} uses mapInPandas"
+
+
+def test_multimodal_uses_arrow_not_row_python(spark):
+    """The one permitted Python stage must be Arrow-batched."""
+    p = plan(spark, "multimodal_feature_extract")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+# ------------------------------------------------------------- codegen spans
+
+def test_scan_agg_pipelines_are_codegened(spark):
+    """Scan→filter→project→partial-agg must fuse into WholeStageCodegen.
+    AQE only finalizes (and codegens) the plan at execution, so run the
+    query first and inspect the final adaptive plan."""
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "agg_stats"):
+        df = REGISTRY[name].builder(spark, SF_SMOKE)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, f"{name}: AQE did not finalize\n{p}"
+        # codegen stages print as "*(N) Operator" in the final plan
+        assert "*(1)" in p, f"{name}: no codegen stage\n{p}"
+        assert any(ln.strip().startswith("+- *(") and "HashAggregate" in ln
+                   for ln in p.splitlines()), f"{name}: agg not codegened\n{p}"
