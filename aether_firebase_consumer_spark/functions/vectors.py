@@ -62,3 +62,39 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         bucket = bucket + F.when(dot(vec, lit_plane) > 0,
                                  F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket.cast("bigint")
+
+
+def ivf_centroids(seed: str, k: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1), md5-derived —
+    the coarse quantizer of an IVF index, reproducible across engines
+    (trained k-means centroids would slot in identically; the index
+    structure, not centroid quality, is what the engine provides)."""
+    import hashlib
+    out = []
+    for i in range(k):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            # exact binary fraction: representable identically everywhere
+            row.append(int(h[:8], 16) / 2 ** 31 - 1.0)
+        out.append(row)
+    return out
+
+
+def ivf_cell_scores(cents: list[list[float]]) -> list[float]:
+    """Per-centroid bias  −|c|²/2  (precomputed in Python so both the
+    Spark plan and the SQL oracle inject the identical double literal —
+    no cross-engine float-summation to trust)."""
+    return [-0.5 * sum(x * x for x in c) for c in cents]
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """IVF cell assignment: argmax_i (v·cᵢ − |cᵢ|²/2) — equivalent to
+    nearest-centroid by L2 without computing |v|². Literal centroid
+    arrays → pure codegen expression, 1-based cell index."""
+    biases = ivf_cell_scores(cents)
+    scores = F.array(*[
+        dot(vec, F.array(*[F.lit(v) for v in c])) + F.lit(b)
+        for c, b in zip(cents, biases)
+    ])
+    return F.array_position(scores, F.array_max(scores)).cast("int")

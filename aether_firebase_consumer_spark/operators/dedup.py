@@ -147,6 +147,46 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("jaccard")))
 
 
+# ------------------------------------------------- connected components
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Duplicate-group clustering: connected components of the
+    candidate-pair graph via min-label propagation, returning
+    (id, component) where component = min id in the component.
+
+    The iterative dataflow (the standard large-scale CC shape, cf.
+    GraphX/GraphFrames): each round every node adopts the minimum label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds — near-dup graphs are shallow, so single digits. Each round
+    is one shuffle of (node, label) pairs; ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1. The
+    driver sees only a per-round convergence *count*, never row data.
+    """
+    sym = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")) \
+        .union(edges.select(F.col(dst).alias("e_src"),
+                            F.col(src).alias("e_dst")))
+    labels = (sym.select(F.col("e_src").alias("id")).distinct()
+                 .withColumn("label", F.col("id"))
+                 .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.e_src == labels.id)
+                    .groupBy(F.col("e_dst").alias("n_id"))
+                    .agg(F.min("label").alias("n_min")))
+        new = (labels.join(neigh, labels.id == neigh.n_id, "left")
+               .select(F.col("id"),
+                       F.least(F.col("label"),
+                               F.coalesce(F.col("n_min"), F.col("label")))
+                       .alias("new_label"),
+                       F.col("label").alias("old_label")))
+        new = new.localCheckpoint()
+        changed = new.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = new.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash(text_tokens: Column, bits: int = 16) -> Column:

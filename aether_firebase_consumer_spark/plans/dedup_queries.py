@@ -15,6 +15,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     MH_A,
     MH_B,
     MH_P,
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -145,6 +146,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=_K, bands=_BANDS)
     return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+# The full MinHash-LSH candidate pipeline as SQL CTEs (shared by the
+# components oracle below).
+def _lsh_pairs_ctes() -> str:
+    return f"""{_SHINGLES_CTE},
+    sig AS (
+      SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
+      FROM shing
+    ),
+    banded AS (SELECT id, {_BAND_SQL} FROM sig),
+    long AS (
+      SELECT id, unnest([{", ".join(f"band{b}" for b in range(_BANDS))}])
+               AS band_key
+      FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM long a JOIN long b
+        ON a.band_key = b.band_key AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN shing sa ON sa.id = c.id_a
+      JOIN shing sb ON sb.id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, LEAST(src, MIN(dst)) AS component
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: LSH-verified near-dup pairs → graph →
+    connected components (min-id label) — the step that turns pairwise
+    near-dups into dedup *groups* (keep min id per component, drop the
+    rest). Iterative min-label propagation, O(diameter) shuffle rounds;
+    the oracle computes the same components with a recursive CTE."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", k=_K, bands=_BANDS) \
+        .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b")
 
 
 @register(

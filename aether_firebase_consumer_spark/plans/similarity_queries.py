@@ -17,6 +17,9 @@ from aether_firebase_consumer_spark.functions.vectors import (
     cosine,
     dot,
     hyperplane_signs,
+    ivf_cell,
+    ivf_cell_scores,
+    ivf_centroids,
     lsh_bucket,
     norm,
 )
@@ -109,6 +112,72 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(q),
                   (F.col("bucket") == F.col("q_bucket"))
+                  & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# IVF coarse quantizer: 16 deterministic centroids over the 64-dim space.
+_CENTS = ivf_centroids("afcs-ivf-v1", k=16, dim=64)
+_BIASES = ivf_cell_scores(_CENTS)
+
+
+def _cell_sql(alias: str) -> str:
+    scores = ", ".join(
+        f"list_dot_product({alias}.embedding::DOUBLE[], "
+        "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]) + " + repr(b)
+        for c, b in zip(_CENTS, _BIASES))
+    return (f"CAST(list_position([{scores}], "
+            f"list_max([{scores}])) AS INT)")
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM cells WHERE vec_id < 5),
+    ranked AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding')} DESC,
+                        b.vec_id) AS rn
+      FROM q JOIN cells b
+        ON b.cell = q.cell AND b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a 16-cell coarse quantizer assigns every
+    vector to its nearest centroid; each query scores only its own
+    cell's inverted list (≈N/16 candidates), then top-5 per query.
+    At 100 TB the cell becomes the table's partition column, the
+    centroids come from a sampled k-means fit, and nprobe>1 unions a
+    few adjacent cells — the structure here is exactly that index, with
+    the quantizer as a plan-time literal."""
+    from pyspark.sql import Window as W
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings")) \
+        .withColumn("cell", ivf_cell(F.col("embedding"), _CENTS))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      "embedding", "cell")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.join(F.broadcast(q),
+                  (F.col("cell") == F.col("q_cell"))
                   & (F.col("neighbor_id") != F.col("query_id")))
         .select("query_id", "neighbor_id",
                 cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"))

@@ -137,3 +137,38 @@ def stream_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") == 1)
               .select("event_id", "user_id", "event_type"))
+
+
+@register("stream_stateful_change_detect")  # no oracle: arbitrary-stateful
+def stream_stateful_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 change detection as TRUE streaming state
+    (applyInPandasWithState): an availableNow pass over documents where
+    each doc id's content hash is held in the keyed state store and
+    only new/changed docs are emitted. First sight of the fixture emits
+    every doc — the state semantics (restart recovery, changed-only
+    emission) are exercised in tests/test_streaming.py. Rows-only
+    driver check: arbitrary stateful streaming is not SQL-expressible.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        change_detect_stream,
+    )
+    # file stream sources read directories; symlink the fixture file in
+    src_dir = tempfile.mkdtemp(prefix="afcs_cd_src_")
+    os.symlink(f"{sf_dir}/documents.parquet",
+               os.path.join(src_dir, "documents.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .select(F.col("doc_id").cast("string").alias("id"),
+                "lang", F.md5("text").alias("hash"))
+    )
+    out = change_detect_stream(stream, "id", "hash")
+    name = "cd_" + uuid.uuid4().hex
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

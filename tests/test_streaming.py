@@ -165,3 +165,51 @@ def test_upsert_merge_semantics(spark, tmp_path):
     assert got == {"a": 1, "b": 20, "c": 3}
     t.delete_keys(spark.createDataFrame([("a",)], ["id"]))
     assert {r["id"] for r in t.read().collect()} == {"b", "c"}
+
+
+def test_stateful_change_detect_across_restarts(spark, tmp_path):
+    """applyInPandasWithState hash gate: batch 1 emits everything (new
+    ids); after a restart from the same checkpoint, batch 2 emits ONLY
+    the docs whose content hash changed — state survives the restart."""
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        change_detect_stream,
+    )
+    src = tmp_path / "cd_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cd_ckpt")
+
+    base = spark.createDataFrame(
+        [(str(i), f"text-{i}") for i in range(20)], "id string, text string")
+    base.coalesce(1).write.parquet(str(src / "b1"))
+    schema = "id string, text string, hash string"
+
+    def run_once():
+        stream = (spark.readStream.schema("id string, text string")
+                  .option("maxFilesPerTrigger", "1000")
+                  .parquet(str(src) + "/*")
+                  .withColumn("hash", F.md5("text")))
+        out = change_detect_stream(stream, "id", "hash")
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / "cd_out"))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.schema(schema).parquet(str(tmp_path / "cd_out"))
+    assert first.count() == 20  # every id is new
+
+    # batch 2: 5 changed, 15 identical, 2 brand new
+    changed = spark.createDataFrame(
+        [(str(i), f"text-{i}-v2") for i in range(5)]
+        + [(str(i), f"text-{i}") for i in range(5, 20)]
+        + [(str(i), f"text-{i}") for i in (100, 101)],
+        "id string, text string")
+    changed.coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    out = spark.read.schema(schema).parquet(str(tmp_path / "cd_out"))
+    assert out.count() == 20 + 5 + 2
+    emitted_v2 = {r["id"] for r in out.filter(
+        F.col("text").endswith("-v2")).collect()}
+    assert emitted_v2 == {"0", "1", "2", "3", "4"}
