@@ -541,3 +541,41 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score", "rn")
     )
+
+
+# ------------------------------------------------------- stats aggregates
+
+@register(
+    "agg_percentiles_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           stddev_samp(o_totalprice) AS sd_price,
+           var_samp(o_totalprice) AS var_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) + sample stddev and
+    variance per priority. Spark's exact `percentile` matches DuckDB's
+    quantile_cont bit-for-bit; the central-moment aggregates merge
+    deterministically here (verified in the oracle gate). At 100 TB
+    you'd swap `percentile` for `approx_percentile` (t-digest sketch,
+    mergeable map-side) — the exact form is the correctness baseline.
+    corr() is deliberately excluded: its pairwise-moment merge differs
+    from DuckDB in the last ulp, so it cannot sit behind a bit-exact
+    oracle gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", 0.5).alias("median_price"),
+             F.percentile("o_totalprice", 0.9).alias("p90_price"),
+             F.stddev_samp("o_totalprice").alias("sd_price"),
+             F.var_samp("o_totalprice").alias("var_price"),
+             F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -75,3 +75,21 @@ def test_masked_columns_pruned_from_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan and "secret" not in plan
     assert "b" not in out.columns
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain join,
+    for inner and left, including unmatched-left preservation."""
+    from aether_firebase_consumer_spark.operators.skew import salted_join
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    for how in ("inner", "left"):
+        plain = li.join(o, ["l_orderkey"], how)
+        salted = salted_join(li, o, ["l_orderkey"], how, salt=4)
+        assert salted.columns == plain.columns
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
