@@ -732,3 +732,101 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+# -------------------------------------------------------------- histogram
+
+@register(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 100.0 THEN 11
+                ELSE CAST(floor(value / 10.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values via width_bucket — the
+    single-pass distribution profile (one low-cardinality shuffle after
+    partial agg; at 100 TB this is how you size joins and spot skew
+    before running them)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.width_bucket("value", F.lit(0.0), F.lit(100.0),
+                                  F.lit(10)).alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.min("value").cast("double").alias("lo"),
+             F.max("value").cast("double").alias("hi"))
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------------- gap fill / ffill
+
+@register(
+    "timeseries_gapfill_ffill",
+    oracle="""
+    WITH per_hour AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+             SUM(CAST(value AS DECIMAL(18,2))) AS hour_value
+      FROM events
+      WHERE user_id < 20 AND event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour_ts) AS lo, MAX(hour_ts) AS hi
+      FROM per_hour GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, unnest(generate_series(b.lo, b.hi,
+                                               INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds b
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour_ts, p.hour_value,
+             COUNT(p.hour_value) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM spine s
+      LEFT JOIN per_hour p
+        ON p.user_id = s.user_id AND p.hour_ts = s.hour_ts
+    )
+    SELECT user_id, hour_ts,
+           CAST(max(hour_value) OVER (PARTITION BY user_id, grp)
+                AS DOUBLE) AS filled_value,
+           (hour_value IS NULL) AS was_filled
+    FROM joined
+    """,
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly resample per user, dense hour
+    spine via sequence+explode (no driver-side date loop), left join,
+    forward-fill through an ordered window last(ignore nulls). The
+    spine explode is per-key and bounded by that key's own time range —
+    shuffle stays proportional to output rows at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase"))
+    per_hour = (ev.groupBy("user_id",
+                           F.date_trunc("hour", "ts").alias("hour_ts"))
+                .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("hour_value")))
+    spine = (per_hour.groupBy("user_id")
+             .agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+             .select("user_id",
+                     F.explode(F.sequence("lo", "hi",
+                                          F.expr("INTERVAL 1 HOUR")))
+                     .alias("hour_ts")))
+    w = (W.partitionBy("user_id").orderBy("hour_ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        spine.join(per_hour, ["user_id", "hour_ts"], "left")
+        .select("user_id", "hour_ts",
+                F.last("hour_value", ignorenulls=True).over(w)
+                .cast("double").alias("filled_value"),
+                F.col("hour_value").isNull().alias("was_filled"))
+    )
