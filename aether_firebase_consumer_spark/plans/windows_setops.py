@@ -303,3 +303,29 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(2, 'size', CAST(p_size AS DOUBLE), "
                "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (attr, val)"),
     ).select("p_partkey", "attr", "val")
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS balance_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (ntile),
+    percent_rank, cume_dist per market segment, fully tie-broken for
+    determinism. One shuffle on the partition key; each partition sorts
+    locally."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -42,3 +42,32 @@ class SchemaDriftDetector:
                 self.on_change(topic, fp)
             return True
         return False
+
+
+def evolved_pass(spark, src_dir: str, checkpoint: str, out_dir: str,
+                 detector: SchemaDriftDetector | None = None) -> str:
+    """One availableNow pass of the detect→stop→merge→restart
+    choreography (the part the reference hand-waves,
+    ``artifacts.py:378-380``).
+
+    Each invocation re-derives the stream schema as the mergeSchema
+    union of everything in ``src_dir`` — so files that arrived with new
+    columns since the last pass widen the schema on this restart, while
+    the checkpoint's file-source offsets guarantee already-processed
+    files are not re-emitted. The parquet sink accumulates mixed-schema
+    files; readers union them with mergeSchema. Returns the schema
+    fingerprint used for the pass (drift = fingerprint changed between
+    invocations, which the caller or ``detector`` tracks)."""
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true").parquet(src_dir))
+    if detector is not None:
+        detector.observe(merged, src_dir)
+    stream = (spark.readStream.schema(merged.schema)
+              .option("recursiveFileLookup", "true").parquet(src_dir))
+    q = (stream.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return SchemaDriftDetector.fingerprint(merged)

@@ -213,3 +213,34 @@ def test_stateful_change_detect_across_restarts(spark, tmp_path):
     emitted_v2 = {r["id"] for r in out.filter(
         F.col("text").endswith("-v2")).collect()}
     assert emitted_v2 == {"0", "1", "2", "3", "4"}
+
+
+def test_schema_evolution_restart_choreography(spark, tmp_path):
+    """detect -> stop -> merge -> restart: files with a new column widen
+    the stream schema on the next pass; offsets carry over (no
+    re-emission); old rows read as NULL in the new column."""
+    from aether_firebase_consumer_spark.streaming.schema_drift import (
+        SchemaDriftDetector,
+        evolved_pass,
+    )
+    src = tmp_path / "evo_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "evo_out"), str(tmp_path / "evo_ckpt")
+    det = SchemaDriftDetector()
+
+    spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    fp1 = evolved_pass(spark, str(src), ckpt, out, det)
+    assert not det.changes
+
+    # new files carry an extra column → drift detected, schema widens
+    spark.createDataFrame([("c", 3, "x")], "id string, v int, extra string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    fp2 = evolved_pass(spark, str(src), ckpt, out, det)
+    assert fp1 != fp2 and len(det.changes) == 1
+
+    result = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(result.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r for r in result.collect()}
+    assert len(rows) == 3  # offsets carried over: no duplicates
+    assert rows["a"]["extra"] is None and rows["c"]["extra"] == "x"
