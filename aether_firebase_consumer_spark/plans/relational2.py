@@ -938,3 +938,97 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ----------------------------------------------------------------- TPC-H Q16
+
+@register(
+    "q16_parts_supplier_stats",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per part attribute, excluding suppliers from a NOT IN
+    subquery — which compiles to a broadcast left-anti join, not a
+    per-row scan. NOT IN's NULL trap doesn't apply (s_suppkey is a
+    non-null key) and the anti join is the safe plan for it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    bad_supp = load_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp),
+                li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ----------------------------------------------------------------- TPC-H Q21
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    )
+    SELECT s.s_name, COUNT(DISTINCT lt.l_orderkey) AS numwait
+    FROM late lt
+    JOIN supplier s ON s.s_suppkey = lt.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = lt.l_orderkey
+                    AND l2.l_suppkey <> lt.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late lt2
+                      WHERE lt2.l_orderkey = lt.l_orderkey
+                        AND lt2.l_suppkey <> lt.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >45 days after order date since
+    fixtures lack commit/receipt dates): suppliers who were the SOLE
+    late supplier on a multi-supplier order. Stacked semi + anti joins
+    on the same key — Catalyst plans both as one-shuffle hash joins;
+    the `late` intermediate is computed once and reused for probe and
+    anti sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"))
+            .select("l_orderkey", "l_suppkey"))
+    lt = late.alias("lt")
+    other_supp = li.select(F.col("l_orderkey").alias("o_key"),
+                           F.col("l_suppkey").alias("o_supp"))
+    other_late = late.select(F.col("l_orderkey").alias("ol_key"),
+                             F.col("l_suppkey").alias("ol_supp"))
+    return (
+        lt.join(other_supp, (F.col("lt.l_orderkey") == F.col("o_key"))
+                & (F.col("lt.l_suppkey") != F.col("o_supp")), "left_semi")
+        .join(other_late, (F.col("lt.l_orderkey") == F.col("ol_key"))
+              & (F.col("lt.l_suppkey") != F.col("ol_supp")), "left_anti")
+        .join(F.broadcast(s), F.col("lt.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("lt.l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
