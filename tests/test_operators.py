@@ -93,3 +93,37 @@ def test_salted_join_equals_plain_join(spark):
         assert salted.count() == plain.count()
         assert salted.exceptAll(plain).count() == 0
         assert plain.exceptAll(salted).count() == 0
+
+
+def test_ann_results_are_correct_cosines_and_ordered(spark):
+    """LSH and IVF ANN: every returned neighbor's cos_sim must equal the
+    exact brute-force cosine for that pair, and per-query results must
+    be ordered desc — i.e. ANN only *prunes candidates*, it never
+    changes the scoring math."""
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    brute = {}
+    from aether_firebase_consumer_spark.functions.vectors import cosine
+    from pyspark.sql import functions as F2
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F2.col("vec_id") < 5).select(
+        F2.col("vec_id").alias("qid"), F2.col("embedding").alias("q_emb"))
+    exact = (emb.crossJoin(q).filter(F2.col("vec_id") != F2.col("qid"))
+             .select("qid", "vec_id",
+                     cosine(F2.col("embedding"), F2.col("q_emb"))
+                     .alias("cos")))
+    for r in exact.collect():
+        brute[(r["qid"], r["vec_id"])] = r["cos"]
+
+    for name in ("similarity_ann_lsh", "similarity_ann_ivf"):
+        rows = REGISTRY[name].builder(spark, sf).collect()
+        assert rows, name
+        per_query = {}
+        for r in rows:
+            key = (r["query_id"], r["neighbor_id"])
+            assert abs(brute[key] - r["cos_sim"]) < 1e-12, (name, key)
+            per_query.setdefault(r["query_id"], []).append(r["cos_sim"])
+        for qid, sims in per_query.items():
+            assert sims == sorted(sims, reverse=True), (name, qid)
+            assert len(sims) <= 5

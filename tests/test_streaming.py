@@ -244,3 +244,49 @@ def test_schema_evolution_restart_choreography(spark, tmp_path):
     rows = {r["id"]: r for r in result.collect()}
     assert len(rows) == 3  # offsets carried over: no duplicates
     assert rows["a"]["extra"] is None and rows["c"]["extra"] == "x"
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time watermark: an event arriving after the watermark has
+    passed its window must be dropped; the finalized window count
+    excludes it."""
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, k string") \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        agg = (stream.withWatermark("ts", "30 minutes")
+               .groupBy(F.window("ts", "1 hour"), "k")
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("w"), "k", "n"))
+        q = (agg.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    import datetime as dt
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: two in-window events + one far-future event that pushes
+    # the watermark past the 10:00 window
+    spark.createDataFrame([(t(10, 0), "a"), (t(10, 10), "a"), (t(13, 50), "a")],
+                          "ts timestamp, k string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    run_once()
+    # batch 2: a LATE event for the already-finalized 10:00 window
+    # (watermark is 13:20) plus a fresh one
+    spark.createDataFrame([(t(10, 20), "a"), (t(14, 5), "a")],
+                          "ts timestamp, k string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    # batch 3: push watermark far ahead so every remaining window closes
+    spark.createDataFrame([(t(20, 0), "a")], "ts timestamp, k string") \
+        .coalesce(1).write.parquet(str(src / "b3"))
+    run_once()
+
+    got = {(r["w"].hour, r["n"]) for r in
+           spark.read.parquet(out).filter(F.col("k") == "a").collect()}
+    # 10:00 window finalized with 2 — the 10:20 late arrival was dropped
+    assert (10, 2) in got, got
+    assert (13, 1) in got and (14, 1) in got, got
