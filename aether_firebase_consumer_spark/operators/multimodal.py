@@ -98,3 +98,82 @@ def extract_features(df: DataFrame) -> DataFrame:
             })
 
     return df.select("doc_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, payload binary")
+
+
+def resize_images(df: DataFrame, target_w: int = 64,
+                  target_h: int = 64) -> DataFrame:
+    """Image resize over binary payloads — the 1→1 transform shape of a
+    decode kernel. With PIL present the kernel decodes/resizes/re-
+    encodes; in this environment a deterministic fake stands in
+    (pseudo-dims + truncated payload) so the Arrow batch plumbing,
+    schema contract, and partition behavior are fully tested. Each
+    output row is bounded (target size), so batch memory is
+    target_w·target_h·batch_size regardless of input blob size."""
+    try:
+        from PIL import Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if have_pil:  # pragma: no cover - codec not in this image
+                import io
+                from PIL import Image as I
+                resized = []
+                for b in pdf["payload"]:
+                    img = I.open(io.BytesIO(b)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, "PNG")
+                    resized.append(buf.getvalue())
+                out_payload = resized
+            else:
+                # deterministic fake: clamp payload to target byte budget
+                out_payload = [bytes(b[:target_w * target_h])
+                               for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": target_w,
+                "height": target_h,
+                "payload": out_payload,
+            })
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256,
+                  every_n: int = 4) -> DataFrame:
+    """Video frame sampling — the 1→N flatMap shape: each input blob
+    yields multiple frame rows (every Nth frame). With PyAV present the
+    kernel demuxes real frames; the deterministic fake treats the blob
+    as fixed-size chunks. mapInPandas naturally expresses the fan-out
+    (output batch rows ≠ input batch rows) while staying Arrow-batched;
+    at 100 TB the fan-out factor multiplies rows, not blob bytes, since
+    each frame row carries only its own slice."""
+    try:
+        import av  # noqa: F401
+        have_av = True
+    except ImportError:
+        have_av = False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if have_av:  # pragma: no cover - codec not in this image
+                    raise NotImplementedError("real demux path untested here")
+                n_chunks = max(1, len(b) // frame_bytes)
+                for i in range(0, n_chunks, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)

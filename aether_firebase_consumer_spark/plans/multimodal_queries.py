@@ -58,3 +58,45 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake kernel standing in for the absent codecs)."""
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return extract_features(attach_binary(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    -- fixture text is pure ASCII (verified), so char slicing == byte
+    -- slicing and substring-then-encode equals the kernel's byte clamp
+    SELECT doc_id, 8 AS width, 8 AS height,
+           encode(substring(text, 1, 64)) AS payload
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline (1→1 Arrow transform): bounded per-row output —
+    the oracle mirrors the deterministic fake kernel (byte-budget clamp)
+    so the Spark-side plumbing is value-checked end to end."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        resize_images,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    return resize_images(attach_binary(docs), target_w=8, target_h=8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           encode(substring(text, i * 64 + 1, 64)) AS frame
+    FROM documents,
+         unnest(range(0, greatest(octet_length(encode(text)) // 64, 1), 2))
+           AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→N Arrow flatMap): every blob fans out to its
+    every-2nd 64-byte chunk — row-multiplying Python stage, oracle-
+    mirrored with a lateral range unnest."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        sample_frames,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    return sample_frames(attach_binary(docs), frame_bytes=64, every_n=2)

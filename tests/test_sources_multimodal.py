@@ -87,3 +87,42 @@ def test_binary_meta_prunes_payload(spark, tmp_path):
     df = spark.read.parquet(path).select("doc_id", "media_meta.n_bytes")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_resize_pipeline_shape(spark):
+    """1→1 Arrow transform: bounded output payloads, typed dims."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = resize_images(attach_binary(docs), target_w=8, target_h=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert out.columns == ["doc_id", "width", "height", "payload"]
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["payload"]) <= 64 for r in rows)
+
+
+def test_frame_sample_fanout(spark):
+    """1→N Arrow flatMap: every blob yields ceil(chunks/every_n) frame
+    rows, deterministic content per (doc, frame_idx)."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50)
+    src = attach_binary(docs)
+    out = sample_frames(src, frame_bytes=64, every_n=2)
+    rows = out.collect()
+    assert out.columns == ["doc_id", "frame_idx", "frame"]
+    n_in = src.count()
+    assert len(rows) >= n_in  # fan-out: at least one frame per doc
+    # deterministic: second run yields identical frames
+    again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"])
+             for r in sample_frames(src, frame_bytes=64, every_n=2).collect()}
+    for r in rows:
+        assert again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"])
+    # frame indices step by every_n
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
