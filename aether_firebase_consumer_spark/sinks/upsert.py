@@ -68,26 +68,67 @@ class ParquetUpsertTable:
 
     # -- merge ----------------------------------------------------------
     def merge(self, batch: DataFrame) -> None:
-        """Upsert ``batch`` by key: last-writer-wins within the batch
-        (deterministic — highest ``_merge_seq`` if present, else
-        arbitrary-but-single row per key via dropDuplicates on keys),
-        replacing any existing rows with the same key."""
-        # collapse batch to one row per key
+        """Upsert ``batch`` by key: one row per key (dropDuplicates on
+        keys), replacing any existing rows with the same key.
+
+        With ``partition_col`` set, the merge is PARTITION-PRUNED: only
+        partitions containing batch keys are re-merged and rewritten;
+        untouched partitions carry into the new version as hardlinks —
+        O(batch ∩ partitions) work per merge, not O(table). The touched
+        partition list is driver-side but bounded by partitions-per-
+        batch (the same metadata Delta/Iceberg keep in the commit log)."""
         batch1 = batch.dropDuplicates(self.key_cols)
         current = self.read()
-        if current is None:
-            new = batch1
-        else:
-            keep = current.join(batch1.select(*self.key_cols),
-                                self.key_cols, "left_anti")
-            new = keep.unionByName(batch1)
         v = self.current_version() + 1
         target = self._data_dir(v)
-        writer = new.write.mode("overwrite")
-        if self.partition_col:
-            writer = writer.partitionBy(self.partition_col)
-        writer.parquet(target)
+        if current is None:
+            writer = batch1.write.mode("overwrite")
+            if self.partition_col:
+                writer = writer.partitionBy(self.partition_col)
+            writer.parquet(target)
+            self._commit(v)
+            return
+        if not self.partition_col:
+            keep = current.join(batch1.select(*self.key_cols),
+                                self.key_cols, "left_anti")
+            keep.unionByName(batch1).write.mode("overwrite").parquet(target)
+            self._commit(v)
+            return
+        pc = self.partition_col
+        touched = [r[0] for r in batch1.select(pc).distinct().collect()]
+        keep = (current.filter(F.col(pc).isin(touched))
+                .join(batch1.select(*self.key_cols),
+                      self.key_cols, "left_anti"))
+        (keep.unionByName(batch1).write.mode("overwrite")
+         .partitionBy(pc).parquet(target))
+        self._link_untouched_partitions(self._data_dir(v - 1), target,
+                                        {str(t) for t in touched})
         self._commit(v)
+
+    @staticmethod
+    def _link_untouched_partitions(prev_dir: str, target: str,
+                                   touched_values: set[str]) -> None:
+        """Carry untouched partition directories into the new version as
+        hardlinks (metadata-only; an object store would do a server-side
+        copy or, with a real table format, just keep the file refs).
+        Directory names are Hive-escaped (%2F for '/' etc.), so compare
+        on the unescaped partition VALUE."""
+        from urllib.parse import unquote
+        if not os.path.isdir(prev_dir):
+            return
+        for name in os.listdir(prev_dir):
+            src = os.path.join(prev_dir, name)
+            if not os.path.isdir(src) or "=" not in name:
+                continue
+            value = unquote(name.split("=", 1)[1])
+            if value in touched_values:
+                continue
+            dst = os.path.join(target, name)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                sf, df_ = os.path.join(src, fn), os.path.join(dst, fn)
+                if os.path.isfile(sf) and not os.path.exists(df_):
+                    os.link(sf, df_)
 
     def delete_keys(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in

@@ -290,3 +290,51 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 10:00 window finalized with 2 — the 10:20 late arrival was dropped
     assert (10, 2) in got, got
     assert (13, 1) in got and (14, 1) in got, got
+
+
+def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
+    """A merge touching one target_path partition must NOT rewrite the
+    others: untouched partition files carry over as hardlinks (same
+    inode), and results stay correct — O(touched partitions) per merge."""
+    import os
+    t = ParquetUpsertTable(spark, str(tmp_path / "pt"), ["id"],
+                           partition_col="target_path")
+    base = spark.createDataFrame(
+        [("1", "_aether/entities/click", "a"),
+         ("2", "_aether/entities/click", "b"),
+         ("3", "_aether/entities/view", "c")],
+        "id string, target_path string, payload string")
+    t.merge(base)
+    v0 = t.current_version()
+    view_dir_v0 = None
+    for name in os.listdir(t._data_dir(v0)):
+        if "view" in name:
+            view_dir_v0 = os.path.join(t._data_dir(v0), name)
+    inodes_before = {fn: os.stat(os.path.join(view_dir_v0, fn)).st_ino
+                     for fn in os.listdir(view_dir_v0)
+                     if os.path.isfile(os.path.join(view_dir_v0, fn))}
+
+    # merge touches only the click partition
+    t.merge(spark.createDataFrame(
+        [("1", "_aether/entities/click", "a2"),
+         ("9", "_aether/entities/click", "z")],
+        "id string, target_path string, payload string"))
+    v1 = t.current_version()
+    assert v1 == v0 + 1
+    view_dir_v1 = None
+    for name in os.listdir(t._data_dir(v1)):
+        if "view" in name:
+            view_dir_v1 = os.path.join(t._data_dir(v1), name)
+    inodes_after = {fn: os.stat(os.path.join(view_dir_v1, fn)).st_ino
+                    for fn in os.listdir(view_dir_v1)
+                    if os.path.isfile(os.path.join(view_dir_v1, fn))}
+    assert inodes_after == inodes_before  # hardlinked, not rewritten
+
+    rows = {r["id"]: (r["target_path"], r["payload"])
+            for r in t.read().collect()}
+    assert rows == {
+        "1": ("_aether/entities/click", "a2"),
+        "2": ("_aether/entities/click", "b"),
+        "3": ("_aether/entities/view", "c"),
+        "9": ("_aether/entities/click", "z"),
+    }
