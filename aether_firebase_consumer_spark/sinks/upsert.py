@@ -132,14 +132,29 @@ class ParquetUpsertTable:
 
     def delete_keys(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in
-        ``keys``."""
+        ``keys``. Partition-pruned like :meth:`merge` when the deleted
+        keys' partitions are identifiable (keys carry partition_col)."""
         current = self.read()
         if current is None:
             return
-        remaining = current.join(keys.select(*self.key_cols),
-                                 self.key_cols, "left_anti")
         v = self.current_version() + 1
-        remaining.write.mode("overwrite").parquet(self._data_dir(v))
+        target = self._data_dir(v)
+        pc = self.partition_col
+        if pc and pc in keys.columns:
+            touched = [r[0] for r in keys.select(pc).distinct().collect()]
+            remaining = (current.filter(F.col(pc).isin(touched))
+                         .join(keys.select(*self.key_cols),
+                               self.key_cols, "left_anti"))
+            remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
+            self._link_untouched_partitions(self._data_dir(v - 1), target,
+                                            {str(t) for t in touched})
+        else:
+            remaining = current.join(keys.select(*self.key_cols),
+                                     self.key_cols, "left_anti")
+            writer = remaining.write.mode("overwrite")
+            if pc:
+                writer = writer.partitionBy(pc)
+            writer.parquet(target)
         self._commit(v)
 
     def _commit(self, v: int) -> None:

@@ -27,7 +27,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "join_fact_fact",
+    "asof_join_events",
     "change_detection",
     "agg_stats",
 ]
@@ -42,7 +45,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # extension headliners are added as they land
     for extra in ("dedup_minhash_lsh", "similarity_topk_cosine",
-                  "text_quality_score"):
+                  "similarity_ann_ivf", "text_quality_score"):
         if extra in REGISTRY:
             names.append(extra)
 
