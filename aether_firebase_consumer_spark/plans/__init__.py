@@ -65,5 +65,6 @@ def _load_all() -> None:
         similarity_queries,
         text_queries,
         multimodal_queries,
+        event_analytics,
     )
     _LOADED = True

@@ -1,0 +1,145 @@
+"""Event-stream product analytics: funnel, cohort retention, and
+event-transition matrix over the events fixture — the query shapes a
+consumer of the reference's event pipeline runs downstream of ingestion.
+
+All pure Catalyst (joins + windows + conditional aggs); DECIMAL used
+where sums feed the bit-exact oracle. Scale notes inline — each query's
+only wide operation is keyed on user_id (or a low-cardinality group),
+which is the natural partitioning of an event stream at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS t_click
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.t_view
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS t_purchase
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t_click
+      GROUP BY c.user_id
+    )
+    SELECT COUNT(v.t_view) AS n_view,
+           COUNT(c.t_click) AS n_view_then_click,
+           COUNT(p.t_purchase) AS n_full_funnel
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    WHERE v.t_view IS NOT NULL
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: per-user first-view,
+    first click strictly after it, first purchase strictly after that.
+    Three keyed aggregations + two joins, all partitioned on user_id —
+    the stream's natural key, so at scale each stage is a co-located
+    shuffle (or none, with the events table bucketed by user)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("t_view"))
+         .filter(F.col("t_view").isNotNull()))
+    c = (v.join(ev, "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("t_view")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (c.join(ev, "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("t_click")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .agg(F.count("t_view").alias("n_view"),
+                 F.count("t_click").alias("n_view_then_click"),
+                 F.count("t_purchase").alias("n_full_funnel")))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day,
+                     CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+    WHERE date_diff('day', f.cohort_day,
+                    CAST(date_trunc('day', e.ts) AS DATE)) <= 7
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users at each day offset ≤ 7. The cohort table is one row
+    per user (broadcastable at moderate scale; co-partitioned join on
+    user_id otherwise); the distinct-count shuffles on the small
+    (cohort, offset) key after partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = (ev.groupBy("user_id")
+                 .agg(F.min(F.date_trunc("day", "ts")).cast("date")
+                      .alias("cohort_day")))
+    offset = F.datediff(F.date_trunc("day", "ts").cast("date"),
+                        F.col("cohort_day"))
+    return (
+        ev.join(first_day, "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style event transition counts: each user's event sequence
+    (ordered by ts, tie-broken by event_id) paired with its successor
+    via lead(), then counted per (from, to). One shuffle on user_id for
+    the window, one tiny exchange for the 5x5 matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
