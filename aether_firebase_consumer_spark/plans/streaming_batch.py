@@ -139,15 +139,21 @@ def stream_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("event_id", "user_id", "event_type"))
 
 
-@register("stream_stateful_change_detect")  # no oracle: arbitrary-stateful
+@register(
+    "stream_stateful_change_detect",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS id, lang, md5(text) AS hash
+    FROM documents
+    """,
+)
 def stream_stateful_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10 change detection as TRUE streaming state
     (applyInPandasWithState): an availableNow pass over documents where
     each doc id's content hash is held in the keyed state store and
     only new/changed docs are emitted. First sight of the fixture emits
-    every doc — the state semantics (restart recovery, changed-only
-    emission) are exercised in tests/test_streaming.py. Rows-only
-    driver check: arbitrary stateful streaming is not SQL-expressible.
+    every doc, so the single-pass result is oracle-checkable as a plain
+    projection; the *stateful* semantics (restart recovery, changed-only
+    emission on batch 2) are exercised in tests/test_streaming.py.
     """
     import os
     import tempfile
