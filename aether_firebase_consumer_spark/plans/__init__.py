@@ -58,6 +58,7 @@ def _load_all() -> None:
         reference_pipeline,
         relational,
         relational2,
+        relational3,
         windows_setops,
         functions_queries,
         streaming_batch,
