@@ -151,3 +151,35 @@ def test_scan_agg_pipelines_are_codegened(spark):
         assert "*(1)" in p, f"{name}: no codegen stage\n{p}"
         assert any(ln.strip().startswith("+- *(") and "HashAggregate" in ln
                    for ln in p.splitlines()), f"{name}: agg not codegened\n{p}"
+
+
+# ----------------------------------------------- partsupp-derived Q2/Q11/Q20
+
+def test_q2_window_is_partitioned_and_dims_broadcast(spark):
+    """Q2's correlated-min rewrite must be a window PARTITIONED by
+    ps_partkey (a global window would single-partition the derived
+    partsupp relation) and every dimension join must broadcast."""
+    p = plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    win_lines = [ln for ln in p.splitlines() if "Window" in ln]
+    assert win_lines and all("ps_partkey" in ln for ln in win_lines), \
+        f"window not keyed by ps_partkey:\n{p}"
+
+
+def test_q11_threshold_has_no_global_window(spark):
+    """Q11's group-total threshold must be a 1-row aggregate broadcast
+    back onto the per-part rows — a Window over an empty partition spec
+    funnels every per-part row through one task at scale."""
+    p = plan(spark, "q11_important_stock")
+    assert "Window" not in p, f"global window sneaked back in:\n{p}"
+    assert p.count("HashAggregate") >= 2  # partial + final on the ps build
+
+
+def test_q20_semi_join_and_no_second_fact_shuffle_strategy(spark):
+    """Q20's IN-subquery must stay a left-semi join, and no keyed join
+    may degrade to nested-loop/cartesian."""
+    p = plan(spark, "q20_drawn_down_suppliers")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
