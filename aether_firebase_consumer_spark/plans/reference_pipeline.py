@@ -49,7 +49,7 @@ EVENT_CLASSIFICATIONS = {"props": "private", "user_id": "private"}
                       || ', "event_type": "' || event_type || '"}'), 1, 16)
                AS doc_hash,
            CAST(ts AS DATE) AS event_date,
-           CAST(value AS DECIMAL(18,2)) AS value_dec
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
     FROM events
     WHERE event_type IN ('click', 'view', 'purchase')
     """,
@@ -77,7 +77,10 @@ def flagship_filter_mask_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_for_topic(strip_tenant("topic", TENANT)).alias("target_path"),
         F.substring(F.md5(canonical), 1, 16).alias("doc_hash"),
         F.col("ts").cast("date").alias("event_date"),
-        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        # DECIMAL(18,2) for half-up rounding parity, then DOUBLE at the
+        # surface: decimal output types hash differently per engine in the
+        # driver's canonicalizer (round-1 red row), doubles do not.
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value_dec"),
     )
 
 
