@@ -42,19 +42,23 @@ def allowed_columns(df: DataFrame, cfg: MaskConfig,
 
     Unclassified columns are treated as the lowest level (the reference
     only drops fields that carry an annotation above the emit level).
+
+    Fail-closed rules (this is a PII operator — a typo'd config must
+    never leak a private column):
+
+    * ``emit_level`` not present in ``mask_levels`` → ``ValueError``.
+      Treating it as "highest" would emit everything on a misspelt
+      config.
+    * A column annotated with a classification that is *not* in
+      ``mask_levels`` is **dropped**. An unknown level cannot be
+      proven emittable, so it isn't.
     """
     levels = list(cfg.mask_levels)
     if cfg.emit_level not in levels:
-        # Emit level outside the ordered list → nothing is restricted
-        # beyond annotated fields unknown to the list; treat as highest.
-        emit_rank = len(levels)
-    else:
-        emit_rank = levels.index(cfg.emit_level)
-
-    def rank(level: str | None) -> int:
-        if level is None or level not in levels:
-            return 0
-        return levels.index(level)
+        raise ValueError(
+            f"emit_level {cfg.emit_level!r} is not in mask_levels {levels!r}; "
+            "refusing to emit (fail-closed)")
+    emit_rank = levels.index(cfg.emit_level)
 
     out = []
     for f in df.schema.fields:
@@ -63,8 +67,11 @@ def allowed_columns(df: DataFrame, cfg: MaskConfig,
             cls = classifications.get(f.name)
         elif f.metadata and cfg.annotation in f.metadata:
             cls = f.metadata[cfg.annotation]
-        if rank(cls) <= emit_rank:
+        if cls is None:
+            out.append(f.name)          # unannotated → lowest level
+        elif cls in levels and levels.index(cls) <= emit_rank:
             out.append(f.name)
+        # annotated with unknown or too-high level → dropped
     return out
 
 

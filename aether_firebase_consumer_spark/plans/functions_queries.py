@@ -155,7 +155,7 @@ def date_agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s_acctbal > 0 THEN 1
                 WHEN s_acctbal < 0 THEN -1 ELSE 0 END AS bal_sign,
            s_suppkey % 7 AS key_mod,
-           CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS bal_x2,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 2 AS DOUBLE) AS bal_x2,
            greatest(s_acctbal, 0.0) AS bal_pos,
            least(s_acctbal, 0.0) AS bal_neg
     FROM supplier
@@ -175,7 +175,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.abs(bal)).cast("double").alias("bal_sqrt"),
         F.when(bal > 0, 1).when(bal < 0, -1).otherwise(0).alias("bal_sign"),
         (F.col("s_suppkey") % 7).alias("key_mod"),
-        (bal.cast("decimal(18,2)") * 2).alias("bal_x2"),
+        (bal.cast("decimal(18,2)") * 2).cast("double").alias("bal_x2"),
         F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
         F.least(bal, F.lit(0.0)).alias("bal_neg"),
     )

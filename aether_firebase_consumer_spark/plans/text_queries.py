@@ -127,7 +127,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS DOUBLE)
                AS avg_chars

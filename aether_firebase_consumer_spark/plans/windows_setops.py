@@ -54,7 +54,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            LAG(event_type) OVER w AS prev_type,
            LEAD(event_type) OVER w AS next_type,
-           CAST(value - LAG(value) OVER w AS DECIMAL(18,2)) AS delta
+           CAST(CAST(value - LAG(value) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+               AS delta
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -68,7 +69,8 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
-        (F.col("value") - F.lag("value").over(w)).cast("decimal(18,2)").alias("delta"),
+        (F.col("value") - F.lag("value").over(w))
+        .cast("decimal(18,2)").cast("double").alias("delta"),
     )
 
 

@@ -49,6 +49,20 @@ def test_mask_drops_above_emit_level(spark):
     assert apply_mask(df, cfg_all, cls).columns == df.columns
 
 
+def test_mask_fails_closed(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, 5, 2)], ["id", "beds", "staff_doctors"])
+    # typo'd emit level → refuse to emit anything (would otherwise leak all)
+    with _pytest.raises(ValueError, match="fail-closed"):
+        apply_mask(df, MaskConfig(["public", "private"], "publicc"),
+                   {"beds": "private"})
+    # classification not in the ordered list → column dropped, not emitted
+    out = apply_mask(df, MaskConfig(["public", "private"], "private"),
+                     {"beds": "top-secret", "staff_doctors": "private"})
+    assert out.columns == ["id", "staff_doctors"]
+
+
 def test_route_first_match_by_sorted_id(spark):
     df = spark.createDataFrame(
         [("t1.clicks",), ("t1.views",), ("t2.other",)], ["topic"])
