@@ -27,11 +27,42 @@ is a drop-in upgrade of this class.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def hive_partition_value(v) -> str:
+    """The string Spark writes for ``v`` in a partition directory name
+    (after Hive %-escaping is undone). Python ``str()`` is WRONG for
+    booleans (``str(True)`` = ``'True'`` but Hive writes ``pc=true``)
+    and for null (``__HIVE_DEFAULT_PARTITION__``) — mismatches there
+    hardlinked the stale partition *alongside* the merged one."""
+    if v is None:
+        return HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _touched_filter(pc: str, touched: list) -> Column:
+    """Null-safe ``pc IN touched``: ``isin`` never matches null, so a
+    batch carrying a null partition value must OR in ``isNull`` or the
+    current null-partition rows silently fall out of the merge."""
+    non_null = [t for t in touched if t is not None]
+    cond = F.col(pc).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(touched):
+        cond = cond | F.col(pc).isNull()
+    return cond
 
 
 class ParquetUpsertTable:
@@ -96,13 +127,14 @@ class ParquetUpsertTable:
             return
         pc = self.partition_col
         touched = [r[0] for r in batch1.select(pc).distinct().collect()]
-        keep = (current.filter(F.col(pc).isin(touched))
+        keep = (current.filter(_touched_filter(pc, touched))
                 .join(batch1.select(*self.key_cols),
                       self.key_cols, "left_anti"))
         (keep.unionByName(batch1).write.mode("overwrite")
          .partitionBy(pc).parquet(target))
-        self._link_untouched_partitions(self._data_dir(v - 1), target,
-                                        {str(t) for t in touched})
+        self._link_untouched_partitions(
+            self._data_dir(v - 1), target,
+            {hive_partition_value(t) for t in touched})
         self._commit(v)
 
     @staticmethod
@@ -142,12 +174,13 @@ class ParquetUpsertTable:
         pc = self.partition_col
         if pc and pc in keys.columns:
             touched = [r[0] for r in keys.select(pc).distinct().collect()]
-            remaining = (current.filter(F.col(pc).isin(touched))
+            remaining = (current.filter(_touched_filter(pc, touched))
                          .join(keys.select(*self.key_cols),
                                self.key_cols, "left_anti"))
             remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
-            self._link_untouched_partitions(self._data_dir(v - 1), target,
-                                            {str(t) for t in touched})
+            self._link_untouched_partitions(
+                self._data_dir(v - 1), target,
+                {hive_partition_value(t) for t in touched})
         else:
             remaining = current.join(keys.select(*self.key_cols),
                                      self.key_cols, "left_anti")
