@@ -29,27 +29,43 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def change_detect_stream(stream: DataFrame, id_col: str = "id",
-                         hash_col: str = "hash") -> DataFrame:
+                         hash_col: str = "hash",
+                         seq_col: str | None = None) -> DataFrame:
     """Emit only rows whose ``hash_col`` differs from the last hash seen
     for their ``id_col`` (new ids always emit). State: one hash string
-    per id. Within a micro-batch, rows of the same id are compared in
-    arrival order and the last hash wins — matching the reference's
-    sequential poll-loop semantics (``artifacts.py:310-326``)."""
+    per id.
+
+    The reference's semantics are Kafka-offset order within a key
+    (sequential poll loop, ``artifacts.py:310-326``), but
+    ``applyInPandasWithState`` gives NO intra-batch ordering guarantee
+    after the shuffle — so when a micro-batch can carry multiple
+    versions of one id, pass ``seq_col`` (event time / offset) and each
+    group is explicitly stably sorted on it before the hash fold.
+    Without ``seq_col``, per-key order within a batch is whatever the
+    shuffle produced; only use that when keys are unique per batch."""
     out_schema = stream.schema
 
     def detect(key: Tuple[Any],
                pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            keep = []
-            for i, h in enumerate(pdf[hash_col]):
-                if h != last:
-                    keep.append(i)
-                    last = h
-            if keep:
-                yield pdf.iloc[keep]
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last,))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True)
+        if seq_col is not None:
+            pdf = pdf.sort_values(seq_col, kind="stable",
+                                  ignore_index=True)
+        keep = []
+        for i, h in enumerate(pdf[hash_col]):
+            if h != last:
+                keep.append(i)
+                last = h
         state.update((last,))
+        if keep:
+            yield pdf.iloc[keep]
 
     # append: emitted rows are final (never retracted), which also
     # composes with append-only sinks (files, Kafka)

@@ -215,6 +215,52 @@ def test_stateful_change_detect_across_restarts(spark, tmp_path):
     assert emitted_v2 == {"0", "1", "2", "3", "4"}
 
 
+def test_stateful_change_detect_seq_order(spark, tmp_path):
+    """A micro-batch carrying several versions of one id must fold in
+    explicit seq order (the reference's Kafka-offset semantics), not
+    whatever intra-group order the shuffle produced: the final state is
+    the max-seq hash, and consecutive-duplicate suppression follows seq
+    order."""
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        change_detect_stream,
+    )
+    src = tmp_path / "seq_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "seq_ckpt")
+    # id "a": seq order h1,h1,h2 → emits seq 1 (new) and seq 3 (changed);
+    # written SHUFFLED (3,1,2) so arrival order would emit differently
+    spark.createDataFrame(
+        [("a", 3, "h2"), ("a", 1, "h1"), ("a", 2, "h1"), ("b", 1, "h9")],
+        "id string, seq int, hash string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("id string, seq int, hash string")
+                  .parquet(str(src) + "/*"))
+        out = change_detect_stream(stream, "id", "hash", seq_col="seq")
+        q = (out.writeStream.format("parquet")
+             .option("path", str(tmp_path / "seq_out"))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    got = {(r["id"], r["seq"], r["hash"]) for r in spark.read
+           .schema("id string, seq int, hash string")
+           .parquet(str(tmp_path / "seq_out")).collect()}
+    assert got == {("a", 1, "h1"), ("a", 3, "h2"), ("b", 1, "h9")}
+
+    # batch 2: same hash as the max-seq state → nothing emitted for "a"
+    spark.createDataFrame([("a", 4, "h2")],
+                          "id string, seq int, hash string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    n = spark.read.schema("id string, seq int, hash string") \
+        .parquet(str(tmp_path / "seq_out")).count()
+    assert n == 3  # state held h2, so seq 4 was suppressed
+
+
 def test_schema_evolution_restart_choreography(spark, tmp_path):
     """detect -> stop -> merge -> restart: files with a new column widen
     the stream schema on the next pass; offsets carry over (no
