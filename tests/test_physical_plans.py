@@ -78,7 +78,8 @@ def test_keyed_joins_never_nested_loop(spark):
     BroadcastNestedLoopJoin or CartesianProduct here would be O(n*m)."""
     for name in ("join_fact_fact", "join_theta_range", "range_join_events",
                  "q18_large_volume_customer", "q7_volume_shipping",
-                 "dedup_minhash_lsh", "dedup_ngram_jaccard"):
+                 "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                 "similarity_embedding_neardup"):
         p = plan(spark, name)
         assert "CartesianProduct" not in p, f"{name} planned cartesian"
         assert "BroadcastNestedLoopJoin" not in p, f"{name} planned BNLJ"
