@@ -216,20 +216,35 @@ def simhash(text_tokens: Column, bits: int = 16) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via an inverted-index join.
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted-index join.
 
     explode distinct shingles → equi-join on shingle → per-pair common
-    count → Jaccard from set sizes. Exact but quadratic in the worst
-    case: at 100 TB this is the *verify* stage (run on LSH candidates);
-    standalone it needs a stop-shingle cut (drop shingles with document
-    frequency above a cap) to bound the join fan-out.
+    count → Jaccard from set sizes.
+
+    ``max_doc_freq`` is the stop-shingle cut that bounds the join
+    fan-out: a shingle shared by k documents produces k² join rows, so
+    one ubiquitous shingle makes the self-join quadratic. With the cap,
+    shingles whose document frequency exceeds it are removed from every
+    document's set *before* the join, and set sizes are recomputed
+    post-cut — Jaccard is then exact over the capped shingle sets
+    (near-dup pairs share predominantly rare shingles, so high-DF
+    shingles carry almost no signal anyway). Join input is bounded by
+    DF ≤ cap per shingle. Without the cap (None) this is the verify
+    primitive to run on pre-pruned candidates only.
     """
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh")) \
            .filter(F.size("sh") > 0)
-    sizes = sh.select("id", F.size("sh").alias("n"))
     inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("shingle")
+                .agg(F.count("*").alias("df_"))
+                .filter(F.col("df_") <= max_doc_freq)
+                .select("shingle"))
+        inv = inv.join(rare, "shingle")
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                      & (F.col("a.id") < F.col("b.id")))

@@ -246,11 +246,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bucket", F.count("*").over(W.partitionBy("simhash16")))
 
 
+# Stop-shingle document-frequency cap for the registered query: bounds
+# the inverted-index self-join fan-out to DF² per shingle.
+_JACCARD_DF_CAP = 50
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    inv AS (SELECT id, unnest(sh) AS shingle FROM shing),
+    inv0 AS (SELECT id, unnest(sh) AS shingle FROM shing),
+    inv AS (
+      SELECT id, shingle FROM inv0
+      WHERE shingle IN (SELECT shingle FROM inv0
+                        GROUP BY shingle
+                        HAVING COUNT(*) <= {_JACCARD_DF_CAP})
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
       FROM inv a JOIN inv b
@@ -259,16 +271,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.id_a, c.id_b,
            CAST(c.n_common AS DOUBLE)
-             / (len(sa.sh) + len(sb.sh) - c.n_common) AS jaccard
+             / (sa.n + sb.n - c.n_common) AS jaccard
     FROM common c
-    JOIN shing sa ON sa.id = c.id_a
-    JOIN shing sb ON sb.id = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
     WHERE CAST(c.n_common AS DOUBLE)
-             / (len(sa.sh) + len(sb.sh) - c.n_common) >= 0.5
+             / (sa.n + sb.n - c.n_common) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via inverted-index join (the verify
-    primitive; standalone needs a stop-shingle cut at scale)."""
+    """Exact n-gram Jaccard pairs over DF-capped shingle sets: shingles
+    with document frequency > 50 are stop-shingles, cut on BOTH engines
+    before the inverted-index join, bounding fan-out to DF² per shingle
+    (one ubiquitous shingle no longer quadratizes the join)."""
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                               max_doc_freq=_JACCARD_DF_CAP)

@@ -141,3 +141,27 @@ def test_ann_results_are_correct_cosines_and_ordered(spark):
         for qid, sims in per_query.items():
             assert sims == sorted(sims, reverse=True), (name, qid)
             assert len(sims) <= 5
+
+
+def test_ngram_jaccard_df_cap_bounds_fanout(spark):
+    """One ubiquitous shingle shared by k docs creates k(k-1)/2 join
+    pairs uncapped; with a document-frequency cap it is cut as a
+    stop-shingle BEFORE the self-join, so only genuinely similar pairs
+    (sharing rare shingles) survive — sub-quadratic join input."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    shared = "the quick fox"          # one 3-shingle in every doc
+    rows = [(i, f"{shared} filler{i}a filler{i}b filler{i}c")
+            for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta epsilon")]  # true near-dup
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+    assert uncapped.count() == 20 * 19 // 2 + 1  # quadratic blow-up
+
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0,
+                                 max_doc_freq=5)
+    got = [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped.collect()]
+    assert got == [(100, 101, 1.0)]  # stop-shingle pairs gone
