@@ -65,18 +65,53 @@ def stream_file_source(spark: SparkSession, path: str,
     return spark.readStream.schema(schema).format(fmt).load(path)
 
 
+def kafka_source_options(bootstrap: str, subscribe_pattern: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None,
+                         security: dict[str, str] | None = None
+                         ) -> dict[str, str]:
+    """Assemble the Kafka reader option map (reference consumer config
+    ``conf/consumer/kafka.json:3-6``; security settings from env at
+    ``firebase/app/config.py:79-94``). Split from the reader builder so
+    the assembly is unit-testable without a broker or the kafka jar:
+    subscribePattern carries the tenant-prefixed anchored regex from
+    ``topic_pattern_to_regex``; maxOffsetsPerTrigger bounds micro-batch
+    size (the scalable analogue of the reference's per-poll message
+    cap); auto-commit is NEVER set — checkpointing owns offsets."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    for k, v in (security or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        opts[key] = v
+    return opts
+
+
 def stream_kafka_source(spark: SparkSession, bootstrap: str,
                         subscribe_pattern: str,
-                        starting_offsets: str = "earliest") -> DataFrame:
+                        starting_offsets: str = "earliest",
+                        max_offsets_per_trigger: int | None = None,
+                        security: dict[str, str] | None = None) -> DataFrame:
     """Kafka source (reference O1/O2): subscribePattern carries the
     tenant-prefixed wildcard (``topic_pattern_to_regex``), checkpointing
     replaces manual offset commit (``conf/consumer/kafka.json:3-6``).
     Requires the spark-sql-kafka jar (not in the v1 image)."""
-    return (spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap)
-            .option("subscribePattern", subscribe_pattern)
-            .option("startingOffsets", starting_offsets)
-            .load())
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+            bootstrap, subscribe_pattern, starting_offsets,
+            max_offsets_per_trigger, security).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as err:  # jar missing → actionable error
+        raise NotImplementedError(
+            "kafka source requires the org.apache.spark:spark-sql-kafka "
+            "jar on the classpath (absent in this environment)") from err
 
 
 def decode_json_docs(raw: DataFrame, schema: T.StructType | str,

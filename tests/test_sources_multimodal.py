@@ -126,3 +126,155 @@ def test_frame_sample_fanout(spark):
         assert again[(r["doc_id"], r["frame_idx"])] == bytes(r["frame"])
     # frame indices step by every_n
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+# ------------------------------------------------------- avro schema mapper
+
+# Echo of the reference's annotated test schema structures
+# (firebase/tests/__init__.py:257-1160): nullable unions, dateTime
+# extended strings, a geopoint record, select/select1 lookups, and
+# @aether_masking classifications.
+_AVSC = {
+    "name": "MySurvey", "type": "record",
+    "fields": [
+        {"name": "_id", "type": ["null", "string"]},
+        {"name": "_submitted_at", "type": ["null", "string"],
+         "@aether_extended_type": "dateTime"},
+        {"name": "geometry", "@aether_extended_type": "geopoint",
+         "type": ["null", {
+             "name": "geometry", "type": "record",
+             "@aether_extended_type": "geopoint",
+             "fields": [
+                 {"name": "latitude", "type": ["null", "float"]},
+                 {"name": "longitude", "type": ["null", "float"]},
+                 {"name": "altitude", "type": ["null", "float"]},
+                 {"name": "accuracy", "type": ["null", "float"]}]}]},
+        {"name": "operational_status", "type": ["null", "string"],
+         "@aether_extended_type": "select1"},
+        {"name": "beds", "type": ["null", "int"],
+         "@aether_extended_type": "int", "@aether_masking": "private"},
+        {"name": "insurance",
+         "type": ["null", {"type": "array", "items": "string"}],
+         "@aether_extended_type": "select", "@aether_masking": "public"},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN"]}},
+        {"name": "digest", "type": {"type": "fixed", "name": "MD5",
+                                    "size": 16}},
+        {"name": "counts", "type": {"type": "map", "values": "long"}},
+        {"name": "n", "type": ["null", "int", "long"]},
+        {"name": "x", "type": ["float", "double"]},
+        {"name": "mixed", "type": ["null", "string", "long"]},
+        {"name": "when", "type": {"type": "long",
+                                  "logicalType": "timestamp-millis"}},
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 12, "scale": 2}},
+    ],
+}
+
+
+def test_avro_schema_structural_mapping():
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, MapType, StringType, StructType,
+        TimestampType,
+    )
+    from aether_firebase_consumer_spark.sources.avro_schema import (
+        avro_to_spark_schema,
+    )
+    s = avro_to_spark_schema(_AVSC)
+    t = {f.name: f for f in s.fields}
+    assert t["_id"].dataType == StringType() and t["_id"].nullable
+    # dateTime stays string STRUCTURALLY (that's what's on the wire)
+    assert t["_submitted_at"].dataType == StringType()
+    assert t["_submitted_at"].metadata["extended_type"] == "dateTime"
+    geo = t["geometry"].dataType
+    assert isinstance(geo, StructType)
+    assert [f.name for f in geo.fields] == [
+        "latitude", "longitude", "altitude", "accuracy"]
+    assert geo.fields[0].dataType == FloatType() and geo.fields[0].nullable
+    assert t["beds"].dataType == IntegerType()
+    assert t["beds"].metadata["masking"] == "private"
+    assert t["insurance"].dataType == ArrayType(StringType(), False)
+    assert t["insurance"].metadata["masking"] == "public"
+    assert t["color"].dataType == StringType()       # enum → string
+    assert t["digest"].dataType == BinaryType()      # fixed → binary
+    assert t["counts"].dataType == MapType(StringType(), LongType(), False)
+    assert t["n"].dataType == LongType() and t["n"].nullable   # int|long
+    assert t["x"].dataType == DoubleType() and not t["x"].nullable
+    mixed = t["mixed"].dataType                      # string|long → members
+    assert isinstance(mixed, StructType)
+    assert [f.dataType for f in mixed.fields] == [StringType(), LongType()]
+    assert t["when"].dataType == TimestampType()
+    assert t["price"].dataType == DecimalType(12, 2)
+
+
+def test_avro_extended_types_and_masking_integration(spark):
+    """apply_extended_types casts dateTime strings to timestamps, and
+    the mapper's masking metadata drives allowed_columns directly."""
+    import datetime as dt
+    from aether_firebase_consumer_spark.sources.avro_schema import (
+        apply_extended_types, avro_to_spark_schema,
+    )
+    from aether_firebase_consumer_spark.operators.masking import (
+        MaskConfig, allowed_columns,
+    )
+    avsc = {"name": "r", "type": "record", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "seen", "type": ["null", "string"],
+         "@aether_extended_type": "dateTime"},
+        {"name": "beds", "type": ["null", "int"],
+         "@aether_masking": "private"},
+    ]}
+    schema = avro_to_spark_schema(avsc)
+    df = spark.createDataFrame(
+        [("a", "2001-05-01 10:30:00", 4)], schema)
+    out = apply_extended_types(df)
+    assert dict(out.dtypes)["seen"] == "timestamp"
+    assert out.collect()[0]["seen"] == dt.datetime(2001, 5, 1, 10, 30)
+    # masking reads the mapper's metadata — no explicit dict needed
+    cfg = MaskConfig(["public", "private"], "public")
+    assert allowed_columns(df, cfg) == ["id", "seen"]
+
+
+def test_avro_decode_gated(spark):
+    import json
+    from aether_firebase_consumer_spark.sources.avro_schema import (
+        decode_avro_docs,
+    )
+    df = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    avsc = json.dumps({"name": "r", "type": "record",
+                       "fields": [{"name": "id", "type": "string"}]})
+    with pytest.raises(Exception):  # spark-avro jar absent from image
+        decode_avro_docs(df, avsc).collect()
+
+
+# ------------------------------------------------------------ kafka options
+
+def test_kafka_option_assembly():
+    """The Kafka reader's option map is assembled correctly without a
+    broker: tenant-anchored subscribePattern, offset bounds, kafka.-
+    prefixed security passthrough, and NO auto-commit (checkpointing
+    owns offsets)."""
+    from aether_firebase_consumer_spark.operators.routing import (
+        topic_pattern_to_regex,
+    )
+    from aether_firebase_consumer_spark.sources.readers import (
+        kafka_source_options,
+    )
+    pattern = topic_pattern_to_regex("fhir-resource-*", "tenant1")
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092", pattern,
+        starting_offsets="latest", max_offsets_per_trigger=5000,
+        security={"security.protocol": "SASL_SSL",
+                  "kafka.sasl.mechanism": "SCRAM-SHA-256"})
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribePattern"] == r"^tenant1\.fhir\-resource\-.*$"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"   # prefix added
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-256"  # kept as-is
+    assert not any("auto.commit" in k for k in opts)
+    # defaults: earliest offsets, no trigger bound
+    d = kafka_source_options("b:9092", "^t\\..*$")
+    assert d["startingOffsets"] == "earliest"
+    assert "maxOffsetsPerTrigger" not in d
