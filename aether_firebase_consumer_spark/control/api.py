@@ -37,6 +37,29 @@ from aether_firebase_consumer_spark.control.jobs import JobManager
 
 TENANT_HEADER = "x-oauth-realm"
 
+# Allowed HTTP methods per action — a request with a known path but the
+# wrong verb is 405 (with the allowed list), never silently dispatched.
+_RESOURCE_METHODS = {
+    "get_schema": ("GET",),
+    "validate_pretty": ("POST",),
+    "add": ("POST",),
+    "list": ("GET",),
+    "get": ("GET",),
+    "delete": ("DELETE", "POST"),
+}
+_JOB_METHODS = {
+    "get_status": ("GET",),
+    "get_logs": ("GET",),
+    "list_topics": ("GET",),
+    "pause": ("POST",),
+    "resume": ("POST",),
+}
+
+
+def _method_not_allowed(method: str, allowed: tuple[str, ...]):
+    return 405, {"error": f"method {method} not allowed",
+                 "allowed": list(allowed)}
+
 
 class ControlApi:
     """Binds a ResourceRegistry + JobManager to an HTTP server."""
@@ -57,11 +80,17 @@ class ControlApi:
         without a socket."""
         parts = [p for p in path.split("/") if p]
         if parts == ["describe"]:
+            if method != "GET":
+                return _method_not_allowed(method, ("GET",))
             return 200, R.describe()
-        if len(parts) == 2 and parts[0] == "job" and parts[1] in (
-                "get_status", "pause", "resume", "get_logs", "list_topics"):
+        if len(parts) == 2 and parts[0] == "job" and parts[1] in _JOB_METHODS:
+            if method not in _JOB_METHODS[parts[1]]:
+                return _method_not_allowed(method, _JOB_METHODS[parts[1]])
             return self._handle_job(parts[1], query, tenant)
-        if len(parts) == 2 and parts[0] in R.SCHEMAS:
+        if len(parts) == 2 and parts[0] in R.SCHEMAS \
+                and parts[1] in _RESOURCE_METHODS:
+            if method not in _RESOURCE_METHODS[parts[1]]:
+                return _method_not_allowed(method, _RESOURCE_METHODS[parts[1]])
             return self._handle_resource(method, parts[0], parts[1],
                                          query, tenant, body)
         return 404, {"error": f"no route {method} {path}"}
@@ -86,7 +115,10 @@ class ControlApi:
         if action == "delete":
             rid = (query.get("id") or [None])[0]
             ok = self.registry.delete(tenant, rtype, rid)
-            return 200, {"deleted": ok}
+            # miss → 404, mirroring the reference's ConsumerHttpException
+            # contract (artifacts.py:418-419) instead of a soft 200
+            return (200, {"deleted": True}) if ok else \
+                (404, {"error": f"{rtype}/{rid} not found"})
         return 404, {"error": f"unknown action {action}"}
 
     def _handle_job(self, action, query, tenant):

@@ -212,5 +212,30 @@ def test_rest_control_api_end_to_end(tmp_path):
         assert st == 200 and isinstance(logs, list)
         st, _ = call("GET", "/job/get_status?id=missing")
         assert st == 404
+
+        # deleting a missing resource is 404, not a soft 200
+        st, _ = call("DELETE", "/subscription/delete?id=nope")
+        assert st == 404
+
+        # method matrix: wrong verb on a known path → 405 + allowed list
+        for method, path in [
+                ("POST", "/describe"),
+                ("GET", "/subscription/add"),
+                ("GET", "/subscription/validate_pretty"),
+                ("DELETE", "/subscription/list"),
+                ("POST", "/subscription/get?id=s1"),
+                ("GET", "/job/pause?id=j1"),
+                ("GET", "/job/resume?id=j1"),
+                ("POST", "/job/get_status?id=j1"),
+                ("DELETE", "/job/list_topics")]:
+            st, body = call(method, path,
+                            body={} if method == "POST" else None)
+            assert st == 405, (method, path, st)
+            assert body["allowed"], (method, path)
+        # delete accepts POST as documented
+        call("POST", "/subscription/add",
+             {"id": "s2", "name": "s", "topic_pattern": "lab*"})
+        st, body = call("POST", "/subscription/delete?id=s2", body={})
+        assert (st, body) == (200, {"deleted": True})
     finally:
         api.stop()
