@@ -8,12 +8,19 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Queries execute end-to-end via the "noop" sink — full plan execution
 (scan→shuffle→agg) without driver-side collect, which is the honest
 throughput measure at scale.
+
+Protocol (pinned after round-2's phantom 1.47x "regression" turned out
+to be machine noise): best-of-3 per query with a fixed shuffle-partition
+count, plus a per-query "vs_prev" ratio against the latest BENCH_r*.json
+in the repo root so environment swings are visible in the output itself.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,11 +43,38 @@ HEADLINE = [
 ]
 
 
+def _prev_bench(sf) -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r{N}.json beside this
+    script (the driver's per-round record, bench output under "parsed"),
+    or {} when none exists. Only rounds at the SAME sf are comparable —
+    a different scale factor would make every ratio meaningless."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, prev = -1, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = data.get("parsed") if isinstance(data.get("parsed"), dict) \
+            else data
+        if data.get("sf", parsed.get("sf")) != sf:
+            continue
+        if int(m.group(1)) > best_n and isinstance(parsed.get("queries"), dict):
+            best_n, prev = int(m.group(1)), parsed["queries"]
+    return prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _load_all()
-    spark = get_spark("bench")
+    # fixed shuffle-partition count: bench numbers must not drift with
+    # the machine's core count
+    spark = get_spark("bench", shuffle_partitions=32)
 
     names = [n for n in HEADLINE if n in REGISTRY]
     # extension headliners are added as they land
@@ -52,11 +86,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         builder = REGISTRY[name].builder
-        # best of 2: the first run pays JVM/codegen warmup that a
+        # best of 3: the first run pays JVM/codegen warmup that a
         # long-lived cluster never sees per-query; min() reports the
         # steady-state cost while still charging all real work.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = builder(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -64,14 +98,24 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev = _prev_bench(sf_val)
+    vs_prev = {n: round(t / prev[n], 2) for n, t in timings.items()
+               if prev.get(n)}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    if vs_prev:
+        out["vs_prev"] = vs_prev  # <1 faster than last round, >1 slower
+        prev_total = sum(prev[n] for n in timings if prev.get(n))
+        out["vs_prev_total"] = round(
+            sum(timings[n] for n in timings if prev.get(n)) / prev_total, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
