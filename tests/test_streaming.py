@@ -430,3 +430,87 @@ def test_partitioned_merge_null_and_date_partition_values(spark, tmp_path):
     assert len(ids) == len(set(ids))  # no duplicate keys
     t.delete_keys(spark.createDataFrame([("3", None)], "id string, day date"))
     assert sorted(r["id"] for r in t.read().collect()) == ["1", "2", "4"]
+
+
+def test_commit_retry_backoff():
+    """Transient store failures retry with exponential backoff; success
+    returns the attempt count; exhausted retries re-raise; non-transient
+    errors propagate immediately."""
+    from aether_firebase_consumer_spark.sinks.connector import (
+        DocumentStoreConnector,
+        TransientStoreError,
+        commit_with_retry,
+    )
+
+    class Flaky(DocumentStoreConnector):
+        def __init__(self, fail_times, exc=TransientStoreError):
+            self.fail_times, self.exc, self.calls = fail_times, exc, 0
+            self.written = []
+
+        def write_batch(self, docs):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise self.exc("boom")
+            self.written.extend(docs)
+
+    sleeps = []
+    store = Flaky(2)
+    n = commit_with_retry(store, [("a/1", {"v": 1})],
+                          base_backoff=0.1, sleep=sleeps.append)
+    assert n == 2 and store.calls == 3 and store.written
+    assert sleeps == [0.1, 0.2]  # exponential
+
+    import pytest as _pytest
+    sleeps.clear()
+    with _pytest.raises(TransientStoreError):
+        commit_with_retry(Flaky(99), [("a/1", {})], max_retries=3,
+                          base_backoff=0.1, sleep=sleeps.append)
+    assert sleeps == [0.1, 0.2, 0.4]
+
+    with _pytest.raises(ValueError):  # non-transient: no retry
+        commit_with_retry(Flaky(1, exc=ValueError), [("a/1", {})],
+                          sleep=sleeps.append)
+
+
+def test_foreach_batch_document_writer_e2e(spark, tmp_path):
+    """Stream → foreachBatch → document store: every row lands at
+    {target_path}/{id}.json (the reference's cfs_ref addressing), and
+    replaying the same micro-batch converges (idempotent set-by-path)."""
+    import os
+    from aether_firebase_consumer_spark.sinks.connector import (
+        FileSystemDocumentStore,
+        foreach_batch_document_writer,
+    )
+    src = tmp_path / "conn_src"
+    src.mkdir()
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    spark.createDataFrame(
+        [(str(i), "_aether/entities/click" if i % 2 else
+          "_aether/entities/view", f"p{i}") for i in range(120)],
+        "id string, target_path string, payload string") \
+        .coalesce(2).write.parquet(str(src / "b1"))
+
+    def run(ckpt):
+        stream = (spark.readStream
+                  .schema("id string, target_path string, payload string")
+                  .parquet(str(src) + "/*"))
+        q = (stream.writeStream
+             .foreachBatch(foreach_batch_document_writer(
+                 lambda: FileSystemDocumentStore(root),
+                 max_per_commit=50))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(str(tmp_path / "conn_ckpt"))
+    store = FileSystemDocumentStore(root)
+    assert store.read("_aether/entities/view/0") == {
+        "id": "0", "target_path": "_aether/entities/view", "payload": "p0"}
+    n_docs = sum(len(fs) for _, _, fs in os.walk(root))
+    assert n_docs == 120
+
+    # replay the same files from a FRESH checkpoint → same 120 docs
+    run(str(tmp_path / "conn_ckpt2"))
+    assert sum(len(fs) for _, _, fs in os.walk(root)) == 120
+    assert store.read("_aether/entities/click/119")["payload"] == "p119"
