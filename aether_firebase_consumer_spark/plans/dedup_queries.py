@@ -287,3 +287,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
                                max_doc_freq=_JACCARD_DF_CAP)
+
+
+# Survivor-restricted shingle CTE for the end-to-end pipeline: same
+# shingling, but only over docs that survived exact dedup.
+_SHINGLES_SURV = _SHINGLES_CTE.replace(
+    "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)",
+    "FROM (SELECT d.doc_id, string_split(d.text, ' ') AS toks "
+    "FROM documents d JOIN survivors s ON s.doc_id = d.doc_id)")
+
+
+@register(
+    "dedup_pipeline_keep",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> ''), ' ')) AS fp
+      FROM documents
+    ),
+    fpg AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY fp) AS canon_exact,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp
+    ),
+    survivors AS (SELECT doc_id FROM fpg WHERE rn = 1),
+    {_SHINGLES_SURV},
+    sig AS (
+      SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
+      FROM shing
+    ),
+    banded AS (SELECT id, {_BAND_SQL} FROM sig),
+    long AS (
+      SELECT id, unnest([{", ".join(f"band{b}" for b in range(_BANDS))}])
+               AS band_key
+      FROM banded
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM long a JOIN long b
+        ON a.band_key = b.band_key AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN shing sa ON sa.id = c.id_a
+      JOIN shing sb ON sb.id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT f.doc_id,
+           CASE WHEN f.rn > 1 THEN 'exact_dup'
+                WHEN c.component IS NOT NULL AND c.component < f.doc_id
+                  THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           CAST(CASE WHEN f.rn > 1 THEN f.canon_exact
+                WHEN c.component IS NOT NULL AND c.component < f.doc_id
+                  THEN c.component
+                ELSE f.doc_id END AS BIGINT) AS canonical_id,
+           (f.rn = 1 AND (c.component IS NULL OR c.component >= f.doc_id))
+             AS keep
+    FROM fpg f LEFT JOIN comp c ON c.id = f.doc_id
+    """,
+)
+def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data dedup pipeline as one query:
+
+      1. exact dedup — md5 fingerprint of the normalized token stream,
+         deterministic keep-first (min doc_id) per fingerprint;
+      2. MinHash-LSH near-dup candidates over the exact survivors,
+         exact-Jaccard >= 0.5 verify (band equi-join, never all-pairs);
+      3. connected components over the verified near-dup graph,
+         keep the min-id member per component.
+
+    Output: one row per document with the keep decision, the drop
+    reason ('exact_dup' / 'near_dup' / 'kept'), and the canonical doc
+    it deduplicates to — exactly the audit artifact a corpus pipeline
+    persists. Every stage shuffles on small keys (16-byte fingerprint,
+    band key, id), so the composition scales like its parts."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+    fpd = docs.select("doc_id", "text", fingerprint("text").alias("fp"))
+    ranked = (fpd
+              .withColumn("canon_exact",
+                          F.min("doc_id").over(W.partitionBy("fp")))
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("fp").orderBy("doc_id"))))
+    survivors = ranked.filter(F.col("rn") == 1)
+    pairs = lsh_candidate_pairs(survivors, "doc_id", "text",
+                                k=_K, bands=_BANDS) \
+        .filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    near = (F.col("component").isNotNull()
+            & (F.col("component") < F.col("doc_id")))
+    surv_out = (survivors.join(comp, survivors.doc_id == comp.id, "left")
+                .select(survivors.doc_id,
+                        F.when(near, "near_dup").otherwise("kept")
+                        .alias("reason"),
+                        F.when(near, F.col("component"))
+                        .otherwise(survivors.doc_id).alias("canonical_id"),
+                        (~near).alias("keep")))
+    dropped = ranked.filter(F.col("rn") > 1).select(
+        "doc_id",
+        F.lit("exact_dup").alias("reason"),
+        F.col("canon_exact").alias("canonical_id"),
+        F.lit(False).alias("keep"))
+    return surv_out.unionByName(dropped)

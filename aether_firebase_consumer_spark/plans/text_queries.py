@@ -148,3 +148,58 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("avg_chars"))
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(text, ' ') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS npunct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             round((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                    + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    + (1.0 - least(5.0 * npunct / greatest(nc, 1), 1.0))
+                   ) / 3, 6) AS quality
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, quality,
+           n_tokens BETWEEN 20 AND 5000 AS len_ok,
+           quality >= 0.75 AS q_ok,
+           lang = 'en' AS lang_ok,
+           (n_tokens BETWEEN 20 AND 5000) AND quality >= 0.75
+             AND lang = 'en' AS keep
+    FROM scored
+    """,
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style composite corpus filter: token-count bounds +
+    heuristic quality threshold + language gate, emitted as per-rule
+    flags plus the final keep decision (so the drop *reasons* are
+    auditable, the way real training-data pipelines log them).
+
+    Single scan, zero shuffles, all codegen — at 100 TB this is the
+    cheapest possible pass: one read, per-row arithmetic, and the
+    downstream pipeline filters on ``keep`` (Catalyst pushes that
+    filter straight into this projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    scored = docs.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        quality_score("text").alias("quality"))
+    len_ok = F.col("n_tokens").between(20, 5000)
+    q_ok = F.col("quality") >= 0.75
+    lang_ok = F.col("lang") == "en"
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "quality",
+        len_ok.alias("len_ok"),
+        q_ok.alias("q_ok"),
+        lang_ok.alias("lang_ok"),
+        (len_ok & q_ok & lang_ok).alias("keep"))
