@@ -122,7 +122,8 @@ class ParquetUpsertTable:
         if not self.partition_col:
             keep = current.join(batch1.select(*self.key_cols),
                                 self.key_cols, "left_anti")
-            keep.unionByName(batch1).write.mode("overwrite").parquet(target)
+            keep.unionByName(batch1, allowMissingColumns=True) \
+                .write.mode("overwrite").parquet(target)
             self._commit(v)
             return
         pc = self.partition_col
@@ -130,8 +131,11 @@ class ParquetUpsertTable:
         keep = (current.filter(_touched_filter(pc, touched))
                 .join(batch1.select(*self.key_cols),
                       self.key_cols, "left_anti"))
-        (keep.unionByName(batch1).write.mode("overwrite")
-         .partitionBy(pc).parquet(target))
+        # allowMissingColumns: document streams evolve (O14); a batch
+        # adding or dropping a column merges with nulls on either side —
+        # full-document set semantics, like the reference's batch.set
+        (keep.unionByName(batch1, allowMissingColumns=True)
+         .write.mode("overwrite").partitionBy(pc).parquet(target))
         self._link_untouched_partitions(
             self._data_dir(v - 1), target,
             {hive_partition_value(t) for t in touched})

@@ -167,6 +167,22 @@ def test_upsert_merge_semantics(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == {"b", "c"}
 
 
+def test_upsert_merge_schema_evolution(spark, tmp_path):
+    """A batch adding a new column (O14 drift) merges: old rows read
+    NULL in the new column; a batch missing an old column writes NULL
+    there (full-document set semantics, like the reference batch.set)."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "evo_up"), ["id"])
+    t.merge(spark.createDataFrame([("a", 1), ("b", 2)], ["id", "v"]))
+    t.merge(spark.createDataFrame([("b", 20, "x"), ("c", 3, "y")],
+                                  ["id", "v", "extra"]))
+    got = {r["id"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (20, "x"), "c": (3, "y")}
+    # batch without the original column: set semantics → v becomes null
+    t.merge(spark.createDataFrame([("a", "z")], ["id", "extra"]))
+    got = {r["id"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {"a": (None, "z"), "b": (20, "x"), "c": (3, "y")}
+
+
 def test_stateful_change_detect_across_restarts(spark, tmp_path):
     """applyInPandasWithState hash gate: batch 1 emits everything (new
     ids); after a restart from the same checkpoint, batch 2 emits ONLY
