@@ -530,3 +530,51 @@ def test_foreach_batch_document_writer_e2e(spark, tmp_path):
     run(str(tmp_path / "conn_ckpt2"))
     assert sum(len(fs) for _, _, fs in os.walk(root)) == 120
     assert store.read("_aether/entities/click/119")["payload"] == "p119"
+
+
+def test_subscription_reconcile_restart_choreography(spark, tmp_path):
+    """The reference reconciles subscriptions per poll and resubscribes
+    on a symmetric diff (artifacts.py:287-300). Spark-first that is:
+    stop the query, rebuild it with the new subscription set, restart
+    from the SAME checkpoint — offsets carry (no re-emission of already-
+    processed files), and only the new config routes the new topics."""
+    src = tmp_path / "rec_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "rec_ckpt")
+    doc_table = ParquetUpsertTable(spark, str(tmp_path / "rec_docs"), ["id"])
+    hash_table = HashStateTable(spark, str(tmp_path / "rec_hash"))
+
+    def cfg(subs):
+        return PipelineConfig(tenant="t1", subscriptions=subs)
+
+    def run(subs):
+        job = StreamingUpsertJob(cfg(subs), doc_table, hash_table)
+        stream = (spark.readStream
+                  .schema("id string, topic string, payload string")
+                  .parquet(str(src) + "/*"))
+        q = job.writer(stream, ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(
+        [("1", "t1.click", "a"), ("2", "t1.lab", "b")],
+        "id string, topic string, payload string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    subs_v1 = [Subscription(id="s1", topic_pattern="click",
+                            target_path="v1/{topic}")]
+    run(subs_v1)
+    rows = {r["id"]: r["target_path"] for r in doc_table.read().collect()}
+    assert rows == {"1": "v1/click"}  # t1.lab unrouted → dropped
+
+    # reconcile: add a lab subscription, restart from the same checkpoint
+    spark.createDataFrame(
+        [("3", "t1.lab", "c"), ("4", "t1.click", "d")],
+        "id string, topic string, payload string") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    subs_v2 = subs_v1 + [Subscription(id="s2", topic_pattern="lab",
+                                      target_path="v2/{topic}")]
+    run(subs_v2)
+    rows = {r["id"]: r["target_path"] for r in doc_table.read().collect()}
+    # doc 2 was consumed under v1 (offsets carried — NOT re-read), docs
+    # 3/4 routed under the reconciled set
+    assert rows == {"1": "v1/click", "3": "v2/lab", "4": "v1/click"}
