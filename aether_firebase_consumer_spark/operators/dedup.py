@@ -166,8 +166,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")) \
         .union(edges.select(F.col(dst).alias("e_src"),
                             F.col(src).alias("e_dst")))
-    labels = (sym.select(F.col("e_src").alias("id")).distinct()
-                 .withColumn("label", F.col("id"))
+    # seed label = min(id, direct neighbors): one aggregation instead of
+    # an identity round — saves a full propagate+checkpoint+count cycle
+    labels = (sym.groupBy(F.col("e_src").alias("id"))
+                 .agg(F.min("e_dst").alias("min_dst"))
+                 .select("id", F.least(F.col("id"), F.col("min_dst"))
+                         .alias("label"))
                  .localCheckpoint())
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.e_src == labels.id)

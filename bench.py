@@ -79,7 +79,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # extension headliners are added as they land
     for extra in ("dedup_minhash_lsh", "similarity_topk_cosine",
-                  "similarity_ann_ivf", "text_quality_score"):
+                  "similarity_ann_ivf", "text_quality_score",
+                  "docs_quality_filter"):
         if extra in REGISTRY:
             names.append(extra)
 
