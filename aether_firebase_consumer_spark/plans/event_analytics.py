@@ -143,3 +143,87 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state compaction: the newest event per user (ts desc,
+    event_id tie-break) via ``sinks.upsert.latest_per_key`` — the
+    collapse that runs before every MERGE when a micro-batch carries
+    multiple versions of one key, here as a standalone query. One
+    shuffle on user_id; rank-limited sort per partition, no global
+    sort."""
+    from aether_firebase_consumer_spark.sinks.upsert import latest_per_key
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id"], ["ts", "event_id"]) \
+        .select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, us,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM f
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-minute inactivity gap): the
+    lag-flag + running-sum pattern — session id = cumulative count of
+    gap breaks per user — then per-session rollup. Everything windows
+    and aggregates on user_id, the stream's natural key: one shuffle,
+    map-side partials on the final rollup. Timestamps compared as
+    integer epoch-microseconds on both engines (exact; no float
+    epoch)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("us").over(w).isNull()
+               | ((F.col("us") - F.lag("us").over(w)) > gap), 1)
+        .otherwise(0))
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max("us") - F.min("us")).alias("duration_us"),
+                 F.countDistinct("event_type").cast("bigint")
+                 .alias("n_types")))

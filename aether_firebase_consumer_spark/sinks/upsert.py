@@ -231,10 +231,13 @@ class HashStateTable:
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str],
-                   seq_col: str) -> DataFrame:
+                   seq_col: str | list[str]) -> DataFrame:
     """Deterministic last-writer-wins collapse: keep the max-``seq_col``
     row per key (used before MERGE when a micro-batch can contain
-    multiple versions of one document)."""
-    w = W.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    multiple versions of one document). ``seq_col`` may be a list —
+    later columns break ties so the survivor is deterministic even with
+    duplicate sequence values."""
+    seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
+    w = W.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
