@@ -184,3 +184,21 @@ def test_q20_semi_join_and_no_second_fact_shuffle_strategy(spark):
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_latest_per_user_is_rank_limited(spark):
+    """Latest-state compaction must compile to WindowGroupLimit (rank
+    pushed into the sort) — a full per-partition sort + filter would
+    sort 100 TB to keep one row per key."""
+    p = plan(spark, "events_latest_per_user")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange") == 1, p  # one shuffle on user_id
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization windows on user_id and rolls up on (user_id,
+    session_seq): HashPartitioning(user_id) satisfies both, so the
+    whole query must plan exactly ONE exchange."""
+    p = plan(spark, "events_sessionize")
+    assert p.count("Exchange") == 1, p
+    assert "CartesianProduct" not in p
