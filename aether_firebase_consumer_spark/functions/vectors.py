@@ -90,11 +90,27 @@ def ivf_cell_scores(cents: list[list[float]]) -> list[float]:
 
 def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
     """IVF cell assignment: argmax_i (v·cᵢ − |cᵢ|²/2) — equivalent to
-    nearest-centroid by L2 without computing |v|². Literal centroid
-    arrays → pure codegen expression, 1-based cell index."""
+    nearest-centroid by L2 without computing |v|². 1-based cell index.
+
+    Computed as ONE transposed fold over vector positions carrying all
+    k running dot products (init zeros, bias added AFTER the fold):
+    the float-addition order per score is e₀c₀+e₁c₁+…+bias — exactly
+    the oracle's ``list_dot_product(...) + bias`` order, so near-tie
+    argmax decisions stay bit-identical. vs k independent dot
+    expressions this shrinks the expression tree ~k× (faster analysis
+    + interpretation; same arithmetic)."""
+    k, dim = len(cents), len(cents[0])
     biases = ivf_cell_scores(cents)
-    scores = F.array(*[
-        dot(vec, F.array(*[F.lit(v) for v in c])) + F.lit(b)
-        for c, b in zip(cents, biases)
+    cents_t = F.array(*[
+        F.array(*[F.lit(cents[i][j]) for i in range(k)])
+        for j in range(dim)
     ])
+    partials = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.array(*[F.lit(0.0)] * k),
+        lambda acc, j: F.zip_with(
+            acc, F.element_at(cents_t, j),
+            lambda a, c: a + F.element_at(vec, j) * c))
+    scores = F.zip_with(partials, F.array(*[F.lit(float(b)) for b in biases]),
+                        lambda s, b: s + b)
     return F.array_position(scores, F.array_max(scores)).cast("int")
