@@ -314,3 +314,34 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("event_type") == "error") & (F.col("value") > 50), 1)
          .otherwise(0).alias("big_error"),
     )
+
+
+@register(
+    "bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, o_custkey) AS k_xor,
+           o_orderkey << 2 AS k_shl,
+           o_orderkey >> 3 AS k_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS k_bits,
+           ~o_orderkey AS k_not
+    FROM orders
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (and/or/xor/shifts/popcount/not) — exact int64
+    semantics on both engines, pure codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).alias("k_bits"),
+        F.bitwise_not(k).alias("k_not"),
+    )
