@@ -578,3 +578,30 @@ def test_subscription_reconcile_restart_choreography(spark, tmp_path):
     # doc 2 was consumed under v1 (offsets carried — NOT re-read), docs
     # 3/4 routed under the reconciled set
     assert rows == {"1": "v1/click", "3": "v2/lab", "4": "v1/click"}
+
+
+def test_hive_partition_value_matches_spark_directories(spark, tmp_path):
+    """hive_partition_value must reproduce the exact directory value
+    Spark writes for every partition-value type the sink supports —
+    the contract the hardlink carry-over depends on."""
+    import datetime as dt
+    import os
+    from urllib.parse import unquote
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        hive_partition_value,
+    )
+    cases = [
+        ("boolean", True), ("boolean", False),
+        ("int", 42), ("string", "plain"),
+        ("string", "with space"), ("string", "a/b"),
+        ("date", dt.date(2001, 5, 1)),
+        ("string", None),
+    ]
+    for i, (typ, val) in enumerate(cases):
+        path = str(tmp_path / f"hv_{i}")
+        spark.createDataFrame([(1, val)], f"id int, pc {typ}") \
+            .write.partitionBy("pc").parquet(path)
+        dirs = [d for d in os.listdir(path) if d.startswith("pc=")]
+        assert len(dirs) == 1, (typ, val, dirs)
+        got = unquote(dirs[0].split("=", 1)[1])
+        assert got == hive_partition_value(val), (typ, val, got)
