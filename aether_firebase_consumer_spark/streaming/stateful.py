@@ -30,7 +30,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def change_detect_stream(stream: DataFrame, id_col: str = "id",
                          hash_col: str = "hash",
-                         seq_col: str | None = None) -> DataFrame:
+                         seq_col: str | None = None,
+                         state_ttl_ms: int | None = None) -> DataFrame:
     """Emit only rows whose ``hash_col`` differs from the last hash seen
     for their ``id_col`` (new ids always emit). State: one hash string
     per id.
@@ -42,16 +43,36 @@ def change_detect_stream(stream: DataFrame, id_col: str = "id",
     versions of one id, pass ``seq_col`` (event time / offset) and each
     group is explicitly stably sorted on it before the hash fold.
     Without ``seq_col``, per-key order within a batch is whatever the
-    shuffle produced; only use that when keys are unique per batch."""
+    shuffle produced; only use that when keys are unique per batch.
+
+    ``state_ttl_ms`` bounds state size for UNBOUNDED key spaces (at
+    100 TB the doc-id space never stops growing; without a TTL the
+    state store grows forever): keys idle longer than the TTL are
+    evicted via a processing-time timeout, and a doc re-seen after
+    eviction re-emits as new — the safe direction for a change gate
+    (at-least-once emission, idempotent MERGE downstream absorbs it).
+
+    TTL mode requires a CONTINUOUS trigger (default or
+    ``processingTime``): ``FlatMapGroupsWithStateExec`` with a
+    processing-time timeout always reports "should run another batch",
+    so a run-to-completion trigger (``availableNow``/``once``) never
+    terminates — it busy-spins no-data batches and the checkpoint
+    metadata log grows unboundedly. Pass ``state_ttl_ms=None`` for
+    drain-style jobs."""
     out_schema = stream.schema
 
     def detect(key: Tuple[Any],
                pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()          # idle key: evict, emit nothing
+            return
         last = state.get[0] if state.exists else None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             state.update((last,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True)
@@ -64,15 +85,19 @@ def change_detect_stream(stream: DataFrame, id_col: str = "id",
                 keep.append(i)
                 last = h
         state.update((last,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if keep:
             yield pdf.iloc[keep]
 
     # append: emitted rows are final (never retracted), which also
     # composes with append-only sinks (files, Kafka)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (stream.groupBy(id_col)
             .applyInPandasWithState(
                 detect,
                 outputStructType=out_schema,
                 stateStructType="last_hash string",
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))

@@ -605,3 +605,67 @@ def test_hive_partition_value_matches_spark_directories(spark, tmp_path):
         assert len(dirs) == 1, (typ, val, dirs)
         got = unquote(dirs[0].split("=", 1)[1])
         assert got == hive_partition_value(val), (typ, val, got)
+
+
+def test_stateful_change_detect_state_ttl_eviction(spark, tmp_path):
+    """With a state TTL, a key idle past the TTL is evicted (timeout
+    path) and re-seen content re-emits as NEW — at-least-once in the
+    safe direction; without eviction the same hash would be suppressed.
+    Bounds state size for unbounded doc-id spaces.
+
+    TTL mode needs a continuously-running query (see the operator
+    docstring: processing-time timeouts never terminate under
+    availableNow), so this test drives ONE long-lived processingTime
+    query and stops it explicitly."""
+    import time as _time
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        change_detect_stream,
+    )
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, "id string, hash string") \
+            .coalesce(1).write.parquet(str(src / name))
+
+    def rows_out(out_dir):
+        try:
+            return sorted((r["id"], r["hash"]) for r in spark.read
+                          .schema("id string, hash string")
+                          .parquet(out_dir).collect())
+        except Exception:          # no files committed yet
+            return []
+
+    def await_rows(out_dir, n, timeout_s=60):
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            got = rows_out(out_dir)
+            if len(got) >= n:
+                return got
+            _time.sleep(0.25)
+        raise AssertionError(
+            f"timed out waiting for {n} rows, have {rows_out(out_dir)}")
+
+    out_dir = str(tmp_path / "ttl_out")
+    stream = (spark.readStream.schema("id string, hash string")
+              .parquet(str(src) + "/*"))
+    out = change_detect_stream(stream, "id", "hash", state_ttl_ms=1500)
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        feed([("a", "h1")], "b1")
+        await_rows(out_dir, 1)                  # a/h1 emits as new
+        # Idle well past the 1500 ms TTL so an intervening no-data
+        # batch fires the timeout and evicts 'a' BEFORE b2 arrives (a
+        # group with new data in the same batch is invoked with
+        # hasTimedOut=False, which would mask the eviction).
+        _time.sleep(4.0)
+        # same hash again: suppressed if state had survived eviction
+        feed([("a", "h1"), ("b", "h9")], "b2")
+        got = await_rows(out_dir, 3)
+    finally:
+        q.stop()
+    assert got == [("a", "h1"), ("a", "h1"), ("b", "h9")]  # re-emitted
