@@ -67,5 +67,6 @@ def _load_all() -> None:
         text_queries,
         multimodal_queries,
         event_analytics,
+        training_queries,
     )
     _LOADED = True
