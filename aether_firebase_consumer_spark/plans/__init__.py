@@ -68,5 +68,7 @@ def _load_all() -> None:
         multimodal_queries,
         event_analytics,
         training_queries,
+        corpus_queries,
+        quality_queries,
     )
     _LOADED = True

@@ -1,0 +1,197 @@
+"""Corpus-shaping queries over documents/embeddings — the second layer
+of training-data curation (SURVEY.md §2.3 extension): language
+rebalancing, n-gram statistics, fixed-window chunking, and embedding
+centroids.
+
+100 TB posture notes:
+
+- ``corpus_rebalance_sample`` decides keep/drop from a portable hash
+  and a per-language count joined back as a broadcast — the 100 TB
+  document side is scanned once; no ``rand()``, so the sample is
+  reproducible on any cluster and stable under re-ingestion.
+- ``text_bigram_topk`` is explode → partial-count → TakeOrdered: the
+  shuffle carries (bigram, partial_count) pairs, never document text,
+  and the final top-k never materializes a global sort.
+- ``chunk_fixed_windows`` is a pure per-row explode (no shuffle at
+  all): chunking parallelism is scan parallelism, which is exactly how
+  a 100 TB tokenize-and-pack pre-pass wants to run.
+- ``embedding_centroids`` reduces vectors dimension-wise via
+  posexplode + partial avg, so the shuffle carries (label, pos,
+  partial sums) — bounded by |labels|·dim, independent of row count.
+
+The reference consumer has no corpus layer (it forwards documents
+1-by-1, ``firebase/app/artifacts.py:302-327``); these are the
+scale-path additions a training pipeline needs on top of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+#: DuckDB twin of ``operators.dedup.portable_hash60`` (one md5 →
+#: 60-bit int → mod 2^31-1), parameterized over the hashed expression.
+_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT % 2147483647)"
+
+#: Per-language document cap for the rebalanced corpus. Integer
+#: arithmetic end to end: keep iff hash(doc_id) % n_lang < cap, which
+#: keeps ~cap docs per language deterministically.
+_LANG_CAP = 120
+
+
+@register(
+    "corpus_rebalance_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(c.n_lang AS BIGINT) AS n_lang,
+           CAST({_H60.format(e="CAST(d.doc_id AS VARCHAR)")} % c.n_lang
+                AS BIGINT) AS slot
+    FROM documents d JOIN counts c USING (lang)
+    WHERE {_H60.format(e="CAST(d.doc_id AS VARCHAR)")} % c.n_lang
+          < LEAST(c.n_lang, {_LANG_CAP})
+    """,
+)
+def corpus_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: cap every language at ~``_LANG_CAP`` docs
+    by keeping rows whose ``hash(doc_id) mod n_lang`` falls under the
+    cap. All-integer and content-independent, so the subsample is
+    reproducible across engines and cluster sizes (``rand()`` samples
+    are not). The per-language counts are a tiny aggregate broadcast
+    back onto the scan — the document side shuffles nothing."""
+    from aether_firebase_consumer_spark.operators.dedup import portable_hash60
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    return (docs.join(F.broadcast(counts), "lang")
+            .withColumn("slot", (h % F.col("n_lang")).cast("bigint"))
+            .where(F.col("slot") < F.least(F.col("n_lang"),
+                                           F.lit(_LANG_CAP)))
+            .select("doc_id", "lang", F.col("n_lang").cast("bigint")
+                    .alias("n_lang"), "slot"))
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(
+               generate_series(2, len(t)),
+               i -> t[i-1] || ' ' || t[i])) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 100
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics, top 100 by frequency (deterministic
+    (count desc, bigram asc) tie-break). The explode feeds a hash
+    aggregate with map-side partials, so the shuffle moves (bigram,
+    partial_count) — not text — and the top-100 runs as TakeOrdered,
+    never a global sort. This is the n-gram LM / contamination-audit
+    primitive at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = docs.select(toks.alias("t")).where(F.size("t") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(2, size(t)), i -> concat(t[i-2], ' ', t[i-1]))"
+        )).alias("bigram"))
+    return (grams.groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("bigram")).limit(100))
+
+
+#: Tokens per training window for ``chunk_fixed_windows``.
+_CHUNK = 128
+
+
+@register(
+    "chunk_fixed_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(c AS BIGINT) AS chunk_idx,
+           CAST(len(t[c*{_CHUNK}+1 : (c+1)*{_CHUNK}]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(t[c*{_CHUNK}+1 : (c+1)*{_CHUNK}], ' ')
+             AS chunk_text
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(
+             0, CAST(CEIL(len(t) / {_CHUNK}.0) AS BIGINT) - 1)) AS c)
+    """,
+)
+def chunk_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (the tokenize-and-chunk pre-pass of
+    sequence packing): each document explodes into ceil(n/128) chunks
+    of ≤128 whitespace tokens, tagged with chunk index and length.
+    Pure per-row explode — no shuffle, no state; chunking throughput
+    equals scan parallelism, the right shape for a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", "t",
+        F.explode(F.sequence(
+            F.lit(0).cast("bigint"),
+            F.ceil(F.size("t") / F.lit(float(_CHUNK))).cast("bigint") - 1,
+        )).alias("chunk_idx"))
+    piece = F.slice("t", F.col("chunk_idx").cast("int") * _CHUNK + 1,
+                    F.lit(_CHUNK))
+    return chunked.select(
+        "doc_id", "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i AS pos, embedding[i] AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+    ),
+    agg AS (
+      SELECT label, pos,
+             ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+      FROM dims GROUP BY label, pos
+    )
+    SELECT CAST(label AS INT) AS label,
+           list(c ORDER BY pos) AS centroid,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+             WHERE e.label = agg.label) AS n_vecs
+    FROM agg GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means update step / class
+    prototype builder): posexplode to (label, pos, value), partial-avg
+    per dimension, reassemble position-ordered. The shuffle carries
+    (label, pos) partial sums — bounded by |labels| x dim regardless of
+    row count — so the reduction scales to any corpus size. Rounded to
+    6 decimals on both engines to pin float summation order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v"))
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+        F.count("*").alias("n"))
+    return (per_dim.groupBy("label")
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                     lambda s: s["c"]).alias("centroid"),
+                 F.max("n").cast("bigint").alias("n_vecs"))
+            .select(F.col("label").cast("int").alias("label"),
+                    "centroid", "n_vecs"))

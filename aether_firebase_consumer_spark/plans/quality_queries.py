@@ -1,0 +1,159 @@
+"""Data-quality audit and temporal (SCD-2) queries — the validation
+layer a production ingest runs before publishing a dataset version,
+plus the change-history compaction a CDC consumer maintains.
+
+The reference consumer trusts its input wholesale (messages flow from
+poll to sink with no integrity checks, ``firebase/app/artifacts.py:
+302-327``); a 100 TB pipeline cannot — a bad shard must surface as a
+metric, not as silent corruption three jobs downstream.
+
+100 TB posture:
+
+- ``dq_audit`` is a union of independent small aggregates; each
+  (orphan count, dup count, null rate, range violation) reduces to a
+  handful of rows before the union, and the referential check is a
+  broadcast/shuffle anti-join — the canonical distributed integrity
+  scan. No collect, no driver-side row handling.
+- ``events_scd2_intervals`` is the lag/lead compaction of an event
+  stream into validity intervals: one shuffle on the entity key, then
+  pure window functions. This is how a MERGE-maintained dimension
+  table gets its history rebuilt at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT 'lineitem_orphans' AS metric,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS DOUBLE) AS value
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS DOUBLE)
+    UNION ALL
+    SELECT 'customer_null_mktsegment_rate',
+           (SELECT CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1
+                                 ELSE 0 END) AS DOUBLE) / COUNT(*)
+            FROM customer)
+    UNION ALL
+    SELECT 'lineitem_bad_discount',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS DOUBLE)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS DOUBLE)
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-quality audit: referential integrity (orphan lineitems
+    via anti-join), primary-key uniqueness, null rate, numeric-range
+    violations, and enum-domain violations — one (metric, value) row
+    each. Every check is an independent aggregate that
+    reduces before the final tiny union; the anti-join is the only
+    join and Spark picks broadcast/shuffle-hash per AQE stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"),
+                         F.col("value").cast("double").alias("value"))
+
+    orphans = one("lineitem_orphans", li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("value")))
+    dup_pk = one("orders_dup_pk", orders.groupBy("o_orderkey")
+                 .agg(F.count("*").alias("n")).where(F.col("n") > 1)
+                 .agg(F.count("*").alias("value")))
+    null_rate = one("customer_null_mktsegment_rate", cust.agg(
+        (F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("value")))
+    bad_disc = one("lineitem_bad_discount", li.where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count("*").alias("value")))
+    bad_status = one("orders_bad_status", orders.where(
+        ~F.col("o_orderstatus").isin("F", "O", "P"))
+        .agg(F.count("*").alias("value")))
+    return (orphans.unionAll(dup_pk).unionAll(null_rate)
+            .unionAll(bad_disc).unionAll(bad_status))
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, us,
+             CAST(SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, run_id, event_type,
+             MIN(us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, run_id, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+           n_events
+    FROM intervals
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history compaction: collapse each user's event stream
+    into contiguous same-``event_type`` runs with [valid_from,
+    valid_to) microsecond intervals (open-ended current run → NULL).
+    The lag-flag → running-sum → rollup → lead chain all windows and
+    groups on user_id, so the whole history rebuild is ONE shuffle on
+    the entity key — the plan a CDC dimension-maintenance job needs at
+    scale. Epochs compared as integer microseconds on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w).isNull()
+               | (F.lag("event_type").over(w) != F.col("event_type")), 1)
+        .otherwise(0))
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding,
+                                        W.currentRow)))
+    intervals = (runs.groupBy("user_id", "run_id", "event_type")
+                 .agg(F.min("us").alias("valid_from_us"),
+                      F.count("*").alias("n_events")))
+    w2 = W.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id", "run_id", "event_type", "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events")

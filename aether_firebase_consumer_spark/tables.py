@@ -45,17 +45,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; with legacy.parquet.nanosAsLong it arrives as
-    nanosecond LongType — convert to a proper (microsecond) timestamp.
-    Lossless for the fixtures (values are µs-precision) and matches
-    DuckDB's ns→µs comparison semantics."""
+    """Normalize events.ts to TimestampType (UTC) regardless of how the
+    fixture was written:
+
+    - parquet TIMESTAMP(NANOS): rejected by the vectorized reader; with
+      legacy.parquet.nanosAsLong it arrives as nanosecond LongType —
+      convert via integer DIV 1000 (float division loses µs precision
+      on int64 epoch-ns values > 2^53).
+    - parquet TIMESTAMP(MICROS) without UTC adjustment: arrives as
+      TIMESTAMP_NTZ — cast to TIMESTAMP. The session timezone is
+      pinned to UTC (session.get_spark), so the cast is epoch-identity
+      and matches DuckDB's naive-as-UTC semantics.
+
+    TimestampType is required downstream: streaming watermarks
+    (``withWatermark``) and ``unix_micros`` reject NTZ."""
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            # integer DIV, not `/`: float division loses µs precision on
-            # int64 epoch-ns values (> 2^53) and rounds some stamps up
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
