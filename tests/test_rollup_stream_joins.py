@@ -1,0 +1,167 @@
+"""Incremental rollup maintenance + stream-static / stream-stream
+joins — the streaming-warehouse surface on top of the upsert sink.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.sinks.rollup import IncrementalRollup
+from aether_firebase_consumer_spark.tables import normalize_event_ts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+
+
+SPECS = {
+    "n": ("count", None),
+    "total": ("sum", "value"),
+    "vmin": ("min", "value"),
+    "vmax": ("max", "value"),
+}
+
+
+def _recompute(df):
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"))
+
+
+def _as_dict(df):
+    return {r["event_type"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in df.collect()}
+
+
+def _assert_rollup_equal(got, expected):
+    """n/min/max exact; sum to float tolerance (fold order differs)."""
+    assert got.keys() == expected.keys()
+    for k, (n, total, vmin, vmax) in expected.items():
+        gn, gtotal, gvmin, gvmax = got[k]
+        assert (gn, gvmin, gvmax) == (n, vmin, vmax)
+        assert gtotal == pytest.approx(total, rel=1e-9)
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Folding N arbitrary micro-batches == one full groupBy: the
+    additivity invariant of maintained aggregates."""
+    ev = _events(spark)
+    roll = IncrementalRollup(spark, str(tmp_path / "roll"),
+                             ["event_type"], SPECS)
+    # three uneven slices, different key mixes per batch
+    b1 = ev.where(F.col("event_id") % 3 == 0)
+    b2 = ev.where(F.col("event_id") % 3 == 1)
+    b3 = ev.where(F.col("event_id") % 3 == 2)
+    for b in (b1, b2, b3):
+        roll.update(b)
+    _assert_rollup_equal(_as_dict(roll.read()), _as_dict(_recompute(ev)))
+
+
+def test_incremental_rollup_rejects_unknown_aggregate(spark, tmp_path):
+    with pytest.raises(ValueError):
+        IncrementalRollup(spark, str(tmp_path / "r"), ["k"],
+                          {"a": ("avg", "value")})
+
+
+def test_incremental_rollup_foreach_batch_stream(spark, tmp_path):
+    """The foreachBatch adapter maintains the rollup from a file
+    stream; the final table equals the batch recompute."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    roll = IncrementalRollup(spark, str(tmp_path / "roll"),
+                             ["event_type"], SPECS)
+    q = (stream.writeStream
+         .foreachBatch(roll.foreach_batch_writer())
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    _assert_rollup_equal(_as_dict(roll.read()),
+                         _as_dict(_recompute(_events(spark))))
+
+
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against a static
+    dimension with no stream-side state — the enrich pattern. The
+    static side is a small dim, broadcast per batch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(str(src)))
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue")],
+        "event_type string, category string")
+    joined = stream.join(F.broadcast(dim), "event_type", "left")
+    q = (joined.groupBy("category").agg(F.count("*").alias("n"))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("ss_join_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["category"]: r["n"]
+           for r in spark.sql("SELECT * FROM ss_join_out").collect()}
+    ev = _events(spark)
+    expected = {r["category"]: r["n"]
+                for r in ev.join(dim, "event_type", "left")
+                .groupBy("category").agg(F.count("*").alias("n")).collect()}
+    assert got == expected
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time interval:
+    click events join purchase events of the same user within 1 hour
+    after the click. Both sides buffer bounded state (watermark-evicted)
+    — the canonical funnel-attribution join."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def side(event_type, alias):
+        s = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(str(src)))
+        return (s.where(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(f"{alias}_user"),
+                        F.col("event_id").alias(f"{alias}_id"),
+                        F.col("ts").alias(f"{alias}_ts"))
+                .withWatermark(f"{alias}_ts", "2 hours"))
+
+    clicks, buys = side("click", "c"), side("purchase", "b")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ss_interval_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM ss_interval_out").collect()[0]["n"]
+
+    ev = _events(spark)
+    c = (ev.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")))
+    b = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")))
+    expected = c.join(
+        b,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))).count()
+    assert got == expected and got > 0
