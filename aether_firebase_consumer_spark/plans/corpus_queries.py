@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from aether_firebase_consumer_spark.plans import register
 from aether_firebase_consumer_spark.tables import load_table
@@ -195,3 +196,53 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").cast("bigint").alias("n_vecs"))
             .select(F.col("label").cast("int").alias("label"),
                     "centroid", "n_vecs"))
+
+
+@register(
+    "corpus_token_quantiles",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tokens, lang) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.5 * n))
+                         THEN n_tokens END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.9 * n))
+                         THEN n_tokens END) AS BIGINT) AS p90,
+           CAST(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.99 * n))
+                         THEN n_tokens END) AS BIGINT) AS p99
+    FROM ranked GROUP BY lang
+    """,
+)
+def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact discrete p50/p90/
+    p99): the length profile that drives chunk-size and packing-window
+    decisions. The percentile is hand-rolled IDENTICALLY on both
+    engines — rank = ceil(p*n) over a per-language sort — so the gate
+    is bit-exact (built-in percentile fns interpolate differently
+    across engines). One shuffle on lang; the rank selection is a
+    conditional aggregate, not a second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("n_tokens", "lang")
+    ranked = t.select(
+        "lang", "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"))
+
+    def pick(p: float, name: str):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        return F.max(F.when(F.col("rn") == target,
+                            F.col("n_tokens"))).cast("bigint").alias(name)
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))

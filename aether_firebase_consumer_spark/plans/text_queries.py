@@ -203,3 +203,43 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ok.alias("q_ok"),
         lang_ok.alias("lang_ok"),
         (len_ok & q_ok & lang_ok).alias("keep"))
+
+
+#: Redaction patterns, restricted to syntax Java regex and RE2 share
+#: (no backrefs, no lookaround) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"[0-9]{6,}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS INT)
+             AS n_longnums,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>',
+                                         'g'),
+                          '{_PII_LONGNUM}', '<NUM>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: replace email addresses and long
+    digit runs with placeholder tokens and count the hits per document
+    — the redaction pre-pass a training pipeline runs before text ever
+    reaches tokenization (the batch-corpus analogue of the reference's
+    column-level masking, ``firebase/app/artifacts.py:359-370``).
+    Patterns stay within the regex subset Java and RE2 evaluate
+    identically. Single scan, per-row codegen, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_LONGNUM)))
+        .alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_LONGNUM, "<NUM>").alias("redacted"))
