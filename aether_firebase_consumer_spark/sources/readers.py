@@ -46,13 +46,17 @@ def read_json(spark: SparkSession, path: str,
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan — needs the spark-avro jar (not in the v1 image)."""
+    """Avro scan. Prefers the spark-avro jar (JVM-side decode) when on
+    the classpath; otherwise falls back to the engine's pure-Python
+    container reader (``sources.avro_codec.read_avro_container_py``:
+    binaryFile scan + Arrow mapInPandas decode, parallel by file)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as err:  # jar missing → actionable error
-        raise NotImplementedError(
-            "avro source requires the org.apache.spark:spark-avro jar on "
-            "the classpath (absent in this environment)") from err
+    except Exception:  # jar missing → jar-free fallback
+        from aether_firebase_consumer_spark.sources.avro_codec import (
+            read_avro_container_py,
+        )
+        return read_avro_container_py(spark, path)
 
 
 # ------------------------------------------------------------- streaming

@@ -1,0 +1,207 @@
+"""Pure-Python Avro binary codec + jar-free Spark decode path.
+
+Wire-format fixtures come from the public Avro spec's own worked
+example (record {a: long=27, b: string="foo"} encodes to
+36 06 66 6f 6f), so the codec is pinned to the spec, not to itself.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+
+import pytest
+
+from aether_firebase_consumer_spark.sources.avro_codec import (
+    decode_avro_docs_py,
+    decode_record,
+    encode_record,
+)
+
+SPEC_SCHEMA = {
+    "type": "record", "name": "test",
+    "fields": [{"name": "a", "type": "long"},
+               {"name": "b", "type": "string"}],
+}
+
+
+def test_spec_worked_example_bytes():
+    data = encode_record(SPEC_SCHEMA, {"a": 27, "b": "foo"})
+    assert data == b"\x36\x06foo"
+    assert decode_record(SPEC_SCHEMA, data) == {"a": 27, "b": "foo"}
+
+
+def test_zigzag_negative_and_large():
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "v", "type": "long"}]}
+    for v in (0, -1, 1, -2, 2, 63, 64, -64, -65, 2**40, -(2**40),
+              2**62, -(2**62)):
+        assert decode_record(schema, encode_record(schema, {"v": v})) == \
+            {"v": v}
+
+
+RICH_SCHEMA = {
+    "type": "record", "name": "doc",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "score", "type": "double"},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "status", "type": {"type": "enum", "name": "st",
+                                    "symbols": ["NEW", "DONE"]}},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "fx", "type": {"type": "fixed", "name": "f8", "size": 4}},
+        {"name": "nested", "type": {
+            "type": "record", "name": "geo",
+            "fields": [{"name": "lat", "type": "double"},
+                       {"name": "lon", "type": "double"}]}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 10, "scale": 2}},
+        {"name": "either", "type": ["null", "string", "long"]},
+    ],
+}
+
+RICH_VALUES = {
+    "id": "d1", "flag": True, "score": 2.5, "opt": None, "status": "DONE",
+    "tags": ["a", "b"], "attrs": {"k1": 7, "k2": -9}, "raw": b"\x01\x02",
+    "fx": b"wxyz", "nested": {"lat": 1.25, "lon": -3.5},
+    "d": 19000, "ts": 1_700_000_000_000_000,
+    "amount": b"\x30\x39",  # unscaled 12345, scale 2 -> 123.45
+    "either": 42,
+}
+
+
+def test_rich_roundtrip_wire_values():
+    data = encode_record(RICH_SCHEMA, RICH_VALUES)
+    assert decode_record(RICH_SCHEMA, data) == RICH_VALUES
+
+
+def test_encode_accepts_semantic_logical_values():
+    sem = dict(RICH_VALUES)
+    sem["d"] = datetime.date(1970, 1, 1) + datetime.timedelta(days=19000)
+    sem["ts"] = (datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(microseconds=1_700_000_000_000_000))
+    sem["amount"] = decimal.Decimal("123.45")
+    assert encode_record(RICH_SCHEMA, sem) == \
+        encode_record(RICH_SCHEMA, RICH_VALUES)
+
+
+def test_trailing_bytes_rejected():
+    data = encode_record(SPEC_SCHEMA, {"a": 1, "b": "x"}) + b"\x00"
+    with pytest.raises(ValueError, match="trailing"):
+        decode_record(SPEC_SCHEMA, data)
+
+
+ANNOTATED_SCHEMA = {
+    "type": "record", "name": "person",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "name", "type": "string",
+         "@aether_masking": "private"},
+        {"name": "joined", "type": "string",
+         "@aether_extended_type": "dateTime"},
+        {"name": "n", "type": ["null", "int", "long"]},
+    ],
+}
+
+
+def test_spark_decode_avro_docs_py(spark):
+    """End-to-end jar-free decode: binary column -> typed columns with
+    extended-type cast and masking metadata intact."""
+    avsc_json = json.dumps(ANNOTATED_SCHEMA)
+    recs = [
+        {"id": "a", "name": "Ann", "joined": "2024-01-02T03:04:05", "n": 5},
+        {"id": "b", "name": "Bob", "joined": "2023-12-31T23:59:59",
+         "n": None},
+    ]
+    rows = [(encode_record(ANNOTATED_SCHEMA, r),) for r in recs]
+    df = spark.createDataFrame(rows, "value binary")
+    out = decode_avro_docs_py(df, avsc_json)
+
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["string", "string", "timestamp", "bigint"]
+    got = {r["id"]: r for r in out.collect()}
+    assert got["a"]["joined"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert got["a"]["n"] == 5 and got["b"]["n"] is None
+    assert out.schema["name"].metadata.get("masking") == "private"
+
+
+def test_spark_decode_multibranch_union_struct(spark):
+    """A string|long union surfaces as the member0/member1 struct the
+    schema mapper promises."""
+    schema = {"type": "record", "name": "u",
+              "fields": [{"name": "id", "type": "string"},
+                         {"name": "v", "type": ["null", "string", "long"]}]}
+    # force the struct path: string+long branches are not coercible
+    from aether_firebase_consumer_spark.sources.avro_schema import (
+        avro_to_spark_type,
+    )
+    t, nullable = avro_to_spark_type(["null", "string", "long"])
+    assert t.simpleString() == "struct<member0:string,member1:bigint>"
+    assert nullable
+
+    rows = [(encode_record(schema, {"id": "x", "v": "s"}),),
+            (encode_record(schema, {"id": "y", "v": 9}),),
+            (encode_record(schema, {"id": "z", "v": None}),)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = decode_avro_docs_py(df, json.dumps(schema))
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got["x"]["member0"] == "s" and got["x"]["member1"] is None
+    assert got["y"]["member1"] == 9 and got["y"]["member0"] is None
+    assert got["z"] is None
+
+
+def test_container_roundtrip_null_and_deflate(tmp_path):
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        parse_avro_container,
+        write_avro_container,
+    )
+    recs = [{"a": i, "b": f"s{i}"} for i in range(25)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro_container(p, SPEC_SCHEMA, recs, codec=codec,
+                             records_per_block=10)
+        avsc, got = parse_avro_container(open(p, "rb").read())
+        assert avsc["name"] == "test"
+        assert got == recs
+
+
+def test_container_corrupt_sync_detected(tmp_path):
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        parse_avro_container,
+        write_avro_container,
+    )
+    p = str(tmp_path / "t.avro")
+    write_avro_container(p, SPEC_SCHEMA, [{"a": 1, "b": "x"}])
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # flip a sync byte
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro_container(bytes(raw))
+
+
+def test_spark_read_avro_jar_free_fallback(spark, tmp_path):
+    """readers.read_avro serves .avro directories with no spark-avro
+    jar: binaryFile scan + mapInPandas decode, one task per file."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        write_avro_container,
+    )
+    from aether_firebase_consumer_spark.sources.readers import read_avro
+    d = tmp_path / "data"
+    d.mkdir()
+    for shard in range(3):
+        recs = [{"a": shard * 100 + i, "b": f"r{shard}-{i}"}
+                for i in range(50)]
+        write_avro_container(str(d / f"part-{shard}.avro"),
+                             SPEC_SCHEMA, recs,
+                             codec="deflate" if shard % 2 else "null")
+    df = read_avro(spark, str(d))
+    assert df.schema.simpleString() == "struct<a:bigint,b:string>"
+    assert df.count() == 150
+    got = {r["a"]: r["b"] for r in df.collect()}
+    assert got[205] == "r2-5" and got[0] == "r0-0"
