@@ -202,3 +202,48 @@ def test_sessionize_single_shuffle(spark):
     p = plan(spark, "events_sessionize")
     assert p.count("Exchange") == 1, p
     assert "CartesianProduct" not in p
+
+
+# ------------------------------------------------- round-4 additions (corpus)
+
+def test_rebalance_broadcasts_lang_counts(spark):
+    """corpus_rebalance_sample joins per-language counts back onto the
+    scan: the counts side is tiny and MUST broadcast — shuffling the
+    100 TB document side on lang would invert the cost model."""
+    p = plan(spark, "corpus_rebalance_sample")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_bigram_topk_is_take_ordered_with_partial_agg(spark):
+    """Top-100 bigrams: partial+final count around one exchange, then
+    TakeOrdered — never a global sort of the bigram distribution."""
+    p = plan(spark, "text_bigram_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_chunk_and_redact_are_shuffle_free(spark):
+    """Per-row corpus passes (chunking, PII redaction) must plan ZERO
+    exchanges — their throughput is scan throughput."""
+    for name in ("chunk_fixed_windows", "text_pii_redact"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, f"{name} shuffles:\n{p}"
+        assert "BatchEvalPython" not in p, f"{name} uses row Python"
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD-2 compaction windows, aggregates, and leads all on user_id:
+    HashPartitioning(user_id) satisfies every stage — exactly ONE
+    exchange."""
+    p = plan(spark, "events_scd2_intervals")
+    assert p.count("Exchange") == 1, p
+
+
+def test_centroids_shuffle_carries_dims_not_vectors(spark):
+    """embedding_centroids must partial-aggregate after posexplode so
+    the exchange moves (label, pos) partials, and the final reassembly
+    groups on label — two exchanges, both bounded by labels x dim."""
+    p = plan(spark, "embedding_centroids")
+    assert p.count("HashAggregate") >= 4, p  # partial+final at both levels
+    assert "CartesianProduct" not in p
