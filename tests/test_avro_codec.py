@@ -205,3 +205,31 @@ def test_spark_read_avro_jar_free_fallback(spark, tmp_path):
     assert df.count() == 150
     got = {r["a"]: r["b"] for r in df.collect()}
     assert got[205] == "r2-5" and got[0] == "r0-0"
+
+
+def test_streaming_avro_message_decode(spark, tmp_path):
+    """The reference's actual ingest shape — a stream of binary Avro
+    message values — decoded in-stream by the jar-free codec:
+    readStream → mapInPandas decode → memory sink. mapInPandas binds
+    to streaming DataFrames unchanged, so the same decode path serves
+    batch backfills and live streams."""
+    avsc_json = json.dumps(SPEC_SCHEMA)
+    recs = [{"a": i, "b": f"m{i}"} for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(encode_record(SPEC_SCHEMA, r),) for r in recs]
+    spark.createDataFrame(rows, "value binary") \
+        .write.parquet(str(src / "batch0"))
+
+    stream = (spark.readStream.schema("value binary")
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src / "batch0")))
+    decoded = decode_avro_docs_py(stream, avsc_json)
+    assert decoded.isStreaming
+    q = (decoded.writeStream.outputMode("append")
+         .format("memory").queryName("avro_stream_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["a"]: r["b"]
+           for r in spark.sql("SELECT * FROM avro_stream_out").collect()}
+    assert got == {r["a"]: r["b"] for r in recs}

@@ -101,3 +101,21 @@ def test_path_for_topic(spark):
     df = spark.createDataFrame([("clicks",)], ["t"])
     assert df.select(path_for_topic("t").alias("p")) \
              .first()["p"] == "_aether/entities/clicks"
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """Approximate aggregates (the 100 TB profiling path: HLL distinct,
+    quantile sketch) must land within their documented error of the
+    exact answers — at scale these replace exact DISTINCT/percentile
+    when the exact shuffle is the bottleneck."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+        .alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]
+    assert abs(float(row["approx_p50"]) - float(row["exact_p50"])) \
+        <= 0.02 * float(row["exact_p50"])

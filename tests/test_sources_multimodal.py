@@ -46,8 +46,12 @@ def test_decode_json_docs(spark):
     assert rows["x"]["beds"] == 4 and rows["y"]["beds"] is None
 
 
-def test_avro_gated(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
+def test_avro_falls_back_jar_free(spark, tmp_path):
+    """With no spark-avro jar, read_avro serves .avro data via the
+    pure-Python container reader (tested end-to-end in
+    test_avro_codec.py); a missing path surfaces as FileNotFoundError,
+    not a jar error."""
+    with pytest.raises(FileNotFoundError):
         read_avro(spark, str(tmp_path / "nope"))
 
 
