@@ -29,6 +29,8 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import math
+import os
 import struct as _struct
 from typing import Any, Iterator, Mapping
 
@@ -85,6 +87,17 @@ def _read_long(data: bytes, pos: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def _matches(value: Any, b: Any) -> bool:
+    if isinstance(b, dict) and b.get("logicalType"):
+        # semantic values for logical branches (see encoder conversions)
+        lt = b["logicalType"]
+        if lt == "date":
+            return isinstance(value, datetime.date) \
+                and not isinstance(value, datetime.datetime) \
+                or isinstance(value, int)
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return isinstance(value, (datetime.datetime, int))
+        if lt == "decimal":
+            return isinstance(value, (decimal.Decimal, bytes, bytearray))
     kind = b if isinstance(b, str) else b.get("type")
     if kind == "null":
         return value is None
@@ -479,3 +492,120 @@ def read_avro_container_py(spark, path: str,
         if f.metadata:
             out = out.withMetadata(f.name, f.metadata)
     return apply_extended_types(out)
+
+
+# ---------------------------------------------------------------------------
+# write path: Spark schema -> Avro schema, distributed container writes
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def spark_to_avro_schema(schema, name: str = "row") -> dict[str, Any]:
+    """Inverse of ``avro_to_spark_schema``: StructType → Avro record.
+    Nullable fields become ``[null, T]`` unions; date/timestamp map to
+    their Avro logical types; nested structs/arrays/maps recurse."""
+    from pyspark.sql import types as T
+
+    def conv(dt, field_name: str) -> Any:
+        tn = dt.typeName()
+        if tn in _SPARK_TO_AVRO:
+            return _SPARK_TO_AVRO[tn]
+        if tn == "date":
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
+        if isinstance(dt, T.ArrayType):
+            item = conv(dt.elementType, field_name + "_item")
+            return {"type": "array",
+                    "items": ["null", item] if dt.containsNull else item}
+        if isinstance(dt, T.MapType):
+            val = conv(dt.valueType, field_name + "_value")
+            return {"type": "map",
+                    "values": ["null", val] if dt.valueContainsNull else val}
+        if isinstance(dt, T.StructType):
+            return {"type": "record", "name": field_name, "fields": [
+                {"name": f.name,
+                 "type": (["null", conv(f.dataType, f.name)]
+                          if f.nullable else conv(f.dataType, f.name))}
+                for f in dt.fields]}
+        raise ValueError(f"unsupported spark type {dt!r} for avro write")
+
+    return {"type": "record", "name": name, "fields": [
+        {"name": f.name,
+         "type": (["null", conv(f.dataType, f.name)]
+                  if f.nullable else conv(f.dataType, f.name))}
+        for f in schema.fields]}
+
+
+def _pyify(v: Any) -> Any:
+    """numpy/pandas scalars -> plain Python for the encoder."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) \
+            or v is pd.NaT:
+        return None
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:  # normalize to naive UTC for the epoch math
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        return [_pyify(x) for x in v.tolist()]
+    if isinstance(v, list):
+        return [_pyify(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _pyify(x) for k, x in v.items()}
+    return v
+
+
+def write_avro_dataset(df: DataFrame, path: str,
+                       codec: str = "deflate") -> int:
+    """Distributed .avro write: every Spark partition writes ONE
+    container file (``part-<pid>.avro``) under ``path`` via
+    ``mapInPandas``, and the returned manifest (file, n_rows — a few
+    rows per partition) is the only data the driver sees. The Avro
+    schema derives from the DataFrame schema (``spark_to_avro_schema``).
+    Returns total rows written. Parallelism = partition count, the
+    same contract as every Spark file sink; ``path`` must be shared
+    storage on a real cluster."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    avsc = spark_to_avro_schema(df.schema)
+    cols = [f.name for f in df.schema.fields]
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                recs.append({c: _pyify(v) for c, v in zip(cols, row)})
+        if not recs:
+            yield pd.DataFrame({"file": [], "n_rows": []})
+            return
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        write_avro_container(fname, avsc, recs, codec=codec)
+        yield pd.DataFrame({"file": [fname], "n_rows": [len(recs)]})
+
+    manifest = df.mapInPandas(write_files, schema="file string, n_rows long")
+    return sum(r["n_rows"] for r in manifest.collect())

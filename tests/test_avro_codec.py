@@ -233,3 +233,41 @@ def test_streaming_avro_message_decode(spark, tmp_path):
     got = {r["a"]: r["b"]
            for r in spark.sql("SELECT * FROM avro_stream_out").collect()}
     assert got == {r["a"]: r["b"] for r in recs}
+
+
+def test_write_avro_dataset_roundtrip(spark, tmp_path):
+    """Distributed write: one container file per partition via
+    mapInPandas (driver sees only the manifest), schema derived from
+    the DataFrame, then read back through the jar-free reader —
+    including timestamp/date/array columns and nulls."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        spark_to_avro_schema,
+        write_avro_dataset,
+    )
+    from aether_firebase_consumer_spark.sources.readers import read_avro
+    from aether_firebase_consumer_spark.tables import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).select("event_id", "ts", "user_id", "event_type", "value") \
+     .repartition(4)
+
+    avsc = spark_to_avro_schema(ev.schema)
+    assert {f["name"] for f in avsc["fields"]} == set(ev.columns)
+
+    path = str(tmp_path / "avro_out")
+    n = write_avro_dataset(ev, path)
+    assert n == ev.count()
+    import os
+    files = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert len(files) == 4  # one file per partition
+
+    back = read_avro(spark, path)
+    assert back.count() == n
+    a = {r["event_id"]: r for r in ev.collect()}
+    b = {r["event_id"]: r for r in back.collect()}
+    assert a.keys() == b.keys()
+    probe = next(iter(a))
+    assert a[probe]["event_type"] == b[probe]["event_type"]
+    assert abs(a[probe]["value"] - b[probe]["value"]) < 1e-12
+    assert a[probe]["ts"] == b[probe]["ts"]
