@@ -69,11 +69,16 @@ class ParquetUpsertTable:
     """A keyed parquet table with MERGE-by-key (upsert) semantics."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
-                 partition_col: str | None = None):
+                 partition_col: str | None = None,
+                 retain_versions: int = 2):
+        if retain_versions < 2:
+            raise ValueError("retain_versions must be >= 2 (current + "
+                             "previous for concurrent readers)")
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.partition_col = partition_col
+        self.retain_versions = retain_versions
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer ------------------------------------------------
@@ -199,9 +204,59 @@ class ParquetUpsertTable:
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._version_file())  # atomic pointer swap
-        # GC old versions (keep previous for concurrent readers)
-        for old in range(v - 1):
+        # GC old versions outside the retention window (always keep the
+        # previous one for concurrent readers; more for time travel)
+        for old in range(v - self.retain_versions + 1):
             shutil.rmtree(self._data_dir(old), ignore_errors=True)
+
+    # -- time travel / change data feed ---------------------------------
+    def versions(self) -> list[int]:
+        """Retained, readable version numbers (ascending)."""
+        vs = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() \
+                    and os.path.isdir(os.path.join(self.path, name)):
+                vs.append(int(name[1:]))
+        return sorted(v for v in vs if v <= self.current_version())
+
+    def read_version(self, version: int) -> DataFrame:
+        """Snapshot read of a retained version (time travel). Versions
+        outside the retention window are garbage-collected — raise
+        rather than silently serving the wrong snapshot."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained (have {self.versions()}; "
+                f"retain_versions={self.retain_versions})")
+        return self.spark.read.parquet(self._data_dir(version))
+
+    def changes(self, version: int) -> DataFrame:
+        """Change data feed for ``version``: the key-level diff against
+        ``version - 1`` as (key_cols..., change_type ∈ insert/update/
+        delete). Computed as one full-outer join on the keys with a
+        canonical row-hash comparison over the columns both versions
+        share — schema evolution (O14) compares only common columns.
+        The first version reports every key as insert."""
+        new = self.read_version(version)
+        if version == 0:  # table creation: everything is an insert
+            return new.select(*self.key_cols).withColumn(
+                "change_type", F.lit("insert"))
+        if version - 1 not in self.versions():
+            raise ValueError(f"version {version - 1} GC'd; cannot diff")
+        old = self.read_version(version - 1)
+        common = [c for c in new.columns
+                  if c in set(old.columns) and c not in self.key_cols]
+        def rhash(df: DataFrame, tag: str) -> DataFrame:
+            h = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(common)])))
+            return df.select(*self.key_cols, h.alias(f"_h_{tag}"))
+        joined = rhash(old, "old").join(rhash(new, "new"),
+                                        self.key_cols, "full_outer")
+        return (joined.withColumn(
+            "change_type",
+            F.when(F.col("_h_old").isNull(), F.lit("insert"))
+             .when(F.col("_h_new").isNull(), F.lit("delete"))
+             .when(F.col("_h_old") != F.col("_h_new"), F.lit("update")))
+            .where(F.col("change_type").isNotNull())
+            .select(*self.key_cols, "change_type"))
 
 
 class HashStateTable:

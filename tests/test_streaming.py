@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.operators.filtering import FilterConfig
@@ -669,3 +670,48 @@ def test_stateful_change_detect_state_ttl_eviction(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("a", "h1"), ("a", "h1"), ("b", "h9")]  # re-emitted
+
+
+def test_time_travel_and_change_feed(spark, tmp_path):
+    """Delta-style snapshot reads + CDF over the version-swap table:
+    retained versions are readable as-of, each version's key-level
+    diff classifies insert/update/delete, and GC'd versions raise."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "tt"), ["id"],
+                           retain_versions=4)
+    t.merge(spark.createDataFrame([("a", 1), ("b", 2)], ["id", "v"]))   # v0
+    t.merge(spark.createDataFrame([("b", 20), ("c", 3)], ["id", "v"]))  # v1
+    t.delete_keys(spark.createDataFrame([("a",)], ["id"]))              # v2
+
+    assert t.versions() == [0, 1, 2]
+    assert {r["id"]: r["v"] for r in t.read_version(0).collect()} == \
+        {"a": 1, "b": 2}
+    assert {r["id"]: r["v"] for r in t.read_version(1).collect()} == \
+        {"a": 1, "b": 20, "c": 3}
+    assert {r["id"]: r["v"] for r in t.read_version(2).collect()} == \
+        {"b": 20, "c": 3}
+
+    assert {(r["id"], r["change_type"]) for r in t.changes(0).collect()} == \
+        {("a", "insert"), ("b", "insert")}
+    assert {(r["id"], r["change_type"]) for r in t.changes(1).collect()} == \
+        {("b", "update"), ("c", "insert")}
+    assert {(r["id"], r["change_type"]) for r in t.changes(2).collect()} == \
+        {("a", "delete")}
+
+    # unchanged rows never appear in the feed
+    t.merge(spark.createDataFrame([("b", 20), ("d", 4)], ["id", "v"]))  # v3
+    assert {(r["id"], r["change_type"]) for r in t.changes(3).collect()} == \
+        {("d", "insert")}
+
+    # retention: v0 is GC'd after the 5th commit
+    t.merge(spark.createDataFrame([("e", 5)], ["id", "v"]))             # v4
+    assert t.versions() == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="not retained"):
+        t.read_version(0)
+    with pytest.raises(ValueError, match="GC'd"):
+        t.changes(1)
+
+
+def test_retain_versions_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="retain_versions"):
+        ParquetUpsertTable(spark, str(tmp_path / "x"), ["id"],
+                           retain_versions=1)
