@@ -157,3 +157,67 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "run_id", "event_type", "valid_from_us",
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         "n_events")
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    WITH f AS (
+      SELECT source, md5(text) AS fp FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM f GROUP BY source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the ingest-health metric that
+    tells a curation pipeline WHICH feed is flooding it with copies.
+    One scan; the shuffle carries (source, 16-byte fingerprint), never
+    text; COUNT(DISTINCT) expands to the standard two-phase partial
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", F.md5("text").alias("fp"))
+    return (f.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("fp").cast("bigint").alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    F.round(1.0 - F.col("n_unique").cast("double")
+                            / F.col("n_docs"), 6).alias("dup_rate")))
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             STDDEV_POP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS z,
+           ABS((e.value - s.mu) / s.sigma) > 3.0 AS is_anomaly
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomaly flags per event: group stats are a
+    tiny aggregate broadcast back onto the stream of events, so the
+    fact side never shuffles — the standard two-pass outlier scan.
+    z rounded to 6 decimals on both engines (aggregation-order float
+    tolerance); the >3-sigma flag is computed on the unrounded value."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .where(F.col("sigma") > 0)
+            .select("event_id", "event_type",
+                    F.round(z, 6).alias("z"),
+                    (F.abs(z) > 3.0).alias("is_anomaly")))
