@@ -247,3 +247,24 @@ def test_centroids_shuffle_carries_dims_not_vectors(spark):
     p = plan(spark, "embedding_centroids")
     assert p.count("HashAggregate") >= 4, p  # partial+final at both levels
     assert "CartesianProduct" not in p
+
+
+def test_anomaly_stats_join_is_broadcast(spark):
+    """events_anomaly_zscore joins 5 rows of per-type stats onto the
+    events scan: the stats side must broadcast; the fact side must not
+    shuffle for the join."""
+    p = plan(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_rate_never_shuffles_text(spark):
+    """corpus_dup_rate_by_source must fingerprint BEFORE the exchange:
+    the shuffled row is (source, md5), never the document text."""
+    p = plan(spark, "corpus_dup_rate_by_source")
+    assert p.count("HashAggregate") >= 2, p
+    # text is consumed by md5() inside the scan-side project; it must
+    # not appear in any Exchange output schema
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", p):
+        assert "text" not in m.group(0), m.group(0)
