@@ -373,3 +373,44 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.max("value").cast("double").alias("max_value"),
                    F.sum(_dec("value")).cast("double").alias("sum_value"),
                    F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    buys AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(b.n_purchases, 0) AS n_purchases
+    FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-user click counts vs purchase counts, each
+    side surviving without a partner (users who only click, users who
+    only buy). Both sides pre-aggregate BEFORE the join, so the outer
+    join matches |users| rows against |users| rows — never raw events
+    against raw events — and the join key is the shuffle key already
+    used by the aggregates (no extra exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click").groupBy("user_id")
+              .agg(F.count("*").cast("bigint").alias("n_clicks")))
+    buys = (ev.where(F.col("event_type") == "purchase").groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_purchases")))
+    c, b = clicks.alias("c"), buys.alias("b")
+    return (c.join(b, F.col("c.user_id") == F.col("b.user_id"),
+                   "full_outer")
+            .select(F.coalesce(F.col("c.user_id"), F.col("b.user_id"))
+                    .alias("user_id"),
+                    F.coalesce(F.col("c.n_clicks"), F.lit(0).cast("bigint"))
+                    .alias("n_clicks"),
+                    F.coalesce(F.col("b.n_purchases"),
+                               F.lit(0).cast("bigint"))
+                    .alias("n_purchases")))
