@@ -114,3 +114,49 @@ def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
     scores = F.zip_with(partials, F.array(*[F.lit(float(b)) for b in biases]),
                         lambda s, b: s + b)
     return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+def _ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """All k cell scores (v·cᵢ − |cᵢ|²/2) as one array — the transposed
+    fold from :func:`ivf_cell`, shared by argmax and nprobe>1."""
+    k, dim = len(cents), len(cents[0])
+    biases = ivf_cell_scores(cents)
+    cents_t = F.array(*[
+        F.array(*[F.lit(cents[i][j]) for i in range(k)])
+        for j in range(dim)
+    ])
+    partials = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.array(*[F.lit(0.0)] * k),
+        lambda acc, j: F.zip_with(
+            acc, F.element_at(cents_t, j),
+            lambda a, c: a + F.element_at(vec, j) * c))
+    return F.zip_with(partials,
+                      F.array(*[F.lit(float(b)) for b in biases]),
+                      lambda s, b: s + b)
+
+
+def ivf_cells_top2(vec: Column, cents: list[list[float]]) -> Column:
+    """The two best cells as a 2-element array (1-based), ranked by
+    (score desc, cell asc): element 1 is the assignment cell
+    (== :func:`ivf_cell`), element 2 the next-best — the nprobe=2 probe
+    list. Pure expressions: argmax, mask the winner to -inf, argmax
+    again; first-occurrence semantics of array_position give the same
+    deterministic tie-break as a (score DESC, i ASC) row_number."""
+    scores = _ivf_scores(vec, cents)
+    c1 = F.array_position(scores, F.array_max(scores))
+    masked = F.transform(
+        scores,
+        lambda s, i: F.when(i + 1 == c1,
+                            F.lit(float("-inf"))).otherwise(s))
+    c2 = F.array_position(masked, F.array_max(masked))
+    return F.array(c1.cast("int"), c2.cast("int"))
+
+
+def lsh_band_keys(vec: Column, bands: list[list[list[float]]]) -> Column:
+    """Per-band sign keys as an array (one int per band, bit b of band
+    k = sign of plane b in that band) — the OR-construction's join
+    keys: a pair is a candidate when ANY (band_id, key) matches, which
+    stays an EQUI-join after posexplode."""
+    return F.array(*[lsh_bucket(vec, band).cast("bigint")
+                     for band in bands])

@@ -4,8 +4,12 @@ path, and embedding-cosine near-dup pairs.
 
 Scale posture: brute force is the *correctness baseline* (O(N) per
 query, embarrassingly parallel, no shuffle beyond the final top-k);
-the LSH variant prunes candidates by bucket equality so each query
-touches ~N/2^planes rows — the right shape when N is 10^10.
+the banded sign-LSH variant prunes candidates by (band, key)
+equality (OR-construction over 2 bands of 4 planes — measured 0.16
+mean recall@5 on the weakly-clustered fixtures where the old single
+8-bit bucket measured 0.0) and IVF probes the query's two best cells
+(nprobe=2, measured 0.52-0.64 recall@5 vs 0.32 at nprobe=1). Both
+keep every lookup an equi-join — the right shape when N is 10^10.
 """
 
 from __future__ import annotations
@@ -19,7 +23,9 @@ from aether_firebase_consumer_spark.functions.vectors import (
     hyperplane_signs,
     ivf_cell,
     ivf_cell_scores,
+    ivf_cells_top2,
     ivf_centroids,
+    lsh_band_keys,
     lsh_bucket,
     norm,
 )
@@ -81,53 +87,80 @@ def _bucket_sql(alias: str) -> str:
 @register(
     "similarity_ann_lsh",
     oracle=f"""
-    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
-    ranked AS (
-      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos_sim,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding')} DESC,
-                        b.vec_id) AS rn
-      FROM q JOIN embeddings b
-        ON {_bucket_sql('q')} = {_bucket_sql('b')}
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_band_sql('embeddings', _PLANES[:4])} AS band0,
+             {_band_sql('embeddings', _PLANES[4:])} AS band1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM q JOIN sig b
+        ON (q.band0 = b.band0 OR q.band1 = b.band1)
        AND b.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_COS_SQL} DESC, c.neighbor_id) AS rn
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim
     FROM ranked WHERE rn <= 5
     """,
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN: 8 deterministic hyperplanes → 256 buckets; each
-    query only scores its own bucket (≈N/256 candidates), then top-5 per
-    query. The bucket is a plan-time expression — at scale you'd
-    materialize it as a partition column so bucket probes are partition
-    prunes."""
+    """Sign-LSH ANN with the banded OR-construction: 2 bands x 4
+    planes; a vector is a candidate for a query when ANY band key
+    matches (P[candidate] ~ 1-(1-p^4)^2 for per-plane agreement p —
+    single 8-bit buckets have p^8, which strands moderately-similar
+    neighbors). Both sides posexplode to (band_id, key) so the probe
+    stays an EQUI-join; candidate pairs dedupe BEFORE the exact-cosine
+    verify so each pair is scored once. At scale (band_id, key)
+    becomes the partition key of a materialized signature table."""
     from pyspark.sql import Window as W
     emb = load_table(spark, sf_dir, "embeddings") \
-        .withColumn("bucket", lsh_bucket(F.col("embedding"), _PLANES))
-    q = emb.filter(F.col("vec_id") < 5).select(
+        .withColumn("bands", lsh_band_keys(F.col("embedding"),
+                                           [_PLANES[:4], _PLANES[4:]]))
+    base = emb.select(
+        "vec_id", "embedding",
+        F.posexplode("bands").alias("band_id", "band_key"))
+    q = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"))
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
-                      "embedding", "bucket")
+        F.col("embedding").alias("q_emb"), "band_id", "band_key")
+    cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                       "embedding", "band_id", "band_key")
+    pairs = (cand.join(F.broadcast(q), ["band_id", "band_key"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "embedding", "q_emb")
+             .dropDuplicates(["query_id", "neighbor_id"]))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        cand.join(F.broadcast(q),
-                  (F.col("bucket") == F.col("q_bucket"))
-                  & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    return (pairs
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("embedding"), F.col("q_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn"))
 
 
 # IVF coarse quantizer: 16 deterministic centroids over the 64-dim space.
 _CENTS = ivf_centroids("afcs-ivf-v1", k=16, dim=64)
 _BIASES = ivf_cell_scores(_CENTS)
+
+
+def _scores_sql(alias: str) -> str:
+    """The full 16-element cell-score list as a SQL literal expression
+    (same per-cell arithmetic as ``_cell_sql``)."""
+    scores = ", ".join(
+        f"list_dot_product({alias}.embedding::DOUBLE[], "
+        "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]) + " + repr(b)
+        for c, b in zip(_CENTS, _BIASES))
+    return f"[{scores}]"
 
 
 def _cell_sql(alias: str) -> str:
@@ -142,53 +175,70 @@ def _cell_sql(alias: str) -> str:
 @register(
     "similarity_ann_ivf",
     oracle=f"""
-    WITH cells AS (
-      SELECT vec_id, embedding, {_cell_sql('embeddings')} AS cell
+    WITH scored AS (
+      SELECT vec_id, embedding, {_scores_sql('embeddings')} AS s
       FROM embeddings
     ),
-    q AS (SELECT * FROM cells WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, embedding, i AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s[i] DESC, i) AS cell_rank
+      FROM scored,
+           LATERAL (SELECT unnest(generate_series(1, {len(_CENTS)})) AS i)
+    ),
+    q AS (SELECT * FROM probes WHERE vec_id < 5 AND cell_rank <= 2),
+    inv AS (SELECT * FROM probes WHERE cell_rank = 1),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM q JOIN inv b ON b.cell = q.cell AND b.vec_id <> q.vec_id
+    ),
     ranked AS (
-      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-             {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos_sim,
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS cos_sim,
              ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {_COS_SQL.replace('a.embedding', 'q.embedding')} DESC,
-                        b.vec_id) AS rn
-      FROM q JOIN cells b
-        ON b.cell = q.cell AND b.vec_id <> q.vec_id
+               PARTITION BY c.query_id
+               ORDER BY {_COS_SQL} DESC, c.neighbor_id) AS rn
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim
     FROM ranked WHERE rn <= 5
     """,
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a 16-cell coarse quantizer assigns every
-    vector to its nearest centroid; each query scores only its own
-    cell's inverted list (≈N/16 candidates), then top-5 per query.
-    At 100 TB the cell becomes the table's partition column, the
-    centroids come from a sampled k-means fit, and nprobe>1 unions a
-    few adjacent cells — the structure here is exactly that index, with
-    the quantizer as a plan-time literal."""
+    """IVF (inverted-file) ANN, nprobe=2: the 16-cell coarse quantizer
+    assigns every vector to its best cell (the inverted list); each
+    query probes its TWO best cells (~2N/16 candidates) — the standard
+    recall lever when the query lands near a cell boundary, which is
+    exactly where nprobe=1 loses neighbors. Probe-list explode keeps
+    the lookup an equi-join on cell; candidates dedupe before the
+    exact-cosine verify. At 100 TB the cell is the table's partition
+    column (partition-pruned probes), centroids come from a sampled
+    k-means fit, and nprobe tunes recall vs cost without changing the
+    plan shape."""
     from pyspark.sql import Window as W
-    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings")) \
-        .withColumn("cell", ivf_cell(F.col("embedding"), _CENTS))
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("q_cell"))
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
-                      "embedding", "cell")
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    inv = emb.withColumn("cell", ivf_cell(F.col("embedding"), _CENTS)) \
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding", "cell")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .withColumn("cell", F.explode(
+             ivf_cells_top2(F.col("embedding"), _CENTS)))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), "cell"))
+    # no dedupe needed: each neighbor lives in exactly ONE inverted
+    # list (cell_rank=1 assignment) and the query's two probe cells are
+    # distinct, so a (query, neighbor) pair can match at most once
+    pairs = (inv.join(F.broadcast(q), "cell")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "embedding", "q_emb"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        cand.join(F.broadcast(q),
-                  (F.col("cell") == F.col("q_cell"))
-                  & (F.col("neighbor_id") != F.col("query_id")))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    return (pairs
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("embedding"), F.col("q_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn"))
 
 
 # Banded sign-LSH for near-dup candidate generation: 2 bands × 4 planes

@@ -165,3 +165,43 @@ def test_ngram_jaccard_df_cap_bounds_fanout(spark):
                                  max_doc_freq=5)
     got = [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped.collect()]
     assert got == [(100, 101, 1.0)]  # stop-shingle pairs gone
+
+
+def test_ann_recall_floor_vs_bruteforce(spark):
+    """ANN quality, not just shape: the banded-LSH and nprobe=2 IVF
+    probes must recover a floor fraction of the TRUE brute-force top-5
+    (the fixture embeddings are weakly clustered — cos ~0.3 neighbors —
+    so these floors are what the math supports: single-bucket LSH
+    measured 0.0 recall here before the OR-construction, IVF nprobe=1
+    measured 0.32 before the second probe)."""
+    from pyspark.sql.window import Window as W
+    from aether_firebase_consumer_spark.functions.vectors import cosine
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    from aether_firebase_consumer_spark.tables import load_table
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    bf = (cand.crossJoin(F.broadcast(q))
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .select("query_id", "neighbor_id",
+                  cosine(F.col("embedding"), F.col("q_emb"))
+                  .alias("cos_sim"))
+          .withColumn("rn", F.row_number().over(w)).filter("rn <= 5"))
+    truth: dict = {}
+    for r in bf.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def mean_recall(name):
+        got: dict = {}
+        for r in REGISTRY[name].builder(spark, sf).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[k] & got.get(k, set())) / len(truth[k])
+                   for k in truth) / len(truth)
+
+    assert mean_recall("similarity_ann_lsh") >= 0.10
+    assert mean_recall("similarity_ann_ivf") >= 0.40
