@@ -73,12 +73,15 @@ def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
     prefer the explode + partial-agg form in
     :func:`lsh_candidate_pairs`, which guarantees one hash evaluation
     per shingle and map-side combine."""
+    def perm(i: int):
+        # arity-1 lambda: a 2-arg lambda would make Spark's transform
+        # bind the ELEMENT INDEX to the second parameter, clobbering
+        # the permutation index
+        return lambda s: (F.lit(MH_A[i]) * portable_hash60(s)
+                          + F.lit(MH_B[i])) % MH_P
+
     return [
-        F.array_min(F.transform(
-            shingle_arr,
-            lambda s, i=i: (F.lit(MH_A[i]) * portable_hash60(s)
-                            + F.lit(MH_B[i])) % MH_P))
-        .alias(f"mh{i}")
+        F.array_min(F.transform(shingle_arr, perm(i))).alias(f"mh{i}")
         for i in range(k)
     ]
 
@@ -86,10 +89,13 @@ def minhash_signature(shingle_arr: Column, k: int = 8) -> list[Column]:
 def minhash_signature_xx(shingle_arr: Column, k: int = 8) -> list[Column]:
     """Production variant: integer minhash via xxhash64(i, shingle) —
     cheapest JVM path (no hex strings)."""
+    def perm(i: int):
+        # arity-1 lambda (see minhash_signature): keep the permutation
+        # seed out of transform's (element, index) binding
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     return [
-        F.array_min(F.transform(
-            shingle_arr, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        .alias(f"mh{i}")
+        F.array_min(F.transform(shingle_arr, perm(i))).alias(f"mh{i}")
         for i in range(k)
     ]
 

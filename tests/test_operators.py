@@ -205,3 +205,57 @@ def test_ann_recall_floor_vs_bruteforce(spark):
 
     assert mean_recall("similarity_ann_lsh") >= 0.10
     assert mean_recall("similarity_ann_ivf") >= 0.40
+
+
+def test_minhash_estimates_true_jaccard(spark):
+    """MinHash quality, not just determinism: the fraction of agreeing
+    signature components estimates the true shingle-set Jaccard with
+    E[|err|] ~ sqrt(J(1-J)/k). With k=8 the per-pair bound is loose,
+    so assert the MEAN absolute error over many pairs (law of large
+    numbers brings it near the per-pair sigma ~0.17) plus a sane
+    per-pair cap."""
+    from aether_firebase_consumer_spark.functions.text import shingles
+    from aether_firebase_consumer_spark.operators.dedup import (
+        minhash_signature,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(120))
+    sh = shingles(F.col("text"))
+    rows = docs.select(
+        "doc_id", F.array_distinct(sh).alias("sh"),
+        *minhash_signature(sh)).collect()
+    import itertools
+    errs = []
+    for a, b in itertools.islice(itertools.combinations(rows, 2), 2000):
+        sa, sb = set(a["sh"]), set(b["sh"])
+        if not sa or not sb:
+            continue
+        true_j = len(sa & sb) / len(sa | sb)
+        est = sum(a[f"mh{i}"] == b[f"mh{i}"] for i in range(8)) / 8.0
+        errs.append(abs(est - true_j))
+    assert len(errs) > 500
+    mean_err = sum(errs) / len(errs)
+    assert mean_err < 0.2, mean_err
+    assert max(errs) <= 1.0
+
+
+def test_minhash_components_are_distinct_permutations(spark):
+    """Regression for the transform-lambda arity bug: a 2-arg lambda
+    makes Spark bind the ELEMENT INDEX over the permutation index,
+    silently producing k identical signature components (which turns
+    every LSH band into the same key — no bucketing at all). The k
+    components of one document must (generically) differ."""
+    from aether_firebase_consumer_spark.functions.text import shingles
+    from aether_firebase_consumer_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_xx,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(20))
+    sh = shingles(F.col("text"))
+    for sig_fn in (minhash_signature, minhash_signature_xx):
+        rows = docs.select("doc_id", *sig_fn(sh)).collect()
+        distinct_counts = [len({r[f"mh{i}"] for i in range(8)})
+                           for r in rows]
+        # all-identical components = the bug; generically ~8 distinct
+        assert sum(c > 1 for c in distinct_counts) >= len(rows) * 0.9
