@@ -50,6 +50,7 @@ _RESOURCE_METHODS = {
 _JOB_METHODS = {
     "get_status": ("GET",),
     "get_logs": ("GET",),
+    "get_metrics": ("GET",),
     "list_topics": ("GET",),
     "pause": ("POST",),
     "resume": ("POST",),
@@ -65,10 +66,13 @@ class ControlApi:
     """Binds a ResourceRegistry + JobManager to an HTTP server."""
 
     def __init__(self, registry: R.ResourceRegistry, jobs: JobManager,
-                 broker_topics: list[str] | None = None):
+                 broker_topics: list[str] | None = None,
+                 metrics=None):
         self.registry = registry
         self.jobs = jobs
         self.broker_topics = broker_topics or []
+        #: optional control.metrics.MetricsRecorder serving /job/get_metrics
+        self.metrics = metrics
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -139,6 +143,14 @@ class ControlApi:
         if action == "get_logs":
             return 200, [{"ts": ts, "level": lvl, "message": m}
                          for ts, lvl, m in job.get_logs()]
+        if action == "get_metrics":
+            if self.metrics is None:
+                return 404, {"error": "no metrics recorder attached"}
+            qid = getattr(getattr(job, "query", None), "id", None) or \
+                (query.get("query_id") or [None])[0]
+            if qid is None:
+                return 404, {"error": "job has no active streaming query"}
+            return 200, self.metrics.summary(str(qid))
         return 404, {"error": f"unknown job action {action}"}
 
     # ------------------------------------------------------------- server

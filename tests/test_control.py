@@ -239,3 +239,34 @@ def test_rest_control_api_end_to_end(tmp_path):
         assert (st, body) == (200, {"deleted": True})
     finally:
         api.stop()
+
+
+def test_api_job_metrics_endpoint():
+    """GET /job/get_metrics: 404 without a recorder, 404 for unknown
+    jobs, summary payload when a recorder is attached and a query id
+    is supplied; method matrix enforced."""
+    from aether_firebase_consumer_spark.control.api import ControlApi
+    from aether_firebase_consumer_spark.control.metrics import (
+        MetricsRecorder,
+    )
+    jobs = JobManager("/tmp/ck_metrics_api")
+    jobs.add_job("t1", "j1", lambda ck: None)
+    # no recorder attached
+    api = ControlApi(ResourceRegistry(), jobs)
+    status, _ = api.handle("GET", "/job/get_metrics",
+                           {"id": ["j1"]}, "t1", None)
+    assert status == 404
+    # recorder attached, explicit query_id (job has no live query)
+    rec = MetricsRecorder()
+    api2 = ControlApi(ResourceRegistry(), jobs, metrics=rec)
+    status, payload = api2.handle(
+        "GET", "/job/get_metrics",
+        {"id": ["j1"], "query_id": ["q-123"]}, "t1", None)
+    assert status == 200 and payload == {"query_id": "q-123", "batches": 0}
+    # unknown job -> 404; wrong method -> 405
+    status, _ = api2.handle("GET", "/job/get_metrics",
+                            {"id": ["nope"]}, "t1", None)
+    assert status == 404
+    status, _ = api2.handle("POST", "/job/get_metrics",
+                            {"id": ["j1"]}, "t1", None)
+    assert status == 405
