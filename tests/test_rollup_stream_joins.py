@@ -165,3 +165,36 @@ def test_stream_stream_interval_join(spark, tmp_path):
         & (F.col("b_ts") >= F.col("c_ts"))
         & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))).count()
     assert got == expected and got > 0
+
+
+def test_incremental_rollup_exactly_once_across_restart(spark, tmp_path):
+    """Stop the maintenance query after batch 1, add more data, restart
+    from the SAME checkpoint: the resumed query must fold only the new
+    files — no double counting of batch 1 (checkpoint-offset
+    exactly-once composes with the additive fold)."""
+    ev = _events(spark)
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    first.write.parquet(str(src / "b0.parquet"))
+
+    roll = IncrementalRollup(spark, str(tmp_path / "roll"),
+                             ["event_type"], SPECS)
+
+    def run_once():
+        stream = normalize_event_ts(
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true").parquet(str(src)))
+        q = (stream.writeStream
+             .foreachBatch(roll.foreach_batch_writer())
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    _assert_rollup_equal(_as_dict(roll.read()), _as_dict(_recompute(first)))
+
+    second.write.parquet(str(src / "b1.parquet"))
+    run_once()  # restart from the same checkpoint
+    _assert_rollup_equal(_as_dict(roll.read()), _as_dict(_recompute(ev)))
