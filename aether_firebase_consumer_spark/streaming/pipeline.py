@@ -90,6 +90,12 @@ class StreamingUpsertJob:
         # cache: the anti-join result feeds two writes
         to_write = to_write.persist()
         try:
+            # an empty gated batch (nothing changed / empty trigger) must
+            # be a NO-OP: ParquetUpsertTable.merge on an empty frame
+            # would rewrite the whole table into a new version —
+            # O(table) per idle micro-batch at scale
+            if to_write.isEmpty():
+                return
             self.doc_table.merge(to_write.drop("hash"))
             self.hash_table.record(to_write)
         finally:
