@@ -115,6 +115,11 @@ class ParquetUpsertTable:
         batch (the same metadata Delta/Iceberg keep in the commit log)."""
         batch1 = batch.dropDuplicates(self.key_cols)
         current = self.read()
+        # empty merge onto an existing table is a NO-OP: the rewrite
+        # below would copy the ENTIRE table into a new version for
+        # nothing — O(table) per idle/unchanged micro-batch at scale
+        if current is not None and batch1.isEmpty():
+            return
         v = self.current_version() + 1
         target = self._data_dir(v)
         if current is None:
@@ -176,7 +181,7 @@ class ParquetUpsertTable:
         ``keys``. Partition-pruned like :meth:`merge` when the deleted
         keys' partitions are identifiable (keys carry partition_col)."""
         current = self.read()
-        if current is None:
+        if current is None or keys.isEmpty():
             return
         v = self.current_version() + 1
         target = self._data_dir(v)

@@ -715,3 +715,20 @@ def test_retain_versions_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="retain_versions"):
         ParquetUpsertTable(spark, str(tmp_path / "x"), ["id"],
                            retain_versions=1)
+
+
+def test_empty_merge_and_delete_are_noops(spark, tmp_path):
+    """Merging or deleting an EMPTY frame against an existing table
+    must not write a new version (the rewrite would copy the whole
+    table per idle micro-batch at scale). First-ever merge may be
+    empty and still creates the table."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "noop"), ["id"])
+    empty = spark.createDataFrame([], "id string, v int")
+    t.merge(empty)                       # creates empty v0
+    assert t.current_version() == 0 and t.read().count() == 0
+    t.merge(spark.createDataFrame([("a", 1)], ["id", "v"]))   # v1
+    v = t.current_version()
+    t.merge(empty)                       # no-op
+    t.delete_keys(spark.createDataFrame([], "id string"))     # no-op
+    assert t.current_version() == v
+    assert {r["id"] for r in t.read().collect()} == {"a"}
