@@ -246,3 +246,66 @@ def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang").agg(
         F.max("n").cast("bigint").alias("n_docs"),
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+
+
+@register(
+    "doc_semantic_neighbors",
+    oracle="""
+    WITH q AS (
+      SELECT d.doc_id AS query_id, e.embedding AS q_emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id < 3
+    ),
+    ranked AS (
+      SELECT q.query_id, d.doc_id AS neighbor_id, d.lang, d.source,
+             list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_emb::DOUBLE[],
+                                        q.q_emb::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])))
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.q_emb::DOUBLE[],
+                                         e.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(q.q_emb::DOUBLE[],
+                                                 q.q_emb::DOUBLE[]))
+                           * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                   e.embedding::DOUBLE[])))
+                        DESC, d.doc_id) AS rn
+      FROM q
+      JOIN embeddings e ON e.vec_id <> q.query_id
+      JOIN documents d ON d.doc_id = e.vec_id
+    )
+    SELECT query_id, neighbor_id, lang, source, cos_sim
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def doc_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table semantic retrieval: for each query document, the
+    top-3 most-similar documents WITH their metadata — the
+    documents ⋈ embeddings composition a retrieval/curation pipeline
+    runs (dedup review, nearest-example lookup). The tiny query side
+    broadcasts; the neighbor side joins documents to embeddings on the
+    shared id (co-partitionable at scale: both tables bucketed by id
+    make this join shuffle-free) before the cosine verify and
+    per-query top-3."""
+    from aether_firebase_consumer_spark.functions.vectors import cosine
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (docs.where(F.col("doc_id") < 3)
+         .join(emb, docs.doc_id == emb.vec_id)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    neigh = (emb.join(docs, emb.vec_id == docs.doc_id)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     "embedding", "lang", "source"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (neigh.join(F.broadcast(q),
+                       F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "lang", "source",
+                    cosine(F.col("embedding"), F.col("q_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .drop("rn"))
