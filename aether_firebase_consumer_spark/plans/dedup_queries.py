@@ -409,3 +409,80 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canon_exact").alias("canonical_id"),
         F.lit(False).alias("keep"))
     return surv_out.unionByName(dropped)
+
+
+@register(
+    "dedup_simhash_neardup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST((
+    """ + " + ".join(
+        f"""CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
+               h -> CASE WHEN substr(h, {j + 1}, 1) IN
+                    ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
+               THEN {2 ** j} ELSE 0 END"""
+        for j in range(16)) + """
+             ) AS BIGINT) AS sig
+      FROM hashed
+    ),
+    bands AS (
+      SELECT doc_id, sig, b.band_id,
+             (sig >> (4 * b.band_id)) & 15 AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.sig AS sig_a, y.sig AS sig_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: 16-bit signatures split into 4 bands
+    of 4 bits; any-band-equal pairs are candidates (pigeonhole: every
+    pair within hamming distance 3 shares at least one of 4 intact
+    bands — recall is GUARANTEED, not probabilistic), then the exact
+    popcount(xor) <= 3 verify. All joins are equi-joins on
+    (band_id, band_val); the shuffle carries (id, 16-bit sig), never
+    text. At corpus scale the same construction runs on 64-bit
+    signatures with 8-bit bands (256-way buckets) — identical plan,
+    finer pruning."""
+    from pyspark.sql import Window as W  # noqa: F401  (module convention)
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    sigs = docs.select(
+        "doc_id", simhash(tokens("text"), bits=16).alias("sig"))
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright(F.col("sig"), 4 * b)
+                     .bitwiseAND(F.lit(15)).alias("band_val"))
+            for b in range(4)])).alias("bb")) \
+        .select("doc_id", "sig", "bb.band_id", "bb.band_val")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                   & (F.col("x.band_val") == F.col("y.band_val"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("id_a"),
+                    F.col("y.doc_id").alias("id_b"),
+                    F.col("x.sig").alias("sig_a"),
+                    F.col("y.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= 3))
