@@ -243,3 +243,55 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
             _PII_LONGNUM, "<NUM>").alias("redacted"))
+
+
+def _max_score_sql() -> str:
+    return "greatest(" + ", ".join(
+        f"score_{lang}" for lang in sorted(LANG_STOPWORDS)) + ")"
+
+
+def _pred_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN score_{lang} = m THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS))
+    return f"CASE {whens} END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {", ".join(_lang_score_sql(lang) for lang in LANG_STOPWORDS)}
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS actual, {_pred_case_sql()} AS predicted
+      FROM (SELECT *, {_max_score_sql()} AS m FROM scored)
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID confusion
+    matrix (actual x predicted counts). Prediction = first language in
+    alphabetical order achieving the max stopword-ratio score —
+    deterministic tie-break mirrored exactly in the oracle's CASE
+    chain; scores are exact rationals so the argmax is bit-stable.
+    Single scan + one tiny (|langs|^2-bounded) aggregate — eval
+    pipelines at corpus scale are this cheap when expressed
+    declaratively."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *lang_scores("text"))
+    langs = sorted(LANG_STOPWORDS)
+    m = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col(f"score_{langs[0]}") == m, langs[0])
+    for lang in langs[1:]:
+        pred = pred.when(F.col(f"score_{lang}") == m, lang)
+    return (scored.select(F.col("lang").alias("actual"),
+                          pred.alias("predicted"))
+            .groupBy("actual", "predicted")
+            .agg(F.count("*").cast("bigint").alias("n")))
