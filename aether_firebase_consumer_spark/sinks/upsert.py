@@ -263,6 +263,23 @@ class ParquetUpsertTable:
             .where(F.col("change_type").isNotNull())
             .select(*self.key_cols, "change_type"))
 
+    def change_feed(self, from_version: int = 0) -> DataFrame:
+        """The concatenated change data feed from ``from_version`` to
+        the current version, each row tagged with the version that
+        produced it — what a downstream CDC consumer reads to catch up
+        after being offline. Raises (via :meth:`changes`) if the range
+        reaches past the retention window, rather than silently
+        skipping history."""
+        current = self.current_version()
+        if current < 0 or from_version > current:
+            raise ValueError(f"no versions in range [{from_version}, "
+                             f"{current}]")
+        feed = None
+        for v in range(from_version, current + 1):
+            part = self.changes(v).withColumn("version", F.lit(v))
+            feed = part if feed is None else feed.unionByName(part)
+        return feed
+
 
 class HashStateTable:
     """The ``_aether/entityHash`` state (``firebase/app/config.py:37``,

@@ -732,3 +732,22 @@ def test_empty_merge_and_delete_are_noops(spark, tmp_path):
     t.delete_keys(spark.createDataFrame([], "id string"))     # no-op
     assert t.current_version() == v
     assert {r["id"] for r in t.read().collect()} == {"a"}
+
+
+def test_change_feed_concatenates_versions(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "cf"), ["id"],
+                           retain_versions=4)
+    t.merge(spark.createDataFrame([("a", 1)], ["id", "v"]))            # v0
+    t.merge(spark.createDataFrame([("a", 2), ("b", 1)], ["id", "v"]))  # v1
+    t.delete_keys(spark.createDataFrame([("a",)], ["id"]))             # v2
+    feed = {(r["version"], r["id"], r["change_type"])
+            for r in t.change_feed().collect()}
+    assert feed == {(0, "a", "insert"),
+                    (1, "a", "update"), (1, "b", "insert"),
+                    (2, "a", "delete")}
+    # partial catch-up
+    tail = {(r["version"], r["id"], r["change_type"])
+            for r in t.change_feed(from_version=2).collect()}
+    assert tail == {(2, "a", "delete")}
+    with pytest.raises(ValueError, match="no versions"):
+        t.change_feed(from_version=9)
