@@ -268,3 +268,24 @@ def test_dup_rate_never_shuffles_text(spark):
     import re
     for m in re.finditer(r"Exchange [^\n]*", p):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_registry_wide_anti_pattern_sweep(spark):
+    """EVERY registered query must be free of the two never-acceptable
+    physical operators: CartesianProduct (unpruned pair blowup) and
+    BatchEvalPython (row-at-a-time Python). Arrow-batched Python
+    (MapInPandas) is permitted only in the multimodal decode kernels
+    and the jar-free Avro decode. A new query that regresses any of
+    this fails here without needing its own targeted test."""
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    offenders = []
+    for name in sorted(REGISTRY):
+        p = plan(spark, name)
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            offenders.append((name, "BatchEvalPython"))
+        if "MapInPandas" in p and not name.startswith("multimodal"):
+            offenders.append((name, "MapInPandas"))
+    assert not offenders, offenders
