@@ -48,16 +48,68 @@ def attach_binary(df: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- kernels
 
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python decode of binary PPM (P6) — the no-dependency image
+    format: returns (width, height, raw RGB bytes). Real pixels, no
+    PIL: header is ASCII "P6 <w> <h> <maxval>" (with #-comments), body
+    is w*h*3 bytes. Raises ValueError on malformed input."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: 4 ASCII fields, comments run to end of line
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raw = payload[i:i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM body")
+    return w, h, raw
+
+
+def resize_rgb_nearest(w: int, h: int, raw: bytes,
+                       tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of raw RGB bytes — the dependency-free
+    resize kernel behind ``resize_images`` when payloads are PPM."""
+    out = bytearray(tw * th * 3)
+    for y in range(th):
+        sy = y * h // th
+        row = sy * w * 3
+        for x in range(tw):
+            sx = x * w // tw
+            src = row + sx * 3
+            dst = (y * tw + x) * 3
+            out[dst:dst + 3] = raw[src:src + 3]
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — stubbed: PIL is not in the v1 container."""
+    """Image decode. PPM (P6) decodes with the engine's own pure-Python
+    codec (no dependencies); other formats need PIL, which is absent
+    from the v1 container — those raise with a clear error."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "image decode requires PIL (not in this environment); "
-            "the Spark-side plumbing is exercised via fake_features") from err
+            "non-PPM image decode requires PIL (not in this environment); "
+            "PPM decodes natively via decode_ppm") from err
 
 
 def decode_audio(payload: bytes):
