@@ -112,13 +112,30 @@ def decode_image(payload: bytes) -> "object":
             "PPM decodes natively via decode_ppm") from err
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib decode of PCM WAV (RIFF): returns (sample_rate,
+    n_channels, n_frames, raw PCM frames). Real samples, no
+    soundfile — ``wave`` ships with Python."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (w.getframerate(), w.getnchannels(), w.getnframes(),
+                w.readframes(w.getnframes()))
+
+
 def decode_audio(payload: bytes):
-    """Real audio decode — stubbed: soundfile is not in the container."""
+    """Audio decode. PCM WAV decodes with the stdlib ``wave`` module
+    (no dependencies); compressed formats need soundfile, absent from
+    the v1 container — those raise with a clear error."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
     try:
         import soundfile  # noqa: F401
     except ImportError as err:
         raise NotImplementedError(
-            "audio decode requires soundfile (not in this environment)") from err
+            "non-WAV audio decode requires soundfile (not in this "
+            "environment); PCM WAV decodes natively via decode_wav"
+        ) from err
 
 
 def frame_sample(payload: bytes, every_n: int = 10):

@@ -341,3 +341,45 @@ def test_ppm_decode_rejects_malformed():
         decode_ppm(b"JFIF....")
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(b"P6\n4 4\n255\n\x00\x00")
+
+
+def test_wav_decode_real_samples(spark):
+    """PCM WAV decodes with the stdlib wave module — sample-exact."""
+    import io
+    import struct
+    import wave
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = [0, 1000, -1000, 32767, -32768]
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    payload = buf.getvalue()
+
+    rate, ch, n, raw = decode_wav(payload)
+    assert (rate, ch, n) == (8000, 1, 5)
+    assert [struct.unpack("<h", raw[i:i + 2])[0]
+            for i in range(0, 10, 2)] == samples
+    # decode_audio routes RIFF to the native codec
+    assert decode_audio(payload) == (rate, ch, n, raw)
+
+    # Spark e2e: extract (rate, n_frames) via mapInPandas
+    import pandas as pd
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, _ = decode_wav(bytes(p))
+                out.append((int(doc_id), rate, n))
+            yield pd.DataFrame(out, columns=["doc_id", "rate", "n_frames"])
+
+    row = df.mapInPandas(
+        kernel, "doc_id long, rate int, n_frames int").collect()[0]
+    assert (row["rate"], row["n_frames"]) == (8000, 5)
