@@ -100,3 +100,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return sample_frames(attach_binary(docs), frame_bytes=64, every_n=2)
+
+
+@register(
+    "multimodal_ppm_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             md5(text) || substr(md5(text), 1, 16) AS hex48
+      FROM documents
+    ),
+    chans AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+                            i -> ascii(substr(hex48, i*3 + 1, 1))) AS r,
+             list_transform(generate_series(0, 15),
+                            i -> ascii(substr(hex48, i*3 + 2, 1))) AS g,
+             list_transform(generate_series(0, 15),
+                            i -> ascii(substr(hex48, i*3 + 3, 1))) AS b
+      FROM px
+    )
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CAST(list_sum(r) AS DOUBLE) / 16 AS avg_r,
+           CAST(list_sum(g) AS DOUBLE) / 16 AS avg_g,
+           CAST(list_sum(b) AS DOUBLE) / 16 AS avg_b
+    FROM chans
+    """,
+)
+def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode inside an oracle-gated query: every document
+    gets a deterministic 4x4 PPM payload (pixel bytes = 48 hex chars
+    of md5(text), so the oracle can recompute them arithmetically),
+    and the Arrow kernel runs the engine's native ``decode_ppm`` on
+    the actual bytes — header parse, body extraction, per-channel
+    means over the decoded pixels. The decode path under test is the
+    one a real image corpus would take; only the payload synthesis is
+    fixture-deterministic. No shuffle; kernel parallelism = scan
+    parallelism."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_ppm,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    hex48 = F.concat(F.md5("text"), F.substring(F.md5("text"), 1, 16))
+    with_payload = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P6\n4 4\n255\n"),
+                 F.encode(hex48, "UTF-8")).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_ppm(bytes(payload))
+                n = w * h
+                out.append((int(doc_id), w, h,
+                            sum(raw[0::3]) / n,
+                            sum(raw[1::3]) / n,
+                            sum(raw[2::3]) / n))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "avg_r", "avg_g", "avg_b"])
+
+    return with_payload.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, "
+        "avg_r double, avg_g double, avg_b double")
