@@ -167,3 +167,69 @@ def multimodal_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, "
         "avg_r double, avg_g double, avg_b double")
+
+
+#: Constant 44-byte RIFF/WAVE header for 16 mono int16 frames @ 8 kHz
+#: (chunk sizes precomputed — the payload below always carries exactly
+#: 16 samples).
+_WAV16_HEADER = bytes.fromhex(
+    "524946464400000057415645666d7420100000000100010040"
+    "1f0000803e0000020010006461746120000000")
+
+
+@register(
+    "multimodal_wav_decode_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16),
+                            i -> ascii(substr(md5(text), i, 1))) AS amp
+      FROM documents
+    )
+    SELECT doc_id, 8000 AS rate, 1 AS channels, 16 AS n_frames,
+           CAST(list_sum(amp) AS DOUBLE) / 16 AS mean_amp,
+           CAST(list_max(amp) AS INT) AS max_amp
+    FROM s
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode inside an oracle-gated query: every document
+    gets a deterministic 16-frame PCM WAV (sample values = ascii codes
+    of md5(text) hex chars, little-endian int16 with zero high byte,
+    so the oracle recomputes them arithmetically); the Arrow kernel
+    runs the stdlib-``wave``-backed ``decode_wav`` on the actual RIFF
+    bytes and reduces the decoded frames to amplitude stats. No
+    shuffle; kernel parallelism = scan parallelism."""
+    import pandas as pd
+    import struct as _struct
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    # body: 16 little-endian int16 samples (hex-char byte, 0 high byte)
+    body_parts = []
+    for i in range(1, 17):
+        body_parts.append(F.encode(F.substring(F.md5("text"), i, 1), "UTF-8"))
+        body_parts.append(F.lit(b"\x00"))
+    with_payload = docs.select(
+        "doc_id",
+        F.concat(F.lit(_WAV16_HEADER), *body_parts).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, raw = decode_wav(bytes(payload))
+                amps = _struct.unpack(f"<{n}h", raw)
+                out.append((int(doc_id), rate, ch, n,
+                            sum(amps) / n, max(amps)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "rate", "channels", "n_frames",
+                "mean_amp", "max_amp"])
+
+    return with_payload.mapInPandas(
+        kernel,
+        "doc_id bigint, rate int, channels int, n_frames int, "
+        "mean_amp double, max_amp int")
