@@ -138,13 +138,51 @@ def decode_audio(payload: bytes):
         ) from err
 
 
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Parse a concatenated-PPM stream (the simplest self-describing
+    multi-frame container: back-to-back P6 images, an MJPEG-style
+    layout) into per-frame (width, height, raw RGB). Each frame's
+    length comes from its own header, so the walk is sequential and
+    exact; malformed frames raise rather than resync silently."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"frame boundary not P6 at offset {pos}")
+        w, h, raw = decode_ppm(payload[pos:])
+        frames.append((w, h, raw))
+        # re-walk this frame's header to find the body start
+        rest = payload[pos:]
+        fields = 0
+        i = 2
+        while fields < 3:
+            c = rest[i:i + 1]
+            if c == b"#":
+                i = rest.index(b"\n", i) + 1
+            elif c.isspace():
+                i += 1
+            else:
+                while not rest[i:i + 1].isspace():
+                    i += 1
+                fields += 1
+        pos += i + 1 + w * h * 3
+    return frames
+
+
 def frame_sample(payload: bytes, every_n: int = 10):
-    """Video frame sampling — stubbed (no av/ffmpeg in the container)."""
+    """Video frame sampling. Concatenated-PPM streams decode with the
+    engine's own parser (every ``every_n``-th frame, real pixels, no
+    dependencies); real containers (mp4 etc.) need PyAV, absent from
+    the v1 container — those raise with a clear error."""
+    if payload[:2] == b"P6":
+        return decode_ppm_stream(payload)[::every_n]
     try:
         import av  # noqa: F401
     except ImportError as err:
         raise NotImplementedError(
-            "frame sampling requires PyAV (not in this environment)") from err
+            "container-format frame sampling requires PyAV (not in this "
+            "environment); concatenated-PPM streams decode natively via "
+            "decode_ppm_stream") from err
 
 
 # --------------------------------------------------------------- pipeline

@@ -383,3 +383,23 @@ def test_wav_decode_real_samples(spark):
     row = df.mapInPandas(
         kernel, "doc_id long, rate int, n_frames int").collect()[0]
     assert (row["rate"], row["n_frames"]) == (8000, 5)
+
+
+def test_ppm_stream_frame_sampling():
+    """Concatenated-PPM 'video' parses frame-exactly; every_n sampling
+    picks frames 0, n, 2n..."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_ppm_stream,
+        frame_sample,
+    )
+    frames = [_ppm(2, 2, (i, i, i)) for i in range(5)]
+    stream = b"".join(frames)
+    got = decode_ppm_stream(stream)
+    assert len(got) == 5
+    assert [raw[0] for (_, _, raw) in got] == [0, 1, 2, 3, 4]
+    sampled = frame_sample(stream, every_n=2)
+    assert [raw[0] for (_, _, raw) in sampled] == [0, 2, 4]
+    # malformed boundary raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frame boundary"):
+        decode_ppm_stream(stream + b"JUNK")
