@@ -233,3 +233,64 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, rate int, channels int, n_frames int, "
         "mean_amp double, max_amp int")
+
+
+@register(
+    "multimodal_frame_sample_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, frame_idx,
+             list_transform(generate_series(1, 12),
+                            i -> ascii(substr(md5(text) ||
+                                              substr(md5(text), 1, 16),
+                                              frame_idx * 12 + i, 1)))
+               AS px
+      FROM documents,
+           (SELECT unnest([0, 2]) AS frame_idx)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           2 AS width, 2 AS height,
+           CAST(list_sum(px) AS DOUBLE) / 12 AS mean_byte
+    FROM f
+    """,
+)
+def multimodal_frame_sample_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling inside an oracle-gated query:
+    each document gets a deterministic 3-frame concatenated-PPM stream
+    (2x2 frames, pixel bytes = md5 hex chars at per-frame offsets);
+    the Arrow kernel runs the native ``frame_sample(every_n=2)`` on
+    the actual bytes — stream walk, per-frame header parse — keeping
+    frames 0 and 2, and reduces each sampled frame to its mean byte.
+    1-to-N fan-out with no shuffle."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        frame_sample,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    hex48 = F.concat(F.md5("text"), F.substring(F.md5("text"), 1, 16))
+    parts = []
+    for fr in range(3):
+        parts.append(F.lit(b"P6\n2 2\n255\n"))
+        parts.append(F.encode(
+            F.substring(hex48, fr * 12 + 1, 12), "UTF-8"))
+    with_payload = docs.select(
+        "doc_id", F.concat(*parts).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k, (w, h, raw) in enumerate(
+                        frame_sample(bytes(payload), every_n=2)):
+                    out.append((int(doc_id), k * 2, w, h,
+                                sum(raw) / len(raw)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "frame_idx", "width", "height", "mean_byte"])
+
+    return with_payload.mapInPandas(
+        kernel,
+        "doc_id bigint, frame_idx int, width int, height int, "
+        "mean_byte double")
