@@ -86,7 +86,13 @@ def _read_long(data: bytes, pos: int) -> tuple[int, int]:
 # schema-driven encode
 # ---------------------------------------------------------------------------
 
-def _matches(value: Any, b: Any) -> bool:
+def _matches(value: Any, b: Any, strict: bool = False) -> bool:
+    """Does ``value`` fit union branch ``b``?  ``strict`` is a first
+    pass used by union encoding so that branches which share a Python
+    shape stay distinguishable: records match only on an exact
+    field-name set, enums only on symbol membership, fixed only on
+    exact size, and map never matches strictly (it is the lenient
+    fallback for any dict)."""
     if isinstance(b, dict) and b.get("logicalType"):
         # semantic values for logical branches (see encoder conversions)
         lt = b["logicalType"]
@@ -107,24 +113,43 @@ def _matches(value: Any, b: Any) -> bool:
         return isinstance(value, int) and not isinstance(value, bool)
     if kind in ("float", "double"):
         return isinstance(value, float)
-    if kind in ("string", "enum"):
+    if kind == "enum":
+        if not isinstance(value, str):
+            return False
+        return value in b["symbols"] if strict else True
+    if kind == "string":
         return isinstance(value, str)
-    if kind in ("bytes", "fixed"):
+    if kind == "fixed":
+        if not isinstance(value, (bytes, bytearray)):
+            return False
+        return len(value) == int(b["size"]) if strict else True
+    if kind == "bytes":
         return isinstance(value, (bytes, bytearray))
     if kind == "array":
         return isinstance(value, list)
-    if kind in ("record", "map"):
-        return isinstance(value, dict)
+    if kind == "record":
+        if not isinstance(value, dict):
+            return False
+        if strict:
+            return set(value) == {f["name"] for f in b["fields"]}
+        return True
+    if kind == "map":
+        return isinstance(value, dict) and not strict
     return False
 
 
 def _encode(out: bytearray, avsc: Any, value: Any) -> None:
     if isinstance(avsc, list):  # union: write branch index, then value
-        for i, b in enumerate(avsc):
-            if _matches(value, b):
-                _write_long(out, i)
-                _encode(out, b, value)
-                return
+        # Two passes: strict (records by field-name set, enums by symbol,
+        # fixed by size) first so [recordA, recordB] / [map, record] /
+        # [string, enum] / [bytes, fixed] unions pick the right branch;
+        # lenient second for anything the strict pass leaves unmatched.
+        for strict in (True, False):
+            for i, b in enumerate(avsc):
+                if _matches(value, b, strict=strict):
+                    _write_long(out, i)
+                    _encode(out, b, value)
+                    return
         raise ValueError(f"no union branch of {avsc!r} matches {value!r}")
     if isinstance(avsc, dict):
         # logical types: accept semantic Python values, write wire form
@@ -200,10 +225,38 @@ def encode_record(avsc: Mapping[str, Any], record: Mapping[str, Any]) -> bytes:
 # schema-driven decode
 # ---------------------------------------------------------------------------
 
+class _UnionVal:
+    """Decoded union value tagged with the WIRE branch index, so the
+    shaping layer never has to re-infer the branch (multi-branch unions
+    whose branches share a Python shape — record|record, map|record,
+    string|enum, bytes|fixed — are only distinguishable by this index)."""
+
+    __slots__ = ("idx", "value")
+
+    def __init__(self, idx: int, value: Any) -> None:
+        self.idx = idx
+        self.value = value
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"_UnionVal({self.idx}, {self.value!r})"
+
+
+def _untag(value: Any) -> Any:
+    """Strip ``_UnionVal`` tags recursively → plain Python values."""
+    if isinstance(value, _UnionVal):
+        return _untag(value.value)
+    if isinstance(value, dict):
+        return {k: _untag(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_untag(v) for v in value]
+    return value
+
+
 def _decode(data: bytes, pos: int, avsc: Any) -> tuple[Any, int]:
-    if isinstance(avsc, list):  # union
+    if isinstance(avsc, list):  # union: tag the wire branch index
         idx, pos = _read_long(data, pos)
-        return _decode(data, pos, avsc[idx])
+        value, pos = _decode(data, pos, avsc[idx])
+        return _UnionVal(idx, value), pos
     kind = avsc if isinstance(avsc, str) else avsc["type"]
     if isinstance(kind, (list, dict)):
         return _decode(data, pos, kind)
@@ -261,11 +314,16 @@ def _decode(data: bytes, pos: int, avsc: Any) -> tuple[Any, int]:
     raise ValueError(f"unsupported avro type {avsc!r}")
 
 
-def decode_record(avsc: Mapping[str, Any], data: bytes) -> dict[str, Any]:
+def _decode_record_tagged(avsc: Mapping[str, Any], data: bytes) -> Any:
+    """Decode one record keeping ``_UnionVal`` tags (for ``_shape``)."""
     value, pos = _decode(data, 0, dict(avsc))
     if pos != len(data):
         raise ValueError(f"trailing bytes after record: {len(data) - pos}")
     return value
+
+
+def decode_record(avsc: Mapping[str, Any], data: bytes) -> dict[str, Any]:
+    return _untag(_decode_record_tagged(avsc, data))
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +335,25 @@ def _shape(avsc: Any, value: Any) -> Any:
     promises for the same node (logical types, union structs)."""
     if isinstance(avsc, list):
         branches = [b for b in avsc if b != "null"]
+        if isinstance(value, _UnionVal):
+            # tagged path: the wire branch index is authoritative — no
+            # shape re-inference, so record|record / map|record /
+            # string|enum / bytes|fixed unions decode losslessly
+            branch = avsc[value.idx]
+            if branch == "null":
+                return None
+            inner = value.value
+            if len(branches) <= 1:
+                return _shape(branch, inner)
+            names = {b if isinstance(b, str) else b.get("type")
+                     for b in branches}
+            if names <= {"int", "long"}:
+                return int(inner)
+            if names <= {"float", "double"}:
+                return float(inner)
+            bi = sum(1 for b in avsc[:value.idx] if b != "null")
+            return {f"member{i}": (_shape(b, inner) if i == bi else None)
+                    for i, b in enumerate(branches)}
         if value is None or len(branches) <= 1:
             return None if value is None else _shape(branches[0], value)
         names = {b if isinstance(b, str) else b.get("type") for b in branches}
@@ -284,18 +361,27 @@ def _shape(avsc: Any, value: Any) -> Any:
             return int(value)
         if names <= {"float", "double"}:
             return float(value)
-        # member0..N struct: set the matching branch, null the rest
+        # untagged fallback (plain decode_record output): infer the
+        # branch by shape — ambiguous-shape unions need the tagged path
         rec = {}
         matched = False
         for i, b in enumerate(branches):
-            if not matched and _matches(value, b):
+            if not matched and _matches(value, b, strict=True):
                 rec[f"member{i}"] = _shape(b, value)
                 matched = True
             else:
                 rec[f"member{i}"] = None
         if not matched:
+            for i, b in enumerate(branches):
+                if _matches(value, b):
+                    rec[f"member{i}"] = _shape(b, value)
+                    matched = True
+                    break
+        if not matched:
             raise ValueError(f"cannot shape {value!r} for union {avsc!r}")
         return rec
+    if isinstance(value, _UnionVal):  # defensive: tag without a union node
+        value = _untag(value)
     if isinstance(avsc, str):
         return value
     lt = avsc.get("logicalType")
@@ -343,7 +429,7 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
         for pdf in batches:
             rows = []
             for raw in pdf[value_col]:
-                rec = _shape(avsc, decode_record(avsc, bytes(raw)))
+                rec = _shape(avsc, _decode_record_tagged(avsc, bytes(raw)))
                 rows.append([rec.get(n) for n in field_names])
             yield pd.DataFrame(rows, columns=field_names)
 
@@ -390,7 +476,11 @@ def write_avro_container(path: str, avsc: Mapping[str, Any],
             _encode(body, dict(avsc), dict(rec))
         data = bytes(body)
         if codec == "deflate":
-            data = zlib.compress(data)[2:-1]  # raw deflate, no zlib frame
+            # RFC-1951 raw deflate (no zlib header, no Adler-32 trailer),
+            # as the Avro spec requires for the "deflate" codec
+            co = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION,
+                                  zlib.DEFLATED, -15)
+            data = co.compress(data) + co.flush()
         _write_long(out, len(block))
         _write_long(out, len(data))
         out += data
@@ -399,10 +489,11 @@ def write_avro_container(path: str, avsc: Mapping[str, Any],
         fh.write(bytes(out))
 
 
-def parse_avro_container(data: bytes) -> tuple[dict[str, Any], list[dict]]:
-    """Parse one container file: returns (writer schema, records)."""
-    import zlib
-
+def _parse_container_header(
+        data: bytes) -> tuple[dict[str, Any], str, bytes, int]:
+    """Parse a container header prefix → (schema, codec, sync, pos of
+    first block). Raises IndexError if ``data`` is too short — callers
+    that read incrementally catch that and grow the buffer."""
     if data[:4] != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -417,12 +508,44 @@ def parse_avro_container(data: bytes) -> tuple[dict[str, Any], list[dict]]:
         for _ in range(n):
             k, pos = _decode(data, pos, "string")
             size, pos = _read_long(data, pos)
+            if pos + size > len(data):
+                raise IndexError("header truncated")
             meta[k] = bytes(data[pos:pos + size])
             pos += size
     avsc = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
+    if pos + 16 > len(data):
+        raise IndexError("header truncated")
     sync = bytes(data[pos:pos + 16])
-    pos += 16
+    return avsc, codec, sync, pos + 16
+
+
+def read_container_schema(path: str, max_bytes: int = 1 << 26) -> dict[str, Any]:
+    """Read ONE file's writer schema with a bounded, incremental header
+    read: start at 64 KiB and double until the header parses — never
+    loads the data blocks. ``max_bytes`` (default 64 MiB) caps runaway
+    headers."""
+    size = 1 << 16
+    while True:
+        with open(path, "rb") as fh:
+            head = fh.read(size)
+        try:
+            return _parse_container_header(head)[0]
+        except IndexError:
+            if len(head) < size or size >= max_bytes:
+                raise ValueError(
+                    f"avro header in {path!r} unparseable within "
+                    f"{len(head)} bytes")
+            size *= 2
+
+
+def parse_avro_container(data: bytes,
+                         tagged: bool = False) -> tuple[dict[str, Any], list[dict]]:
+    """Parse one container file: returns (writer schema, records).
+    ``tagged=True`` keeps union wire-branch tags for ``_shape``."""
+    import zlib
+
+    avsc, codec, sync, pos = _parse_container_header(data)
     records: list[dict] = []
     while pos < len(data):
         count, pos = _read_long(data, pos)
@@ -436,7 +559,7 @@ def parse_avro_container(data: bytes) -> tuple[dict[str, Any], list[dict]]:
         bpos = 0
         for _ in range(count):
             rec, bpos = _decode(body, bpos, avsc)
-            records.append(rec)
+            records.append(rec if tagged else _untag(rec))
         if data[pos:pos + 16] != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         pos += 16
@@ -453,7 +576,8 @@ def read_avro_container_py(spark, path: str,
 
     The output schema must be known before execution: pass
     ``avsc_json``, or the writer schema is read from one file's header
-    driver-side (a bounded header read, not a data read)."""
+    driver-side (a bounded, incremental header read via
+    :func:`read_container_schema` — data blocks are never loaded)."""
     import glob as _glob
     import os as _os
 
@@ -463,9 +587,7 @@ def read_avro_container_py(spark, path: str,
             or _glob.glob(path))
         if not candidates:
             raise FileNotFoundError(f"no avro files under {path!r}")
-        with open(candidates[0], "rb") as fh:
-            head = fh.read()
-        avsc = parse_avro_container(head)[0]
+        avsc = read_container_schema(candidates[0])
     else:
         avsc = json.loads(avsc_json)
 
@@ -477,7 +599,7 @@ def read_avro_container_py(spark, path: str,
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
-                _, recs = parse_avro_container(bytes(content))
+                _, recs = parse_avro_container(bytes(content), tagged=True)
                 rows = []
                 for r in recs:
                     shaped = _shape(avsc, r)

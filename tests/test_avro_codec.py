@@ -98,6 +98,66 @@ def test_trailing_bytes_rejected():
         decode_record(SPEC_SCHEMA, data)
 
 
+# --- ambiguous-shape unions: branch fidelity through the wire index ---
+
+AMBIG_RR = {
+    "type": "record", "name": "t", "fields": [
+        {"name": "u", "type": [
+            {"type": "record", "name": "A",
+             "fields": [{"name": "x", "type": "int"}]},
+            {"type": "record", "name": "B",
+             "fields": [{"name": "y", "type": "string"}]},
+        ]}]}
+
+
+def test_union_record_record_branch1_roundtrip():
+    """record|record union: branch-1 data must encode to branch 1 and
+    decode+shape without re-inference (the round-4 ADVICE repro)."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        _decode_record_tagged, _shape)
+
+    data = encode_record(AMBIG_RR, {"u": {"y": "hi"}})
+    # wire: union index 1 (zigzag 1 -> 0x02), then string "hi"
+    assert data[0] == 0x02
+    assert decode_record(AMBIG_RR, data) == {"u": {"y": "hi"}}
+    shaped = _shape(AMBIG_RR, _decode_record_tagged(AMBIG_RR, data))
+    assert shaped == {"u": {"member0": None, "member1": {"y": "hi"}}}
+    # branch 0 still works
+    d0 = encode_record(AMBIG_RR, {"u": {"x": 7}})
+    assert d0[0] == 0x00
+    shaped0 = _shape(AMBIG_RR, _decode_record_tagged(AMBIG_RR, d0))
+    assert shaped0 == {"u": {"member0": {"x": 7}, "member1": None}}
+
+
+def test_union_map_record_prefers_exact_record():
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "u", "type": [
+            {"type": "map", "values": "string"},
+            {"type": "record", "name": "R",
+             "fields": [{"name": "k", "type": "string"}]}]}]}
+    # exact field-name match -> record branch (index 1)
+    assert encode_record(schema, {"u": {"k": "v"}})[0] == 0x02
+    # any other dict -> map branch (index 0)
+    data = encode_record(schema, {"u": {"other": "v"}})
+    assert data[0] == 0x00
+    assert decode_record(schema, data) == {"u": {"other": "v"}}
+
+
+def test_union_string_enum_and_bytes_fixed():
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "se", "type": [
+            "string", {"type": "enum", "name": "E", "symbols": ["A", "B"]}]},
+        {"name": "bf", "type": [
+            "bytes", {"type": "fixed", "name": "F4", "size": 4}]},
+    ]}
+    # enum symbol -> enum branch; 4-byte value -> fixed branch
+    data = encode_record(schema, {"se": "A", "bf": b"wxyz"})
+    assert decode_record(schema, data) == {"se": "A", "bf": b"wxyz"}
+    # non-symbol string -> string branch; 3-byte value -> bytes branch
+    data2 = encode_record(schema, {"se": "hello", "bf": b"abc"})
+    assert decode_record(schema, data2) == {"se": "hello", "bf": b"abc"}
+
+
 ANNOTATED_SCHEMA = {
     "type": "record", "name": "person",
     "fields": [
@@ -170,6 +230,52 @@ def test_container_roundtrip_null_and_deflate(tmp_path):
         avsc, got = parse_avro_container(open(p, "rb").read())
         assert avsc["name"] == "test"
         assert got == recs
+
+
+def test_deflate_blocks_are_raw_rfc1951(tmp_path):
+    """Deflate block bodies must be exact raw-deflate streams (no zlib
+    header, no Adler-32 trailer, no trailing garbage) so strict readers
+    that validate stream length accept them."""
+    import zlib
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        _parse_container_header,
+        _read_long,
+        write_avro_container,
+    )
+    p = str(tmp_path / "t.avro")
+    recs = [{"a": i, "b": "x" * 40} for i in range(30)]
+    write_avro_container(p, SPEC_SCHEMA, recs, codec="deflate",
+                         records_per_block=10)
+    data = open(p, "rb").read()
+    _, codec, _, pos = _parse_container_header(data)
+    assert codec == "deflate"
+    while pos < len(data):
+        _, pos = _read_long(data, pos)  # record count
+        size, pos = _read_long(data, pos)
+        body = data[pos:pos + size]
+        d = zlib.decompressobj(-15)
+        d.decompress(body)
+        assert d.eof, "block is not a complete raw-deflate stream"
+        assert d.unused_data == b"", \
+            "trailing bytes after the raw-deflate stream"
+        pos += size + 16  # skip sync
+
+
+def test_bounded_header_schema_read(tmp_path):
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_container_schema,
+        write_avro_container,
+    )
+    p = str(tmp_path / "t.avro")
+    write_avro_container(p, SPEC_SCHEMA,
+                         [{"a": i, "b": "y" * 100} for i in range(5000)])
+    assert read_container_schema(p)["name"] == "test"
+    # corrupt magic -> clear error, not a silent full read
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(b"nope")
+    with pytest.raises(ValueError):
+        read_container_schema(str(bad))
 
 
 def test_container_corrupt_sync_detected(tmp_path):
