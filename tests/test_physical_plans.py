@@ -275,8 +275,12 @@ def test_registry_wide_anti_pattern_sweep(spark):
     physical operators: CartesianProduct (unpruned pair blowup) and
     BatchEvalPython (row-at-a-time Python). Arrow-batched Python
     (MapInPandas) is permitted only in the multimodal decode kernels
-    and the jar-free Avro decode. A new query that regresses any of
+    and the jar-free Avro decode. A Window with an EMPTY partition spec
+    (``WindowExec: No Partition Defined``) moves the whole input through
+    one task, so it is equally banned. A new query that regresses any of
     this fails here without needing its own targeted test."""
+    import re
+
     from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
     _load_all()
     offenders = []
@@ -288,4 +292,19 @@ def test_registry_wide_anti_pattern_sweep(spark):
             offenders.append((name, "BatchEvalPython"))
         if "MapInPandas" in p and not name.startswith("multimodal"):
             offenders.append((name, "MapInPandas"))
+        for ln in p.splitlines():
+            # a Window node prints "[functions], [partition], [order]",
+            # omitting empty groups: 3 groups = partitioned+ordered;
+            # 2 groups is partition-only (fine) unless the last group is
+            # an order spec (ASC/DESC) — then the partition spec is
+            # empty and the whole input funnels through one task
+            if not re.search(r"(?:^|[\s)])Window \[", ln):
+                continue
+            groups = ln.split("], [")
+            if len(groups) >= 3:
+                continue
+            last = groups[-1]
+            if len(groups) < 2 or " ASC" in last or " DESC" in last:
+                offenders.append(
+                    (name, f"unpartitioned Window: {ln.strip()[:120]}"))
     assert not offenders, offenders
