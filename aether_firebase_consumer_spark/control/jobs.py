@@ -144,6 +144,30 @@ class JobManager:
     def list_jobs(self, tenant: str) -> list[str]:
         return sorted(j for (t, j) in self.jobs if t == tenant)
 
+    def resume_all(self, registry, start_fn_factory,
+                   start: bool = True) -> list[tuple[str, str]]:
+        """Resume-on-boot: rebuild every job persisted in ``registry``
+        (the reference restarts its Redis-persisted jobs when the SDK
+        boots, ``firebase/app/consumer.py:9-18``; job defs survive in
+        Redis, ``firebase/tests/__init__.py:169-175``).
+
+        ``start_fn_factory(tenant, job_def)`` returns the job's
+        ``start_fn(checkpoint) -> StreamingQuery``. Because the
+        checkpoint dir is derived from (tenant, job_id) — stable across
+        process restarts — each resumed query continues from its
+        recorded offsets: nothing is reprocessed, nothing is skipped.
+        Returns the (tenant, job_id) pairs resumed."""
+        resumed: list[tuple[str, str]] = []
+        for tenant in registry.tenants():
+            for jid in registry.list(tenant, "job"):
+                job_def = registry.get(tenant, "job", jid)
+                job = self.add_job(tenant, jid,
+                                   start_fn_factory(tenant, job_def))
+                if start:
+                    job.start()
+                resumed.append((tenant, jid))
+        return resumed
+
     @staticmethod
     def list_topics(all_topics: list[str], tenant: str) -> list[str]:
         """Tenant-scoped topic listing (``firebase/app/artifacts.py:

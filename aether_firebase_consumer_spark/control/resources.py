@@ -16,7 +16,10 @@ schema errors with the secondary path check exactly like
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any
+from urllib.parse import quote, unquote
 
 import jsonschema
 
@@ -122,19 +125,68 @@ def describe() -> list[dict]:
 
 
 class ResourceRegistry:
-    """In-memory resource store keyed by (tenant, type, id) — the Redis
-    role in the reference (``firebase/tests/__init__.py:145-150``).
-    Multi-tenant isolation = key prefix, same as tenant-prefixed topics."""
+    """Resource store keyed by (tenant, type, id) — the Redis role in
+    the reference (``firebase/tests/__init__.py:145-150``). Multi-tenant
+    isolation = key prefix, same as tenant-prefixed topics.
 
-    def __init__(self) -> None:
+    Pass ``path`` to make the store DURABLE: every resource persists as
+    one JSON file at ``{path}/{tenant}/{type}/{id}.json`` (written
+    atomically via tmp + ``os.replace``), and a new registry constructed
+    on the same path reloads everything — the reference's
+    resume-on-boot contract (its SDK reloads Redis-persisted resources
+    at startup, ``firebase/app/consumer.py:9-18``). A shared filesystem
+    (or an object store mounted as one) makes this work on a cluster;
+    the driver is the only writer, so no coordination is needed.
+    Without ``path`` the store is memory-only (tests, ephemera)."""
+
+    def __init__(self, path: str | None = None) -> None:
         self._store: dict[tuple[str, str, str], dict] = {}
+        self._path = path
+        if path:
+            os.makedirs(path, exist_ok=True)
+            self._load()
 
+    # -- durability -------------------------------------------------------
+    def _file(self, tenant: str, resource_type: str, rid: str) -> str:
+        # quote() keeps arbitrary tenant/resource ids filesystem-safe
+        return os.path.join(self._path, quote(tenant, safe=""),
+                            resource_type, quote(rid, safe="") + ".json")
+
+    def _load(self) -> None:
+        for tq in sorted(os.listdir(self._path)):
+            tdir = os.path.join(self._path, tq)
+            if not os.path.isdir(tdir):
+                continue
+            for rt in sorted(os.listdir(tdir)):
+                rdir = os.path.join(tdir, rt)
+                if not os.path.isdir(rdir):
+                    continue
+                for fn in sorted(os.listdir(rdir)):
+                    if not fn.endswith(".json"):
+                        continue
+                    with open(os.path.join(rdir, fn)) as fh:
+                        definition = json.load(fh)
+                    self._store[(unquote(tq), rt,
+                                 unquote(fn[:-5]))] = definition
+
+    def _persist(self, tenant: str, resource_type: str, rid: str,
+                 definition: dict) -> None:
+        target = self._file(tenant, resource_type, rid)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(definition, fh)
+        os.replace(tmp, target)  # atomic on POSIX
+
+    # -- CRUD -------------------------------------------------------------
     def add(self, tenant: str, resource_type: str, definition: dict) -> dict:
         report = validate_pretty(resource_type, definition)
         if not report["valid"]:
             raise ValueError(f"invalid {resource_type}: "
                              f"{report['validation_errors']}")
         self._store[(tenant, resource_type, definition["id"])] = definition
+        if self._path:
+            self._persist(tenant, resource_type, definition["id"], definition)
         return definition
 
     def get(self, tenant: str, resource_type: str, rid: str) -> dict | None:
@@ -144,5 +196,14 @@ class ResourceRegistry:
         return sorted(rid for (t, rt, rid) in self._store
                       if t == tenant and rt == resource_type)
 
+    def tenants(self) -> list[str]:
+        return sorted({t for (t, _, _) in self._store})
+
     def delete(self, tenant: str, resource_type: str, rid: str) -> bool:
-        return self._store.pop((tenant, resource_type, rid), None) is not None
+        found = self._store.pop((tenant, resource_type, rid), None) is not None
+        if found and self._path:
+            try:
+                os.remove(self._file(tenant, resource_type, rid))
+            except FileNotFoundError:
+                pass
+        return found

@@ -121,6 +121,87 @@ def test_job_lifecycle_with_real_query(spark, tmp_path):
     assert mgr.list_jobs("t1") == ["job-1"]
 
 
+def test_registry_durable_roundtrip(tmp_path):
+    """A path-backed registry persists every resource as a JSON file
+    and a NEW registry on the same path reloads them — the reference's
+    Redis persistence (firebase/tests/__init__.py:145-150)."""
+    store = str(tmp_path / "resources")
+    reg = ResourceRegistry(store)
+    reg.add("t1", "subscription", SUB)
+    reg.add("t1", "job", {"id": "job-1", "name": "j", "firebase": "fb-1",
+                          "subscription": ["sub-1"]})
+    reg.add("t2/odd id", "sink_instance",
+            {"id": "fb 1?", "name": "s", "url": "http://x"})
+    reborn = ResourceRegistry(store)
+    assert reborn.get("t1", "subscription", "sub-1") == SUB
+    assert reborn.list("t1", "job") == ["job-1"]
+    assert reborn.tenants() == ["t1", "t2/odd id"]
+    assert reborn.get("t2/odd id", "sink_instance", "fb 1?")["url"] == "http://x"
+    # deletion persists too
+    reborn.delete("t1", "subscription", "sub-1")
+    assert ResourceRegistry(store).get("t1", "subscription", "sub-1") is None
+
+
+def test_resume_on_boot_continues_from_checkpoint(spark, tmp_path):
+    """Full E2 lifecycle across a simulated process restart: job defs
+    come back from the durable registry, resume_all restarts the query
+    on the SAME (tenant, job_id)-derived checkpoint, and the stream
+    picks up exactly where it left off — pre-restart files are not
+    reprocessed, post-restart files are not missed (the reference
+    resumes Redis-persisted jobs at SDK boot,
+    firebase/app/consumer.py:9-18)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                src / "batch-a.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    out_dir = str(tmp_path / "out")
+    store = str(tmp_path / "resources")
+    ckpt_root = str(tmp_path / "ckpt")
+
+    def factory(tenant, job_def):
+        assert job_def["firebase"] == "fb-1"  # definition round-tripped
+
+        def start_fn(checkpoint):
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            return (stream.select("n_nationkey", "n_name")
+                    .writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", checkpoint)
+                    .start())
+        return start_fn
+
+    job_def = {"id": "job-1", "name": "j", "firebase": "fb-1",
+               "subscription": ["sub-1"]}
+
+    # --- process 1: register durably, run, stop (simulated shutdown)
+    reg1 = ResourceRegistry(store)
+    reg1.add("t1", "job", job_def)
+    mgr1 = JobManager(ckpt_root)
+    job = mgr1.add_job("t1", "job-1", factory("t1", job_def))
+    job.start()
+    job.query.processAllAvailable()
+    job.stop()
+    assert spark.read.parquet(out_dir).count() == 25
+
+    # --- process 2: fresh registry + manager from the same paths
+    reg2 = ResourceRegistry(store)
+    mgr2 = JobManager(ckpt_root)
+    resumed = mgr2.resume_all(reg2, factory)
+    assert resumed == [("t1", "job-1")]
+    job2 = mgr2.get("t1", "job-1")
+    assert job2.get_status() == JobStatus.NORMAL
+    # new data arrives after the restart
+    shutil.copy("/root/testdata/sf0.001/nation.parquet",
+                src / "batch-b.parquet")
+    job2.query.processAllAvailable()
+    job2.stop()
+    # batch-a exactly once (not reprocessed), batch-b exactly once
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50
+    assert out.groupBy("n_nationkey").count().filter("count != 2").count() == 0
+
+
 def test_log_ring_bounded():
     from aether_firebase_consumer_spark.control.jobs import LogRing
     ring = LogRing(limit=100)
