@@ -94,8 +94,13 @@ class IncrementalRollup:
         for name, (kind, _col) in self.specs.items():
             old, new = F.col(f"c.{name}"), F.col(f"d.{name}")
             fold = _FOLDS[kind](old, new)
+            # guard BOTH sides: an all-NULL value_col batch for an
+            # existing key yields a NULL sum delta — old + NULL would
+            # store NULL and silently reset the accumulator next batch
             folded_cols.append(
-                F.when(old.isNull(), new).otherwise(fold).alias(name))
+                F.when(new.isNull(), old)
+                .when(old.isNull(), new)
+                .otherwise(fold).alias(name))
         folded = d.join(c, on, "left").select(*folded_cols)
         self.table.merge(folded)
 

@@ -214,6 +214,27 @@ class ParquetUpsertTable:
         for old in range(v - self.retain_versions + 1):
             shutil.rmtree(self._data_dir(old), ignore_errors=True)
 
+    def vacuum(self, keep_last_n: int) -> list[int]:
+        """Explicitly drop all but the newest ``keep_last_n`` retained
+        versions — the storage-reclaim path for tables configured with
+        a large ``retain_versions`` (at streaming cadence, unbounded
+        version history is unbounded storage). Hardlink-aware: untouched
+        partitions are carried across versions as hardlinks, so removing
+        an old version's directory only drops directory entries — data
+        files still referenced by a retained version survive via their
+        link count. Returns the version numbers removed; reads of the
+        current version are unaffected, and
+        :meth:`read_version` / :meth:`change_feed` raise a clear
+        "vacuumed" error for removed history rather than serving a
+        partial answer."""
+        if keep_last_n < 1:
+            raise ValueError("keep_last_n must be >= 1")
+        cutoff = self.current_version() - keep_last_n
+        removed = [v for v in self.versions() if v <= cutoff]
+        for v in removed:
+            shutil.rmtree(self._data_dir(v), ignore_errors=True)
+        return removed
+
     # -- time travel / change data feed ---------------------------------
     def versions(self) -> list[int]:
         """Retained, readable version numbers (ascending)."""
@@ -230,8 +251,8 @@ class ParquetUpsertTable:
         rather than silently serving the wrong snapshot."""
         if version not in self.versions():
             raise ValueError(
-                f"version {version} not retained (have {self.versions()}; "
-                f"retain_versions={self.retain_versions})")
+                f"version {version} vacuumed / not retained (have "
+                f"{self.versions()}; retain_versions={self.retain_versions})")
         return self.spark.read.parquet(self._data_dir(version))
 
     def changes(self, version: int) -> DataFrame:
@@ -246,7 +267,9 @@ class ParquetUpsertTable:
             return new.select(*self.key_cols).withColumn(
                 "change_type", F.lit("insert"))
         if version - 1 not in self.versions():
-            raise ValueError(f"version {version - 1} GC'd; cannot diff")
+            raise ValueError(
+                f"version {version - 1} vacuumed; cannot diff — change "
+                f"history older than the retention window is gone")
         old = self.read_version(version - 1)
         common = [c for c in new.columns
                   if c in set(old.columns) and c not in self.key_cols]

@@ -64,6 +64,31 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     _assert_rollup_equal(_as_dict(roll.read()), _as_dict(_recompute(ev)))
 
 
+def test_incremental_rollup_all_null_batch_keeps_history(spark, tmp_path):
+    """An all-NULL value_col batch for an existing key must leave the
+    stored sum intact (NULL delta folded as identity), not store NULL
+    and silently reset the accumulator on the following batch."""
+    roll = IncrementalRollup(spark, str(tmp_path / "roll"),
+                             ["event_type"], SPECS)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, value double")
+    roll.update(mk([("click", 10.0), ("click", 5.0)]))
+    # batch 2: the key recurs but value is NULL everywhere
+    roll.update(mk([("click", None)]))
+    got = _as_dict(roll.read())
+    assert got["click"] == (3, 15.0, 5.0, 10.0)
+    # batch 3 must FOLD into the preserved 15.0, not restart from 7
+    roll.update(mk([("click", 7.0)]))
+    got = _as_dict(roll.read())
+    assert got["click"] == (4, 22.0, 5.0, 10.0)
+    # a never-seen key arriving with only NULLs stores NULL sum, then
+    # recovers when real values arrive
+    roll.update(mk([("view", None)]))
+    assert _as_dict(roll.read())["view"] == (1, None, None, None)
+    roll.update(mk([("view", 3.0)]))
+    assert _as_dict(roll.read())["view"] == (2, 3.0, 3.0, 3.0)
+
+
 def test_incremental_rollup_rejects_unknown_aggregate(spark, tmp_path):
     with pytest.raises(ValueError):
         IncrementalRollup(spark, str(tmp_path / "r"), ["k"],

@@ -707,8 +707,36 @@ def test_time_travel_and_change_feed(spark, tmp_path):
     assert t.versions() == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="not retained"):
         t.read_version(0)
-    with pytest.raises(ValueError, match="GC'd"):
+    with pytest.raises(ValueError, match="vacuumed"):
         t.changes(1)
+
+
+def test_vacuum_reclaims_history_keeps_current(spark, tmp_path):
+    """10 merges at wide retention → vacuum(2) keeps the newest two
+    versions only; the current read is unchanged (hardlink-shared files
+    survive removal of old version dirs on a PARTITIONED table), and
+    reaching vacuumed history raises a clear 'vacuumed' error."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "vac"), ["id"],
+                           partition_col="pc", retain_versions=100)
+    for i in range(10):
+        t.merge(spark.createDataFrame([(f"k{i}", i, i % 3)],
+                                      "id string, v int, pc int"))
+    assert t.versions() == list(range(10))
+    removed = t.vacuum(2)
+    assert removed == list(range(8))
+    assert t.versions() == [8, 9]
+    # current snapshot intact — including rows living in partitions
+    # untouched (hardlinked) since early versions
+    assert {r["id"]: r["v"] for r in t.read().collect()} == \
+        {f"k{i}": i for i in range(10)}
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_version(0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.change_feed(0)
+    # the surviving tail of the feed still works
+    assert {r["version"] for r in t.change_feed(9).collect()} == {9}
+    with pytest.raises(ValueError, match="keep_last_n"):
+        t.vacuum(0)
 
 
 def test_retain_versions_validation(spark, tmp_path):
