@@ -97,10 +97,17 @@ def overlap_fraction(ranges: list[tuple]) -> float:
 def compact_small_files(spark: SparkSession, path: str,
                         target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Rewrite a parquet directory to ~ceil(total_bytes/target) files.
-    Returns the new file count. Atomic: writes to a temp sibling then
-    swaps directories, so readers never see a half-compacted table.
-    Round-robin repartition (no shuffle key) — compaction must not
-    disturb value distribution, only file sizes."""
+    Returns the new file count. Round-robin repartition (no shuffle
+    key) — compaction must not disturb value distribution, only file
+    sizes.
+
+    Swap caveat: a plain directory cannot be exchanged atomically on
+    POSIX — between the two renames below the table path briefly does
+    not exist, so a reader racing the swap can hit file-not-found (a
+    retry succeeds; no reader ever sees a HALF-compacted mix). For
+    tables with concurrent readers use ``ParquetUpsertTable``, whose
+    version-pointer commit (write new dir, atomically repoint
+    ``_VERSION``) has no such window."""
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path) if f.endswith(".parquet"))

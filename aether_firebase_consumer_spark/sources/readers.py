@@ -45,18 +45,39 @@ def read_json(spark: SparkSession, path: str,
     return reader.json(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan. Prefers the spark-avro jar (JVM-side decode) when on
-    the classpath; otherwise falls back to the engine's pure-Python
-    container reader (``sources.avro_codec.read_avro_container_py``:
-    binaryFile scan + Arrow mapInPandas decode, parallel by file)."""
+def avro_jar_available(spark: SparkSession) -> bool:
+    """Is the spark-avro datasource DEPLOYED? Routing is an EXPLICIT
+    probe, not a blanket try/except around the read — a real read error
+    (bad path, corrupt file) must surface, never silently reroute into
+    the Python codec. The probe is Spark's own registry lookup (the
+    same resolution ``spark.read.format("avro")`` performs); a bare
+    ``Class.forName("...AvroFileFormat")`` is NOT sufficient — pyspark
+    ships the API classes while the datasource module itself stays an
+    external jar ("Avro is built-in but external data source module
+    since Spark 2.4")."""
     try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource("avro",
+                              jvm.org.apache.spark.sql.internal.SQLConf.get())
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan. The spark-avro jar (JVM-side, vectorized decode) WINS
+    whenever it is on the classpath; the engine's pure-Python container
+    reader (``sources.avro_codec.read_avro_container_py``: binaryFile
+    scan + Arrow mapInPandas decode, parallel by file, per-row Python
+    inside the batch) is strictly the no-jar escape hatch — at cluster
+    scale the JVM path is the only acceptable hot path."""
+    if avro_jar_available(spark):
         return spark.read.format("avro").load(path)
-    except Exception:  # jar missing → jar-free fallback
-        from aether_firebase_consumer_spark.sources.avro_codec import (
-            read_avro_container_py,
-        )
-        return read_avro_container_py(spark, path)
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_avro_container_py,
+    )
+    return read_avro_container_py(spark, path)
 
 
 # ------------------------------------------------------------- streaming

@@ -58,7 +58,9 @@ def change_detect_stream(stream: DataFrame, id_col: str = "id",
     so a run-to-completion trigger (``availableNow``/``once``) never
     terminates — it busy-spins no-data batches and the checkpoint
     metadata log grows unboundedly. Pass ``state_ttl_ms=None`` for
-    drain-style jobs."""
+    drain-style jobs; :func:`validate_ttl_trigger` (used by
+    :func:`start_change_detect_query`) raises on the bad combination
+    instead of hanging."""
     out_schema = stream.schema
 
     def detect(key: Tuple[Any],
@@ -101,3 +103,45 @@ def change_detect_stream(stream: DataFrame, id_col: str = "id",
                 stateStructType="last_hash string",
                 outputMode="append",
                 timeoutConf=timeout))
+
+
+def validate_ttl_trigger(state_ttl_ms: int | None,
+                         **trigger_kwargs) -> dict:
+    """Guard the TTL/trigger interaction: ``state_ttl_ms`` with a
+    run-to-completion trigger (``availableNow=True`` / ``once=True``)
+    makes the query spin forever (see :func:`change_detect_stream`), so
+    that combination raises here instead of hanging at runtime. Returns
+    the kwargs unchanged for inline use::
+
+        .trigger(**validate_ttl_trigger(ttl, processingTime="1 second"))
+    """
+    if state_ttl_ms is not None and (trigger_kwargs.get("availableNow")
+                                     or trigger_kwargs.get("once")):
+        raise ValueError(
+            "state_ttl_ms with a run-to-completion trigger "
+            "(availableNow/once) never terminates: the processing-time "
+            "timeout always schedules another batch. Use the default or "
+            "a processingTime trigger, or drop the TTL for drain jobs.")
+    return trigger_kwargs
+
+
+def start_change_detect_query(stream: DataFrame, path: str,
+                              checkpoint: str, id_col: str = "id",
+                              hash_col: str = "hash",
+                              seq_col: str | None = None,
+                              state_ttl_ms: int | None = None,
+                              output_format: str = "parquet",
+                              **trigger_kwargs):
+    """Wire :func:`change_detect_stream` to a file sink and start it,
+    with the TTL/trigger footgun structurally impossible
+    (:func:`validate_ttl_trigger` runs before anything starts)."""
+    trigger_kwargs = validate_ttl_trigger(state_ttl_ms, **trigger_kwargs)
+    out = change_detect_stream(stream, id_col, hash_col,
+                               seq_col=seq_col, state_ttl_ms=state_ttl_ms)
+    writer = (out.writeStream.format(output_format)
+              .option("path", path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_kwargs:
+        writer = writer.trigger(**trigger_kwargs)
+    return writer.start()

@@ -313,6 +313,30 @@ def test_spark_read_avro_jar_free_fallback(spark, tmp_path):
     assert got[205] == "r2-5" and got[0] == "r0-0"
 
 
+def test_read_avro_routes_by_jar_presence(spark, tmp_path, monkeypatch):
+    """Routing must be the explicit classpath probe: with no jar the
+    plan is the Arrow fallback (MapInPandas); with the probe forced
+    true, read_avro must commit to the JVM datasource (which then
+    fails loudly in this jarless image — proving it does NOT silently
+    fall back to per-row Python when a jar is expected)."""
+    from aether_firebase_consumer_spark.sources import readers
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        write_avro_container,
+    )
+    d = tmp_path / "data"
+    d.mkdir()
+    write_avro_container(str(d / "part-0.avro"), SPEC_SCHEMA,
+                         [{"a": 1, "b": "x"}])
+    # this image has no spark-avro jar
+    assert readers.avro_jar_available(spark) is False
+    plan = readers.read_avro(spark, str(d)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    monkeypatch.setattr(readers, "avro_jar_available", lambda s: True)
+    with pytest.raises(Exception):  # jar path chosen, jar absent
+        readers.read_avro(spark, str(d))
+
+
 def test_streaming_avro_message_decode(spark, tmp_path):
     """The reference's actual ingest shape — a stream of binary Avro
     message values — decoded in-stream by the jar-free codec:

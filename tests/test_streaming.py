@@ -672,6 +672,56 @@ def test_stateful_change_detect_state_ttl_eviction(spark, tmp_path):
     assert got == [("a", "h1"), ("a", "h1"), ("b", "h9")]  # re-emitted
 
 
+def test_ttl_with_run_to_completion_trigger_raises(spark, tmp_path):
+    """state_ttl_ms + availableNow/once never terminates (the timeout
+    always schedules another batch) — the guard must refuse the
+    combination up front instead of letting the query spin."""
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        start_change_detect_query,
+        validate_ttl_trigger,
+    )
+    with pytest.raises(ValueError, match="run-to-completion"):
+        validate_ttl_trigger(1000, availableNow=True)
+    with pytest.raises(ValueError, match="run-to-completion"):
+        validate_ttl_trigger(1000, once=True)
+    # valid combinations pass through unchanged
+    assert validate_ttl_trigger(1000, processingTime="1 second") == \
+        {"processingTime": "1 second"}
+    assert validate_ttl_trigger(None, availableNow=True) == \
+        {"availableNow": True}
+    # the query starter enforces the same guard before starting anything
+    (tmp_path / "guard_src").mkdir()
+    stream = (spark.readStream.schema("id string, hash string")
+              .parquet(str(tmp_path / "guard_src")))
+    with pytest.raises(ValueError, match="run-to-completion"):
+        start_change_detect_query(stream, str(tmp_path / "o"),
+                                  str(tmp_path / "c"),
+                                  state_ttl_ms=1000, availableNow=True)
+
+
+def test_start_change_detect_query_runs_drain(spark, tmp_path):
+    """The starter works end-to-end for the legal drain combination
+    (no TTL + availableNow)."""
+    from aether_firebase_consumer_spark.streaming.stateful import (
+        start_change_detect_query,
+    )
+    src = tmp_path / "sq_src"
+    src.mkdir()
+    spark.createDataFrame([("a", "h1"), ("a", "h1"), ("b", "h2")],
+                          "id string, hash string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("id string, hash string")
+              .parquet(str(src) + "/*"))
+    q = start_change_detect_query(stream, str(tmp_path / "sq_out"),
+                                  str(tmp_path / "sq_ckpt"),
+                                  availableNow=True)
+    q.awaitTermination(120)
+    got = sorted((r["id"], r["hash"]) for r in spark.read
+                 .schema("id string, hash string")
+                 .parquet(str(tmp_path / "sq_out")).collect())
+    assert got == [("a", "h1"), ("b", "h2")]
+
+
 def test_time_travel_and_change_feed(spark, tmp_path):
     """Delta-style snapshot reads + CDF over the version-swap table:
     retained versions are readable as-of, each version's key-level
