@@ -96,6 +96,20 @@ class SparkJob:
         self._paused = False
         self.logs.log("INFO", f"job {self.job_id} stopped")
 
+    def reconfigure(self, start_fn: Callable[[str], StreamingQuery]) -> None:
+        """Reconcile: the subscription set changed (the reference's
+        poll-loop reconcile, ``firebase/app/artifacts.py:287-300``) —
+        stop the running query, swap in the new pipeline builder,
+        restart on the SAME checkpoint. Source offsets live in the
+        checkpoint, so the restarted query continues exactly after the
+        last committed batch: nothing reprocessed, nothing missed."""
+        if self.query is not None:
+            self.query.stop()
+        self._start_fn = start_fn
+        self.logs.log("INFO",
+                      f"job {self.job_id} reconfigure: definition changed")
+        self.start()
+
     def get_status(self) -> JobStatus:
         if self._paused:
             return JobStatus.PAUSED

@@ -222,6 +222,39 @@ def simhash(text_tokens: Column, bits: int = 16) -> Column:
     return out.cast("bigint")
 
 
+def simhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                       sig_col: str = "sig", n_bands: int = 4,
+                       band_bits: int = 8) -> DataFrame:
+    """Banded candidate generation over SimHash signatures: split each
+    signature into ``n_bands`` bands of ``band_bits`` bits; any pair
+    equal on at least one band is a candidate. Pigeonhole guarantee:
+    a pair within hamming distance ``n_bands - 1`` differs in fewer
+    bits than there are bands, so at least one band is intact on both
+    sides — recall at that radius is 1.0 by construction, not
+    probabilistic. All joins are equi-joins on (band_id, band_val);
+    the shuffle carries (id, signature), never the text.
+    Returns distinct (id_a, id_b, sig_a, sig_b) with id_a < id_b."""
+    bands = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright(F.col(sig_col), band_bits * b)
+                     .bitwiseAND(F.lit(2 ** band_bits - 1))
+                     .alias("band_val"))
+            for b in range(n_bands)])).alias("bb")) \
+        .select("_id", "_sig", "bb.band_id", "bb.band_val")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                   & (F.col("x.band_val") == F.col("y.band_val"))
+                   & (F.col("x._id") < F.col("y._id")))
+            .select(F.col("x._id").alias("id_a"),
+                    F.col("y._id").alias("id_b"),
+                    F.col("x._sig").alias("sig_a"),
+                    F.col("y._sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 # ---------------------------------------------------------------- jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -20,6 +20,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_band_pairs,
 )
 from aether_firebase_consumer_spark.plans import register
 from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
@@ -461,28 +462,11 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs with 4-bit bands measured 26% of ALL pairs as output on the
     correlated-vocabulary fixtures — too coarse); 64-bit sigs widen
     the same plan further when needed."""
-    from pyspark.sql import Window as W  # noqa: F401  (module convention)
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     sigs = docs.select(
         "doc_id", simhash(tokens("text"), bits=32).alias("sig"))
-    bands = sigs.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.shiftright(F.col("sig"), 8 * b)
-                     .bitwiseAND(F.lit(255)).alias("band_val"))
-            for b in range(4)])).alias("bb")) \
-        .select("doc_id", "sig", "bb.band_id", "bb.band_val")
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
-                   & (F.col("x.band_val") == F.col("y.band_val"))
-                   & (F.col("x.doc_id") < F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("id_a"),
-                    F.col("y.doc_id").alias("id_b"),
-                    F.col("x.sig").alias("sig_a"),
-                    F.col("y.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = simhash_band_pairs(sigs, "doc_id", "sig",
+                              n_bands=4, band_bits=8)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.select("id_a", "id_b",
                         hamming.cast("int").alias("hamming"))

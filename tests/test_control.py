@@ -202,6 +202,71 @@ def test_resume_on_boot_continues_from_checkpoint(spark, tmp_path):
     assert out.groupBy("n_nationkey").count().filter("count != 2").count() == 0
 
 
+def test_subscription_reconcile_restarts_query(spark, tmp_path):
+    """O2/O18 choreography on a file stream (reference reconcile poll,
+    firebase/app/artifacts.py:287-300): a subscription's topic pattern
+    changes mid-run → reconfigure stops the old query and starts a new
+    one with the new pattern on the SAME checkpoint. Rows processed
+    before the swap are not reprocessed (no duplicates), rows arriving
+    after it route by the NEW pattern only, and none are lost."""
+    from aether_firebase_consumer_spark.operators.routing import Subscription
+    from aether_firebase_consumer_spark.streaming.pipeline import (
+        PipelineConfig,
+        transform,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+
+    def feed(rows, name):
+        spark.createDataFrame(rows, "id string, topic string") \
+            .coalesce(1).write.parquet(str(src / name))
+
+    def make_start_fn(pattern):
+        cfg = PipelineConfig(
+            tenant="t1",
+            subscriptions=[Subscription("s1", pattern)])
+
+        def start_fn(checkpoint):
+            stream = (spark.readStream
+                      .schema("id string, topic string")
+                      .parquet(str(src) + "/*"))
+            return (transform(stream, cfg)
+                    .writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", checkpoint)
+                    .start())
+        return start_fn
+
+    feed([("1", "t1.alpha"), ("2", "t1.alpha"), ("3", "t1.beta")], "b1")
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("t1", "job-r", make_start_fn("alpha*"))
+    job.start()
+    job.query.processAllAvailable()
+    q1 = job.query
+    got1 = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {"1", "2"}  # beta row unmatched under the old pattern
+
+    # --- the subscription changes: alpha* -> beta*
+    job.reconfigure(make_start_fn("beta*"))
+    assert not q1.isActive          # old query stopped
+    assert job.query is not q1      # a new query took over
+    assert job.get_status() == JobStatus.NORMAL
+    feed([("4", "t1.alpha"), ("5", "t1.beta")], "b2")
+    job.query.processAllAvailable()
+    job.stop()
+
+    out = spark.read.parquet(out_dir)
+    rows = {(r["id"], r["target_path"]) for r in out.collect()}
+    # b1 survivors exactly once (checkpoint skipped the old files), b2
+    # routed by the NEW pattern: id 4 (alpha) dropped, id 5 (beta) in
+    assert {i for i, _ in rows} == {"1", "2", "5"}
+    assert out.count() == 3         # no duplicates across the restart
+    assert dict(rows)["5"] == "_aether/entities/beta"
+    assert any("reconfigure" in m for (_, _, m) in job.get_logs())
+
+
 def test_log_ring_bounded():
     from aether_firebase_consumer_spark.control.jobs import LogRing
     ring = LogRing(limit=100)

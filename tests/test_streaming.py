@@ -608,6 +608,78 @@ def test_hive_partition_value_matches_spark_directories(spark, tmp_path):
         assert got == hive_partition_value(val), (typ, val, got)
 
 
+@pytest.mark.parametrize("dtype,vals,touch", [
+    ("int", [0, 1, 2, 3], [1, 3]),
+    ("boolean", [True, False, None], [True, None]),
+    ("string", ["plain", "with space", "a/b", "x=y", "%20", None],
+     ["a/b", "x=y", None]),
+    ("date", ["2001-05-01", "2020-12-31", "1970-01-01"],
+     ["2020-12-31"]),
+    ("decimal(7,2)", ["1.50", "-3.25", "100.00"], ["-3.25"]),
+], ids=["int", "bool_null", "string_special", "date", "decimal"])
+def test_merge_prunes_exactly_touched_partitions(spark, tmp_path,
+                                                 dtype, vals, touch):
+    """The pruning property behind the partitioned MERGE, per partition
+    value type (incl. hive-escaped specials, bool, null, date,
+    decimal): after merging a batch touching subset T of partitions,
+    (a) the result equals the upsert semantics, (b) every partition
+    NOT in T was carried over as hardlinks (same inodes — zero rewrite
+    work), (c) every partition in T was freshly written. A
+    hive_partition_value mismatch for any type breaks (b) by
+    hardlinking the stale partition alongside the merged one."""
+    import datetime as dt
+    import decimal as dec
+    import os
+
+    def conv(v):
+        if v is None or dtype in ("int", "boolean"):
+            return v
+        if dtype == "date":
+            return dt.date.fromisoformat(v)
+        if dtype.startswith("decimal"):
+            return dec.Decimal(v)
+        return v
+
+    def inodes(version_dir):
+        out = {}
+        for name in os.listdir(version_dir):
+            sub = os.path.join(version_dir, name)
+            if os.path.isdir(sub) and "=" in name:
+                out[name] = {os.stat(os.path.join(sub, f)).st_ino
+                             for f in os.listdir(sub)
+                             if f.endswith(".parquet")}
+        return out
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "pp"), ["id"],
+                           partition_col="pc")
+    seed = [(f"k{i}", conv(v), 0) for i, v in enumerate(vals)]
+    t.merge(spark.createDataFrame(seed, f"id string, pc {dtype}, v int"))
+    v0 = inodes(t._data_dir(0))
+    assert len(v0) == len(vals)
+
+    batch = [(f"k{vals.index(x)}", conv(x), 1) for x in touch]
+    t.merge(spark.createDataFrame(batch, f"id string, pc {dtype}, v int"))
+    v1 = inodes(t._data_dir(1))
+    assert set(v1) == set(v0)  # same partition set, no stale duplicates
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        hive_partition_value,
+    )
+    touched_names = {f"pc={hive_partition_value(conv(x))}" for x in touch}
+    for name, ino in v1.items():
+        from urllib.parse import unquote
+        unescaped = f"pc={unquote(name.split('=', 1)[1])}"
+        if unescaped in touched_names:
+            assert ino.isdisjoint(v0[name]), f"{name} not rewritten"
+        else:
+            assert ino == v0[name], f"{name} rewritten, not hardlinked"
+
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    expect = {f"k{i}": (1 if v in touch else 0)
+              for i, v in enumerate(vals)}
+    assert got == expect
+
+
 def test_stateful_change_detect_state_ttl_eviction(spark, tmp_path):
     """With a state TTL, a key idle past the TTL is evicted (timeout
     path) and re-seen content re-emits as NEW — at-least-once in the
