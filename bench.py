@@ -21,7 +21,9 @@ import glob
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -68,6 +70,38 @@ def _prev_bench(sf) -> dict[str, float]:
     return prev
 
 
+def _bench_avro_container(spark, sf_dir: str) -> float:
+    """Time the jar-free .avro container scan (read_avro_container_py).
+
+    Setup is untimed: 50k orders rows are written once as 8 Avro
+    container files. The timed body is the distributed decode →
+    noop sink, so a regression in the per-row Python decode path
+    shows up here directly (VERDICT r4 item 7). Best of 3, like
+    every other entry."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_avro_container_py,
+        write_avro_dataset,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_avro_")
+    try:
+        src = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+               .select("o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice", "o_orderdate")
+               .limit(50_000).repartition(8))
+        write_avro_dataset(src, tmp, codec="null")
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            df = read_avro_container_py(spark, tmp)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        return best
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,6 +132,9 @@ def main() -> None:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+
+    # source-path headliner: jar-free Avro container decode (setup untimed)
+    timings["avro_container"] = round(_bench_avro_container(spark, sf_dir), 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev = _prev_bench(sf_val)
