@@ -1,0 +1,240 @@
+"""Pure-Python PNG and BMP codecs (stdlib only: zlib + struct).
+
+Closes more of the multimodal codec gap (SURVEY.md §2.3) without PIL:
+after PPM (P6) and PCM WAV, these add the two most common uncompressed/
+losslessly-compressed image containers a training corpus actually
+carries. Real bytes in, real pixels out — the Arrow ``mapInPandas``
+kernels in ``plans/multimodal_queries.py`` run these codecs inside
+oracle-gated queries.
+
+Scope (raised as ``ValueError`` outside it, never silently wrong):
+
+* PNG: 8-bit depth, color types 0 (grayscale), 2 (RGB), 6 (RGBA);
+  all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
+  no interlace (Adam7), no palette, no 16-bit. That covers the vast
+  majority of ML-corpus PNGs; the rest raise with a clear message.
+* BMP: BITMAPINFOHEADER, 24-bit BI_RGB (uncompressed), bottom-up or
+  top-down, 4-byte row padding.
+
+The PNG format is public (RFC 2083 / ISO 15948): signature, length-
+tag-data-CRC chunks, IDAT = zlib stream of filter-tagged scanlines.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per pixel for the supported PNG color types
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+# ------------------------------------------------------------------ PNG
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_scanline(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encode side)."""
+    n = len(row)
+    if ftype == 0:
+        return bytes(row)
+    out = bytearray(n)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_scanline(ftype: int, row: bytearray, prev: bytes,
+                       bpp: int) -> None:
+    """Undo PNG filter ``ftype`` in place (decode side)."""
+    n = len(row)
+    if ftype == 0:
+        return
+    if ftype == 1:
+        for i in range(bpp, n):
+            row[i] = (row[i] + row[i - bpp]) & 0xFF
+    elif ftype == 2:
+        for i in range(n):
+            row[i] = (row[i] + prev[i]) & 0xFF
+    elif ftype == 3:
+        for i in range(n):
+            a = row[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:
+        for i in range(n):
+            a = row[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def encode_png(w: int, h: int, raw: bytes, color_type: int = 2,
+               filter_type: int = 0, compress_level: int = 6) -> bytes:
+    """Encode raw 8-bit pixel bytes as a PNG. ``raw`` is row-major,
+    ``w*h*channels`` bytes. ``filter_type`` applies one filter to every
+    scanline (0..4) — the per-row-different-filter case is what the
+    decoder's round-trip tests exercise."""
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if len(raw) != w * h * ch:
+        raise ValueError("raw pixel buffer does not match w*h*channels")
+    stride = w * ch
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = raw[y * stride:(y + 1) * stride]
+        lines.append(filter_type)
+        lines += _filter_scanline(filter_type, row, prev, ch)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(lines), compress_level))
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG: returns (width, height, channels, raw pixel bytes,
+    row-major). Verifies the signature and per-chunk CRCs; supports
+    8-bit gray/RGB/RGBA with any mix of scanline filters; raises
+    ``ValueError`` for interlace/palette/16-bit (out of scope, see
+    module docstring)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    w = h = ch = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            if comp or filt:
+                raise ValueError("nonstandard PNG compression/filter method")
+            ch = _PNG_CHANNELS.get(color_type)
+            if ch is None:
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} "
+                    "(palette/gray+alpha out of scope)")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    lines = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(lines) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = lines[base]
+        row = bytearray(lines[base + 1:base + 1 + stride])
+        _unfilter_scanline(ftype, row, prev, ch)
+        out[y * stride:(y + 1) * stride] = row
+        prev = bytes(row)
+    return w, h, ch, bytes(out)
+
+
+# ------------------------------------------------------------------ BMP
+
+def encode_bmp(w: int, h: int, raw_rgb: bytes) -> bytes:
+    """Encode raw RGB bytes (row-major, top-down) as a 24-bit BI_RGB
+    BMP with the conventional bottom-up row order and 4-byte padding."""
+    if len(raw_rgb) != w * h * 3:
+        raise ValueError("raw pixel buffer does not match w*h*3")
+    pad = (-(w * 3)) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = raw_rgb[y * w * 3:(y + 1) * w * 3]
+        # BMP stores BGR
+        for x in range(w):
+            body += row[x * 3 + 2:x * 3 + 3]
+            body += row[x * 3 + 1:x * 3 + 2]
+            body += row[x * 3:x * 3 + 1]
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = (b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit BI_RGB BMP: returns (width, height, raw RGB
+    bytes row-major top-down). Handles bottom-up (positive height) and
+    top-down (negative height) layouts and row padding; compressed or
+    non-24-bit BMPs raise ``ValueError``."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported (got bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    pad = (-(w * 3)) % 4
+    stride = w * 3 + pad
+    out = bytearray(w * h * 3)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        base = pixel_off + i * stride
+        row = payload[base:base + w * 3]
+        if len(row) != w * 3:
+            raise ValueError("truncated BMP pixel data")
+        dst = y * w * 3
+        for x in range(w):
+            out[dst + x * 3] = row[x * 3 + 2]      # R <- B slot
+            out[dst + x * 3 + 1] = row[x * 3 + 1]  # G
+            out[dst + x * 3 + 2] = row[x * 3]      # B <- R slot
+    return w, h, bytes(out)

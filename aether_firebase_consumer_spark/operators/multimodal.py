@@ -97,19 +97,31 @@ def resize_rgb_nearest(w: int, h: int, raw: bytes,
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode. PPM (P6) decodes with the engine's own pure-Python
-    codec (no dependencies); other formats need PIL, which is absent
-    from the v1 container — those raise with a clear error."""
+    """Image decode. PPM (P6), PNG (8-bit gray/RGB/RGBA), and 24-bit
+    BMP decode with the engine's own pure-Python codecs (no
+    dependencies — see ``operators/image_codecs.py``); other formats
+    need PIL, which is absent from the v1 container — those raise with
+    a clear error."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from aether_firebase_consumer_spark.operators.image_codecs import (
+            decode_png,
+        )
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        from aether_firebase_consumer_spark.operators.image_codecs import (
+            decode_bmp,
+        )
+        return decode_bmp(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "non-PPM image decode requires PIL (not in this environment); "
-            "PPM decodes natively via decode_ppm") from err
+            "JPEG/GIF/TIFF decode requires PIL (not in this environment); "
+            "PPM/PNG/BMP decode natively via operators.image_codecs") from err
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -294,3 +294,124 @@ def multimodal_frame_sample_stats(spark: SparkSession,
         kernel,
         "doc_id bigint, frame_idx int, width int, height int, "
         "mean_byte double")
+
+
+@register(
+    "multimodal_png_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    )
+    SELECT doc_id, 2 AS width, 2 AS height, 3 AS channels,
+           CAST(ascii(substr(hx, 1, 1)) + ascii(substr(hx, 4, 1))
+              + ascii(substr(hx, 7, 1)) + ascii(substr(hx, 10, 1))
+              AS DOUBLE) / 4 AS avg_r,
+           CAST(ascii(substr(hx, 2, 1)) + ascii(substr(hx, 5, 1))
+              + ascii(substr(hx, 8, 1)) + ascii(substr(hx, 11, 1))
+              AS DOUBLE) / 4 AS avg_g,
+           CAST(ascii(substr(hx, 3, 1)) + ascii(substr(hx, 6, 1))
+              + ascii(substr(hx, 9, 1)) + ascii(substr(hx, 12, 1))
+              AS DOUBLE) / 4 AS avg_b
+    FROM px
+    """,
+)
+def multimodal_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG encode+decode inside an oracle-gated query: each
+    document's 2x2 RGB pixels are the first 12 md5(text) hex-char
+    bytes; the Arrow kernel runs the engine's pure-Python
+    ``encode_png`` (scanline filter varies per row, doc_id % 5, so all
+    five PNG filters are exercised against real zlib streams) then
+    ``decode_png`` — signature, chunk CRCs, inflate, per-row unfilter —
+    and reduces the decoded pixels to channel means the oracle
+    recomputes arithmetically. No shuffle; parallelism = scan splits.
+    Codec: operators/image_codecs.py (PNG spec, RFC 2083)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_png,
+        encode_png,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_pixels = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.md5("text"), 1, 12), "UTF-8").alias("pixels"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, pixels in zip(pdf["doc_id"], pdf["pixels"]):
+                png = encode_png(2, 2, bytes(pixels),
+                                 filter_type=int(doc_id) % 5)
+                w, h, ch, raw = decode_png(png)
+                n = w * h
+                out.append((int(doc_id), w, h, ch,
+                            sum(raw[0::3]) / n,
+                            sum(raw[1::3]) / n,
+                            sum(raw[2::3]) / n))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "channels",
+                "avg_r", "avg_g", "avg_b"])
+
+    return with_pixels.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, channels int, "
+        "avg_r double, avg_g double, avg_b double")
+
+
+@register(
+    "multimodal_bmp_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    )
+    SELECT doc_id, 2 AS width, 2 AS height,
+           CAST(ascii(substr(hx, 13, 1)) + ascii(substr(hx, 16, 1))
+              + ascii(substr(hx, 19, 1)) + ascii(substr(hx, 22, 1))
+              AS DOUBLE) / 4 AS avg_r,
+           CAST(ascii(substr(hx, 14, 1)) + ascii(substr(hx, 17, 1))
+              + ascii(substr(hx, 20, 1)) + ascii(substr(hx, 23, 1))
+              AS DOUBLE) / 4 AS avg_g,
+           CAST(ascii(substr(hx, 15, 1)) + ascii(substr(hx, 18, 1))
+              + ascii(substr(hx, 21, 1)) + ascii(substr(hx, 24, 1))
+              AS DOUBLE) / 4 AS avg_b
+    FROM px
+    """,
+)
+def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP encode+decode inside an oracle-gated query: 2x2 RGB
+    pixels from md5(text) hex chars 13-24; the Arrow kernel runs the
+    engine's ``encode_bmp`` (bottom-up rows, BGR order, 4-byte pad)
+    then ``decode_bmp`` and reduces to channel means. The row-order and
+    channel-swap inversions are exactly what the oracle's arithmetic
+    would catch if wrong. Codec: operators/image_codecs.py."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_pixels = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.md5("text"), 13, 12), "UTF-8").alias("pixels"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, pixels in zip(pdf["doc_id"], pdf["pixels"]):
+                bmp = encode_bmp(2, 2, bytes(pixels))
+                w, h, raw = decode_bmp(bmp)
+                n = w * h
+                out.append((int(doc_id), w, h,
+                            sum(raw[0::3]) / n,
+                            sum(raw[1::3]) / n,
+                            sum(raw[2::3]) / n))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "avg_r", "avg_g", "avg_b"])
+
+    return with_pixels.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, "
+        "avg_r double, avg_g double, avg_b double")
