@@ -70,5 +70,6 @@ def _load_all() -> None:
         training_queries,
         corpus_queries,
         quality_queries,
+        clustering_queries,
     )
     _LOADED = True

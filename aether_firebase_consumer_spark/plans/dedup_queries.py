@@ -19,6 +19,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    portable_hash60,
     simhash,
     simhash_band_pairs,
 )
@@ -471,3 +472,65 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.select("id_a", "id_b",
                         hamming.cast("int").alias("hamming"))
             .where(F.col("hamming") <= 3))
+
+
+@register(
+    "dedup_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             (('0x' || substr(md5(
+                array_to_string(list_slice(w, (i-1)*16 + 1, i*16), ' ')),
+                1, 15))::BIGINT % 2147483647) AS h
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(w) // 16)) AS i)
+    ),
+    freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (f.nd > 1) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) FILTER (f.nd > 1) AS DOUBLE) / COUNT(*)
+             AS shared_ratio
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) duplication audit — the granularity
+    doc-level dedup misses: boilerplate headers, quoted passages, and
+    template text shared ACROSS documents. Each document splits into
+    consecutive 16-token chunks; a chunk is 'shared' when its content
+    hash appears in more than one document; the output is each doc's
+    shared-chunk ratio (the paragraph-dedup signal used to decide
+    line/passage-level cleaning vs whole-doc dropping).
+
+    Scale posture: the shuffle carries (60-bit chunk hash, doc_id) —
+    never chunk text; the frequency table groups by hash (map-side
+    partial count-distinct), and the join back is hash⋈hash. Docs
+    shorter than one full chunk drop out identically on both engines
+    (empty sequence). Collisions are hash-consistent cross-engine by
+    construction (same md5-derived 60-bit hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.floor(F.size("w") / 16).cast("int")
+    chunk_i = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice("w", (i - 1) * 16 + 1, 16)))
+    chunks = (toks.filter(n_chunks >= 1)
+              .select("doc_id", F.posexplode(chunk_i)
+                      .alias("chunk_idx", "chunk"))
+              .select("doc_id", portable_hash60(F.col("chunk")).alias("h")))
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (chunks.join(freq, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 shared.cast("bigint").alias("n_shared"),
+                 (shared.cast("double") / F.count("*"))
+                 .alias("shared_ratio")))

@@ -221,3 +221,48 @@ def q20_drawn_down_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a broadcast Bloom-style pre-filter — the
+    100 TB pattern for fact⋈selective-dim when the dim key set is too
+    large to broadcast exactly but its HASH-BUCKET fingerprint is not.
+
+    Stage 1 builds the filter: distinct pmod(xxhash64(key), 4096)
+    buckets of the selected orders — at most 4096 rows whatever the
+    dim's cardinality, so it ALWAYS broadcasts. Stage 2 applies it to
+    lineitem as a broadcast semi-join BEFORE the exact semi-join's
+    shuffle: like a Bloom filter it admits false positives (bucket
+    collisions) but never false negatives, so the exact semi join
+    afterwards sees a fraction of the fact table and the final result
+    is exactly the plain semi join the oracle states. Spark's own
+    runtime-filter rewrite (spark.sql.optimizer.runtime.bloomFilter)
+    does this automatically for some shapes; this query is the
+    explicit, always-available form of the same reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+                .select("o_orderkey")
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(4096)).alias("bk")).distinct()
+    pruned = li.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(4096)) == F.col("bk"),
+        "left_semi")
+    exact = pruned.join(sel, pruned.l_orderkey == sel.o_orderkey,
+                        "left_semi")
+    return (exact.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
