@@ -119,3 +119,35 @@ def test_approx_sketches_within_tolerance(spark):
     assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]
     assert abs(float(row["approx_p50"]) - float(row["exact_p50"])) \
         <= 0.02 * float(row["exact_p50"])
+
+
+def test_lit_doubles_bit_exact_roundtrip(spark):
+    """lit_doubles/lit_double_matrix must reproduce arbitrary doubles
+    bit-for-bit vs F.lit — incl. exponent-form reprs and edge values —
+    since ANN/k-means near-tie argmax decisions ride on last bits."""
+    import random
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from aether_firebase_consumer_spark.functions.vectors import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    rng = random.Random(7)
+    vals = [0.0, -0.0, 1.0, -1.0, 1e-300, -4.655e-10, 0.1, 2/3,
+            1.7976931348623157e308, 5e-324]
+    vals += [rng.uniform(-1, 1) for _ in range(200)]
+    vals += [rng.uniform(-1e10, 1e10) * 10 ** rng.randint(-200, 200)
+             for _ in range(200)]
+    got = spark.range(1).select(lit_doubles(vals).alias("x")).first()["x"]
+    want = spark.range(1).select(F.lit(vals).alias("x")).first()["x"]
+    as_bits = [_s.pack("<d", v) for v in got]
+    want_bits = [_s.pack("<d", v) for v in want]
+    assert as_bits == want_bits
+
+    mat = [vals[i::20] for i in range(20)]
+    gm = spark.range(1).select(lit_double_matrix(mat).alias("x")).first()["x"]
+    assert [[_s.pack("<d", v) for v in row] for row in gm] \
+        == [[_s.pack("<d", v) for v in row] for row in mat]
