@@ -345,3 +345,43 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("k_bits"),
         F.bitwise_not(k).alias("k_not"),
     )
+
+
+@register(
+    "variant_json_ops",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) FILTER (k % 2 = 1) AS BIGINT) AS n_odd_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM v GROUP BY event_type
+    """,
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type — the
+    engine-native mapping for the reference's 'arbitrary JSON value'
+    columns (RTDB accepts scalars/lists/maps,
+    ``/root/reference/firebase/tests/test_unit.py:57-60``; SURVEY.md
+    §1.2 last row). ``parse_json`` decodes each payload ONCE into the
+    binary variant encoding; ``variant_get`` then extracts typed paths
+    without re-parsing strings per access — at 100 TB this beats
+    repeated ``get_json_object`` (one string parse per path per row)
+    and columnar stores can shred the variant for pruning. The
+    aggregate is a plain one-shuffle groupBy on the extracted ints."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    v = ev.select("event_type", k.alias("k"))
+    return (v.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_odd_k"),
+                 F.min("k").cast("int").alias("min_k"),
+                 F.max("k").cast("int").alias("max_k")))

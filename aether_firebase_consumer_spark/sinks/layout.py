@@ -55,6 +55,58 @@ def write_range_clustered(df: DataFrame, path: str, cluster_cols: list[str],
        .write.mode("overwrite").parquet(path))
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key expression over numeric columns: each
+    column is min/max-normalized into ``2**bits`` buckets (one tiny
+    agg job for the bounds — driver-side scalars), then bucket bits
+    interleave LSB-first so locality in EVERY input column maps to
+    locality in the single sort key. Pure bitwise codegen expressions;
+    no UDF, no extra shuffle beyond the caller's range partition.
+
+    Returns (key_column, bounds) where bounds is {col: (min, max)}."""
+    from pyspark.sql import functions as F
+
+    n_buckets = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    row = df.agg(*aggs).first()
+    bounds = {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+
+    key = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) or 1.0
+        bucket = F.floor(
+            (F.col(c).cast("double") - float(lo)) / span * n_buckets
+        ).cast("bigint")
+        bucket = F.greatest(F.lit(0), F.least(F.lit(n_buckets), bucket))
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                b * len(cols) + ci)
+    return key, bounds
+
+
+def write_zorder_clustered(df: DataFrame, path: str, cols: list[str],
+                           num_files: int | None = None,
+                           bits: int = 8) -> None:
+    """Write ``df`` parquet Z-order-clustered on ``cols``: range-
+    partition + sort on the interleaved Morton key, so footer min/max
+    stats stay narrow for EVERY clustered column simultaneously —
+    multi-column file pruning where single-key range clustering only
+    prunes its leading column. Same cost shape as
+    :func:`write_range_clustered` (one bounds agg + one range
+    shuffle); the standard lakehouse OPTIMIZE ZORDER BY layout."""
+    key, _ = zorder_key(df, cols, bits=bits)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (df.withColumn("__zkey", key)
+       .repartitionByRange(parts, "__zkey")
+       .sortWithinPartitions("__zkey")
+       .drop("__zkey")
+       .write.mode("overwrite").parquet(path))
+
+
 def cluster_ranges(path: str, column: str) -> list[tuple]:
     """Per-file (min, max) of ``column`` from parquet footer metadata —
     a driver-side metadata read (no data pages touched), the same

@@ -56,3 +56,53 @@ def test_compact_small_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == total
     assert abs(got.agg(F.sum("value")).collect()[0][0] - sums) < 1e-6
+
+
+def test_zorder_clustered_prunes_both_columns(spark, tmp_path):
+    """Z-order layout must narrow footer ranges on BOTH cluster
+    columns at once — the property single-key range clustering lacks
+    (its trailing column stays arrival-ordered within each file)."""
+    from aether_firebase_consumer_spark.sinks.layout import (
+        write_zorder_clustered,
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_id", "user_id", "value")
+
+    base = str(tmp_path / "base")
+    ev.repartition(16).write.parquet(base)
+    zpath = str(tmp_path / "z")
+    write_zorder_clustered(ev, zpath, ["user_id", "value"], num_files=16)
+
+    def widths(path, col):
+        rs = cluster_ranges(path, col)
+        return sum(float(hi) - float(lo) for lo, hi in rs) / len(rs)
+
+    # mean per-file range width shrinks on BOTH columns vs arrival order
+    for col in ("user_id", "value"):
+        assert widths(zpath, col) < 0.7 * widths(base, col), col
+
+    # a 2-D box predicate must skip a real fraction of files on
+    # footer stats alone
+    uid_r = cluster_ranges(zpath, "user_id")
+    val_r = cluster_ranges(zpath, "value")
+    hit = sum(1 for (ul, uh), (vl, vh) in zip(uid_r, val_r)
+              if ul <= 10 and uh >= 0 and float(vl) <= 10.0
+              and float(vh) >= 0.0)
+    assert hit < len(uid_r) / 2
+
+    # round-trip integrity
+    got = spark.read.parquet(zpath)
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("user_id")).first()[0] \
+        == ev.agg(F.sum("user_id")).first()[0]
+
+
+def test_zorder_key_constant_column(spark):
+    """A constant cluster column (min == max) must not divide by zero
+    and must leave ordering to the other column."""
+    from aether_firebase_consumer_spark.sinks.layout import zorder_key
+    df = spark.range(100).selectExpr("id", "42 AS k")
+    key, bounds = zorder_key(df, ["k", "id"], bits=4)
+    assert bounds["k"] == (42, 42)
+    vals = [r[0] for r in df.select(key).collect()]
+    assert len(set(vals)) > 1  # id still differentiates
