@@ -254,3 +254,60 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1.0)
                     - F.size(F.array_distinct("g3")).cast("double")
                     / F.size("g3"), 6).alias("dup_frac")))
+
+
+@register(
+    "decontaminate_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    probes AS (
+      SELECT doc_id AS probe_doc,
+             array_to_string(list_slice(w, 1, 12), ' ') AS snip
+      FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 12
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 11), ' ') AS win
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(w) - 11)) AS i)
+    )
+    SELECT DISTINCT p.probe_doc, d.doc_id AS match_doc
+    FROM probes p JOIN wins d ON d.win = p.snip
+    """,
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERBATIM-quote decontamination — stricter than n-gram overlap
+    (``decontaminate_ngram``): find every training document that
+    contains an eval probe's opening 12 tokens as an exact contiguous
+    token run (the plagiarism/copied-benchmark signal; every probe
+    matches at least itself, which doubles as the query's self-test).
+
+    Scale shape: the corpus side explodes each doc into its 12-token
+    windows but ships only a 60-bit window hash into the join; the
+    probe set (eval benchmarks — small by construction) hashes,
+    distincts, and BROADCASTS, so the corpus is never shuffled; the
+    only exchange is the final distinct over matched pairs. Hash
+    collisions are killed by an exact string re-verify on the
+    surviving (tiny) candidate set, so the window hash only has to be
+    collision-rare, not collision-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wins_expr = F.expr(
+        "CASE WHEN size(toks) >= 12 THEN "
+        "transform(sequence(1, size(toks) - 11), "
+        "i -> concat_ws(' ', slice(toks, i, 12))) "
+        "ELSE CAST(array() AS array<string>) END")
+    t = docs.select("doc_id", toks.alias("toks"))
+    probes = (t.filter((F.col("doc_id") % 97 == 0)
+                       & (F.size("toks") >= 12))
+              .select(F.col("doc_id").alias("probe_doc"),
+                      F.concat_ws(" ", F.slice("toks", 1, 12)).alias("snip"))
+              .withColumn("h", portable_hash60(F.col("snip"))))
+    wins = (t.select("doc_id", F.explode(wins_expr).alias("win"))
+            .select("doc_id", "win",
+                    portable_hash60(F.col("win")).alias("h")))
+    return (wins.join(F.broadcast(probes), "h")
+            .filter(F.col("win") == F.col("snip"))  # collision verify
+            .select("probe_doc", F.col("doc_id").alias("match_doc"))
+            .distinct())

@@ -114,7 +114,7 @@ def main() -> None:
     # extension headliners are added as they land
     for extra in ("dedup_minhash_lsh", "similarity_topk_cosine",
                   "similarity_ann_ivf", "text_quality_score",
-                  "docs_quality_filter"):
+                  "docs_quality_filter", "embedding_kmeans"):
         if extra in REGISTRY:
             names.append(extra)
 

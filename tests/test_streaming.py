@@ -901,3 +901,53 @@ def test_change_feed_concatenates_versions(spark, tmp_path):
     assert tail == {(2, "a", "delete")}
     with pytest.raises(ValueError, match="no versions"):
         t.change_feed(from_version=9)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): duplicates of a key
+    arriving within the watermark delay are dropped even when their
+    event times differ (the at-least-once-source dedup shape that
+    plain dropDuplicates([id, ts]) can't express); once the watermark
+    passes a key's event time + delay the state evicts, so a
+    re-arrival far later is treated as new — bounded state by
+    construction, the only dedup that survives an unbounded key space
+    at 100 TB."""
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "ddw_out"), str(tmp_path / "ddw_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, id string") \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        dedup = (stream.withWatermark("ts", "30 minutes")
+                 .dropDuplicatesWithinWatermark(["id"]))
+        q = (dedup.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    import datetime as dt
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch 1: two keys + a watermark pusher (wm -> 10:30 after batch)
+    spark.createDataFrame(
+        [(t(10, 0), "k1"), (t(10, 5), "k2"), (t(11, 0), "adv1")],
+        "ts timestamp, id string").coalesce(1).write.parquet(str(src / "b1"))
+    run_once()
+    # batch 2 (wm currently 10:30): k2 re-arrives at a DIFFERENT event
+    # time but within the delay -> must be dropped; wm then -> 11:30
+    spark.createDataFrame(
+        [(t(10, 40), "k2"), (t(12, 0), "adv2")],
+        "ts timestamp, id string").coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    # batch 3 (wm 11:30 > k1's 10:00+30min): k1's state is evicted, a
+    # late re-arrival ABOVE the watermark is new again
+    spark.createDataFrame(
+        [(t(11, 45), "k1")],
+        "ts timestamp, id string").coalesce(1).write.parquet(str(src / "b3"))
+    run_once()
+
+    from collections import Counter
+    got = Counter(r["id"] for r in spark.read.parquet(out).collect())
+    assert got["k2"] == 1, got        # within-watermark duplicate dropped
+    assert got["k1"] == 2, got        # re-emitted after state eviction
+    assert got["adv1"] == got["adv2"] == 1, got
