@@ -401,3 +401,88 @@ def test_write_avro_dataset_roundtrip(spark, tmp_path):
     assert a[probe]["event_type"] == b[probe]["event_type"]
     assert abs(a[probe]["value"] - b[probe]["value"]) < 1e-12
     assert a[probe]["ts"] == b[probe]["ts"]
+
+
+# --- property: random records round-trip bit-faithfully ---
+
+PROP_SCHEMA = {
+    "type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "f", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map",
+                                   "values": ["null", "int"]}},
+        {"name": "nested", "type": {
+            "type": "record", "name": "geo", "fields": [
+                {"name": "lat", "type": "float"},
+                {"name": "lon", "type": "float"}]}},
+        {"name": "u", "type": [
+            {"type": "record", "name": "A",
+             "fields": [{"name": "x", "type": "int"}]},
+            {"type": "record", "name": "B",
+             "fields": [{"name": "y", "type": "string"}]}]},
+    ]}
+
+
+def _record_strategy():
+    import struct as _s
+
+    from hypothesis import strategies as st
+
+    f32 = st.floats(allow_nan=False, allow_infinity=True, width=32) \
+        .map(lambda v: _s.unpack("<f", _s.pack("<f", v))[0])
+    i32 = st.integers(-(2**31), 2**31 - 1)
+    i64 = st.integers(-(2**63), 2**63 - 1)
+    return st.fixed_dictionaries({
+        "id": st.text(max_size=20),
+        "n": st.none() | i64,
+        "f": st.floats(allow_nan=False),
+        "flag": st.booleans(),
+        "tags": st.lists(st.text(max_size=8), max_size=5),
+        "props": st.dictionaries(st.text(max_size=6), st.none() | i32,
+                                 max_size=4),
+        "nested": st.fixed_dictionaries({"lat": f32, "lon": f32}),
+        "u": (st.fixed_dictionaries({"x": i32})
+              | st.fixed_dictionaries({"y": st.text(max_size=8)})),
+    })
+
+
+def test_property_record_roundtrip():
+    from hypothesis import given, settings
+
+    @settings(max_examples=200, deadline=None)
+    @given(rec=_record_strategy())
+    def check(rec):
+        data = encode_record(PROP_SCHEMA, rec)
+        assert decode_record(PROP_SCHEMA, data) == rec
+
+    check()
+
+
+def test_property_container_roundtrip(tmp_path):
+    """Container files (null + raw-deflate blocks) must round-trip
+    random record batches through write → parse, preserving order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        parse_avro_container,
+        write_avro_container,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=20, deadline=None)
+    @given(recs=st.lists(_record_strategy(), min_size=1, max_size=8),
+           codec=st.sampled_from(["null", "deflate"]))
+    def check(recs, codec):
+        counter[0] += 1
+        p = str(tmp_path / f"prop_{counter[0]}.avro")
+        write_avro_container(p, PROP_SCHEMA, recs, codec=codec)
+        avsc, got = parse_avro_container(open(p, "rb").read())
+        assert got == recs
+        assert avsc["name"] == "doc"
+
+    check()
