@@ -76,14 +76,34 @@ class IncrementalRollup:
         return batch.groupBy(*self.key_cols).agg(*aggs)
 
     # -- update ---------------------------------------------------------
-    def update(self, batch: DataFrame) -> None:
+    def update(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """Fold one micro-batch into the rollup: reduce to per-key
         partials, outer-join against current state restricted to the
-        delta's keys, fold, MERGE."""
+        delta's keys, fold, MERGE.
+
+        ``epoch_id`` (the foreachBatch batch id) makes the fold
+        REPLAY-SAFE: folds are additive, not idempotent, so a crash
+        after the merge commits but before the streaming checkpoint
+        commits would re-deliver the same epoch and double-count it.
+        The epoch is written as the merge's ``commit_meta`` — visible
+        atomically with the folded data via the version-pointer swap —
+        and a re-delivered epoch <= the last committed one is skipped.
+        This is the standard idempotent-foreachBatch fencing pattern,
+        done with an atomic tag instead of a racy side file. Caveat:
+        batch ids are scoped to ONE checkpoint lineage — pointing a
+        FRESH checkpoint at an existing rollup table would start over
+        at epoch 0 and fence everything out; new lineage, new table
+        (or pass ``epoch_id=None`` for non-streaming backfills)."""
+        if epoch_id is not None:
+            meta = self.table.commit_meta()
+            if meta is not None and meta.get("epoch") is not None \
+                    and epoch_id <= meta["epoch"]:
+                return  # replayed epoch: already folded in
+        commit_meta = None if epoch_id is None else {"epoch": epoch_id}
         delta = self._delta(batch)
         current = self.table.read()
         if current is None:
-            self.table.merge(delta)
+            self.table.merge(delta, commit_meta=commit_meta)
             return
         # only keys touched by this batch participate in the fold; the
         # rest of the table is untouched (and partition-pruned by merge)
@@ -102,13 +122,14 @@ class IncrementalRollup:
                 .when(old.isNull(), new)
                 .otherwise(fold).alias(name))
         folded = d.join(c, on, "left").select(*folded_cols)
-        self.table.merge(folded)
+        self.table.merge(folded, commit_meta=commit_meta)
 
     def foreach_batch_writer(self):
         """Adapter for ``writeStream.foreachBatch`` — exactly-once per
-        epoch under the streaming checkpoint."""
-        def write(batch_df: DataFrame, _epoch_id: int) -> None:
-            self.update(batch_df)
+        epoch: the checkpoint dedupes planned batches, and the epoch
+        fence in :meth:`update` dedupes crash-replayed ones."""
+        def write(batch_df: DataFrame, epoch_id: int) -> None:
+            self.update(batch_df, epoch_id=epoch_id)
         return write
 
     # -- read -----------------------------------------------------------

@@ -103,7 +103,8 @@ class ParquetUpsertTable:
         return self.spark.read.parquet(self._data_dir(v))
 
     # -- merge ----------------------------------------------------------
-    def merge(self, batch: DataFrame) -> None:
+    def merge(self, batch: DataFrame,
+              commit_meta: dict | None = None) -> None:
         """Upsert ``batch`` by key: one row per key (dropDuplicates on
         keys), replacing any existing rows with the same key.
 
@@ -112,7 +113,13 @@ class ParquetUpsertTable:
         untouched partitions carry into the new version as hardlinks —
         O(batch ∩ partitions) work per merge, not O(table). The touched
         partition list is driver-side but bounded by partitions-per-
-        batch (the same metadata Delta/Iceberg keep in the commit log)."""
+        batch (the same metadata Delta/Iceberg keep in the commit log).
+
+        ``commit_meta`` (a small JSON-able dict) is written INTO the
+        new version directory before the pointer swap, so it becomes
+        visible atomically with the data — the Delta-style commit tag
+        that lets foreachBatch sinks fence replayed epochs (see
+        ``IncrementalRollup``)."""
         batch1 = batch.dropDuplicates(self.key_cols)
         current = self.read()
         # empty merge onto an existing table is a NO-OP: the rewrite
@@ -127,14 +134,14 @@ class ParquetUpsertTable:
             if self.partition_col:
                 writer = writer.partitionBy(self.partition_col)
             writer.parquet(target)
-            self._commit(v)
+            self._commit(v, commit_meta)
             return
         if not self.partition_col:
             keep = current.join(batch1.select(*self.key_cols),
                                 self.key_cols, "left_anti")
             keep.unionByName(batch1, allowMissingColumns=True) \
                 .write.mode("overwrite").parquet(target)
-            self._commit(v)
+            self._commit(v, commit_meta)
             return
         pc = self.partition_col
         touched = [r[0] for r in batch1.select(pc).distinct().collect()]
@@ -149,7 +156,7 @@ class ParquetUpsertTable:
         self._link_untouched_partitions(
             self._data_dir(v - 1), target,
             {hive_partition_value(t) for t in touched})
-        self._commit(v)
+        self._commit(v, commit_meta)
 
     @staticmethod
     def _link_untouched_partitions(prev_dir: str, target: str,
@@ -204,7 +211,29 @@ class ParquetUpsertTable:
             writer.parquet(target)
         self._commit(v)
 
-    def _commit(self, v: int) -> None:
+    def commit_meta(self) -> dict | None:
+        """The ``commit_meta`` of the CURRENT version, or None — read
+        from the version directory the pointer names, so it can never
+        be newer or older than the visible data."""
+        import json as _json
+
+        v = self.current_version()
+        if v < 0:
+            return None
+        meta_path = os.path.join(self._data_dir(v), "_COMMIT_META.json")
+        try:
+            with open(meta_path) as fh:
+                return _json.load(fh)
+        except OSError:
+            return None
+
+    def _commit(self, v: int, commit_meta: dict | None = None) -> None:
+        if commit_meta is not None:
+            import json as _json
+
+            with open(os.path.join(self._data_dir(v),
+                                   "_COMMIT_META.json"), "w") as fh:
+                _json.dump(commit_meta, fh)
         tmp = self._version_file() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(v))

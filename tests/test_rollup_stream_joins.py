@@ -223,3 +223,49 @@ def test_incremental_rollup_exactly_once_across_restart(spark, tmp_path):
     second.write.parquet(str(src / "b1.parquet"))
     run_once()  # restart from the same checkpoint
     _assert_rollup_equal(_as_dict(roll.read()), _as_dict(_recompute(ev)))
+
+
+def test_rollup_epoch_fence_dedupes_replayed_batch(spark, tmp_path):
+    """A crash between the rollup merge and the streaming checkpoint
+    commit re-delivers the SAME epoch; additive folds would double-
+    count it. The commit-meta epoch fence must skip the replay while
+    still applying genuinely new epochs."""
+    roll = IncrementalRollup(
+        spark, str(tmp_path / "roll"), ["k"],
+        {"n": ("count", None), "s": ("sum", "v")})
+    b1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 10)],
+                               "k string, v int")
+    roll.update(b1, epoch_id=0)
+    roll.update(b1, epoch_id=0)  # replay: must be a no-op
+    got = {r["k"]: (r["n"], r["s"]) for r in roll.read().collect()}
+    assert got == {"a": (2, 3), "b": (1, 10)}, got
+
+    b2 = spark.createDataFrame([("a", 5)], "k string, v int")
+    roll.update(b2, epoch_id=1)  # new epoch applies
+    roll.update(b2, epoch_id=1)  # and its replay is fenced
+    roll.update(b2, epoch_id=0)  # stale epoch after newer one: fenced
+    got = {r["k"]: (r["n"], r["s"]) for r in roll.read().collect()}
+    assert got == {"a": (3, 8), "b": (1, 10)}, got
+
+    # batch backfills (no epoch) stay unfenced by design
+    roll.update(b2)
+    got = {r["k"]: (r["n"], r["s"]) for r in roll.read().collect()}
+    assert got["a"] == (4, 13), got
+
+
+def test_upsert_commit_meta_atomic_with_version(spark, tmp_path):
+    """commit_meta reads from the CURRENT version's directory — it can
+    never disagree with the visible data, and merges without meta
+    leave the tag of the new version absent (not stale)."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["id"])
+    df1 = spark.createDataFrame([("x", 1)], "id string, v int")
+    t.merge(df1, commit_meta={"epoch": 7})
+    assert t.commit_meta() == {"epoch": 7}
+    # next merge WITHOUT meta: current version has no tag
+    t.merge(spark.createDataFrame([("y", 2)], "id string, v int"))
+    assert t.commit_meta() is None
+    # and data is intact
+    assert t.read().count() == 2
