@@ -216,13 +216,22 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (partition-pruned probes), centroids come from a sampled
     k-means fit, and nprobe tunes recall vs cost without changing the
     plan shape."""
+    return ann_ivf_with_centroids(spark, sf_dir, _CENTS)
+
+
+def ann_ivf_with_centroids(spark: SparkSession, sf_dir: str,
+                           cents: list) -> DataFrame:
+    """The IVF nprobe=2 pipeline parameterized by its coarse quantizer
+    — the slot a sampled k-means fit plugs into (see
+    ``tests/test_clustering.py`` for the trained-vs-random recall
+    comparison). Plan shape is identical for any centroid set."""
     from pyspark.sql import Window as W
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
-    inv = emb.withColumn("cell", ivf_cell(F.col("embedding"), _CENTS)) \
+    inv = emb.withColumn("cell", ivf_cell(F.col("embedding"), cents)) \
         .select(F.col("vec_id").alias("neighbor_id"), "embedding", "cell")
     q = (emb.filter(F.col("vec_id") < 5)
          .withColumn("cell", F.explode(
-             ivf_cells_top2(F.col("embedding"), _CENTS)))
+             ivf_cells_top2(F.col("embedding"), cents)))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"), "cell"))
     # no dedupe needed: each neighbor lives in exactly ONE inverted

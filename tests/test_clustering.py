@@ -61,3 +61,64 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
     got = {r["vec_id"]: r["cluster"] for r in out.collect()}
     assert len(got) == spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert 2 <= len(set(got.values())) <= 8
+
+
+def test_ivf_pluggable_quantizer_recall(spark):
+    """The IVF pipeline is parameterized by its coarse quantizer
+    (ann_ivf_with_centroids) — the slot a k-means fit plugs into.
+    Measured honestly on the fixtures (sf0.01, weakly-clustered
+    embeddings): the md5-random 16-cell quantizer gives recall ~0.52,
+    while ONE Lloyd step collapses it to 8 surviving cells and recall
+    ~0.40 — near-uniform data pulls every centroid toward the global
+    mean, which is exactly why production IVF trains k-means to
+    CONVERGENCE on genuinely clustered corpora and audits cell
+    balance. This test pins (a) the pluggable path works end-to-end
+    for a data-derived quantizer, (b) both quantizers clear a recall
+    floor, (c) the plan shape (equi-join probes) is centroid-set
+    independent."""
+    from pyspark.sql.window import Window as W
+
+    from aether_firebase_consumer_spark.functions.vectors import (
+        cosine,
+        ivf_cell,
+    )
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        _CENTS,
+        ann_ivf_with_centroids,
+    )
+
+    sf = SF
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a0 = emb.withColumn("c", ivf_cell(F.col("embedding"), _CENTS))
+    upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
+             .groupBy("c", "pos")
+             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m")))
+    cents = {}
+    for r in upd.collect():
+        cents.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["m"])
+    trained = [[cents[c][j] for j in range(64)] for c in sorted(cents)]
+    assert len(trained) <= 16  # cells may collapse on uniform data
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    bf = (cand.crossJoin(F.broadcast(q))
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .select("query_id", "neighbor_id",
+                  cosine(F.col("embedding"), F.col("q_emb"))
+                  .alias("cos_sim"))
+          .withColumn("rn", F.row_number().over(w)).filter("rn <= 5"))
+    truth = {}
+    for r in bf.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def mean_recall(cs):
+        got = {}
+        for r in ann_ivf_with_centroids(spark, sf, cs).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[k] & got.get(k, set())) / len(truth[k])
+                   for k in truth) / len(truth)
+
+    assert mean_recall(_CENTS) >= 0.40
+    assert mean_recall(trained) >= 0.30
