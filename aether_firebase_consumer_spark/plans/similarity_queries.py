@@ -289,7 +289,18 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine then verifies every candidate. The DuckDB oracle mirrors the
     identical banded candidate generation, so results are bit-exact;
     recall vs brute force is the standard LSH OR-construction trade
-    (raise bands for higher recall)."""
+    (raise bands for higher recall).
+
+    Scaling the banding (AND-OR tuning): candidate volume grows as
+    bands*N^2/keyspace, so the 2x4-plane demo config (keyspace 16,
+    forced by the fixtures' weak 0.35 threshold where plane-agreement
+    p is only ~0.61) is the LOW-selectivity end. At production
+    near-dup thresholds (cos >= 0.9, p ~ 0.9) the right config is
+    r=8 planes x b=4 bands: keyspace 256 per band (16x fewer
+    candidate pairs) at ~0.87 recall [1-(1-p^8)^4]. Config changes
+    touch only ``_NEARDUP_BANDS`` + the mirrored oracle; the
+    equi-join plan shape is invariant. ``tools/scale_probe.py``
+    measures this query's growth exponent directly."""
     emb = load_table(spark, sf_dir, "embeddings")
     sig = fan_out_for_compute(emb).select(
         "vec_id",
