@@ -351,3 +351,113 @@ def similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label",
                       norm(e).alias("l2_norm"),
                       dot(e, e).alias("sq_norm"))
+
+
+@register(
+    "similarity_ann_ivf_sq8",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding::DOUBLE[],
+                                     x -> abs(x))) AS amax,
+             list_transform(embedding::DOUBLE[],
+               x -> floor(x * 127.0 /
+                          list_max(list_transform(embedding::DOUBLE[],
+                                                  y -> abs(y))) + 0.5))
+               AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT vec_id, embedding, amax, qv,
+             {_scores_sql('q8')} AS s
+      FROM q8
+    ),
+    probes AS (
+      SELECT vec_id, embedding, amax, qv, i AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s[i] DESC, i) AS cell_rank
+      FROM scored,
+           LATERAL (SELECT unnest(generate_series(1, {len(_CENTS)})) AS i)
+    ),
+    q AS (SELECT * FROM probes WHERE vec_id < 5 AND cell_rank <= 2),
+    inv AS (SELECT * FROM probes WHERE cell_rank = 1),
+    qd AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             (q.amax * b.amax) * list_dot_product(q.qv, b.qv) / 16129.0
+               AS qscore
+      FROM q JOIN inv b ON b.cell = q.cell AND b.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id) AS qrn
+      FROM qd
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id, {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS_SQL} DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.qrn <= 10
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM rerank WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + scalar-quantized (SQ8) candidate scoring with fp32
+    re-rank — the production ANN memory layout: the inverted lists
+    store int8 codes (4x smaller than fp32, so 4x more candidates per
+    byte of scan), candidates rank by the CHEAP quantized score
+    (amax_a*amax_b/127^2 * Σ q_a·q_b — integer dot product), and only
+    the top-10 shortlist touches the fp32 vectors for the exact
+    cosine re-rank. At 100 TB the fp32 originals live in a separate
+    column read only by the re-rank join — column pruning keeps them
+    off the candidate scan entirely.
+
+    Cross-engine exactness: the int8 codes use the explicit
+    floor(+0.5) rounding (see ``embedding_quantize_int8``); integer
+    dot products are exact in ANY summation order (values < 2^53), so
+    the quantized ranking can't drift between engines; both rank
+    tie-breaks are pinned by neighbor_id."""
+    from pyspark.sql import Window as W
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    amax = F.array_max(F.transform(
+        "embedding", lambda x: F.abs(x.cast("double"))))
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 127.0 / F.col("amax") + 0.5))
+    q8 = (emb.withColumn("amax", amax).withColumn("qv", qv)
+          .withColumn("cell", ivf_cell(F.col("embedding"), _CENTS)))
+    inv = q8.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"),
+                    F.col("amax").alias("n_amax"),
+                    F.col("qv").alias("n_qv"), "cell")
+    q = (q8.filter(F.col("vec_id") < 5)
+         .withColumn("cell", F.explode(
+             ivf_cells_top2(F.col("embedding"), _CENTS)))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("amax").alias("q_amax"),
+                 F.col("qv").alias("q_qv"), "cell"))
+    int_dot = F.aggregate(
+        F.zip_with("q_qv", "n_qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qd = (inv.join(F.broadcast(q), "cell")
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .select("query_id", "neighbor_id", "q_emb", "n_emb",
+                  ((F.col("q_amax") * F.col("n_amax")) * int_dot / 16129.0)
+                  .alias("qscore")))
+    w_q = W.partitionBy("query_id").orderBy(F.desc("qscore"), "neighbor_id")
+    shortlist = (qd.withColumn("qrn", F.row_number().over(w_q))
+                 .filter(F.col("qrn") <= 10))
+    w_c = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (shortlist
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("n_emb"), F.col("q_emb")).alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w_c))
+            .filter(F.col("rn") <= 5)
+            .drop("rn"))
