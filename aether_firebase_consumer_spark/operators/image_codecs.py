@@ -178,6 +178,185 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, bytes(out)
 
 
+# ------------------------------------------------------------------ GIF
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable-width codes LSB-first, CLEAR resets
+    the dictionary, widths grow at dictionary size 2^width up to 12
+    bits. Returns the decoded index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing END: tolerate truncated streams
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
+    """GIF-variant LZW encode (dictionary growth, width bumps) — the
+    inverse of :func:`_lzw_decode`; round-trip property-tested against
+    an independent encoder in the test suite."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, w: int) -> None:
+        for b in range(w):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear, width)
+    prev: tuple[int, ...] = ()
+    for ix in indexes:
+        cur = prev + (ix,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+        prev = (ix,)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        by.append(sum(bit << j for j, bit in enumerate(out_bits[i:i + 8])))
+    return bytes(by)
+
+
+def encode_gif(w: int, h: int, palette: bytes,
+               indexes: "list[int]", min_code_size: int = 2) -> bytes:
+    """Encode one palette-indexed frame as a GIF89a (global color
+    table, real LZW compression). ``palette`` is RGB triples; indexes
+    are row-major pixel palette positions."""
+    if len(indexes) != w * h:
+        raise ValueError("index buffer does not match w*h")
+    n = max(4, len(palette) // 3)
+    bits = max(2, (n - 1).bit_length())
+    pal = bytearray(palette) + b"\x00" * (3 * (1 << bits) - len(palette))
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | (bits - 1), 0, 0]) + pal
+    gif += (b"\x2c\x00\x00\x00\x00" + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + b"\x00")
+    gif += bytes([min_code_size])
+    lzw = _lzw_encode(min_code_size, indexes)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode the FIRST frame of a GIF87a/89a: returns (width, height,
+    raw RGB bytes row-major). Full LZW (dictionary growth, variable
+    code widths, KwKwK, CLEAR) and Adam-style interlacing; extensions
+    (incl. GCE transparency, ignored for the RGB render) are skipped
+    per spec. Later animation frames raise nothing — the first image
+    descriptor wins, as for thumbnailing."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")  # noqa: F841 (screen size)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                size = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + size]
+                pos += size + 1
+            idx = _lzw_decode(min_code, bytes(lzw))[:w * h]
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            if ipacked & 0x40:  # interlaced: remap row order
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                remapped = [0] * (w * h)
+                for src_row, dst_row in enumerate(rows):
+                    remapped[dst_row * w:(dst_row + 1) * w] = \
+                        idx[src_row * w:(src_row + 1) * w]
+                idx = remapped
+            out = bytearray(w * h * 3)
+            for i, ci in enumerate(idx):
+                out[i * 3:i * 3 + 3] = ct[ci * 3:ci * 3 + 3]
+            return w, h, bytes(out)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 # ------------------------------------------------------------------ BMP
 
 def encode_bmp(w: int, h: int, raw_rgb: bytes) -> bytes:

@@ -114,6 +114,11 @@ def decode_image(payload: bytes) -> "object":
             decode_bmp,
         )
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from aether_firebase_consumer_spark.operators.image_codecs import (
+            decode_gif,
+        )
+        return decode_gif(payload)
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -415,3 +415,63 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, "
         "avg_r double, avg_g double, avg_b double")
+
+
+@register(
+    "multimodal_gif_decode_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16),
+               i -> ascii(substr(md5(text), i, 1)) % 4) AS idx
+      FROM documents
+    )
+    SELECT doc_id, 4 AS width, 4 AS height,
+           CAST(list_sum(list_transform(idx,
+                i -> CASE i WHEN 0 THEN 255 WHEN 1 THEN 0
+                            WHEN 2 THEN 0 ELSE 9 END)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(idx,
+                i -> CASE i WHEN 0 THEN 0 WHEN 1 THEN 255
+                            WHEN 2 THEN 0 ELSE 8 END)) AS BIGINT) AS sum_g,
+           CAST(len(list_filter(idx, i -> i = 3)) AS BIGINT) AS n_pal3
+    FROM px
+    """,
+)
+def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF encode+decode inside an oracle-gated query: each
+    document gets a 4x4 palette-indexed frame (palette positions =
+    md5 hex-char codes mod 4), the Arrow kernel runs the engine's
+    ``encode_gif`` (real LZW with dictionary growth) then
+    ``decode_gif`` (variable-width LZW, block walk, palette lookup)
+    and reduces decoded pixels to channel sums the oracle recomputes
+    from the palette arithmetic. Third native image codec after
+    PNG/BMP; same no-shuffle scan-parallel kernel shape."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                idx = [ord(c) % 4 for c in hx[:16]]
+                gif = encode_gif(4, 4, palette, idx)
+                w, h, rgb = decode_gif(gif)
+                out.append((int(doc_id), w, h,
+                            sum(rgb[0::3]), sum(rgb[1::3]),
+                            sum(1 for i in range(0, len(rgb), 3)
+                                if rgb[i:i + 3] == b"\x09\x08\x07")))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "sum_r", "sum_g", "n_pal3"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, "
+        "sum_r bigint, sum_g bigint, n_pal3 bigint")

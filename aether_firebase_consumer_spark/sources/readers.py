@@ -45,6 +45,15 @@ def read_json(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the other columnar lake format Spark ships natively
+    (vectorized reader, predicate pushdown and column pruning same as
+    parquet; footer stats drive row-group pruning identically)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def avro_jar_available(spark: SparkSession) -> bool:
     """Is the spark-avro datasource DEPLOYED? Routing is an EXPLICIT
     probe, not a blanket try/except around the read — a real read error

@@ -157,3 +157,158 @@ def test_decode_image_dispatch():
     assert decode_image(encode_bmp(2, 2, raw)) == (2, 2, raw)
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+# --- GIF: reference LZW encoder lives in the test so the decoder is
+# --- checked against an independent implementation of the spec
+
+def _lzw_encode(min_code_size, indexes):
+    """Textbook GIF-LZW encoder (dictionary growth + width bumps)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    out_bits = []
+
+    def emit(code, w):
+        for b in range(w):
+            out_bits.append((code >> b) & 1)
+
+    emit(clear, width)
+    prev = ()
+    for ix in indexes:
+        cur = prev + (ix,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                # GIF encoders bump width when next emitted code would
+                # not fit; decoder bumps when next_code hits 2^width
+                pass
+        prev = (ix,)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        by.append(sum(bit << j for j, bit in enumerate(out_bits[i:i + 8])))
+    return bytes(by)
+
+
+def _make_gif(w, h, palette, indexes, interlace=False, min_code_size=2):
+    lzw = _lzw_encode(min_code_size, indexes)
+    n = max(4, len(palette) // 3)
+    bits = max(2, (n - 1).bit_length())
+    pal = bytearray(palette) + b"\x00" * (3 * (1 << bits) - len(palette))
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | (bits - 1), 0, 0]) + pal
+    gif += b"\x21\xfe\x05hello\x00"  # comment extension: must be skipped
+    gif += b"\x2c\x00\x00\x00\x00" + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + bytes([0x40 if interlace else 0])
+    gif += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+PALETTE4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+
+
+def test_gif_decode_simple():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+    idx = [0, 1, 2, 3, 2, 1, 0, 1, 2]  # 3x3
+    gif = _make_gif(3, 3, PALETTE4, idx)
+    w, h, rgb = decode_gif(gif)
+    assert (w, h) == (3, 3)
+    want = b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx)
+    assert rgb == want
+
+
+def test_gif_decode_dictionary_growth_and_kwkwk():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+    # long repetitive stream forces dict entries, width bumps, and the
+    # KwKwK special case (run of identical symbols)
+    idx = ([0, 0, 0, 0, 1, 1, 1, 1] * 8 + [2, 3] * 16 + [0] * 32) * 2
+    w = 16
+    h = len(idx) // w
+    gif = _make_gif(w, h, PALETTE4, idx[:w * h])
+    gw, gh, rgb = decode_gif(gif)
+    want = b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx[:w * h])
+    assert (gw, gh) == (w, h)
+    assert rgb == want
+
+
+def test_gif_decode_interlaced():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+    w, h = 4, 9  # 9 rows exercises all 4 interlace passes
+    idx = [(r * 4 + c) % 4 for r in range(h) for c in range(w)]
+    # store rows in interlace order; decoder must un-interlace
+    passes = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+              for r in range(start, h, step)]
+    stored = []
+    for r in passes:
+        stored.extend(idx[r * w:(r + 1) * w])
+    gif = _make_gif(w, h, PALETTE4, stored, interlace=True)
+    gw, gh, rgb = decode_gif(gif)
+    want = b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx)
+    assert (gw, gh) == (w, h)
+    assert rgb == want
+
+
+def test_gif_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 12), h=st.integers(1, 12), data=st.data())
+    def check(w, h, data):
+        idx = data.draw(st.lists(st.integers(0, 3), min_size=w * h,
+                                 max_size=w * h))
+        gif = _make_gif(w, h, PALETTE4, idx)
+        gw, gh, rgb = decode_gif(gif)
+        assert (gw, gh) == (w, h)
+        assert rgb == b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx)
+
+    check()
+
+
+def test_gif_rejects_garbage():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JFIF....")
+    with pytest.raises(ValueError, match="no image data"):
+        decode_gif(b"GIF89a" + bytes(7) + b"\x3b")
+
+
+def test_gif_package_encoder_roundtrip_and_agreement():
+    """The package's encode_gif must round-trip through decode_gif and
+    produce pixel output identical to the independent test encoder."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+    idx = [(i * 7 + 3) % 4 for i in range(64)]
+    a = decode_gif(encode_gif(8, 8, PALETTE4, idx))
+    b = decode_gif(_make_gif(8, 8, PALETTE4, idx))
+    assert a == b
+    assert a[2] == b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx)

@@ -403,3 +403,28 @@ def test_ppm_stream_frame_sampling():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="frame boundary"):
         decode_ppm_stream(stream + b"JUNK")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC is a first-class scan format: round-trip equality with the
+    parquet fixture, and filters/projections reach the ORC scan
+    (PushedFilters + pruned ReadSchema in the physical plan)."""
+    from aether_firebase_consumer_spark.sources.readers import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+
+    got = read_orc(spark, path)
+    assert got.count() == src.count()
+    a = {r["o_orderkey"] for r in src.select("o_orderkey").collect()}
+    b = {r["o_orderkey"] for r in got.select("o_orderkey").collect()}
+    assert a == b
+
+    plan = (got.filter(F.col("o_custkey") == 7)
+            .select("o_orderkey")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split(
+        "PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "o_orderkey" in read_schema and "o_comment" not in read_schema
