@@ -428,3 +428,32 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         "PushedFilters")[1][:120]
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "o_orderkey" in read_schema and "o_comment" not in read_schema
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Production CSV ingest contract: PERMISSIVE mode quarantines
+    malformed rows into _corrupt_record instead of failing the scan;
+    DROPMALFORMED silently drops them; FAILFAST raises."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = ("id int, qty int, _corrupt_record string")
+
+    permissive = (spark.read.option("header", "true")
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record")
+                  .schema(schema).csv(str(p))).cache()
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["qty"] is None
+    assert rows[2]["_corrupt_record"] == "2,not_a_number"
+    permissive.unpersist()
+
+    dropped = (spark.read.option("header", "true")
+               .option("mode", "DROPMALFORMED")
+               .schema("id int, qty int").csv(str(p)))
+    assert {r["id"] for r in dropped.collect()} == {1, 3}
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        (spark.read.option("header", "true").option("mode", "FAILFAST")
+         .schema("id int, qty int").csv(str(p)).collect())
