@@ -119,14 +119,20 @@ def decode_image(payload: bytes) -> "object":
             decode_gif,
         )
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from aether_firebase_consumer_spark.operators.jpeg_codec import (
+            decode_jpeg_gray,
+        )
+        return decode_jpeg_gray(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "JPEG/GIF/TIFF decode requires PIL (not in this environment); "
-            "PPM/PNG/BMP decode natively via operators.image_codecs") from err
+            "TIFF/WebP decode requires PIL (not in this environment); "
+            "PPM/PNG/BMP/GIF and baseline grayscale JPEG decode natively "
+            "via operators.image_codecs / operators.jpeg_codec") from err
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:

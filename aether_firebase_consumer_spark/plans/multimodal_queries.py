@@ -475,3 +475,63 @@ def multimodal_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, "
         "sum_r bigint, sum_g bigint, n_pal3 bigint")
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             ascii(substr(md5(text), 1, 1)) * 2 AS v1,
+             ascii(substr(md5(text), 2, 1)) * 2 AS v2
+      FROM documents
+    )
+    SELECT doc_id, 16 AS width, 8 AS height,
+           CAST((v1 + v2) * 64 AS BIGINT) AS sum_px,
+           CAST(least(v1, v2) AS INT) AS min_px,
+           CAST(greatest(v1, v2) AS INT) AS max_px
+    FROM v
+    """,
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG encode+decode inside an oracle-gated query: each
+    document gets a 16x8 grayscale image of two flat 8x8 blocks
+    (values = md5 hex-char codes x2, so DC DIFFERENCE coding between
+    blocks — incl. negative diffs — is exercised); the Arrow kernel
+    runs the engine's baseline JPEG codec (``operators/jpeg_codec.py``:
+    Annex-K Huffman tables, real DCT, bitstream stuffing) end to end.
+    Flat blocks are DC-only, so the lossy pipeline is bit-exact here
+    and the oracle recomputes pixel stats arithmetically; non-flat
+    content is PSNR-bounded in ``tests/test_jpeg_codec.py``. Fourth
+    native image codec (PPM/PNG/BMP/GIF/JPEG); same no-shuffle
+    scan-parallel kernel shape."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                v1, v2 = ord(hx[0]) * 2, ord(hx[1]) * 2
+                px = bytearray(16 * 8)
+                for y in range(8):
+                    for x in range(16):
+                        px[y * 16 + x] = v1 if x < 8 else v2
+                jpg = encode_jpeg_gray(16, 8, bytes(px))
+                w, h, raw = decode_jpeg_gray(jpg)
+                out.append((int(doc_id), w, h,
+                            sum(raw), min(raw), max(raw)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "sum_px", "min_px", "max_px"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, "
+        "sum_px bigint, min_px int, max_px int")

@@ -155,8 +155,12 @@ def test_decode_image_dispatch():
     raw = _pixels(12)
     assert decode_image(encode_png(2, 2, raw)) == (2, 2, 3, raw)
     assert decode_image(encode_bmp(2, 2, raw)) == (2, 2, raw)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # JPEG now routes to the native decoder (malformed -> ValueError,
+    # not a PIL gate); TIFF stays PIL-gated
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"II*\x00 fake tiff")
 
 
 # --- GIF: reference LZW encoder lives in the test so the decoder is

@@ -1,0 +1,112 @@
+"""Baseline JPEG codec tests: flat-block bit-exactness (DC-only
+streams), PSNR-bounded lossy round-trips, bit-stuffing, scope
+rejection, and standard-table conformance details."""
+
+import math
+import random
+
+import pytest
+
+from aether_firebase_consumer_spark.operators.jpeg_codec import (
+    FLAT_QT,
+    STD_LUMA_QT,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def psnr(a: bytes, b: bytes) -> float:
+    mse = sum((x - y) ** 2 for x, y in zip(a, b)) / len(a)
+    return float("inf") if mse == 0 else 10 * math.log10(255 ** 2 / mse)
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 200, 254, 255])
+def test_flat_block_bit_exact(v):
+    """A flat 8x8 block is DC-only: with the unit quant table the
+    entire encode→decode path (DCT, Huffman, bitstream, IDCT) must
+    reproduce the input EXACTLY."""
+    px = bytes([v] * 64)
+    assert decode_jpeg_gray(encode_jpeg_gray(8, 8, px)) == (8, 8, px)
+
+
+def test_flat_multiblock_with_dc_prediction():
+    """Different flat values per block exercise DC difference coding
+    (incl. negative diffs) across blocks — still exact."""
+    vals = [10, 250, 10, 130, 90, 200]
+    w, h = 24, 16  # 3x2 blocks
+    px = bytearray(w * h)
+    for bi, v in enumerate(vals):
+        by, bx = divmod(bi, 3)
+        for y in range(8):
+            for x in range(8):
+                px[(by * 8 + y) * w + bx * 8 + x] = v
+    got = decode_jpeg_gray(encode_jpeg_gray(w, h, bytes(px)))
+    assert got == (w, h, bytes(px))
+
+
+def test_lossy_roundtrip_psnr_unit_table():
+    """Unit quant table: error only from DCT float rounding — PSNR
+    must be extremely high on arbitrary content."""
+    rng = random.Random(3)
+    w, h = 16, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    gw, gh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert psnr(px, out) > 45, psnr(px, out)
+
+
+def test_lossy_roundtrip_psnr_standard_table():
+    """Standard luminance table on smooth content: classic JPEG
+    quality — smooth gradients survive well."""
+    w, h = 32, 24
+    px = bytes(min(255, (x * 3 + y * 2) % 256)
+               for y in range(h) for x in range(w))
+    gw, gh, out = decode_jpeg_gray(
+        encode_jpeg_gray(w, h, px, qt=STD_LUMA_QT))
+    assert (gw, gh) == (w, h)
+    assert psnr(px, out) > 28, psnr(px, out)
+
+
+def test_non_multiple_of_8_dimensions():
+    rng = random.Random(9)
+    w, h = 13, 11
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    gw, gh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (gw, gh) == (w, h)
+    assert len(out) == w * h
+    assert psnr(px, out) > 40
+
+
+def test_byte_stuffing_roundtrip():
+    """Content engineered to emit 0xFF bytes in the entropy stream
+    must round-trip through the stuff/unstuff path. Brute-force over
+    many random images guarantees stuffed bytes occur."""
+    rng = random.Random(11)
+    stuffed_seen = False
+    for _ in range(30):
+        px = bytes(rng.randrange(256) for _ in range(64))
+        jpg = encode_jpeg_gray(8, 8, px)
+        scan = jpg[jpg.find(b"\xff\xda") + 14:-2]
+        if b"\xff\x00" in scan:
+            stuffed_seen = True
+        w, h, out = decode_jpeg_gray(jpg)
+        assert psnr(px, out) > 40
+    assert stuffed_seen
+
+
+def test_scope_rejection():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"nope")
+    jpg = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    sof = jpg.find(b"\xff\xc0")
+    jpg[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(jpg))
+
+
+def test_decode_image_dispatch_jpeg():
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_image,
+    )
+    px = bytes([77] * 64)
+    assert decode_image(encode_jpeg_gray(8, 8, px)) == (8, 8, px)
