@@ -146,6 +146,50 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                 w.readframes(w.getnframes()))
 
 
+def mulaw_expand(byte_val: int) -> int:
+    """G.711 µ-law expansion: one encoded byte -> linear int16 sample.
+    Exact integer arithmetic per the spec (bias 0x84, 3-bit exponent,
+    4-bit mantissa), matching the standard lookup tables."""
+    u = ~byte_val & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    sample = ((mantissa << 3) + 0x84) << exponent
+    sample -= 0x84
+    return -sample if sign else sample
+
+
+def decode_wav_mulaw(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a µ-law (format code 7) RIFF/WAVE file to linear int16
+    samples — the telephony-audio format stdlib ``wave`` refuses.
+    Walks the RIFF chunks directly (fmt + data), then applies the
+    exact integer µ-law expansion per byte."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    code = int.from_bytes(fmt[0:2], "little")
+    if code != 7:
+        raise ValueError(f"not mu-law (format code {code}; PCM decodes "
+                         "via decode_wav)")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    samples = [mulaw_expand(b) for b in data]
+    return rate, channels, len(samples) // channels, samples
+
+
 def decode_audio(payload: bytes):
     """Audio decode. PCM WAV decodes with the stdlib ``wave`` module
     (no dependencies); compressed formats need soundfile, absent from

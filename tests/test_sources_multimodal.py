@@ -457,3 +457,56 @@ def test_csv_malformed_row_handling(spark, tmp_path):
     with _pytest.raises(Exception):
         (spark.read.option("header", "true").option("mode", "FAILFAST")
          .schema("id int, qty int").csv(str(p)).collect())
+
+
+def test_mulaw_wav_decode():
+    """G.711 mu-law expansion against spec landmark values, plus a
+    hand-built RIFF mu-law file decode."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_mulaw,
+        mulaw_expand,
+    )
+    # spec landmarks: 0xFF -> 0, 0x7F -> -0 side is 0 too at the top
+    assert mulaw_expand(0xFF) == 0
+    assert mulaw_expand(0x7F) == 0
+    # 16-bit-scaled table convention (CCITT 14-bit +-8031 << 2),
+    # the same values audioop.ulaw2lin(width=2) produces
+    assert mulaw_expand(0x00) == -32124  # most negative encodable
+    assert mulaw_expand(0x80) == 32124   # most positive
+    # monotone within the positive half: larger code -> smaller sample
+    pos = [mulaw_expand(b) for b in range(0x80, 0x100)]
+    assert all(a >= b for a, b in zip(pos, pos[1:]))
+
+    body = bytes(range(0x80, 0x90))  # 16 positive samples
+    fmt = (b"\x07\x00\x01\x00\x40\x1f\x00\x00\x40\x1f\x00\x00"
+           b"\x01\x00\x08\x00")
+    riff = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(body))
+            .to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(body).to_bytes(4, "little") + body)
+    rate, ch, n, samples = decode_wav_mulaw(riff)
+    assert (rate, ch, n) == (8000, 1, 16)
+    assert samples == [mulaw_expand(b) for b in body]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mu-law"):
+        # PCM fmt code routed away with a clear message
+        decode_wav_mulaw(riff.replace(b"\x07\x00\x01\x00", b"\x01\x00\x01\x00", 1))
+
+
+def test_mulaw_expand_matches_audioop_all_codes():
+    """Cross-validate the hand-rolled expansion against CPython's
+    audioop (the authoritative G.711 table) over all 256 codes —
+    skipped automatically when audioop is gone (removed in 3.13)."""
+    import struct
+
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        mulaw_expand,
+    )
+    raw = audioop.ulaw2lin(bytes(range(256)), 2)
+    want = struct.unpack("<256h", raw)
+    got = tuple(mulaw_expand(b) for b in range(256))
+    assert got == want
