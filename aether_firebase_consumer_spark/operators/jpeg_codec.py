@@ -194,6 +194,116 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _encode_block(bw: "_BitWriter", samples: list[int], qt: list[int],
+                  prev_dc: int, dc_codes: dict, ac_codes: dict) -> int:
+    """DCT → quantize → zigzag → Huffman one 8x8 block of level-shifted
+    samples; returns the new DC predictor."""
+    coef = _dct2([float(s) - 128.0 for s in samples])
+    q = [int(round(coef[i] / qt[i])) for i in range(64)]
+    zz = [q[ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        mag = diff if diff >= 0 else diff + (1 << cat) - 1
+        bw.write(mag, cat)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = ac_codes[(run << 4) | cat]
+        bw.write(code, length)
+        mag = v if v >= 0 else v + (1 << cat) - 1
+        bw.write(mag, cat)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+    return zz[0]
+
+
+def _block_at(plane: "list[int]", w: int, h: int, bx: int,
+              by: int) -> list[int]:
+    """8x8 block with edge replication for non-multiple-of-8 sizes."""
+    out = []
+    for y in range(8):
+        sy = min(by + y, h - 1)
+        for x in range(8):
+            out.append(plane[sy * w + min(bx + x, w - 1)])
+    return out
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF (BT.601 full-range) forward transform, rounded with the
+    engine's cross-engine-stable floor(x+0.5) convention."""
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+    g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+    b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
+                    qt: list[int] | None = None) -> bytes:
+    """Encode RGB pixels (row-major, w*h*3) as a baseline COLOR JPEG:
+    JFIF YCbCr transform, 4:4:4 (no subsampling), interleaved
+    Y/Cb/Cr MCUs with per-component DC predictors. All three
+    components reference the same Huffman/quant tables (spec-legal,
+    and what keeps the jar-free codec small); any conformant decoder
+    reads the result."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("pixel buffer does not match w*h*3")
+    qt = qt or FLAT_QT
+    planes: list[list[int]] = [[0] * (w * h) for _ in range(3)]
+    for i in range(w * h):
+        y, cb, cr = rgb_to_ycbcr(rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2])
+        planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                prev[c] = _encode_block(
+                    bw, _block_at(planes[c], w, h, bx, by), qt,
+                    prev[c], dc_codes, ac_codes)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    zz_qt = bytes([qt[ZIGZAG[i]] for i in range(64)])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zz_qt)
+    out += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + b"\x03"
+               + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_gray(w: int, h: int, pixels: bytes,
                      qt: list[int] | None = None) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, w*h bytes) as a
@@ -267,11 +377,13 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     return bytes(out)
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG: returns (width, height, raw
-    8-bit pixels row-major). Parses DQT/DHT from the stream (any
-    spec-conformant tables, not just ours); color, progressive, and
-    restart-marker streams raise ``ValueError``."""
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG: returns (width, height, n_components,
+    raw pixels row-major — grayscale bytes for 1 component, RGB bytes
+    for 3 components via the JFIF inverse transform). Parses DQT/DHT
+    from the stream (any spec-conformant tables, not just ours);
+    progressive, subsampled-chroma, and restart-marker streams raise
+    ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -279,7 +391,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     dc_tbl: dict[int, dict] = {}
     ac_tbl: dict[int, dict] = {}
     w = h = None
-    comp_qt = 0
+    comps: list[tuple[int, int]] = []  # (component id, qt id) in SOF order
     scan = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -309,11 +421,15 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
-            if body[5] != 1:
-                raise ValueError("only grayscale (1 component) supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling not supported for gray")
-            comp_qt = body[8]
+            n = body[5]
+            if n not in (1, 3):
+                raise ValueError(f"{n}-component JPEG not supported")
+            for c in range(n):
+                cid, sampling, tq = body[6 + c * 3:9 + c * 3]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -326,19 +442,20 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             raise ValueError("restart markers not supported")
         elif marker == 0xDA:
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            tables = {}
+            for c in range(ns):
+                cid, tt = body[1 + c * 2], body[2 + c * 2]
+                tables[cid] = (tt >> 4, tt & 0x0F)
             scan_start = pos + 2 + length
             end = payload.rfind(b"\xff\xd9")
             scan = (payload[scan_start:end if end > 0 else len(payload)],
-                    td, ta)
+                    tables)
             break
         pos += 2 + length
-    if w is None or scan is None:
+    if w is None or scan is None or not comps:
         raise ValueError("JPEG missing SOF0 or SOS")
-    data, td, ta = scan
-    dc = dc_tbl[td]
-    ac = ac_tbl[ta]
-    qt = qts[comp_qt]
+    data, sos_tables = scan
     br = _BitReader(data)
 
     def read_huff(tbl: dict) -> int:
@@ -349,43 +466,68 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
                 return tbl[(length, code)]
         raise ValueError("invalid Huffman code in scan")
 
+    def read_block(dc: dict, ac: dict, qt: list[int],
+                   prev_dc: int) -> tuple[list[float], int]:
+        zz = [0] * 64
+        cat = read_huff(dc)
+        diff = _extend(br.read_bits(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            rs = read_huff(ac)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                i += 16
+                continue
+            run, cat = rs >> 4, rs & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[i] = _extend(br.read_bits(cat), cat)
+            i += 1
+        coef = [0.0] * 64
+        for k in range(64):
+            coef[ZIGZAG[k]] = zz[k] * qt[ZIGZAG[k]]
+        return _idct2(coef), prev_dc
+
+    n_comp = len(comps)
     bw_blocks = (w + 7) // 8
     bh_blocks = (h + 7) // 8
-    out = bytearray(w * h)
-    prev_dc = 0
+    planes = [[0] * (w * h) for _ in range(n_comp)]
+    prev = [0] * n_comp
     for byi in range(bh_blocks):
         for bxi in range(bw_blocks):
-            zz = [0] * 64
-            cat = read_huff(dc)
-            diff = _extend(br.read_bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = read_huff(ac)
-                if rs == 0x00:      # EOB
-                    break
-                if rs == 0xF0:      # ZRL
-                    i += 16
-                    continue
-                run, cat = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _extend(br.read_bits(cat), cat)
-                i += 1
-            coef = [0.0] * 64
-            for k in range(64):
-                coef[ZIGZAG[k]] = zz[k] * qt[ZIGZAG[k]]
-            px = _idct2(coef)
-            for y in range(8):
-                sy = byi * 8 + y
-                if sy >= h:
-                    break
-                for x in range(8):
-                    sx = bxi * 8 + x
-                    if sx >= w:
-                        continue
-                    v = int(round(px[y * 8 + x] + 128.0))
-                    out[sy * w + sx] = 0 if v < 0 else (255 if v > 255 else v)
-    return w, h, bytes(out)
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = sos_tables[cid]
+                px, prev[ci] = read_block(
+                    dc_tbl[td], ac_tbl[ta], qts[tq], prev[ci])
+                plane = planes[ci]
+                for y in range(8):
+                    sy = byi * 8 + y
+                    if sy >= h:
+                        break
+                    for x in range(8):
+                        sx = bxi * 8 + x
+                        if sx >= w:
+                            continue
+                        v = int(round(px[y * 8 + x] + 128.0))
+                        plane[sy * w + sx] = \
+                            0 if v < 0 else (255 if v > 255 else v)
+    if n_comp == 1:
+        return w, h, 1, bytes(planes[0])
+    out = bytearray(w * h * 3)
+    for i in range(w * h):
+        r, g, b = ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
+        out[i * 3], out[i * 3 + 1], out[i * 3 + 2] = r, g, b
+    return w, h, 3, bytes(out)
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Single-component wrapper over :func:`decode_jpeg` (the original
+    grayscale API): raises for color streams."""
+    w, h, n, raw = decode_jpeg(payload)
+    if n != 1:
+        raise ValueError("color JPEG: use decode_jpeg")
+    return w, h, raw

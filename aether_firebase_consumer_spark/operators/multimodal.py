@@ -121,9 +121,9 @@ def decode_image(payload: bytes) -> "object":
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from aether_firebase_consumer_spark.operators.jpeg_codec import (
-            decode_jpeg_gray,
+            decode_jpeg,
         )
-        return decode_jpeg_gray(payload)
+        return decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: F401
         import io

@@ -535,3 +535,80 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, "
         "sum_px bigint, min_px int, max_px int")
+
+
+@register(
+    "multimodal_jpeg_color_stats",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             ascii(substr(md5(text), 1, 1)) * 2 AS r,
+             ascii(substr(md5(text), 2, 1)) * 2 AS g,
+             ascii(substr(md5(text), 3, 1)) * 2 AS b
+      FROM documents
+    ),
+    ycc AS (
+      -- every literal cast to DOUBLE: DuckDB's bare decimals run exact
+      -- DECIMAL math, which can flip floor() vs the kernel's IEEE
+      -- doubles near integer boundaries
+      SELECT doc_id, r, g, b,
+             floor(0.299::DOUBLE * r + 0.587::DOUBLE * g
+                   + 0.114::DOUBLE * b + 0.5::DOUBLE) AS y,
+             floor(128 - 0.168736::DOUBLE * r - 0.331264::DOUBLE * g
+                   + 0.5::DOUBLE * b + 0.5::DOUBLE) AS cb,
+             floor(128 + 0.5::DOUBLE * r - 0.418688::DOUBLE * g
+                   - 0.081312::DOUBLE * b + 0.5::DOUBLE) AS cr
+      FROM c
+    )
+    SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
+           CAST(greatest(0, least(255,
+                floor(y + 1.402::DOUBLE * (cr - 128) + 0.5::DOUBLE)))
+                AS INT) AS r_out,
+           CAST(greatest(0, least(255,
+                floor(y - 0.344136::DOUBLE * (cb - 128)
+                        - 0.714136::DOUBLE * (cr - 128) + 0.5::DOUBLE)))
+                AS INT) AS g_out,
+           CAST(greatest(0, least(255,
+                floor(y + 1.772::DOUBLE * (cb - 128) + 0.5::DOUBLE)))
+                AS INT) AS b_out
+    FROM ycc
+    """,
+)
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG encode+decode inside an oracle-gated query:
+    each document gets a flat-color 8x8 RGB image (channels =
+    md5-derived), and the kernel runs the full baseline color pipeline
+    — JFIF YCbCr forward transform, three interleaved DC-only
+    components through real Huffman streams, inverse transform with
+    clamping. Flat color makes every DCT stage exact, so the oracle
+    reproduces the decoded RGB purely from the JFIF arithmetic
+    (floor(+0.5) convention on both engines — Spark round/DuckDB
+    round never enter). Codec: operators/jpeg_codec.py."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                rgb = bytes([ord(hx[0]) * 2, ord(hx[1]) * 2,
+                             ord(hx[2]) * 2] * 64)
+                w, h, n, raw = decode_jpeg(encode_jpeg_rgb(8, 8, rgb))
+                assert raw[:3] * 64 == raw  # flat in, flat out
+                out.append((int(doc_id), w, h, n,
+                            raw[0], raw[1], raw[2]))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "channels",
+                "r_out", "g_out", "b_out"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, channels int, "
+        "r_out int, g_out int, b_out int")

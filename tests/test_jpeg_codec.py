@@ -109,4 +109,75 @@ def test_decode_image_dispatch_jpeg():
         decode_image,
     )
     px = bytes([77] * 64)
-    assert decode_image(encode_jpeg_gray(8, 8, px)) == (8, 8, px)
+    assert decode_image(encode_jpeg_gray(8, 8, px)) == (8, 8, 1, px)
+
+
+# --- color (YCbCr 4:4:4) ---
+
+def test_color_flat_roundtrip_deterministic():
+    """Flat-color images: DC-only in all three components; the decoded
+    RGB equals the double round-trip through the exact JFIF formulas
+    (floor(+0.5) convention) — deterministic, oracle-predictable."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+    for (r, g, b) in [(200, 30, 90), (0, 0, 0), (255, 255, 255),
+                      (17, 204, 111)]:
+        px = bytes([r, g, b] * 64)
+        w, h, n, out = decode_jpeg(encode_jpeg_rgb(8, 8, px))
+        assert (w, h, n) == (8, 8, 3)
+        want = ycbcr_to_rgb(*rgb_to_ycbcr(r, g, b))
+        assert out == bytes(want * 64)
+        # color-convert round-trip error is at most 1/channel
+        assert all(abs(a - e) <= 1 for a, e in zip(want, (r, g, b)))
+
+
+def test_color_roundtrip_psnr():
+    import random
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+    rng = random.Random(5)
+    w, h = 16, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    gw, gh, n, out = decode_jpeg(encode_jpeg_rgb(w, h, px))
+    assert (gw, gh, n) == (w, h, 3)
+    assert psnr(px, out) > 38, psnr(px, out)  # color convert adds ~1LSB
+
+
+def test_color_interleave_dc_prediction():
+    """Two MCUs with very different colors: per-component DC
+    predictors must track independently across interleaved blocks."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+    w, h = 16, 8
+    left, right = (250, 10, 10), (10, 250, 10)
+    px = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            c = left if x < 8 else right
+            px[(y * w + x) * 3:(y * w + x) * 3 + 3] = bytes(c)
+    gw, gh, n, out = decode_jpeg(encode_jpeg_rgb(w, h, bytes(px)))
+    wl = ycbcr_to_rgb(*rgb_to_ycbcr(*left))
+    wr = ycbcr_to_rgb(*rgb_to_ycbcr(*right))
+    assert out[0:3] == bytes(wl) and out[8 * 3:8 * 3 + 3] == bytes(wr)
+
+
+def test_decode_image_dispatch_color_jpeg():
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        encode_jpeg_rgb,
+    )
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_image,
+    )
+    px = bytes([10, 20, 30] * 64)
+    w, h, n, raw = decode_image(encode_jpeg_rgb(8, 8, px))
+    assert (w, h, n) == (8, 8, 3)
