@@ -317,46 +317,11 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    plane = list(pixels)
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = []
-            for y in range(8):
-                sy = min(by + y, h - 1)
-                for x in range(8):
-                    sx = min(bx + x, w - 1)
-                    block.append(float(pixels[sy * w + sx]) - 128.0)
-            coef = _dct2(block)
-            q = [int(round(coef[i] / qt[i])) for i in range(64)]
-            zz = [q[ZIGZAG[i]] for i in range(64)]
-            # DC
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _category(diff)
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                mag = diff if diff >= 0 else diff + (1 << cat) - 1
-                bw.write(mag, cat)
-            # AC with run-lengths
-            run = 0
-            for i in range(1, 64):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat = _category(v)
-                code, length = ac_codes[(run << 4) | cat]
-                bw.write(code, length)
-                mag = v if v >= 0 else v + (1 << cat) - 1
-                bw.write(mag, cat)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            prev_dc = _encode_block(bw, _block_at(plane, w, h, bx, by),
+                                    qt, prev_dc, dc_codes, ac_codes)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
