@@ -260,15 +260,20 @@ def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 
 
 def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
-                    qt: list[int] | None = None) -> bytes:
+                    qt: list[int] | None = None,
+                    subsample: str = "444") -> bytes:
     """Encode RGB pixels (row-major, w*h*3) as a baseline COLOR JPEG:
-    JFIF YCbCr transform, 4:4:4 (no subsampling), interleaved
-    Y/Cb/Cr MCUs with per-component DC predictors. All three
-    components reference the same Huffman/quant tables (spec-legal,
-    and what keeps the jar-free codec small); any conformant decoder
-    reads the result."""
+    JFIF YCbCr transform, interleaved MCUs with per-component DC
+    predictors. ``subsample``: "444" (one Y/Cb/Cr block per MCU) or
+    "420" (the real-world default layout: 16x16 MCUs of four Y blocks
+    plus one 2x2-box-averaged Cb and Cr block — half the chroma
+    bytes). All three components reference the same Huffman/quant
+    tables (spec-legal, keeps the jar-free codec small); any
+    conformant decoder reads the result."""
     if len(rgb) != w * h * 3:
         raise ValueError("pixel buffer does not match w*h*3")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     qt = qt or FLAT_QT
     planes: list[list[int]] = [[0] * (w * h) for _ in range(3)]
     for i in range(w * h):
@@ -278,12 +283,39 @@ def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for c in range(3):  # interleaved MCU: Y, Cb, Cr
-                prev[c] = _encode_block(
-                    bw, _block_at(planes[c], w, h, bx, by), qt,
-                    prev[c], dc_codes, ac_codes)
+    if subsample == "444":
+        luma_sampling = b"\x11"
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                for c in range(3):  # interleaved MCU: Y, Cb, Cr
+                    prev[c] = _encode_block(
+                        bw, _block_at(planes[c], w, h, bx, by), qt,
+                        prev[c], dc_codes, ac_codes)
+    else:
+        luma_sampling = b"\x22"
+        cw, chh = -(-w // 2), -(-h // 2)
+        chroma = [[0] * (cw * chh), [0] * (cw * chh)]
+        for cy in range(chh):
+            for cx in range(cw):
+                for k in (1, 2):  # 2x2 box average, edge-replicated
+                    s = 0
+                    for dy in (0, 1):
+                        sy = min(cy * 2 + dy, h - 1)
+                        for dx in (0, 1):
+                            sx = min(cx * 2 + dx, w - 1)
+                            s += planes[k][sy * w + sx]
+                    chroma[k - 1][cy * cw + cx] = (s + 2) // 4
+        for by in range(0, h, 16):
+            for bx in range(0, w, 16):
+                for (dy, dx) in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    prev[0] = _encode_block(
+                        bw, _block_at(planes[0], w, h, bx + dx, by + dy),
+                        qt, prev[0], dc_codes, ac_codes)
+                for c in (1, 2):
+                    prev[c] = _encode_block(
+                        bw, _block_at(chroma[c - 1], cw, chh,
+                                      bx // 2, by // 2),
+                        qt, prev[c], dc_codes, ac_codes)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -295,7 +327,8 @@ def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
     out += seg(0xDB, b"\x00" + zz_qt)
     out += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
                + b"\x03"
-               + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+               + b"\x01" + luma_sampling + b"\x00"
+               + b"\x02\x11\x00" + b"\x03\x11\x00")
     out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
     out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
@@ -391,10 +424,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"{n}-component JPEG not supported")
             for c in range(n):
                 cid, sampling, tq = body[6 + c * 3:9 + c * 3]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                        f"sampling factor {hi}x{vi} not supported "
+                        "(4:4:4 / 4:2:0 / 4:2:2)")
+                comps.append((cid, hi, vi, tq))
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -458,34 +493,54 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         return _idct2(coef), prev_dc
 
     n_comp = len(comps)
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    planes = [[0] * (w * h) for _ in range(n_comp)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # per-component plane dimensions (ceil-scaled by sampling ratio)
+    dims = [(-(-w * hi // hmax), -(-h * vi // vmax))
+            for (_, hi, vi, _) in comps]
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    planes = [[0] * (cw * chh) for (cw, chh) in dims]
     prev = [0] * n_comp
-    for byi in range(bh_blocks):
-        for bxi in range(bw_blocks):
-            for ci, (cid, tq) in enumerate(comps):
+    for myi in range(mcu_rows):
+        for mxi in range(mcu_cols):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 td, ta = sos_tables[cid]
-                px, prev[ci] = read_block(
-                    dc_tbl[td], ac_tbl[ta], qts[tq], prev[ci])
-                plane = planes[ci]
-                for y in range(8):
-                    sy = byi * 8 + y
-                    if sy >= h:
-                        break
-                    for x in range(8):
-                        sx = bxi * 8 + x
-                        if sx >= w:
-                            continue
-                        v = int(round(px[y * 8 + x] + 128.0))
-                        plane[sy * w + sx] = \
-                            0 if v < 0 else (255 if v > 255 else v)
+                cw, chh = dims[ci]
+                for bv in range(vi):
+                    for bh_ in range(hi):
+                        px, prev[ci] = read_block(
+                            dc_tbl[td], ac_tbl[ta], qts[tq], prev[ci])
+                        oy = (myi * vi + bv) * 8
+                        ox = (mxi * hi + bh_) * 8
+                        plane = planes[ci]
+                        for y in range(8):
+                            sy = oy + y
+                            if sy >= chh:
+                                break
+                            for x in range(8):
+                                sx = ox + x
+                                if sx >= cw:
+                                    continue
+                                v = int(round(px[y * 8 + x] + 128.0))
+                                plane[sy * cw + sx] = \
+                                    0 if v < 0 else (255 if v > 255 else v)
     if n_comp == 1:
         return w, h, 1, bytes(planes[0])
     out = bytearray(w * h * 3)
-    for i in range(w * h):
-        r, g, b = ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
-        out[i * 3], out[i * 3 + 1], out[i * 3 + 2] = r, g, b
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for ci in range(3):
+                _, hi, vi, _ = comps[ci]
+                cw, chh = dims[ci]
+                # nearest-neighbor chroma upsample
+                sx = min(x * hi // hmax, cw - 1)
+                sy = min(y * vi // vmax, chh - 1)
+                vals.append(planes[ci][sy * cw + sx])
+            r, g, b = ycbcr_to_rgb(*vals)
+            i = y * w + x
+            out[i * 3], out[i * 3 + 1], out[i * 3 + 2] = r, g, b
     return w, h, 3, bytes(out)
 
 

@@ -181,3 +181,73 @@ def test_decode_image_dispatch_color_jpeg():
     px = bytes([10, 20, 30] * 64)
     w, h, n, raw = decode_image(encode_jpeg_rgb(8, 8, px))
     assert (w, h, n) == (8, 8, 3)
+
+
+# --- 4:2:0 chroma subsampling ---
+
+def test_420_flat_roundtrip():
+    """Flat color: subsampled chroma of a flat plane is the same flat
+    plane, so 4:2:0 stays deterministic end to end."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+    r, g, b = 180, 60, 120
+    px = bytes([r, g, b] * 256)  # 16x16 = one full MCU
+    w, h, n, out = decode_jpeg(encode_jpeg_rgb(16, 16, px, subsample="420"))
+    assert (w, h, n) == (16, 16, 3)
+    want = ycbcr_to_rgb(*rgb_to_ycbcr(r, g, b))
+    assert out == bytes(want * 256)
+
+
+def test_420_roundtrip_psnr_smooth():
+    """Smooth gradient: 4:2:0 chroma loss is modest on low-frequency
+    content — PSNR-bounded round-trip through the full MCU layout
+    (4 Y blocks + subsampled chroma, nearest upsample)."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+    w, h = 32, 32
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 8) % 256, (y * 8) % 256,
+                         ((x + y) * 4) % 256])
+    gw, gh, n, out = decode_jpeg(
+        encode_jpeg_rgb(w, h, bytes(px), subsample="420"))
+    assert (gw, gh, n) == (w, h, 3)
+    assert psnr(bytes(px), out) > 30, psnr(bytes(px), out)
+
+
+def test_420_non_multiple_of_16():
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+    import random
+    rng = random.Random(13)
+    w, h = 19, 13  # partial MCUs both axes
+    # smooth-ish content (random chroma murders 4:2:0 by design)
+    px = bytes(min(255, (i // 3) % 256 + rng.randrange(8))
+               for i in range(w * h * 3))
+    gw, gh, n, out = decode_jpeg(
+        encode_jpeg_rgb(w, h, px, subsample="420"))
+    assert (gw, gh, n) == (w, h, 3)
+    assert psnr(px, out) > 28
+
+
+def test_420_compresses_smaller_than_444():
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        STD_LUMA_QT,
+        encode_jpeg_rgb,
+    )
+    import random
+    rng = random.Random(17)
+    w, h = 32, 32
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    a = len(encode_jpeg_rgb(w, h, px, qt=STD_LUMA_QT, subsample="444"))
+    b = len(encode_jpeg_rgb(w, h, px, qt=STD_LUMA_QT, subsample="420"))
+    assert b < a  # half the chroma blocks must show up in the bytes
