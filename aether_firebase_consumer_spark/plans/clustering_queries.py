@@ -225,3 +225,98 @@ def doc_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("bigint").alias("sum_chars"),
                  (F.sum("n_chars").cast("double") / F.count("*"))
                  .alias("avg_chars")))
+
+
+_NEARDUP_ORACLE = None  # resolved lazily: similarity_queries must load
+
+
+def _neardup_oracle() -> str:
+    global _NEARDUP_ORACLE
+    if _NEARDUP_ORACLE is None:
+        from aether_firebase_consumer_spark.plans import similarity_queries  # noqa: F401
+        _NEARDUP_ORACLE = REGISTRY["similarity_embedding_neardup"].oracle
+    return _NEARDUP_ORACLE
+
+
+def _pagerank_oracle() -> str:
+    it = """,
+    s{n} AS (
+      SELECT e.dst, SUM(r{p}.r // d.deg) AS s
+      FROM e JOIN deg d USING (src)
+      JOIN r{p} ON r{p}.vec_id = e.src
+      GROUP BY e.dst
+    ),
+    r{n} AS (
+      SELECT em.vec_id,
+             CAST(150000000 + (85 * COALESCE(s{n}.s, 0)) // 100 AS BIGINT)
+               AS r
+      FROM embeddings em LEFT JOIN s{n} ON s{n}.dst = em.vec_id
+    )"""
+    sql = f"""
+    WITH nd AS ({_neardup_oracle()}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM nd
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM nd
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS r FROM embeddings)"""
+    for n in (1, 2, 3):
+        sql += it.format(n=n, p=n - 1)
+    sql += """
+    SELECT vec_id, r AS rank_scaled FROM r3
+    """
+    return sql
+
+
+def _register_pagerank() -> None:
+    @register("graph_pagerank_neardup", oracle=_pagerank_oracle())
+    def graph_pagerank_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """PageRank over the near-duplicate similarity graph (3
+        iterations, damping 0.85) — graph analytics as a query: nodes
+        are embedding vectors, undirected edges are the LSH-verified
+        near-dup pairs (``similarity_embedding_neardup``, whose oracle
+        this one embeds verbatim), and the rank surfaces hub documents
+        inside duplication clusters — the ones to KEEP as canonical
+        when collapsing a cluster.
+
+        Cross-engine exactness: ranks are BIGINT scaled by 1e9 and
+        every step is integer arithmetic — contribution = rank DIV
+        degree, damping = 0.15e9 + (85*sum) DIV 100 — so the per-node
+        contribution SUM is order-independent and hash-stable, where
+        float PageRank could never pass a bit-exact gate. Plan shape
+        (the Pregel-lite standard): per iteration one edges⋈ranks
+        shuffle on src and one sum shuffle on dst; edges carry only
+        (src, dst) ids; iterations compose lazily into one DAG — at
+        scale you'd localCheckpoint between them like
+        ``dedup_components`` does."""
+        from aether_firebase_consumer_spark.plans.similarity_queries import (
+            similarity_embedding_neardup,
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        nd = similarity_embedding_neardup(spark, sf_dir)
+        edges = (nd.select(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst"))
+                 .union(nd.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst"))))
+        deg = edges.groupBy("src").agg(F.count("*").cast("bigint")
+                                       .alias("deg"))
+        nodes = emb.select("vec_id")
+        ranks = nodes.select(
+            "vec_id", F.lit(10**9).cast("bigint").alias("r"))
+        for _ in range(3):
+            contrib = (edges.join(deg, "src")
+                       .join(ranks.select(F.col("vec_id").alias("src"),
+                                          "r"), "src")
+                       .select("dst", F.expr("r div deg").alias("c")))
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = (nodes.join(sums, nodes.vec_id == sums.dst, "left")
+                     .select(nodes.vec_id,
+                             (F.lit(150000000).cast("bigint")
+                              + F.expr("(85 * coalesce(s, 0)) div 100")
+                              .cast("bigint")).alias("r")))
+        return ranks.select("vec_id", F.col("r").alias("rank_scaled"))
+
+
+_register_pagerank()
