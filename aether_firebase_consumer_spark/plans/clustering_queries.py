@@ -320,3 +320,78 @@ def _register_pagerank() -> None:
 
 
 _register_pagerank()
+
+
+def _register_triangles() -> None:
+    oracle = f"""
+    WITH nd AS ({_neardup_oracle()}),
+    e AS (SELECT id_a AS a, id_b AS b FROM nd),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT id_a AS v FROM nd UNION ALL SELECT id_b FROM nd)
+      GROUP BY v
+    )
+    SELECT d.v AS vec_id, d.deg, COALESCE(p.n_tri, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+                     / (d.deg * (d.deg - 1))
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coef
+    FROM deg d LEFT JOIN per_node p ON p.v = d.v
+    """
+
+    @register("graph_triangles_neardup", oracle=oracle)
+    def graph_triangles_neardup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """Per-node triangle counts + local clustering coefficient over
+        the near-dup graph — the cohesion metric that separates a
+        TIGHT duplication cluster (every member similar to every
+        other: keep one canonical doc) from a CHAIN of borderline
+        pairs (transitively linked but not mutually similar: collapse
+        cautiously). Canonical-orientation triangle join (a<b<c via
+        the pairs' id_a<id_b invariant): edges e1(a,b)⋈e2(b,c) probe
+        e3(a,c) — each triangle found exactly once, the standard
+        distributed triangle algorithm (two shuffles on edge
+        endpoints; edges carry only id pairs). All counts integer →
+        bit-exact gate; the coefficient's single float division is
+        IEEE-identical on both engines."""
+        from aether_firebase_consumer_spark.plans.similarity_queries import (
+            similarity_embedding_neardup,
+        )
+        nd = similarity_embedding_neardup(spark, sf_dir) \
+            .select("id_a", "id_b")
+        e1 = nd.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        e2 = nd.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+        e3 = nd.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        per_node = (tri.select(F.col("a").alias("v"))
+                    .union(tri.select(F.col("b").alias("v")))
+                    .union(tri.select(F.col("c").alias("v")))
+                    .groupBy("v").agg(F.count("*").cast("bigint")
+                                      .alias("n_tri")))
+        deg = (nd.select(F.col("id_a").alias("v"))
+               .union(nd.select(F.col("id_b").alias("v")))
+               .groupBy("v").agg(F.count("*").cast("bigint").alias("deg")))
+        out = deg.join(per_node, "v", "left")
+        n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+        coef = F.when(
+            F.col("deg") >= 2,
+            (2 * n_tri).cast("double") / (F.col("deg") * (F.col("deg") - 1))
+        ).otherwise(F.lit(0.0))
+        return out.select(F.col("v").alias("vec_id"), "deg",
+                          n_tri.alias("n_triangles"),
+                          coef.alias("clustering_coef"))
+
+
+_register_triangles()

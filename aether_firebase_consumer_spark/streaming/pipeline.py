@@ -102,7 +102,19 @@ class StreamingUpsertJob:
             to_write.unpersist()
 
     def writer(self, stream: DataFrame, checkpoint: str):
-        return (transform(stream, self.cfg)
+        # observe(): per-batch row count + distinct-path reach computed
+        # INSIDE the streaming plan (no extra pass) and surfaced in
+        # every StreamingQueryProgress under observedMetrics — the
+        # counterpart of the reference's every-100-messages report
+        # counter (firebase/app/artifacts.py:305,322,327), but pulled
+        # from the engine, not hand-tallied in a loop
+        metrics = [F.count(F.lit(1)).alias("rows_out")]
+        if self.cfg.subscriptions:  # target_path only exists when routed
+            metrics.append(F.approx_count_distinct("target_path")
+                           .alias("paths_reached"))
+        observed = transform(stream, self.cfg).observe(
+            "afcs_pipeline", *metrics)
+        return (observed
                 .writeStream
                 .foreachBatch(self.process_batch)
                 .option("checkpointLocation", checkpoint)

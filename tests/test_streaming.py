@@ -951,3 +951,28 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got["k2"] == 1, got        # within-watermark duplicate dropped
     assert got["k1"] == 2, got        # re-emitted after state eviction
     assert got["adv1"] == got["adv2"] == 1, got
+
+
+def test_pipeline_observed_metrics(spark, tmp_path):
+    """observe(): rows_out and paths_reached computed inside the
+    streaming plan and surfaced in StreamingQueryProgress — the
+    engine-side replacement for the reference's hand-tallied
+    report counter (artifacts.py:305,322,327)."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HashStateTable,
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.pipeline import (
+        StreamingUpsertJob,
+    )
+    doc_table = ParquetUpsertTable(spark, str(tmp_path / "docs_om"), ["id"])
+    hash_table = HashStateTable(spark, str(tmp_path / "hashes_om"))
+    job = StreamingUpsertJob(_cfg(), doc_table, hash_table)
+    stream = _docs(spark, tmp_path)
+    q = job.writer(stream, str(tmp_path / "ckpt_om")).start()
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    om = progress["observedMetrics"]["afcs_pipeline"]
+    assert om["rows_out"] == doc_table.read().count()
+    assert om["paths_reached"] >= 1  # click + view routes (HLL approx)
