@@ -145,6 +145,22 @@ class ParquetUpsertTable:
             return
         pc = self.partition_col
         touched = [r[0] for r in batch1.select(pc).distinct().collect()]
+        # a key may MOVE partitions (its new row lands in a partition
+        # its old row doesn't live in); the old copy must not survive
+        # the merge, so partitions holding moved keys join the rewrite
+        # set. Cost: one key-column semi-join over the untouched
+        # partitions (column-pruned scan of keys only) — the price of
+        # true MERGE-by-key semantics; partitions rewritten stay
+        # O(batch ∩ partitions ∪ moved-key partitions)
+        moved = (current.filter(~_touched_filter(pc, touched))
+                 .join(batch1.select(*self.key_cols),
+                       self.key_cols, "left_semi")
+                 .select(pc).distinct())
+        seen = {hive_partition_value(t) for t in touched}
+        for r in moved.collect():  # bounded by batch key count
+            if hive_partition_value(r[0]) not in seen:
+                touched.append(r[0])
+                seen.add(hive_partition_value(r[0]))
         keep = (current.filter(_touched_filter(pc, touched))
                 .join(batch1.select(*self.key_cols),
                       self.key_cols, "left_anti"))

@@ -150,3 +150,69 @@ def test_avro_codec_roundtrip_property(rec):
     )
     assert decode_record(_AVRO_PROP_SCHEMA,
                          encode_record(_AVRO_PROP_SCHEMA, rec)) == rec
+
+
+def test_upsert_table_model_based_op_sequences(spark, tmp_path):
+    """Model-based check of the upsert table: a random sequence of
+    merge / delete / partitioned-merge / vacuum operations must leave
+    the table equal to a plain Python dict applying the same ops, and
+    time travel must reproduce every retained snapshot. Derandomized
+    hypothesis (fixed seeds) so the suite stays deterministic."""
+    import random as _random
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    for seed in (0, 1, 2):
+        rng = _random.Random(seed)
+        path = str(tmp_path / f"model_{seed}")
+        t = ParquetUpsertTable(spark, path, ["id"],
+                               partition_col="part",
+                               retain_versions=50)
+        model: dict[str, tuple] = {}
+        snapshots: list[dict] = []
+        for step in range(8):
+            op = rng.choice(["merge", "merge", "merge", "delete"])
+            if op == "merge" or not model:
+                n = rng.randint(1, 6)
+                rows = [(f"k{rng.randint(0, 9)}",
+                         rng.randint(0, 99),
+                         f"p{rng.randint(0, 2)}")
+                        for _ in range(n)]
+                # dropDuplicates keeps an arbitrary row per key within
+                # a batch; make batches key-unique so the model is
+                # well-defined (the sink's documented contract)
+                uniq = {}
+                for r in rows:
+                    uniq[r[0]] = r
+                rows = list(uniq.values())
+                df = spark.createDataFrame(
+                    rows, "id string, v int, part string")
+                t.merge(df)
+                for (k, v, p) in rows:
+                    model[k] = (v, p)
+            else:
+                keys = rng.sample(sorted(model), rng.randint(
+                    1, min(3, len(model))))
+                t.delete_keys(spark.createDataFrame(
+                    [(k,) for k in keys], "id string"))
+                for k in keys:
+                    model.pop(k)
+            got = {r["id"]: (r["v"], r["part"])
+                   for r in (t.read().collect() if t.read() is not None
+                             else [])}
+            assert got == model, (seed, step, op)
+            snapshots.append(dict(model))
+        # time travel: every retained version replays its snapshot
+        vers = t.versions()
+        assert len(vers) == len(snapshots)
+        for v, snap in zip(vers, snapshots):
+            got = {r["id"]: (r["v"], r["part"])
+                   for r in t.read_version(v).collect()}
+            assert got == snap, (seed, v)
+        # vacuum keeps the newest snapshots readable
+        t.vacuum(keep_last_n=2)
+        assert len(t.versions()) == 2
+        got = {r["id"]: (r["v"], r["part"]) for r in t.read().collect()}
+        assert got == model
