@@ -295,3 +295,57 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                           pred.alias("predicted"))
             .groupBy("actual", "predicted")
             .agg(F.count("*").cast("bigint").alias("n")))
+
+
+@register(
+    "text_char_bigram_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, length(text) - 1),
+               i -> substr(text, i, 2))) AS bg
+      FROM documents WHERE length(text) >= 2
+    ),
+    counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c
+               FROM bg GROUP BY bg),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bg)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.c) AS BIGINT) AS sum_counts,
+           CAST(SUM(c.c) AS DOUBLE) / CAST(COUNT(*) * t.total AS DOUBLE)
+             AS score
+    FROM bg b JOIN counts c USING (bg), tot t
+    GROUP BY b.doc_id, t.total
+    """,
+)
+def text_char_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality score without a model: the
+    corpus's own character-bigram distribution IS the model (the
+    KenLM-filter idea at its cheapest). Each document scores as the
+    mean corpus-frequency of its bigrams — gibberish, binary spew, and
+    wrong-language text sit in the low tail; the score is a RATIO of
+    exact integer counts (one double division at the end), not a sum
+    of logs, so the gate stays bit-exact cross-engine (the 'rational
+    form over ln' rule).
+
+    Scale shape: the bigram vocabulary is tiny (bounded by charset²),
+    so the frequency table broadcasts and the per-doc scoring join is
+    map-side; the only shuffles are the vocabulary count and the
+    per-doc aggregation. Training and scoring are ONE pass each over
+    the same exploded frame — Spark reuses the scan."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.length("text") >= 2)
+    bg = docs.select("doc_id", F.explode(F.expr(
+        "transform(sequence(1, length(text) - 1), "
+        "i -> substring(text, i, 2))")).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count("*").cast("bigint").alias("c"))
+    tot = bg.agg(F.count("*").cast("bigint").alias("total"))
+    scored = (bg.join(F.broadcast(counts), "bg")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                   F.sum("c").cast("bigint").alias("sum_counts")))
+    return (scored.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_bigrams", "sum_counts",
+                    (F.col("sum_counts").cast("double")
+                     / (F.col("n_bigrams") * F.col("total"))
+                     .cast("double")).alias("score")))
