@@ -309,3 +309,60 @@ def doc_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .drop("rn"))
+
+
+@register(
+    "corpus_token_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tok_lang
+      FROM t GROUP BY lang
+    ),
+    budget AS (SELECT MIN(tok_lang) AS target FROM per_lang),
+    kept AS (
+      SELECT t.doc_id, t.lang, t.n_tok, p.tok_lang, b.target
+      FROM t JOIN per_lang p USING (lang), budget b
+      WHERE {_H60.format(e="CAST(t.doc_id AS VARCHAR)")} % p.tok_lang
+            < b.target
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(MAX(tok_lang) AS BIGINT) AS tokens_before,
+           CAST(MAX(target) AS BIGINT) AS token_budget
+    FROM kept GROUP BY lang
+    """,
+)
+def corpus_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture resampling — how pretraining mixtures are
+    actually specified (token shares, not doc counts): every language
+    downsamples toward the smallest language's token mass. A doc
+    survives iff ``hash(doc_id) mod tok_lang < target`` — an integer
+    Bernoulli with rate target/tok_lang, deterministic and
+    content-independent, so the mixture reproduces across engines,
+    cluster sizes, and reruns (``sample()`` does not). Expected kept
+    tokens per language ≈ the budget; the report shows achieved vs
+    target. Shuffles: one tiny per-language aggregate (broadcast back)
+    + the final report aggregation; the corpus itself never shuffles."""
+    from aether_firebase_consumer_spark.operators.dedup import portable_hash60
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang",
+                    F.size(F.split("text", " ")).cast("bigint")
+                    .alias("n_tok"))
+    per_lang = t.groupBy("lang").agg(F.sum("n_tok").cast("bigint")
+                                     .alias("tok_lang"))
+    budget = per_lang.agg(F.min("tok_lang").alias("target"))
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    kept = (t.join(F.broadcast(per_lang), "lang")
+            .crossJoin(F.broadcast(budget))
+            .where((h % F.col("tok_lang")) < F.col("target")))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs_kept"),
+                 F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+                 F.max("tok_lang").cast("bigint").alias("tokens_before"),
+                 F.max("target").cast("bigint").alias("token_budget")))
