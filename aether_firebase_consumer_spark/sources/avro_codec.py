@@ -599,11 +599,25 @@ def read_avro_container_py(spark, path: str,
     def decode_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
-                _, recs = parse_avro_container(bytes(content), tagged=True)
+                writer, recs = parse_avro_container(bytes(content),
+                                                    tagged=True)
                 rows = []
-                for r in recs:
-                    shaped = _shape(avsc, r)
-                    rows.append([shaped.get(n) for n in field_names])
+                if json.dumps(writer, sort_keys=True) \
+                        == json.dumps(avsc, sort_keys=True):
+                    for r in recs:
+                        shaped = _shape(avsc, r)
+                        rows.append([shaped.get(n) for n in field_names])
+                else:
+                    # schema evolution: this file was written under a
+                    # DIFFERENT schema — decode with the writer's (the
+                    # only correct way to read its bytes), then apply
+                    # spec Schema Resolution toward the reader schema
+                    # (defaults, dropped fields, promotions). Per-file
+                    # dispatch, so one directory can mix generations.
+                    for r in recs:
+                        resolved = resolve_record(writer, avsc, _untag(r))
+                        shaped = _shape(avsc, resolved)
+                        rows.append([shaped.get(n) for n in field_names])
                 yield pd.DataFrame(rows, columns=field_names)
 
     files = (spark.read.format("binaryFile")
@@ -731,3 +745,129 @@ def write_avro_dataset(df: DataFrame, path: str,
 
     manifest = df.mapInPandas(write_files, schema="file string, n_rows long")
     return sum(r["n_rows"] for r in manifest.collect())
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution"): reader vs writer
+# ---------------------------------------------------------------------------
+
+#: legal primitive promotions, (writer, reader)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _kind(t: Any) -> Any:
+    """Normalized type tag: primitive name, 'union', or the dict for
+    named/complex types (unwrapping {'type': 'int', ...} wrappers)."""
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, str):
+        return t
+    inner = t.get("type")
+    if inner in ("record", "enum", "array", "map", "fixed"):
+        return t
+    return inner  # primitive carrying logicalType/metadata
+
+
+def _default_value(r: Any, default: Any) -> Any:
+    """Avro JSON default -> Python value for reader type ``r``."""
+    k = _kind(r)
+    if k == "union":
+        return _default_value(r[0], default)  # default typed by branch 0
+    if k == "bytes" or (isinstance(k, dict) and k["type"] == "fixed"):
+        return default.encode("latin-1") if isinstance(default, str) \
+            else default
+    if isinstance(k, dict) and k["type"] == "record":
+        return {f["name"]: _default_value(f["type"], f.get("default"))
+                for f in k["fields"]} if default is None else {
+            f["name"]: _default_value(f["type"],
+                                      default.get(f["name"], f.get("default")))
+            for f in k["fields"]}
+    return default
+
+
+def resolve_value(w: Any, r: Any, v: Any) -> Any:
+    """Resolve a value decoded under writer type ``w`` to reader type
+    ``r`` per the spec's Schema Resolution rules (untagged values;
+    ambiguous-shape reader unions are out of scope and raise)."""
+    wk, rk = _kind(w), _kind(r)
+    # unions on either side: pick the branches that apply
+    if wk == "union" and v is None:
+        wb = "null"
+    elif wk == "union":
+        wb = next((b for b in w if b != "null" and _matches(v, b, True)),
+                  None) or next(b for b in w if b != "null" and _matches(v, b))
+    else:
+        wb = w
+    if rk == "union":
+        if v is None and "null" in r:
+            return None
+        for cand in r:
+            if cand == "null":
+                continue
+            try:
+                return resolve_value(wb, cand, v)
+            except (ValueError, TypeError, KeyError):
+                continue
+        raise ValueError(f"no reader union branch accepts {v!r}")
+    if wk == "union":
+        return resolve_value(wb, r, v)
+
+    wn = wb if isinstance(wb, str) else wb["type"]
+    rn = rk if isinstance(rk, str) else rk["type"]
+    if wn == rn:
+        if rn == "record":
+            wfields = {f["name"]: f for f in wb["fields"]}
+            out = {}
+            for f in rk["fields"]:
+                if f["name"] in wfields:
+                    out[f["name"]] = resolve_value(
+                        wfields[f["name"]]["type"], f["type"],
+                        v[f["name"]])
+                elif "default" in f:
+                    out[f["name"]] = _default_value(f["type"], f["default"])
+                else:
+                    raise ValueError(
+                        f"reader field {f['name']!r} missing from writer "
+                        "and has no default")
+            return out
+        if rn == "array":
+            return [resolve_value(wb["items"], rk["items"], x) for x in v]
+        if rn == "map":
+            return {k2: resolve_value(wb["values"], rk["values"], x)
+                    for k2, x in v.items()}
+        if rn == "enum":
+            if v not in rk["symbols"]:
+                if "default" in rk:
+                    return rk["default"]
+                raise ValueError(f"enum symbol {v!r} not in reader symbols")
+            return v
+        if rn == "fixed":
+            if wb.get("size") != rk.get("size"):
+                raise ValueError("fixed size mismatch")
+            return v
+        return v
+    if (wn, rn) in _PROMOTIONS:
+        if rn == "long":
+            return int(v)
+        if rn in ("float", "double"):
+            return float(v)
+        if rn == "bytes":
+            return v.encode("utf-8")
+        if rn == "string":
+            return v.decode("utf-8")
+    raise ValueError(f"cannot resolve writer {wn!r} to reader {rn!r}")
+
+
+def resolve_record(writer_avsc: Mapping[str, Any],
+                   reader_avsc: Mapping[str, Any],
+                   record: Mapping[str, Any]) -> dict[str, Any]:
+    """Spec schema resolution for one decoded record: reader-side field
+    defaults, writer-only fields dropped, primitive promotions
+    (int→long→float→double, string↔bytes), recursing through
+    records/arrays/maps/nullable unions."""
+    return resolve_value(writer_avsc, reader_avsc, record)

@@ -486,3 +486,79 @@ def test_property_container_roundtrip(tmp_path):
         assert avsc["name"] == "doc"
 
     check()
+
+
+# --- schema resolution (reader vs writer) ---
+
+V1 = {"type": "record", "name": "doc", "fields": [
+    {"name": "id", "type": "string"},
+    {"name": "n", "type": "int"},
+    {"name": "legacy", "type": "string"},
+    {"name": "xs", "type": {"type": "array", "items": "int"}},
+    {"name": "m", "type": {"type": "map", "values": "float"}},
+    {"name": "u", "type": ["null", "int"]},
+]}
+V2 = {"type": "record", "name": "doc", "fields": [
+    {"name": "id", "type": "bytes"},                      # string->bytes
+    {"name": "n", "type": "long"},                        # int->long
+    {"name": "tag", "type": "string", "default": "x"},    # added w/default
+    {"name": "xs", "type": {"type": "array", "items": "double"}},
+    {"name": "m", "type": {"type": "map", "values": "double"}},
+    {"name": "u", "type": ["null", "long"]},              # union promote
+    {"name": "nested", "type": {
+        "type": "record", "name": "geo", "fields": [
+            {"name": "lat", "type": "float"}]},
+     "default": {"lat": 0.5}},                            # record default
+]}
+
+
+def test_schema_resolution_rules():
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        resolve_record,
+    )
+    rec = {"id": "a", "n": 3, "legacy": "drop me",
+           "xs": [1, 2], "m": {"k": 1.5}, "u": 7}
+    got = resolve_record(V1, V2, rec)
+    assert got == {"id": b"a", "n": 3, "tag": "x",
+                   "xs": [1.0, 2.0], "m": {"k": 1.5}, "u": 7,
+                   "nested": {"lat": 0.5}}
+    # null union branch survives
+    rec2 = dict(rec, u=None)
+    assert resolve_record(V1, V2, rec2)["u"] is None
+    # reader field missing from writer without default -> error
+    import pytest as _pytest
+    bad_reader = {"type": "record", "name": "doc", "fields": [
+        {"name": "nope", "type": "int"}]}
+    with _pytest.raises(ValueError, match="no default"):
+        resolve_record(V1, bad_reader, rec)
+
+
+def test_container_read_resolves_mixed_schema_directory(spark, tmp_path):
+    """One directory, two schema generations: files decode under their
+    OWN writer schema, then resolve to the reader schema — the
+    evolution scenario every long-lived ingest directory hits."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_avro_container_py,
+        write_avro_container,
+    )
+    import json as _json
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    old = {"type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "n", "type": "int"}]}
+    new = {"type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "tag", "type": "string", "default": "legacy"}]}
+    write_avro_container(str(d / "gen1.avro"), old,
+                         [{"id": "a", "n": 1}, {"id": "b", "n": 2}])
+    write_avro_container(str(d / "gen2.avro"), new,
+                         [{"id": "c", "n": 3, "tag": "fresh"}])
+    df = read_avro_container_py(spark, str(d),
+                                avsc_json=_json.dumps(new))
+    rows = {r["id"]: (r["n"], r["tag"]) for r in df.collect()}
+    assert rows == {"a": (1, "legacy"), "b": (2, "legacy"),
+                    "c": (3, "fresh")}
+    assert dict(df.dtypes)["n"] == "bigint"
