@@ -10,8 +10,9 @@ oracle-gated queries.
 Scope (raised as ``ValueError`` outside it, never silently wrong):
 
 * PNG: 8-bit depth, color types 0 (grayscale), 2 (RGB), 6 (RGBA);
-  all five scanline filters (None/Sub/Up/Average/Paeth) on decode;
-  no interlace (Adam7), no palette, no 16-bit. That covers the vast
+  all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
+  palette (color type 3, PLTE) expanded to RGB; no interlace (Adam7),
+  no 16-bit. That covers the vast
   majority of ML-corpus PNGs; the rest raise with a clear message.
 * BMP: BITMAPINFOHEADER, 24-bit BI_RGB (uncompressed), bottom-up or
   top-down, 4-byte row padding.
@@ -125,13 +126,15 @@ def encode_png(w: int, h: int, raw: bytes, color_type: int = 2,
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG: returns (width, height, channels, raw pixel bytes,
     row-major). Verifies the signature and per-chunk CRCs; supports
-    8-bit gray/RGB/RGBA with any mix of scanline filters; raises
-    ``ValueError`` for interlace/palette/16-bit (out of scope, see
-    module docstring)."""
+    8-bit gray/RGB/RGBA and palette (PLTE, expanded to RGB) with any
+    mix of scanline filters; raises ``ValueError`` for
+    interlace/16-bit/gray+alpha (out of scope, see module docstring)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
     w = h = ch = None
+    palette = None
+    color_type = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
@@ -150,11 +153,18 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("interlaced (Adam7) PNG not supported")
             if comp or filt:
                 raise ValueError("nonstandard PNG compression/filter method")
-            ch = _PNG_CHANNELS.get(color_type)
+            if color_type == 3:
+                ch = 1  # palette indices; expanded to RGB after unfilter
+            else:
+                ch = _PNG_CHANNELS.get(color_type)
             if ch is None:
                 raise ValueError(
                     f"unsupported PNG color type {color_type} "
-                    "(palette/gray+alpha out of scope)")
+                    "(gray+alpha out of scope)")
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = bytes(data)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -175,6 +185,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         _unfilter_scanline(ftype, row, prev, ch)
         out[y * stride:(y + 1) * stride] = row
         prev = bytes(row)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = bytearray(w * h * 3)
+        for i, ci in enumerate(out):
+            if ci * 3 + 3 > len(palette):
+                raise ValueError(f"palette index {ci} out of range")
+            rgb[i * 3:i * 3 + 3] = palette[ci * 3:ci * 3 + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, ch, bytes(out)
 
 

@@ -9,7 +9,7 @@ encoder produces spec-conformant streams the decoder (or any JPEG
 reader) consumes.
 
 Scope: baseline sequential DCT (SOF0), single component (grayscale),
-8-bit, no restart markers. Color / progressive / restart raise
+8-bit, with DRI/RSTn restart intervals. Progressive streams raise
 ``ValueError`` with a clear message. JPEG is lossy: round-trips are
 near-exact (PSNR-bounded in tests); a FLAT 8x8 block is bit-exact
 (DC-only coefficient, integer arithmetic end-to-end), which is what the
@@ -186,6 +186,17 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker: discard pad bits to the byte
+        boundary, expect FF D0..D7, continue after it."""
+        self.n = 0  # drop remaining pad bits in the current byte
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return
+        raise ValueError("expected RSTn marker at restart interval")
+
 
 def _extend(v: int, cat: int) -> int:
     """T.81 F.12: map cat-bit magnitude to signed value."""
@@ -338,11 +349,15 @@ def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
 
 
 def encode_jpeg_gray(w: int, h: int, pixels: bytes,
-                     qt: list[int] | None = None) -> bytes:
+                     qt: list[int] | None = None,
+                     restart_interval: int = 0) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, w*h bytes) as a
     baseline JPEG. ``qt`` is the 64-entry row-major quantization table
     (default: unit table — numerically gentlest; pass STD_LUMA_QT for
-    realistic compression). Edge blocks pad by edge replication."""
+    realistic compression). Edge blocks pad by edge replication.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset) — the layout camera/encoder
+    pipelines use for error resilience."""
     if len(pixels) != w * h:
         raise ValueError("pixel buffer does not match w*h")
     qt = qt or FLAT_QT
@@ -351,8 +366,17 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     bw = _BitWriter()
     prev_dc = 0
     plane = list(pixels)
+    mcu_i = 0
+    rst_i = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu_i \
+                    and mcu_i % restart_interval == 0:
+                bw.flush()  # byte-align (pad bits), then the marker
+                bw.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(bw, _block_at(plane, w, h, bx, by),
                                     qt, prev_dc, dc_codes, ac_codes)
     bw.flush()
@@ -369,6 +393,8 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
                + b"\x01\x11\x00")                      # id 1, 1x1, qt 0
     out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")      # SOS
     out += bw.out
     out += b"\xff\xd9"                                 # EOI
@@ -390,6 +416,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     ac_tbl: dict[int, dict] = {}
     w = h = None
     comps: list[tuple[int, int]] = []  # (component id, qt id) in SOF order
+    restart_interval = 0
     scan = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -440,7 +467,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 (ac_tbl if tc else dc_tbl)[th] = _build_decode(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:
-            raise ValueError("restart markers not supported")
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:
             ns = body[0]
             tables = {}
@@ -502,8 +529,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     mcu_rows = -(-h // (8 * vmax))
     planes = [[0] * (cw * chh) for (cw, chh) in dims]
     prev = [0] * n_comp
+    mcu_i = 0
     for myi in range(mcu_rows):
         for mxi in range(mcu_cols):
+            if restart_interval and mcu_i \
+                    and mcu_i % restart_interval == 0:
+                # DRI: byte-align, consume RSTn, reset DC predictors
+                br.sync_restart()
+                prev = [0] * n_comp
+            mcu_i += 1
             for ci, (cid, hi, vi, tq) in enumerate(comps):
                 td, ta = sos_tables[cid]
                 cw, chh = dims[ci]

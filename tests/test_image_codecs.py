@@ -316,3 +316,46 @@ def test_gif_package_encoder_roundtrip_and_agreement():
     b = decode_gif(_make_gif(8, 8, PALETTE4, idx))
     assert a == b
     assert a[2] == b"".join(PALETTE4[i * 3:i * 3 + 3] for i in idx)
+
+
+def test_png_palette_decode():
+    """Color type 3: PLTE palette + filtered index scanlines expand to
+    RGB; out-of-range indices and missing PLTE are rejected."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        _filter_scanline,
+        decode_png,
+    )
+    w, h = 4, 3
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2])
+    lines = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        row = idx[y * w:(y + 1) * w]
+        ftype = y % 3  # mix None/Sub/Up filters on index data
+        lines.append(ftype)
+        lines += _filter_scanline(ftype, row, prev, 1)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF))
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal) \
+        + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+    gw, gh, ch, rgb = decode_png(png)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert rgb == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+
+    # missing PLTE
+    bad = PNG_SIG + chunk(b"IHDR", ihdr) \
+        + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bad)
+    # out-of-range index
+    short_pal = pal[:6]
+    bad2 = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", short_pal) \
+        + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bad2)

@@ -251,3 +251,40 @@ def test_420_compresses_smaller_than_444():
     a = len(encode_jpeg_rgb(w, h, px, qt=STD_LUMA_QT, subsample="444"))
     b = len(encode_jpeg_rgb(w, h, px, qt=STD_LUMA_QT, subsample="420"))
     assert b < a  # half the chroma blocks must show up in the bytes
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: flat multi-block image with restart interval 2 — the
+    decoder must byte-align at each marker, verify RSTn, and reset DC
+    predictors exactly when the encoder did."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    vals = [10, 250, 30, 200, 90, 60]
+    w, h = 48, 8  # 6 MCUs in a row
+    px = bytearray(w * h)
+    for bi, v in enumerate(vals):
+        for y in range(8):
+            for x in range(8):
+                px[y * w + bi * 8 + x] = v
+    jpg = encode_jpeg_gray(w, h, bytes(px), restart_interval=2)
+    assert b"\xff\xdd" in jpg          # DRI present
+    assert jpg.count(b"\xff\xd0") + jpg.count(b"\xff\xd1") \
+        + jpg.count(b"\xff\xd2") >= 2  # RSTn markers in the scan
+    assert decode_jpeg_gray(jpg) == (w, h, bytes(px))
+
+
+def test_restart_markers_random_content():
+    import random
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    rng = random.Random(21)
+    w, h = 32, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    jpg = encode_jpeg_gray(w, h, px, restart_interval=3)
+    gw, gh, out = decode_jpeg_gray(jpg)
+    assert (gw, gh) == (w, h)
+    assert psnr(px, out) > 40
