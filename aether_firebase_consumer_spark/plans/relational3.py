@@ -266,3 +266,37 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.groupBy("l_returnflag")
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
+
+
+#: One SQL text, two engines: the same ANSI string runs through
+#: spark.sql() AND as the DuckDB oracle (modulo nothing — kept to the
+#: dialect intersection), proving the SQL front-end surface on top of
+#: the same Catalyst plans the DataFrame queries compile to.
+_SQL_FRONTEND = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderpriority LIKE '1-%'
+    GROUP BY n.n_name
+    HAVING COUNT(DISTINCT o.o_orderkey) > 5
+"""
+
+
+@register("sql_frontend_revenue", oracle=_SQL_FRONTEND)
+def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front end: fixture tables registered as temp
+    views, the query submitted as ONE ANSI SQL string through
+    ``spark.sql`` — the exact same text the DuckDB oracle executes, so
+    the gate proves dialect-intersection portability, not just result
+    parity. Catalyst plans it identically to the DataFrame-built
+    equivalents (broadcast dims, partial aggregation); DECIMAL
+    accumulation keeps the DOUBLE projection bit-stable."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_FRONTEND)

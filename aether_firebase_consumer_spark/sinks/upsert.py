@@ -259,6 +259,40 @@ class ParquetUpsertTable:
         for old in range(v - self.retain_versions + 1):
             shutil.rmtree(self._data_dir(old), ignore_errors=True)
 
+    def optimize(self, zorder_cols: list[str] | None = None,
+                 num_files: int | None = None) -> None:
+        """Rewrite the CURRENT version into a new, better-laid-out
+        version (the lakehouse OPTIMIZE [ZORDER BY] maintenance op):
+        with ``zorder_cols``, rows cluster on the Morton-interleaved
+        key (multi-column footer-stats pruning — see
+        ``sinks/layout.py``); without, a plain small-file compaction
+        (round-robin to ``num_files``). Readers are never disturbed:
+        the rewrite lands as a NEW version behind the atomic pointer
+        swap, and time travel still reaches the pre-optimize
+        snapshots. Row content is identical by construction."""
+        current = self.read()
+        if current is None:
+            return
+        v = self.current_version() + 1
+        target = self._data_dir(v)
+        parts = num_files or self.spark.sparkContext.defaultParallelism
+        if zorder_cols:
+            from aether_firebase_consumer_spark.sinks.layout import (
+                zorder_key,
+            )
+            key, _ = zorder_key(current, zorder_cols)
+            out = (current.withColumn("__zkey", key)
+                   .repartitionByRange(parts, "__zkey")
+                   .sortWithinPartitions("__zkey")
+                   .drop("__zkey"))
+        else:
+            out = current.repartition(parts)
+        writer = out.write.mode("overwrite")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(target)
+        self._commit(v)
+
     def vacuum(self, keep_last_n: int) -> list[int]:
         """Explicitly drop all but the newest ``keep_last_n`` retained
         versions — the storage-reclaim path for tables configured with

@@ -106,3 +106,39 @@ def test_zorder_key_constant_column(spark):
     assert bounds["k"] == (42, 42)
     vals = [r[0] for r in df.select(key).collect()]
     assert len(set(vals)) > 1  # id still differentiates
+
+
+def test_upsert_table_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE ZORDER on the upsert table: content identical, new
+    version behind the pointer, footer ranges narrowed on both
+    cluster columns, pre-optimize snapshot still time-travelable."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    t = ParquetUpsertTable(spark, str(tmp_path / "opt"), ["event_id"],
+                           retain_versions=5)
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("event_id", "user_id", "value").repartition(16)
+    t.merge(ev)
+    v_before = t.current_version()
+    before_sum = t.read().agg(F.sum("user_id")).first()[0]
+
+    t.optimize(zorder_cols=["user_id", "value"], num_files=16)
+
+    assert t.current_version() == v_before + 1
+    got = t.read()
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("user_id")).first()[0] == before_sum
+    # clustered layout: mean footer range width shrinks on BOTH columns
+    import os
+    vdir = os.path.join(str(tmp_path / "opt"), f"v{v_before + 1}")
+    pdir = os.path.join(str(tmp_path / "opt"), f"v{v_before}")
+
+    def widths(path, col):
+        rs = cluster_ranges(path, col)
+        return sum(float(hi) - float(lo) for lo, hi in rs) / len(rs)
+
+    for col in ("user_id", "value"):
+        assert widths(vdir, col) < 0.7 * widths(pdir, col), col
+    # pre-optimize version still readable (time travel)
+    assert t.read_version(v_before).count() == ev.count()
