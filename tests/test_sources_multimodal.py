@@ -510,3 +510,42 @@ def test_mulaw_expand_matches_audioop_all_codes():
     want = struct.unpack("<256h", raw)
     got = tuple(mulaw_expand(b) for b in range(256))
     assert got == want
+
+
+def test_scan_image_files_mixed_directory(spark, tmp_path):
+    """End-to-end file ingestion: a directory of real PNG/BMP/GIF/JPEG
+    files (written by the engine's own encoders) plus one corrupt file
+    scans into typed metadata rows; the corrupt file quarantines as
+    ok=false instead of failing the job."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        scan_image_files,
+    )
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rgb = bytes(range(12)) * 4  # 4x4 RGB
+    (d / "a.png").write_bytes(encode_png(4, 4, rgb))
+    (d / "b.bmp").write_bytes(encode_bmp(4, 4, rgb))
+    (d / "c.gif").write_bytes(encode_gif(
+        2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7]),
+        [0, 1, 2, 3]))
+    (d / "d.jpg").write_bytes(encode_jpeg_gray(8, 8, bytes([9] * 64)))
+    (d / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\n garbage")
+
+    out = scan_image_files(spark, str(d))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert rows["a.png"]["ok"] and rows["a.png"]["width"] == 4 \
+        and rows["a.png"]["channels"] == 3
+    assert rows["b.bmp"]["ok"] and rows["b.bmp"]["n_pixel_bytes"] == 48
+    assert rows["c.gif"]["ok"] and (rows["c.gif"]["width"],
+                                    rows["c.gif"]["height"]) == (2, 2)
+    assert rows["d.jpg"]["ok"] and rows["d.jpg"]["channels"] == 1
+    assert not rows["bad.png"]["ok"]
+    assert rows["bad.png"]["error"]  # quarantined with a reason
