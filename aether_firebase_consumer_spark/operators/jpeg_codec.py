@@ -1,5 +1,5 @@
-"""Pure-Python baseline JPEG codec (grayscale, ITU T.81 Annex K
-tables) — no PIL, stdlib only.
+"""Pure-Python baseline JPEG codec (grayscale AND YCbCr color,
+ITU T.81 Annex K tables) — no PIL, stdlib only.
 
 Completes the native image-codec family (PPM/PNG/BMP/GIF): the decoder
 handles the real baseline pipeline — marker parse, DQT/DHT table load,
@@ -8,7 +8,8 @@ dequantization, inverse zigzag, 2-D IDCT, level shift + clamp — and the
 encoder produces spec-conformant streams the decoder (or any JPEG
 reader) consumes.
 
-Scope: baseline sequential DCT (SOF0), single component (grayscale),
+Scope: baseline sequential DCT (SOF0), 1-component grayscale or
+3-component YCbCr (4:4:4 and 4:2:0),
 8-bit, with DRI/RSTn restart intervals. Progressive streams raise
 ``ValueError`` with a clear message. JPEG is lossy: round-trips are
 near-exact (PSNR-bounded in tests); a FLAT 8x8 block is bit-exact

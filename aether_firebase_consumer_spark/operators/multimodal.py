@@ -7,11 +7,14 @@ Design for 100 TB: blobs stay columnar (parquet BinaryType) or become
 spot; decode runs executor-side in Arrow batches — the only Python in
 the engine's hot paths, because codec work is genuinely imperative.
 
-The actual image/audio codecs are NOT in this container, so the decode
-kernels are stubbed: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless PIL/soundfile import; the *plumbing*
-(schema, batch iteration, partitioning, UDF signatures) is real and
-tested with the deterministic fake kernel.
+Codecs: the engine ships its OWN pure-Python decoders — PPM (P6),
+PNG (all five filters + palette), 24-bit BMP, GIF87a/89a (full LZW),
+baseline JPEG gray+color with 4:2:0 and restart intervals
+(``operators/jpeg_codec.py``), PCM WAV (stdlib ``wave``) and G.711
+mu-law — so ``decode_image``/``decode_audio`` run REAL decodes with no
+PIL/soundfile. Only TIFF/WebP/compressed-audio/video remain env-gated
+(``NotImplementedError`` with a clear message). ``scan_image_files``
+ingests real files via binaryFile with corrupt-blob quarantine.
 """
 
 from __future__ import annotations
