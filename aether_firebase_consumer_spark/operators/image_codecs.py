@@ -11,7 +11,7 @@ Scope (raised as ``ValueError`` outside it, never silently wrong):
 
 * PNG: 8-bit depth, color types 0 (grayscale), 2 (RGB), 6 (RGBA);
   all five scanline filters (None/Sub/Up/Average/Paeth) on decode,
-  palette (color type 3, PLTE) expanded to RGB; no interlace (Adam7),
+  palette (color type 3, PLTE) expanded to RGB, Adam7 interlacing;
   no 16-bit. That covers the vast
   majority of ML-corpus PNGs; the rest raise with a clear message.
 * BMP: BITMAPINFOHEADER, 24-bit BI_RGB (uncompressed), bottom-up or
@@ -28,6 +28,10 @@ import zlib
 from binascii import crc32
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Adam7 interlace lattice: (x_init, y_init, x_step, y_step) per pass
+ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 #: channels per pixel for the supported PNG color types
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -127,8 +131,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG: returns (width, height, channels, raw pixel bytes,
     row-major). Verifies the signature and per-chunk CRCs; supports
     8-bit gray/RGB/RGBA and palette (PLTE, expanded to RGB) with any
-    mix of scanline filters; raises ``ValueError`` for
-    interlace/16-bit/gray+alpha (out of scope, see module docstring)."""
+    mix of scanline filters, plus Adam7 interlaced layouts; raises
+    ``ValueError`` for 16-bit/gray+alpha (out of scope)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
@@ -149,8 +153,6 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 ">IIBBBBB", data)
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace:
-                raise ValueError("interlaced (Adam7) PNG not supported")
             if comp or filt:
                 raise ValueError("nonstandard PNG compression/filter method")
             if color_type == 3:
@@ -174,17 +176,45 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG missing IHDR or IDAT")
     lines = zlib.decompress(bytes(idat))
     stride = w * ch
-    if len(lines) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
     out = bytearray(h * stride)
-    prev = bytes(stride)
-    for y in range(h):
-        base = y * (stride + 1)
-        ftype = lines[base]
-        row = bytearray(lines[base + 1:base + 1 + stride])
-        _unfilter_scanline(ftype, row, prev, ch)
-        out[y * stride:(y + 1) * stride] = row
-        prev = bytes(row)
+    if interlace:
+        # Adam7: seven sub-images, each with its own filtered
+        # scanlines, scattered onto the (x_init, y_init, x_step,
+        # y_step) lattice
+        pos2 = 0
+        for (xi, yi, xs, ys) in ADAM7_PASSES:
+            wp = -(-(w - xi) // xs) if w > xi else 0
+            hp = -(-(h - yi) // ys) if h > yi else 0
+            if wp == 0 or hp == 0:
+                continue
+            sp = wp * ch
+            prev = bytes(sp)
+            for ry in range(hp):
+                if pos2 + 1 + sp > len(lines):
+                    raise ValueError("PNG scanline data length mismatch")
+                ftype = lines[pos2]
+                row = bytearray(lines[pos2 + 1:pos2 + 1 + sp])
+                pos2 += 1 + sp
+                _unfilter_scanline(ftype, row, prev, ch)
+                y = yi + ry * ys
+                for rx in range(wp):
+                    x = xi + rx * xs
+                    out[(y * w + x) * ch:(y * w + x + 1) * ch] = \
+                        row[rx * ch:(rx + 1) * ch]
+                prev = bytes(row)
+        if pos2 != len(lines):
+            raise ValueError("PNG scanline data length mismatch")
+    else:
+        if len(lines) != h * (stride + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        prev = bytes(stride)
+        for y in range(h):
+            base = y * (stride + 1)
+            ftype = lines[base]
+            row = bytearray(lines[base + 1:base + 1 + stride])
+            _unfilter_scanline(ftype, row, prev, ch)
+            out[y * stride:(y + 1) * stride] = row
+            prev = bytes(row)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")

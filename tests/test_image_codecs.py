@@ -359,3 +359,63 @@ def test_png_palette_decode():
         + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="out of range"):
         decode_png(bad2)
+
+
+def _interlace_png(w, h, raw, ch=3, color_type=2):
+    """Build an Adam7-interlaced PNG from raw pixels (test-side
+    reference implementation: extract each pass's sub-image, filter it
+    independently, concatenate)."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        ADAM7_PASSES,
+        _filter_scanline,
+    )
+    lines = bytearray()
+    for (xi, yi, xs, ys) in ADAM7_PASSES:
+        wp = -(-(w - xi) // xs) if w > xi else 0
+        hp = -(-(h - yi) // ys) if h > yi else 0
+        if wp == 0 or hp == 0:
+            continue
+        prev = bytes(wp * ch)
+        for ry in range(hp):
+            y = yi + ry * ys
+            row = bytearray()
+            for rx in range(wp):
+                x = xi + rx * xs
+                row += raw[(y * w + x) * ch:(y * w + x + 1) * ch]
+            ftype = (ry + xi) % 5  # vary filters across rows/passes
+            lines.append(ftype)
+            lines += _filter_scanline(ftype, bytes(row), prev, ch)
+            prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF))
+
+    return PNG_SIG + chunk(b"IHDR", ihdr) \
+        + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (9, 7), (3, 3), (1, 1),
+                                 (16, 2), (2, 16)])
+def test_png_adam7_interlaced_decode(w, h):
+    """Adam7: all seven passes (incl. degenerate-empty ones for small
+    images) reassemble to the exact original pixels under mixed
+    per-row filters."""
+    raw = _pixels(w * h * 3)
+    assert decode_png(_interlace_png(w, h, raw)) == (w, h, 3, raw)
+
+
+def test_png_adam7_truncated_rejected():
+    raw = _pixels(8 * 8 * 3)
+    png = bytearray(_interlace_png(8, 8, raw))
+    # truncating IDAT content breaks either inflate or the length check
+    with pytest.raises((ValueError, zlib.error)):
+        from aether_firebase_consumer_spark.operators.image_codecs import (
+            decode_png as d,
+        )
+        # rebuild with one scanline byte chopped from the zlib payload
+        import re  # noqa: F401
+        body = zlib.decompress(bytes(_interlace_png(8, 8, raw))[
+            41:-12 - 8])  # not a stable slice; decode variant instead
+        d(bytes(png[:60]))
