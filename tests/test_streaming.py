@@ -976,3 +976,49 @@ def test_pipeline_observed_metrics(spark, tmp_path):
     om = progress["observedMetrics"]["afcs_pipeline"]
     assert om["rows_out"] == doc_table.read().count()
     assert om["paths_reached"] >= 1  # click + view routes (HLL approx)
+
+
+def test_streaming_soak_many_triggers_bounded_versions(spark, tmp_path):
+    """Sustained ingestion: 12 availableNow triggers through the full
+    pipeline; the doc table must stay exactly-once correct (every id
+    present once, latest value wins) and version GC must hold storage
+    BOUNDED (retain_versions dirs, not one per trigger)."""
+    import os
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HashStateTable,
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.pipeline import (
+        StreamingUpsertJob,
+    )
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    doc_table = ParquetUpsertTable(
+        spark, str(tmp_path / "soak_docs"), ["id"], retain_versions=3)
+    hash_table = HashStateTable(spark, str(tmp_path / "soak_hashes"))
+    job = StreamingUpsertJob(_cfg("sync"), doc_table, hash_table)
+    ckpt = str(tmp_path / "soak_ckpt")
+
+    expected = {}
+    for trig in range(12):
+        # each trigger: 2 new ids + 1 update of an old id + 1 unchanged
+        rows = [(f"id{trig}a", "t1.click", trig),
+                (f"id{trig}b", "t1.view", trig),
+                (f"id{max(0, trig - 1)}a", "t1.click", trig + 100),
+                ("id0b", "t1.view", 0)]
+        spark.createDataFrame(rows, "id string, topic string, value int") \
+            .coalesce(1).write.parquet(str(src / f"b{trig}"))
+        for (i, t, v) in rows:
+            expected[i] = v
+        stream = (spark.readStream.schema("id string, topic string, value int")
+                  .option("recursiveFileLookup", "true").parquet(str(src)))
+        q = job.writer(stream, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    got = {r["id"]: r["value"] for r in doc_table.read().collect()}
+    assert got == expected
+    # GC: at most retain_versions version dirs remain
+    vdirs = [d for d in os.listdir(str(tmp_path / "soak_docs"))
+             if d.startswith("v")]
+    assert len(vdirs) <= 3, vdirs
