@@ -314,14 +314,20 @@ def _lzw_encode(min_code_size: int, indexes: "list[int]") -> bytes:
 
 
 def encode_gif(w: int, h: int, palette: bytes,
-               indexes: "list[int]", min_code_size: int = 2) -> bytes:
+               indexes: "list[int]",
+               min_code_size: int | None = None) -> bytes:
     """Encode one palette-indexed frame as a GIF89a (global color
     table, real LZW compression). ``palette`` is RGB triples; indexes
-    are row-major pixel palette positions."""
+    are row-major pixel palette positions. ``min_code_size`` defaults
+    to the palette's bit width — an explicit smaller value would leave
+    high palette indexes unencodable (KeyError in the LZW root
+    table)."""
     if len(indexes) != w * h:
         raise ValueError("index buffer does not match w*h")
     n = max(4, len(palette) // 3)
     bits = max(2, (n - 1).bit_length())
+    if min_code_size is None:
+        min_code_size = bits
     pal = bytearray(palette) + b"\x00" * (3 * (1 << bits) - len(palette))
     gif = bytearray(b"GIF89a")
     gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -397,6 +403,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
                 idx = remapped
             out = bytearray(w * h * 3)
             for i, ci in enumerate(idx):
+                if ci * 3 + 3 > len(ct):
+                    raise ValueError(f"palette index {ci} out of range")
                 out[i * 3:i * 3 + 3] = ct[ci * 3:ci * 3 + 3]
             return w, h, bytes(out)
         elif b == 0x3B:  # trailer

@@ -259,16 +259,39 @@ def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
     y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
     cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
     cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
-    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
-    return clamp(y), clamp(cb), clamp(cr)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
 
 
 def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     r = math.floor(y + 1.402 * (cr - 128) + 0.5)
     g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
     b = math.floor(y + 1.772 * (cb - 128) + 0.5)
-    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
-    return clamp(r), clamp(g), clamp(b)
+    return _clamp8(r), _clamp8(g), _clamp8(b)
+
+
+def _segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def _frame_headers(w: int, h: int, qt: list[int],
+                   components: bytes) -> bytearray:
+    """SOI + DQT + SOF0 + the two Annex-K DHT segments — the header
+    prefix both encoders share (components = the SOF0 per-component
+    id/sampling/qt triples)."""
+    zz_qt = bytes([qt[ZIGZAG[i]] for i in range(64)])
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xDB, b"\x00" + zz_qt)
+    out += _segment(0xC0, b"\x08" + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big")
+                    + bytes([len(components) // 3]) + components)
+    out += _segment(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _segment(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    return out
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
 
 
 def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
@@ -329,21 +352,10 @@ def encode_jpeg_rgb(w: int, h: int, rgb: bytes,
                                       bx // 2, by // 2),
                         qt, prev[c], dc_codes, ac_codes)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
-            + payload
-
-    zz_qt = bytes([qt[ZIGZAG[i]] for i in range(64)])
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + zz_qt)
-    out += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-               + b"\x03"
-               + b"\x01" + luma_sampling + b"\x00"
-               + b"\x02\x11\x00" + b"\x03\x11\x00")
-    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out = _frame_headers(w, h, qt,
+                         b"\x01" + luma_sampling + b"\x00"
+                         + b"\x02\x11\x00" + b"\x03\x11\x00")
+    out += _segment(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
@@ -381,24 +393,12 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
             prev_dc = _encode_block(bw, _block_at(plane, w, h, bx, by),
                                     qt, prev_dc, dc_codes, ac_codes)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
-            + payload
-
-    zz_qt = bytes([qt[ZIGZAG[i]] for i in range(64)])
-    out = bytearray(b"\xff\xd8")                       # SOI
-    out += seg(0xDB, b"\x00" + zz_qt)                  # DQT, table 0
-    out += seg(0xC0, b"\x08" + h.to_bytes(2, "big")    # SOF0: 8-bit
-               + w.to_bytes(2, "big") + b"\x01"        # 1 component
-               + b"\x01\x11\x00")                      # id 1, 1x1, qt 0
-    out += seg(0xC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out = _frame_headers(w, h, qt, b"\x01\x11\x00")
     if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")      # SOS
+        out += _segment(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _segment(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     out += bw.out
-    out += b"\xff\xd9"                                 # EOI
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -407,8 +407,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     raw pixels row-major — grayscale bytes for 1 component, RGB bytes
     for 3 components via the JFIF inverse transform). Parses DQT/DHT
     from the stream (any spec-conformant tables, not just ours);
-    progressive, subsampled-chroma, and restart-marker streams raise
-    ``ValueError``."""
+    handles 4:2:0/4:2:2 chroma subsampling (nearest upsample), DRI
+    restart intervals, and 0xFF marker fill bytes; progressive and
+    non-interleaved multi-scan streams raise ``ValueError``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -416,12 +417,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     dc_tbl: dict[int, dict] = {}
     ac_tbl: dict[int, dict] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (component id, qt id) in SOF order
+    comps: list[tuple] = []  # (component id, h_i, v_i, qt id) in SOF order
     restart_interval = 0
     scan = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; skip them (some hardware encoders emit padding)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -521,6 +526,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         return _idct2(coef), prev_dc
 
     n_comp = len(comps)
+    if set(sos_tables) != {c[0] for c in comps}:
+        raise ValueError(
+            "non-interleaved multi-scan JPEG not supported (SOS must "
+            "cover every SOF component)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     # per-component plane dimensions (ceil-scaled by sampling ratio)

@@ -419,3 +419,51 @@ def test_png_adam7_truncated_rejected():
         body = zlib.decompress(bytes(_interlace_png(8, 8, raw))[
             41:-12 - 8])  # not a stable slice; decode variant instead
         d(bytes(png[:60]))
+
+
+# Frozen 5x4 interlaced PNG (generated once from the spec-verified
+# Adam7 lattice, then HARD-CODED): unlike the _interlace_png round-trip
+# tests, this pins the pass table and scatter math against future
+# regressions — a change to ADAM7_PASSES can no longer self-validate.
+_GOLDEN_ADAM7_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000005000000040802000001be5652"
+    "810000004949444154789c636050f562d9fb889de91eb3264364dd128bd82671"
+    "9b44c6fc293befdfbfcf141515151915c5a013543ee7e0336e83d0ea05475ff1"
+    "9b30b6adbe505050900f02201a004e1c1af4dcc6879f0000000049454e44ae42"
+    "6082")
+_GOLDEN_ADAM7_RAW = bytes.fromhex(
+    "00254a6f94b9de03294e7398bde2072c52779cc1e60b30557ba0c5ea0f34597e"
+    "a4c9ee13385d82a7cdf2173c6186abd0f61b40658aafd4f91f44698e")
+
+
+def test_png_adam7_golden_frozen():
+    assert decode_png(_GOLDEN_ADAM7_PNG) == (5, 4, 3, _GOLDEN_ADAM7_RAW)
+
+
+def test_gif_palette_index_out_of_range_raises():
+    """A decoded index beyond the color table must raise, never shrink
+    or shift the pixel buffer (code-review finding)."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+    )
+    # 4-entry palette but index 9 in the stream (min_code_size=4 makes
+    # 9 a root code)
+    gif = _make_gif(3, 1, PALETTE4, [0, 9, 1], min_code_size=4)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gif(gif)
+
+
+def test_gif_encoder_wide_palette_default_code_size():
+    """encode_gif must size the LZW root table from the palette: a
+    16-color palette with high indexes previously crashed with
+    KeyError under the fixed min_code_size=2 default."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_gif,
+        encode_gif,
+    )
+    pal16 = bytes(range(48))  # 16 RGB triples
+    idx = [0, 15, 3, 7, 12, 1, 15, 9]
+    gif = encode_gif(4, 2, pal16, idx)
+    w, h, rgb = decode_gif(gif)
+    assert (w, h) == (4, 2)
+    assert rgb == b"".join(pal16[i * 3:i * 3 + 3] for i in idx)

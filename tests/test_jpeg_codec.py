@@ -288,3 +288,31 @@ def test_restart_markers_random_content():
     gw, gh, out = decode_jpeg_gray(jpg)
     assert (gw, gh) == (w, h)
     assert psnr(px, out) > 40
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker; the
+    parser must skip them instead of misreading segment lengths
+    (code-review finding)."""
+    px = bytes([88] * 64)
+    jpg = encode_jpeg_gray(8, 8, px)
+    # inject fill bytes after SOI and before SOF0
+    sof = jpg.find(b"\xff\xc0")
+    padded = jpg[:2] + b"\xff\xff" + jpg[2:sof] + b"\xff" + jpg[sof:]
+    assert decode_jpeg_gray(padded) == (8, 8, px)
+
+
+def test_partial_sos_raises_clear_error():
+    """SOS covering fewer components than SOF (non-interleaved
+    multi-scan) must raise ValueError, not KeyError."""
+    from aether_firebase_consumer_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+    jpg = bytearray(encode_jpeg_rgb(8, 8, bytes([1, 2, 3] * 64)))
+    sos = jpg.find(b"\xff\xda")
+    # rewrite SOS: ns=1, only component 1
+    jpg[sos:sos + 14] = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" \
+        + jpg[sos + 14:sos + 18]
+    with pytest.raises(ValueError, match="SOS|component|multi-scan"):
+        decode_jpeg(bytes(jpg[:sos + 10]) + bytes(jpg[sos + 10:]))
