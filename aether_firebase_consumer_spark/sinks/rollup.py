@@ -14,8 +14,9 @@ Scale shape:
 - The micro-batch reduces map-side BEFORE any state is touched: the
   delta is |distinct keys in batch| rows, not |batch| rows.
 - The fold touches only keys present in the delta (outer-join +
-  coalesce); the merge inherits the upsert sink's partition pruning,
-  so refresh cost is O(delta ∩ partitions), not O(table).
+  coalesce); WITH ``partition_col`` configured the merge inherits the
+  upsert sink's partition pruning (O(delta ∩ partitions) per refresh);
+  without it each fold rewrites the table — configure it at scale.
 - avg is derived (sum/count) at read time, never stored — storing it
   would break additivity.
 
@@ -52,14 +53,21 @@ class IncrementalRollup:
     """
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
-                 specs: dict[str, tuple[str, str | None]]):
+                 specs: dict[str, tuple[str, str | None]],
+                 partition_col: str | None = None):
         for name, (kind, _col) in specs.items():
             if kind not in _FOLDS:
                 raise ValueError(f"unsupported aggregate {kind!r} for {name!r}")
         self.spark = spark
         self.key_cols = key_cols
         self.specs = specs
-        self.table = ParquetUpsertTable(spark, path, key_cols)
+        # partition_col (a LOW-cardinality member of key_cols, e.g. a
+        # date or tenant column) turns each fold's merge into a
+        # partition-pruned rewrite; without it the merge rewrites the
+        # whole rollup per batch — fine for small rollups, configure
+        # it for big ones
+        self.table = ParquetUpsertTable(spark, path, key_cols,
+                                        partition_col=partition_col)
 
     # -- delta ----------------------------------------------------------
     def _delta(self, batch: DataFrame) -> DataFrame:

@@ -100,7 +100,12 @@ class ParquetUpsertTable:
         v = self.current_version()
         if v < 0:
             return None
-        return self.spark.read.parquet(self._data_dir(v))
+        # mergeSchema: partition-pruned merges under schema evolution
+        # leave hardlinked partitions with old-schema footers; without
+        # merging, Spark may sample one of those and silently drop the
+        # newly added columns from the whole read
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(self._data_dir(v)))
 
     # -- merge ----------------------------------------------------------
     def merge(self, batch: DataFrame,
@@ -122,10 +127,12 @@ class ParquetUpsertTable:
         ``IncrementalRollup``)."""
         batch1 = batch.dropDuplicates(self.key_cols)
         current = self.read()
-        # empty merge onto an existing table is a NO-OP: the rewrite
-        # below would copy the ENTIRE table into a new version for
-        # nothing — O(table) per idle/unchanged micro-batch at scale
-        if current is not None and batch1.isEmpty():
+        # an empty merge is a NO-OP whether or not the table exists:
+        # onto an existing table the rewrite would copy EVERYTHING for
+        # nothing, and onto a fresh table Spark would write a version
+        # with no parquet files at all (only _SUCCESS), bricking every
+        # later read with 'Unable to infer schema'
+        if batch1.isEmpty():
             return
         v = self.current_version() + 1
         target = self._data_dir(v)
@@ -152,7 +159,12 @@ class ParquetUpsertTable:
         # partitions (column-pruned scan of keys only) — the price of
         # true MERGE-by-key semantics; partitions rewritten stay
         # O(batch ∩ partitions ∪ moved-key partitions)
-        moved = (current.filter(~_touched_filter(pc, touched))
+        # NOT of the touched filter must be null-safe: for a pc=NULL
+        # row, isin(...) is NULL and filter(~NULL) drops it — which
+        # would hide a key moving OUT of the null partition and leave
+        # its stale copy hardlinked into the new version
+        untouched = ~F.coalesce(_touched_filter(pc, touched), F.lit(False))
+        moved = (current.filter(untouched)
                  .join(batch1.select(*self.key_cols),
                        self.key_cols, "left_semi")
                  .select(pc).distinct())
@@ -221,6 +233,10 @@ class ParquetUpsertTable:
         else:
             remaining = current.join(keys.select(*self.key_cols),
                                      self.key_cols, "left_anti")
+            if remaining.isEmpty():
+                # deleting every row must still leave one schema-ful
+                # (empty) parquet file, or the version is unreadable
+                remaining = remaining.repartition(1)
             writer = remaining.write.mode("overwrite")
             if pc:
                 writer = writer.partitionBy(pc)
@@ -244,6 +260,12 @@ class ParquetUpsertTable:
             return None
 
     def _commit(self, v: int, commit_meta: dict | None = None) -> None:
+        if commit_meta is None:
+            # carry the previous version's tag forward: a meta-less
+            # maintenance commit (optimize, delete_keys, backfill
+            # merge) must not silently erase the epoch fence a
+            # streaming sink relies on for replay safety
+            commit_meta = self.commit_meta()
         if commit_meta is not None:
             import json as _json
 

@@ -110,9 +110,20 @@ def _matches(value: Any, b: Any, strict: bool = False) -> bool:
     if kind == "boolean":
         return isinstance(value, bool)
     if kind in ("int", "long"):
-        return isinstance(value, int) and not isinstance(value, bool)
+        if isinstance(value, bool):
+            return False
+        if isinstance(value, int):
+            return True
+        # lenient: Arrow/pandas deliver nullable int columns as
+        # float64 — an integral float fits an int/long branch
+        return (not strict and isinstance(value, float)
+                and value.is_integer())
     if kind in ("float", "double"):
-        return isinstance(value, float)
+        if isinstance(value, float):
+            return True
+        # lenient: JSON-sourced integral values (3 for 3.0)
+        return (not strict and isinstance(value, int)
+                and not isinstance(value, bool))
     if kind == "enum":
         if not isinstance(value, str):
             return False
@@ -421,14 +432,28 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
     needed. Scales with scan parallelism — no shuffle, no state."""
     import pandas as pd
 
+    from pyspark.sql.types import StructField, StructType
+
     avsc = json.loads(avsc_json)
     schema = avro_to_spark_schema(avsc)
+    # tombstones (null payloads) null every field of their row, so the
+    # decode output must be nullable even where the Avro schema is not
+    # — matching from_avro's null-struct contract
+    schema = StructType([
+        StructField(f.name, f.dataType, True, f.metadata)
+        for f in schema.fields])
     field_names = [f.name for f in schema.fields]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for raw in pdf[value_col]:
+                if raw is None:
+                    # tombstone / null payload: an all-null row, the
+                    # same contract as from_avro — one bad message
+                    # must not poison the stream
+                    rows.append([None] * len(field_names))
+                    continue
                 rec = _shape(avsc, _decode_record_tagged(avsc, bytes(raw)))
                 rows.append([rec.get(n) for n in field_names])
             yield pd.DataFrame(rows, columns=field_names)
@@ -585,9 +610,24 @@ def read_avro_container_py(spark, path: str,
         candidates = sorted(
             _glob.glob(_os.path.join(path, "*.avro"))
             or _glob.glob(path))
-        if not candidates:
-            raise FileNotFoundError(f"no avro files under {path!r}")
-        avsc = read_container_schema(candidates[0])
+        if candidates:
+            avsc = read_container_schema(candidates[0])
+        else:
+            # non-local filesystems (s3a://, hdfs://): the driver's
+            # glob can't list them, but Spark's binaryFile source can —
+            # pull ONE file's bytes and parse its header (bounded by
+            # that file's size; the local path above avoids even that)
+            try:
+                first = (spark.read.format("binaryFile")
+                         .option("pathGlobFilter", "*.avro").load(path)
+                         .select("content").limit(1).collect())
+            except Exception as err:  # PATH_NOT_FOUND AnalysisException
+                raise FileNotFoundError(
+                    f"no avro files under {path!r}") from err
+            if not first:
+                raise FileNotFoundError(f"no avro files under {path!r}")
+            avsc = _parse_container_header(
+                bytes(first[0]["content"]))[0]
     else:
         avsc = json.loads(avsc_json)
 
@@ -686,7 +726,13 @@ def spark_to_avro_schema(schema, name: str = "row") -> dict[str, Any]:
 
 
 def _pyify(v: Any) -> Any:
-    """numpy/pandas scalars -> plain Python for the encoder."""
+    """numpy/pandas scalars -> plain Python for the encoder.
+
+    Known limitation: the Arrow/pandas bridge represents BOTH null and
+    NaN doubles as NaN in a float64 column, so a genuine NaN value
+    cannot be distinguished from null here and round-trips as null.
+    Corpora that carry meaningful NaNs should encode them as a
+    sentinel or a separate flag column before the Avro write."""
     import numpy as np
     import pandas as pd
 

@@ -562,3 +562,50 @@ def test_container_read_resolves_mixed_schema_directory(spark, tmp_path):
     assert rows == {"a": (1, "legacy"), "b": (2, "legacy"),
                     "c": (3, "fresh")}
     assert dict(df.dtypes)["n"] == "bigint"
+
+
+# --- review-finding regressions ---
+
+def test_union_numeric_leniency():
+    """Arrow delivers nullable int columns as float64: integral floats
+    must fit int/long union branches (and ints fit float/double) —
+    previously both raised 'no union branch matches'."""
+    sch = {"type": "record", "name": "t", "fields": [
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "x", "type": ["null", "double"]}]}
+    data = encode_record(sch, {"n": 3.0, "x": 3})
+    assert decode_record(sch, data) == {"n": 3, "x": 3.0}
+    # non-integral float still refuses a long branch
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no union branch"):
+        encode_record(sch, {"n": 3.5, "x": 1.0})
+
+
+def test_write_dataset_nullable_int_column(spark, tmp_path):
+    """write_avro_dataset must survive a nullable LongType column with
+    nulls (pandas float64 upcast) — the common case that crashed."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_avro_container_py,
+        write_avro_dataset,
+    )
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, n long")
+    path = str(tmp_path / "nullable")
+    total = write_avro_dataset(df.repartition(1), path)
+    assert total == 2
+    got = {r["id"]: r["n"] for r in
+           read_avro_container_py(spark, path).collect()}
+    assert got == {1: 10, 2: None}
+
+
+def test_decode_docs_null_value_tombstone(spark):
+    """A NULL binary payload (Kafka tombstone) must yield an all-null
+    row, not a TypeError in the executor."""
+    import json as _json
+
+    payload = encode_record(SPEC_SCHEMA, {"a": 5, "b": "y"})
+    df = spark.createDataFrame(
+        [(bytearray(payload),), (None,)], "value binary")
+    out = decode_avro_docs_py(df, _json.dumps(SPEC_SCHEMA))
+    rows = sorted(out.collect(), key=lambda r: (r["a"] is None, r["a"] or 0))
+    assert (rows[0]["a"], rows[0]["b"]) == (5, "y")
+    assert rows[1]["a"] is None and rows[1]["b"] is None

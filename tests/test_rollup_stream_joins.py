@@ -255,8 +255,10 @@ def test_rollup_epoch_fence_dedupes_replayed_batch(spark, tmp_path):
 
 def test_upsert_commit_meta_atomic_with_version(spark, tmp_path):
     """commit_meta reads from the CURRENT version's directory — it can
-    never disagree with the visible data, and merges without meta
-    leave the tag of the new version absent (not stale)."""
+    never disagree with the visible data — and meta-less commits CARRY
+    the previous tag FORWARD: a maintenance op (optimize, backfill,
+    delete) between a fold and its checkpoint must not erase the epoch
+    fence and reopen the double-count window."""
     from aether_firebase_consumer_spark.sinks.upsert import (
         ParquetUpsertTable,
     )
@@ -264,8 +266,14 @@ def test_upsert_commit_meta_atomic_with_version(spark, tmp_path):
     df1 = spark.createDataFrame([("x", 1)], "id string, v int")
     t.merge(df1, commit_meta={"epoch": 7})
     assert t.commit_meta() == {"epoch": 7}
-    # next merge WITHOUT meta: current version has no tag
+    # meta-less merge: previous tag survives into the new version
     t.merge(spark.createDataFrame([("y", 2)], "id string, v int"))
-    assert t.commit_meta() is None
-    # and data is intact
-    assert t.read().count() == 2
+    assert t.commit_meta() == {"epoch": 7}
+    # maintenance commit also preserves it
+    t.optimize(num_files=1)
+    assert t.commit_meta() == {"epoch": 7}
+    # a newer epoch replaces it
+    t.merge(spark.createDataFrame([("z", 3)], "id string, v int"),
+            commit_meta={"epoch": 8})
+    assert t.commit_meta() == {"epoch": 8}
+    assert t.read().count() == 3

@@ -868,20 +868,30 @@ def test_retain_versions_validation(spark, tmp_path):
 
 
 def test_empty_merge_and_delete_are_noops(spark, tmp_path):
-    """Merging or deleting an EMPTY frame against an existing table
-    must not write a new version (the rewrite would copy the whole
-    table per idle micro-batch at scale). First-ever merge may be
-    empty and still creates the table."""
+    """Merging or deleting an EMPTY frame must never write a version:
+    against an existing table the rewrite would copy everything per
+    idle micro-batch, and a FIRST-ever empty merge could write a
+    version with no parquet files at all when the frame arrives with
+    zero partitions (AQE-coalesced filter results), bricking reads.
+    Deleting every row, by contrast, must leave a READABLE empty
+    table."""
     t = ParquetUpsertTable(spark, str(tmp_path / "noop"), ["id"])
     empty = spark.createDataFrame([], "id string, v int")
-    t.merge(empty)                       # creates empty v0
-    assert t.current_version() == 0 and t.read().count() == 0
-    t.merge(spark.createDataFrame([("a", 1)], ["id", "v"]))   # v1
+    t.merge(empty)                       # no-op: table not created
+    assert t.current_version() == -1 and t.read() is None
+    t.merge(spark.createDataFrame([("a", 1)], ["id", "v"]))   # v0
     v = t.current_version()
     t.merge(empty)                       # no-op
     t.delete_keys(spark.createDataFrame([], "id string"))     # no-op
     assert t.current_version() == v
     assert {r["id"] for r in t.read().collect()} == {"a"}
+    # delete-all: a new version, readable, zero rows (not bricked)
+    t.delete_keys(spark.createDataFrame([("a",)], ["id"]))
+    assert t.current_version() == v + 1
+    assert t.read().count() == 0
+    # and the table accepts new data afterwards
+    t.merge(spark.createDataFrame([("b", 2)], ["id", "v"]))
+    assert {r["id"] for r in t.read().collect()} == {"b"}
 
 
 def test_change_feed_concatenates_versions(spark, tmp_path):
