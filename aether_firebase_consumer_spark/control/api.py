@@ -168,7 +168,11 @@ class ControlApi:
                 parsed = urlparse(self.path)
                 tenant = self.headers.get(TENANT_HEADER, "_public")
                 body = None
-                length = int(self.headers.get("content-length") or 0)
+                try:
+                    length = int(self.headers.get("content-length") or 0)
+                except ValueError:
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
                 if length:
                     try:
                         body = json.loads(self.rfile.read(length))

@@ -45,10 +45,13 @@ class LogRing:
     limit: int = 100
     _entries: deque = field(default_factory=deque)
 
+    def __post_init__(self) -> None:
+        # deque itself enforces the bound — no manual trim loop to
+        # drift out of sync with the limit
+        self._entries = deque(self._entries, maxlen=self.limit)
+
     def log(self, level: str, message: str) -> None:
         self._entries.append((time.time(), level, message))
-        while len(self._entries) > self.limit:
-            self._entries.popleft()
 
     def get_logs(self) -> list[tuple[float, str, str]]:
         """(``get_logs``, ``firebase/app/artifacts.py:434-443``)."""
@@ -65,8 +68,12 @@ class SparkJob:
         self.tenant = tenant
         self.job_id = job_id
         self._start_fn = start_fn
-        # per-tenant+job checkpoint = the consumer-group analogue (O19)
-        self.checkpoint = f"{checkpoint_root}/{tenant}.{job_id}"
+        # per-tenant+job checkpoint = the consumer-group analogue (O19);
+        # quote() each part: 'a.b'+'c' and 'a'+'b.c' must NOT collide,
+        # and ids containing '/' must not nest surprise directories
+        from urllib.parse import quote
+        self.checkpoint = (f"{checkpoint_root}/{quote(tenant, safe='')}"
+                           f"__{quote(job_id, safe='')}")
         self.logs = LogRing(100)
         self.query: StreamingQuery | None = None
         self._paused = False
@@ -108,6 +115,13 @@ class SparkJob:
         self._start_fn = start_fn
         self.logs.log("INFO",
                       f"job {self.job_id} reconfigure: definition changed")
+        if self._paused:
+            # an operator's explicit pause outranks a config change:
+            # stage the new builder but stay stopped until resume()
+            self.logs.log("INFO",
+                          f"job {self.job_id} paused: restart deferred "
+                          "to resume()")
+            return
         self.start()
 
     def get_status(self) -> JobStatus:
@@ -148,6 +162,13 @@ class JobManager:
 
     def add_job(self, tenant: str, job_id: str,
                 start_fn: Callable[[str], StreamingQuery]) -> SparkJob:
+        if (tenant, job_id) in self.jobs:
+            # silent overwrite would orphan the old job's running
+            # query (unreachable from the manager, still consuming)
+            # and contend for the shared checkpoint dir
+            raise ValueError(
+                f"job {tenant}/{job_id} already registered; stop and "
+                "remove it first, or use reconfigure()")
         job = SparkJob(tenant, job_id, start_fn, self.checkpoint_root)
         self.jobs[(tenant, job_id)] = job
         return job

@@ -16,6 +16,18 @@ memory.
 from __future__ import annotations
 
 import collections
+import math
+
+
+def _finite(v) -> float:
+    """Spark reports NaN rates on a (re)started query's first
+    progress; NaN is truthy, so ``or 0.0`` passes it through and one
+    sample poisons every windowed sum. Coerce non-finite to 0."""
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return 0.0
+    return f if math.isfinite(f) else 0.0
 import threading
 from dataclasses import dataclass
 
@@ -66,8 +78,8 @@ class MetricsRecorder(StreamingQueryListener):
             batch_id=p.batchId,
             timestamp=p.timestamp,
             num_input_rows=p.numInputRows or 0,
-            input_rows_per_second=p.inputRowsPerSecond or 0.0,
-            processed_rows_per_second=p.processedRowsPerSecond or 0.0,
+            input_rows_per_second=_finite(p.inputRowsPerSecond),
+            processed_rows_per_second=_finite(p.processedRowsPerSecond),
             batch_duration_ms=p.batchDuration or 0,
             state_rows=state_rows,
             state_bytes=state_bytes,
@@ -79,6 +91,14 @@ class MetricsRecorder(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:
         with self._lock:
             self._terminated[str(event.id)] = event.exception
+            # bound driver memory across query churn: keep history and
+            # termination records only for the most recent queries —
+            # a weeks-long control plane restarting jobs accumulates
+            # new query ids forever otherwise
+            while len(self._terminated) > 50:
+                oldest = next(iter(self._terminated))
+                self._terminated.pop(oldest, None)
+                self._by_query.pop(oldest, None)
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+import threading
 from typing import Any
 from urllib.parse import quote, unquote
 
@@ -136,12 +138,16 @@ class ResourceRegistry:
     resume-on-boot contract (its SDK reloads Redis-persisted resources
     at startup, ``firebase/app/consumer.py:9-18``). A shared filesystem
     (or an object store mounted as one) makes this work on a cluster;
-    the driver is the only writer, so no coordination is needed.
+    an internal lock serializes the REST server's threads.
     Without ``path`` the store is memory-only (tests, ephemera)."""
 
     def __init__(self, path: str | None = None) -> None:
         self._store: dict[tuple[str, str, str], dict] = {}
         self._path = path
+        # the REST surface serves this from a ThreadingHTTPServer, so
+        # mutation and iteration race without a lock (and concurrent
+        # persists of one id would race on a shared tmp filename)
+        self._lock = threading.RLock()
         if path:
             os.makedirs(path, exist_ok=True)
             self._load()
@@ -173,8 +179,11 @@ class ResourceRegistry:
                  definition: dict) -> None:
         target = self._file(tenant, resource_type, rid)
         os.makedirs(os.path.dirname(target), exist_ok=True)
-        tmp = target + ".tmp"
-        with open(tmp, "w") as fh:
+        # unique tmp per write: two threads persisting the same id must
+        # not interleave into one tmp file
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(target),
+                                   suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
             json.dump(definition, fh)
         os.replace(tmp, target)  # atomic on POSIX
 
@@ -184,26 +193,33 @@ class ResourceRegistry:
         if not report["valid"]:
             raise ValueError(f"invalid {resource_type}: "
                              f"{report['validation_errors']}")
-        self._store[(tenant, resource_type, definition["id"])] = definition
-        if self._path:
-            self._persist(tenant, resource_type, definition["id"], definition)
+        with self._lock:
+            self._store[(tenant, resource_type, definition["id"])] = definition
+            if self._path:
+                self._persist(tenant, resource_type, definition["id"],
+                              definition)
         return definition
 
     def get(self, tenant: str, resource_type: str, rid: str) -> dict | None:
-        return self._store.get((tenant, resource_type, rid))
+        with self._lock:
+            return self._store.get((tenant, resource_type, rid))
 
     def list(self, tenant: str, resource_type: str) -> list[str]:
-        return sorted(rid for (t, rt, rid) in self._store
-                      if t == tenant and rt == resource_type)
+        with self._lock:
+            return sorted(rid for (t, rt, rid) in self._store
+                          if t == tenant and rt == resource_type)
 
     def tenants(self) -> list[str]:
-        return sorted({t for (t, _, _) in self._store})
+        with self._lock:
+            return sorted({t for (t, _, _) in self._store})
 
     def delete(self, tenant: str, resource_type: str, rid: str) -> bool:
-        found = self._store.pop((tenant, resource_type, rid), None) is not None
-        if found and self._path:
-            try:
-                os.remove(self._file(tenant, resource_type, rid))
-            except FileNotFoundError:
-                pass
+        with self._lock:
+            found = self._store.pop(
+                (tenant, resource_type, rid), None) is not None
+            if found and self._path:
+                try:
+                    os.remove(self._file(tenant, resource_type, rid))
+                except FileNotFoundError:
+                    pass
         return found

@@ -44,6 +44,10 @@ class PipelineConfig:
     topic_col: str = "topic"
     id_col: str = "id"
     sync_mode: str = "forward"  # forward | sync | consume (helpers.py:42-46)
+    #: ordering column (e.g. Kafka offset) used to pick the LATEST
+    #: version when one micro-batch carries several versions of a doc;
+    #: None falls back to an arbitrary-but-single survivor
+    seq_col: str | None = None
 
 
 def transform(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -83,6 +87,19 @@ class StreamingUpsertJob:
         hashed = batch.withColumn("hash", content_hash_expr(batch))
         if self.cfg.id_col != "id":
             hashed = hashed.withColumnRenamed(self.cfg.id_col, "id")
+        # collapse to ONE version per id BEFORE anything downstream:
+        # doc merge and hash record must see the SAME survivor, or the
+        # doc table can hold v1 while the hash table records v2 and the
+        # anti-join then suppresses v2 forever. With seq_col the
+        # survivor is the latest by offset; without, it is arbitrary
+        # but consistently shared by both writes.
+        if self.cfg.seq_col is not None:
+            from aether_firebase_consumer_spark.sinks.upsert import (
+                latest_per_key,
+            )
+            hashed = latest_per_key(hashed, ["id"], self.cfg.seq_col)
+        else:
+            hashed = hashed.dropDuplicates(["id"])
         if mode == "sync":
             to_write = self.hash_table.needs_update(hashed)
         else:  # forward: unconditional

@@ -416,3 +416,86 @@ def test_api_job_metrics_endpoint():
     status, _ = api2.handle("POST", "/job/get_metrics",
                             {"id": ["j1"]}, "t1", None)
     assert status == 405
+
+
+def test_reconfigure_respects_pause(spark, tmp_path):
+    """An operator's explicit pause outranks a config change: the new
+    builder is staged but the job stays stopped until resume()."""
+    from aether_firebase_consumer_spark.control.jobs import SparkJob
+
+    calls = []
+
+    def mk_start(tag):
+        def start_fn(ckpt):
+            calls.append(tag)
+
+            class _Q:  # minimal StreamingQuery stand-in
+                def stop(self):
+                    pass
+
+                @property
+                def isActive(self):
+                    return True
+            return _Q()
+        return start_fn
+
+    j = SparkJob("t1", "j1", mk_start("v1"), str(tmp_path / "ck"))
+    j.start()
+    assert calls == ["v1"]
+    j.pause()
+    j.reconfigure(mk_start("v2"))
+    assert calls == ["v1"], "paused job must not restart on reconfigure"
+    j.resume()
+    assert calls == ["v1", "v2"], "resume starts the staged new builder"
+
+
+def test_add_job_refuses_duplicate(tmp_path):
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+    m = JobManager(str(tmp_path / "ck"))
+    m.add_job("t", "j", lambda c: None)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already registered"):
+        m.add_job("t", "j", lambda c: None)
+
+
+def test_checkpoint_paths_never_collide(tmp_path):
+    from aether_firebase_consumer_spark.control.jobs import SparkJob
+    a = SparkJob("a.b", "c", lambda c: None, str(tmp_path))
+    b = SparkJob("a", "b.c", lambda c: None, str(tmp_path))
+    c = SparkJob("a/b", "c", lambda c: None, str(tmp_path))
+    paths = {a.checkpoint, b.checkpoint, c.checkpoint}
+    assert len(paths) == 3
+    assert all("/" not in p[len(str(tmp_path)) + 1:] for p in paths)
+
+
+def test_registry_thread_safe_concurrent_adds(tmp_path):
+    """Concurrent adds/list from server threads must not corrupt the
+    store or the persisted files."""
+    import threading
+
+    from aether_firebase_consumer_spark.control.resources import (
+        ResourceRegistry,
+    )
+    reg = ResourceRegistry(str(tmp_path / "store"))
+    errs = []
+
+    def worker(n):
+        try:
+            for i in range(25):
+                reg.add("t1", "sink_instance", {
+                    "id": f"fb{(n * 25 + i) % 10}",
+                    "name": "x", "url": "https://h"})
+                reg.list("t1", "sink_instance")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(reg.list("t1", "sink_instance")) == 10
+    # fresh registry reloads every persisted file intact
+    reg2 = ResourceRegistry(str(tmp_path / "store"))
+    assert len(reg2.list("t1", "sink_instance")) == 10

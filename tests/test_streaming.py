@@ -1032,3 +1032,42 @@ def test_streaming_soak_many_triggers_bounded_versions(spark, tmp_path):
     vdirs = [d for d in os.listdir(str(tmp_path / "soak_docs"))
              if d.startswith("v")]
     assert len(vdirs) <= 3, vdirs
+
+
+def test_multi_version_batch_consistent_survivor(spark, tmp_path):
+    """One micro-batch carrying several versions of a doc: with
+    seq_col the LATEST version lands in the doc table AND its hash in
+    the hash table (same survivor for both writes), so the next
+    arrival of that version is correctly suppressed and an older one
+    correctly ignored — the divergence the review flagged."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HashStateTable,
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.pipeline import (
+        PipelineConfig,
+        StreamingUpsertJob,
+    )
+    cfg = PipelineConfig(tenant="t1", sync_mode="sync", seq_col="offset")
+    doc_table = ParquetUpsertTable(spark, str(tmp_path / "mv_docs"), ["id"])
+    hash_table = HashStateTable(spark, str(tmp_path / "mv_hashes"))
+    job = StreamingUpsertJob(cfg, doc_table, hash_table)
+
+    b1 = spark.createDataFrame(
+        [("x", "v1", 1), ("x", "v2", 2), ("y", "w1", 5)],
+        "id string, payload string, offset long")
+    job.process_batch(b1, 0)
+    got = {r["id"]: r["payload"] for r in doc_table.read().collect()}
+    assert got == {"x": "v2", "y": "w1"}
+
+    # re-delivery of the surviving version: hash-gated no-op
+    v_before = doc_table.current_version()
+    job.process_batch(spark.createDataFrame(
+        [("x", "v2", 2)], "id string, payload string, offset long"), 1)
+    assert doc_table.current_version() == v_before
+
+    # a genuinely new version updates
+    job.process_batch(spark.createDataFrame(
+        [("x", "v3", 3)], "id string, payload string, offset long"), 2)
+    got = {r["id"]: r["payload"] for r in doc_table.read().collect()}
+    assert got == {"x": "v3", "y": "w1"}
