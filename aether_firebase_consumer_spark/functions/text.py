@@ -111,6 +111,12 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     all JVM-side, no explode needed until the caller wants one."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # guard: Spark's sequence(1, 0) yields the DESCENDING array [1, 0]
+    # (auto step -1), and slice(toks, 0, k) then throws — a single
+    # document shorter than k tokens would abort the whole job. Short
+    # docs get an empty shingle set, matching the SQL oracles'
+    # generate_series(1, 0) = empty semantics.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")))

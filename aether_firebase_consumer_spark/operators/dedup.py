@@ -115,6 +115,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     step 3; AQE skew-join splits it, and empty docs are filtered up
     front.
     """
+    if k % bands:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: the trailing "
+            f"{k % bands} minhashes would be computed but silently "
+            "unused, weakening the configured recall guarantee")
     rows = k // bands
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh")) \
@@ -194,6 +199,14 @@ def connected_components(edges: DataFrame, src: str = "src",
         labels = new.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # silent non-convergence would emit WRONG component labels
+        # (canonical ids that aren't the component minimum) — a long
+        # chain simply needs more rounds than max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter (label propagation needs "
+            "O(component diameter) rounds)")
     return labels.select("id", F.col("label").alias("component"))
 
 

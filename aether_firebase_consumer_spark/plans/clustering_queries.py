@@ -116,6 +116,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in upd.collect():  # bounded: at most k*dim rows
         cents.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["m"])
     cells = sorted(cents)
+    if not cells:
+        # empty embeddings table: the oracle returns zero rows; the
+        # literal-centroid build below would index cents[0] and crash
+        return emb.select(
+            "vec_id", F.lit(None).cast("int").alias("cluster")).limit(0)
     cent_list = [[cents[c][j] for j in range(DIM)] for c in cells]
 
     # --- iteration 1: reassign against the data-derived centroids
@@ -227,15 +232,13 @@ def doc_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_chars")))
 
 
-_NEARDUP_ORACLE = None  # resolved lazily: similarity_queries must load
+# importing the module registers the query whose oracle we embed —
+# same pattern as _KMEANS_ORACLE above
+from aether_firebase_consumer_spark.plans import similarity_queries  # noqa: F401,E402
 
 
 def _neardup_oracle() -> str:
-    global _NEARDUP_ORACLE
-    if _NEARDUP_ORACLE is None:
-        from aether_firebase_consumer_spark.plans import similarity_queries  # noqa: F401
-        _NEARDUP_ORACLE = REGISTRY["similarity_embedding_neardup"].oracle
-    return _NEARDUP_ORACLE
+    return REGISTRY["similarity_embedding_neardup"].oracle
 
 
 def _pagerank_oracle() -> str:

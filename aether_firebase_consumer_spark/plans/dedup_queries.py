@@ -391,6 +391,12 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.min("doc_id").over(W.partitionBy("fp")))
               .withColumn("rn", F.row_number().over(
                   W.partitionBy("fp").orderBy("doc_id"))))
+    # the ranked lineage (fingerprint hash + fp-shuffle + two windows)
+    # feeds THREE branches (LSH/CC, the survivor join, the dropped
+    # union); truncate it once so the corpus isn't re-scanned and
+    # re-hashed per branch — same localCheckpoint idiom as
+    # connected_components' iteration
+    ranked = ranked.localCheckpoint()
     survivors = ranked.filter(F.col("rn") == 1)
     pairs = lsh_candidate_pairs(survivors, "doc_id", "text",
                                 k=_K, bands=_BANDS) \

@@ -302,3 +302,69 @@ def test_minhash_components_are_distinct_permutations(spark):
                            for r in rows]
         # all-identical components = the bug; generically ~8 distinct
         assert sum(c > 1 for c in distinct_counts) >= len(rows) * 0.9
+
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """A doc shorter than the shingle width must yield an EMPTY
+    shingle set (matching the SQL oracles), not abort the job:
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] and slice(_, 0, k)
+    throws (review finding)."""
+    from aether_firebase_consumer_spark.functions.text import shingles
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: list(r["sh"]) for r in
+           df.select("doc_id", shingles("text").alias("sh")).collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b c"]
+    assert got[4] == ["a b c", "b c d"]
+    # the full LSH pipeline also survives short docs (filtered out)
+    pairs = lsh_candidate_pairs(df, "doc_id", "text").collect()
+    assert isinstance(pairs, list)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A label-propagation chain longer than max_iter must RAISE, not
+    silently emit wrong component labels (review finding)."""
+    import pytest as _pytest
+    from aether_firebase_consumer_spark.operators.dedup import (
+        connected_components,
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    # converges fine with default iterations
+    comp = {r["id"]: r["component"]
+            for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {0}
+    # but a too-small cap must be LOUD
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_lsh_bands_divisibility_guard(spark):
+    import pytest as _pytest
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(df, "doc_id", "text", k=8, bands=3)
+
+
+def test_kmeans_empty_embeddings_returns_empty(spark, tmp_path):
+    """Zero-row embeddings: empty result (the oracle's behavior), not
+    an IndexError at plan build (review finding)."""
+    from aether_firebase_consumer_spark.plans.clustering_queries import (
+        embedding_kmeans,
+    )
+    import os
+    d = str(tmp_path / "sfE")
+    os.makedirs(d)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(0).write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = embedding_kmeans(spark, d)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster"]
