@@ -277,3 +277,60 @@ def test_upsert_commit_meta_atomic_with_version(spark, tmp_path):
             commit_meta={"epoch": 8})
     assert t.commit_meta() == {"epoch": 8}
     assert t.read().count() == 3
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: clicks with no purchase within
+    the interval must STILL emit (null-padded) once the watermark
+    proves no match can arrive — the attribution-with-nonconverters
+    shape plain inner joins can't express. Uses synthetic events so the
+    matched/unmatched split is known exactly."""
+    import datetime as dt
+
+    src = tmp_path / "lo_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        # user 1: click with purchase 30 min later (matches)
+        (1, "click", t0, 100),
+        (1, "purchase", t0 + dt.timedelta(minutes=30), 101),
+        # user 2: click, purchase 3h later (outside the 1h interval)
+        (2, "click", t0, 200),
+        (2, "purchase", t0 + dt.timedelta(hours=3), 201),
+        # user 3: click, no purchase at all
+        (3, "click", t0, 300),
+        # watermark pushers on both sides
+        (9, "click", t0 + dt.timedelta(hours=12), 900),
+        (9, "purchase", t0 + dt.timedelta(hours=12), 901),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def side(event_type, alias):
+        s = (spark.readStream
+             .schema("user_id long, event_type string, ts timestamp, "
+                     "event_id long")
+             .option("recursiveFileLookup", "true").parquet(str(src)))
+        return (s.where(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(f"{alias}_user"),
+                        F.col("event_id").alias(f"{alias}_id"),
+                        F.col("ts").alias(f"{alias}_ts"))
+                .withWatermark(f"{alias}_ts", "1 hour"))
+
+    clicks, buys = side("click", "c"), side("purchase", "b")
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ss_louter_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["c_id"], r["b_id"])
+           for r in spark.sql("SELECT * FROM ss_louter_out").collect()}
+    assert (100, 101) in got                      # matched pair
+    assert (200, None) in got and (300, None) in got  # null-padded
+    assert (200, 201) not in got                  # outside interval
