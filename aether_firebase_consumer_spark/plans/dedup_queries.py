@@ -152,8 +152,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The full MinHash-LSH candidate pipeline as SQL CTEs (shared by the
 # components oracle below).
-def _lsh_pairs_ctes() -> str:
-    return f"""{_SHINGLES_CTE},
+def _lsh_pairs_ctes(shingle_cte: str = _SHINGLES_CTE) -> str:
+    return f"""{shingle_cte},
     sig AS (
       SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
       FROM shing
@@ -179,10 +179,10 @@ def _lsh_pairs_ctes() -> str:
     )"""
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_lsh_pairs_ctes()},
+# Recursive transitive-closure CTEs over the verified near-dup edges —
+# the SQL twin of connected_components, shared by both oracles below so
+# the labeling can never drift between the stage and pipeline queries.
+_CC_CTES = """
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM verified
       UNION
@@ -192,10 +192,19 @@ def _lsh_pairs_ctes() -> str:
       SELECT src, dst FROM edges
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS id, LEAST(src, MIN(dst)) AS component
-    FROM reach
-    GROUP BY src
+    ),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    {_CC_CTES}
+    SELECT id, component FROM comp
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +219,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
+
+
+def _simhash_bits_sql(bits: int) -> str:
+    """The b-bit SimHash signature as one SQL sum-of-CASEs expression —
+    shared by dedup_simhash (16) and dedup_simhash_neardup (32) so the
+    nibble threshold and tie-at-zero rule can never drift apart."""
+    return " + ".join(
+        f"""CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
+               h -> CASE WHEN substr(h, {j + 1}, 1) IN
+                    ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
+               THEN {2 ** j} ELSE 0 END"""
+        for j in range(bits))
+
+
 @register(
     "dedup_simhash",
     oracle="""
@@ -221,13 +245,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs AS (
       SELECT doc_id,
              CAST((
-    """ + " + ".join(
-        f"""CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
-               h -> CASE WHEN substr(h, {j + 1}, 1) IN
-                    ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
-               THEN {2 ** j} ELSE 0 END"""
-        for j in range(16)) + """
+    """ + _simhash_bits_sql(16) + """
              ) AS BIGINT) AS simhash16
       FROM hashed
     )
@@ -316,44 +334,8 @@ _SHINGLES_SURV = _SHINGLES_CTE.replace(
       FROM fp
     ),
     survivors AS (SELECT doc_id FROM fpg WHERE rn = 1),
-    {_SHINGLES_SURV},
-    sig AS (
-      SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
-      FROM shing
-    ),
-    banded AS (SELECT id, {_BAND_SQL} FROM sig),
-    long AS (
-      SELECT id, unnest([{", ".join(f"band{b}" for b in range(_BANDS))}])
-               AS band_key
-      FROM banded
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM long a JOIN long b
-        ON a.band_key = b.band_key AND a.id < b.id
-    ),
-    verified AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c
-      JOIN shing sa ON sa.id = c.id_a
-      JOIN shing sb ON sb.id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM verified
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM verified
-    ),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    comp AS (
-      SELECT src AS id, LEAST(src, MIN(dst)) AS component
-      FROM reach GROUP BY src
-    )
+    {_lsh_pairs_ctes(_SHINGLES_SURV)},
+    {_CC_CTES}
     SELECT f.doc_id,
            CASE WHEN f.rn > 1 THEN 'exact_dup'
                 WHEN c.component IS NOT NULL AND c.component < f.doc_id
@@ -430,13 +412,7 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs AS (
       SELECT doc_id,
              CAST((
-    """ + " + ".join(
-        f"""CASE WHEN list_reduce(list_prepend(0, list_transform(hs,
-               h -> CASE WHEN substr(h, {j + 1}, 1) IN
-                    ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
-               THEN {2 ** j} ELSE 0 END"""
-        for j in range(32)) + """
+    """ + _simhash_bits_sql(32) + """
              ) AS BIGINT) AS sig
       FROM hashed
     ),
