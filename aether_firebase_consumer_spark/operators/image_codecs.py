@@ -474,3 +474,126 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
             out[dst + x * 3 + 1] = row[x * 3 + 1]  # G
             out[dst + x * 3 + 2] = row[x * 3]      # B <- R slot
     return w, h, bytes(out)
+
+
+# ------------------------------------------------------------------ TIFF
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits_per_sample",
+              259: "compression", 262: "photometric",
+              273: "strip_offsets", 277: "samples_per_pixel",
+              278: "rows_per_strip", 279: "strip_byte_counts"}
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an uncompressed baseline TIFF (both byte orders):
+    returns (width, height, channels, raw pixels row-major). Scope:
+    8-bit grayscale or RGB, compression=1 (none), strip-organized,
+    first IFD only; LZW/PackBits/JPEG-in-TIFF, tiles, and planar
+    configs raise ``ValueError``. The format is public (TIFF 6.0
+    spec): II/MM magic, 42, IFD of (tag, type, count, value) entries,
+    pixel data addressed by StripOffsets/StripByteCounts."""
+    if payload[:2] == b"II":
+        endian = "little"
+    elif payload[:2] == b"MM":
+        endian = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off:off + 2], endian)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off:off + 4], endian)
+
+    if u16(2) != 42:
+        raise ValueError("bad TIFF magic number")
+    ifd = u32(4)
+    n = u16(ifd)
+    tags: dict[str, list[int]] = {}
+    for i in range(n):
+        e = ifd + 2 + i * 12
+        tag, typ, count = u16(e), u16(e + 2), u32(e + 4)
+        if tag not in _TIFF_TAGS:
+            continue
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        total = size * count
+        off = e + 8 if total <= 4 else u32(e + 8)
+        vals = [int.from_bytes(payload[off + k * size:
+                                       off + (k + 1) * size], endian)
+                for k in range(count)]
+        tags[_TIFF_TAGS[tag]] = vals
+    try:
+        w = tags["width"][0]
+        h = tags["height"][0]
+        offsets = tags["strip_offsets"]
+        counts = tags["strip_byte_counts"]
+    except KeyError as err:
+        raise ValueError(f"TIFF missing required tag: {err}") from err
+    if tags.get("compression", [1])[0] != 1:
+        raise ValueError("compressed TIFF not supported (uncompressed "
+                         "baseline only)")
+    ch = tags.get("samples_per_pixel", [1])[0]
+    if ch not in (1, 3):
+        raise ValueError(f"{ch} samples/pixel not supported")
+    bps = tags.get("bits_per_sample", [8])
+    if any(b != 8 for b in bps):
+        raise ValueError("only 8-bit samples supported")
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        data += payload[off:off + cnt]
+    if len(data) < w * h * ch:
+        raise ValueError("truncated TIFF strip data")
+    return w, h, ch, bytes(data[:w * h * ch])
+
+
+def encode_tiff(w: int, h: int, raw: bytes, channels: int = 3,
+                endian: str = "little") -> bytes:
+    """Encode 8-bit gray/RGB pixels as a single-strip uncompressed
+    baseline TIFF (II or MM byte order)."""
+    if len(raw) != w * h * channels:
+        raise ValueError("pixel buffer does not match w*h*channels")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    order = endian
+    magic = b"II" if order == "little" else b"MM"
+
+    def p16(v: int) -> bytes:
+        return v.to_bytes(2, order)
+
+    def p32(v: int) -> bytes:
+        return v.to_bytes(4, order)
+
+    # layout: header(8) | pixel data | IFD
+    data_off = 8
+    ifd_off = data_off + len(raw)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (259, 3, 1, 1),                    # no compression
+        (262, 3, 1, 1 if channels == 1 else 2),
+        (273, 4, 1, data_off),             # single strip
+        (277, 3, 1, channels),
+        (278, 3, 1, h),
+        (279, 4, 1, len(raw)),
+    ]
+    bps_extra = b""
+    if channels == 3:
+        # bits_per_sample needs 3 shorts -> external value area after IFD
+        bps_off = ifd_off + 2 + 12 * (len(entries) + 1) + 4
+        entries.append((258, 3, 3, bps_off))
+        bps_extra = p16(8) + p16(8) + p16(8)
+    else:
+        entries.append((258, 3, 1, 8))
+    entries.sort()
+    ifd = p16(len(entries))
+    for (tag, typ, count, val) in entries:
+        size = {3: 2, 4: 4}[typ]
+        if size * count <= 4:
+            packed = val.to_bytes(size, order) if count == 1 else b""
+            packed = packed + b"\x00" * (4 - len(packed))
+        else:
+            packed = p32(val)
+        ifd += p16(tag) + p16(typ) + p32(count) + packed
+    ifd += p32(0)  # no next IFD
+    return magic + p16(42) + p32(ifd_off) + raw + ifd + bps_extra

@@ -122,6 +122,12 @@ def decode_image(payload: bytes) -> "object":
             decode_gif,
         )
         return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"*\x00",
+                                                          b"\x00*"):
+        from aether_firebase_consumer_spark.operators.image_codecs import (
+            decode_tiff,
+        )
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from aether_firebase_consumer_spark.operators.jpeg_codec import (
             decode_jpeg,
@@ -133,9 +139,10 @@ def decode_image(payload: bytes) -> "object":
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "TIFF/WebP decode requires PIL (not in this environment); "
-            "PPM/PNG/BMP/GIF and baseline grayscale JPEG decode natively "
-            "via operators.image_codecs / operators.jpeg_codec") from err
+            "WebP/compressed-TIFF decode requires PIL (not in this "
+            "environment); PPM/PNG/BMP/GIF/uncompressed-TIFF and baseline "
+            "JPEG decode natively via operators.image_codecs / "
+            "operators.jpeg_codec") from err
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -155,12 +155,14 @@ def test_decode_image_dispatch():
     raw = _pixels(12)
     assert decode_image(encode_png(2, 2, raw)) == (2, 2, 3, raw)
     assert decode_image(encode_bmp(2, 2, raw)) == (2, 2, raw)
-    # JPEG now routes to the native decoder (malformed -> ValueError,
-    # not a PIL gate); TIFF stays PIL-gated
+    # JPEG and TIFF route to the native decoders (malformed ->
+    # ValueError, not a PIL gate); WebP stays PIL-gated
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError):
         decode_image(b"II*\x00 fake tiff")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP fake")
 
 
 # --- GIF: reference LZW encoder lives in the test so the decoder is
@@ -467,3 +469,51 @@ def test_gif_encoder_wide_palette_default_code_size():
     w, h, rgb = decode_gif(gif)
     assert (w, h) == (4, 2)
     assert rgb == b"".join(pal16[i * 3:i * 3 + 3] for i in idx)
+
+
+# --- TIFF ---
+
+@pytest.mark.parametrize("endian", ["little", "big"])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_tiff_roundtrip(endian, channels):
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+    w, h = 5, 4
+    raw = _pixels(w * h * channels)
+    tif = encode_tiff(w, h, raw, channels=channels, endian=endian)
+    assert decode_tiff(tif) == (w, h, channels, raw)
+
+
+def test_tiff_scope_rejection():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"PK..")
+    tif = bytearray(encode_tiff(2, 2, _pixels(12)))
+    # flip the compression tag (259) value to 5 (LZW)
+    import struct as _s
+    ifd = int.from_bytes(tif[4:8], "little")
+    n = int.from_bytes(tif[ifd:ifd + 2], "little")
+    for i in range(n):
+        e = ifd + 2 + i * 12
+        if int.from_bytes(tif[e:e + 2], "little") == 259:
+            tif[e + 8:e + 10] = _s.pack("<H", 5)
+    with pytest.raises(ValueError, match="compressed"):
+        decode_tiff(bytes(tif))
+
+
+def test_decode_image_dispatch_tiff():
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        encode_tiff,
+    )
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_image,
+    )
+    raw = _pixels(12)
+    assert decode_image(encode_tiff(2, 2, raw)) == (2, 2, 3, raw)
+    assert decode_image(encode_tiff(2, 2, raw[:4], channels=1)) \
+        == (2, 2, 1, raw[:4])
