@@ -369,7 +369,7 @@ IMAGE_SCAN_SCHEMA = ("path string, fmt string, width int, height int, "
 
 
 def scan_image_files(spark, path: str,
-                     glob: str = "*.{png,bmp,gif,jpg,jpeg,ppm}"):
+                     glob: str = "*.{png,bmp,gif,jpg,jpeg,ppm,tif,tiff}"):
     """Real-file multimodal ingestion: list + ship image files via the
     ``binaryFile`` datasource (executor-side content, parallelism =
     file count) and decode each with the engine's native codecs
@@ -393,6 +393,8 @@ def scan_image_files(spark, path: str,
                        "bmp" if b[:2] == b"BM" else
                        "gif" if b[:6] in (b"GIF87a", b"GIF89a") else
                        "jpeg" if b[:2] == b"\xff\xd8" else
+                       "tiff" if (b[:2] in (b"II", b"MM")
+                                  and b[2:4] in (b"*\x00", b"\x00*")) else
                        "ppm" if b[:2] == b"P6" else "unknown")
                 try:
                     decoded = decode_image(b)

@@ -537,6 +537,10 @@ def test_scan_image_files_mixed_directory(spark, tmp_path):
         2, 2, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7]),
         [0, 1, 2, 3]))
     (d / "d.jpg").write_bytes(encode_jpeg_gray(8, 8, bytes([9] * 64)))
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        encode_tiff,
+    )
+    (d / "e.tif").write_bytes(encode_tiff(4, 4, rgb))
     (d / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\n garbage")
 
     out = scan_image_files(spark, str(d))
@@ -547,5 +551,6 @@ def test_scan_image_files_mixed_directory(spark, tmp_path):
     assert rows["c.gif"]["ok"] and (rows["c.gif"]["width"],
                                     rows["c.gif"]["height"]) == (2, 2)
     assert rows["d.jpg"]["ok"] and rows["d.jpg"]["channels"] == 1
+    assert rows["e.tif"]["ok"] and rows["e.tif"]["fmt"] == "tiff"
     assert not rows["bad.png"]["ok"]
     assert rows["bad.png"]["error"]  # quarantined with a reason
