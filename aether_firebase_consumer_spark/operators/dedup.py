@@ -100,21 +100,16 @@ def minhash_signature_xx(shingle_arr: Column, k: int = 8) -> list[Column]:
     ]
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 8, bands: int = 4,
-                        shingle_k: int = 3) -> DataFrame:
-    """MinHash-LSH candidate pairs with exact-Jaccard verification.
+def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
+                   k: int, bands: int, shingle_k: int
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: per-doc shingle sets and the exploded
+    (id, band_key) frame. Returns ``(sh, long)`` where ``sh`` is
+    (id, sh:array<string>) and ``long`` is one row per (id, band).
 
-    Returns (id_a, id_b, jaccard) for candidate pairs that share at
-    least one LSH band. Pipeline:
-      1. per-doc shingle set + k minhashes (single scan, no shuffle)
-      2. explode band keys → shuffle only (band_key, id)
-      3. self-join on band_key (a<b), distinct pairs
-      4. join shingle sets for the two ids, exact Jaccard
-    Skew note: a degenerate band key (e.g. all-empty docs) would hot-spot
-    step 3; AQE skew-join splits it, and empty docs are filtered up
-    front.
-    """
+    One md5 per shingle (explode), k affine permutations as integer
+    math, map-side partial MIN combine — the signature shuffle carries
+    one k-int row per (id, map-partition), never the shingles."""
     if k % bands:
         raise ValueError(
             f"k={k} must be divisible by bands={bands}: the trailing "
@@ -124,9 +119,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh")) \
            .filter(F.size("sh") > 0)
-    # One md5 per shingle (explode), k affine permutations as integer
-    # math, map-side partial MIN combine → the shuffle carries one
-    # k-int row per (id, map-partition), not the shingles.
     hashed = sh.select("id", F.explode("sh").alias("s")) \
                .select("id", portable_hash60(F.col("s")).alias("h"))
     sig = hashed.groupBy("id").agg(*[
@@ -144,6 +136,69 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     long = banded.select(
         "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
         .alias("band_key"))
+    return sh, long
+
+
+def lsh_incremental_pairs(existing: DataFrame, incoming: DataFrame,
+                          id_col: str, text_col: str,
+                          k: int = 8, bands: int = 4,
+                          shingle_k: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup: match an INCOMING batch against an EXISTING
+    corpus without ever self-joining the corpus — the shape a streaming
+    ingestion pipeline needs (each micro-batch dedups against the
+    accumulated table, reference consume-mode semantics applied to
+    corpus hygiene).
+
+    Returns (new_id, old_id, jaccard) for incoming docs whose exact
+    shingle-Jaccard against some existing doc is ≥ ``threshold``.
+
+    Scale shape: band keys are computed per-doc (independent of the
+    corpus split, so both sides band identically); the probe is an
+    equi-join of the SMALL incoming band frame into the big existing
+    band frame — at 100 TB the existing (id, band_key) frame is a
+    bucketed/persisted index the batch probes, cost ∝ batch size, not
+    corpus²; only candidate ids fetch shingle sets for the exact
+    verify."""
+    sh_e, long_e = _lsh_band_long(existing, id_col, text_col,
+                                  k, bands, shingle_k)
+    sh_i, long_i = _lsh_band_long(incoming, id_col, text_col,
+                                  k, bands, shingle_k)
+    cand = (long_i.alias("a")
+            .join(long_e.alias("b"),
+                  F.col("a.band_key") == F.col("b.band_key"))
+            .select(F.col("a.id").alias("new_id"),
+                    F.col("b.id").alias("old_id"))
+            .distinct())
+    sh_new = sh_i.select(F.col("id").alias("new_id"),
+                         F.col("sh").alias("sh_new"))
+    sh_old = sh_e.select(F.col("id").alias("old_id"),
+                         F.col("sh").alias("sh_old"))
+    return (cand.join(sh_new, "new_id").join(sh_old, "old_id")
+            .select("new_id", "old_id",
+                    (F.size(F.array_intersect("sh_new", "sh_old"))
+                     .cast("double")
+                     / F.size(F.array_union("sh_new", "sh_old")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, bands: int = 4,
+                        shingle_k: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs that share at
+    least one LSH band. Pipeline:
+      1. per-doc shingle set + k minhashes (single scan, no shuffle)
+      2. explode band keys → shuffle only (band_key, id)
+      3. self-join on band_key (a<b), distinct pairs
+      4. join shingle sets for the two ids, exact Jaccard
+    Skew note: a degenerate band key (e.g. all-empty docs) would hot-spot
+    step 3; AQE skew-join splits it, and empty docs are filtered up
+    front.
+    """
+    sh, long = _lsh_band_long(df, id_col, text_col, k, bands, shingle_k)
     a, b = long.alias("a"), long.alias("b")
     pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                     & (F.col("a.id") < F.col("b.id")))

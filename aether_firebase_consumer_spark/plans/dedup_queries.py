@@ -18,6 +18,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_incremental_pairs,
     ngram_jaccard_pairs,
     portable_hash60,
     simhash,
@@ -516,3 +517,66 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  shared.cast("bigint").alias("n_shared"),
                  (shared.cast("double") / F.count("*"))
                  .alias("shared_ratio")))
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
+      FROM shing
+    ),
+    banded AS (SELECT id, {_BAND_SQL} FROM sig),
+    long AS (
+      SELECT id, unnest([{", ".join(f"band{{b}}".format(b=b) for b in range(_BANDS))}])
+               AS band_key
+      FROM banded
+    ),
+    long_e AS (SELECT * FROM long WHERE id % 10 < 8),
+    long_i AS (SELECT * FROM long WHERE id % 10 >= 8),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS old_id
+      FROM long_i a JOIN long_e b ON a.band_key = b.band_key
+    ),
+    ver AS (
+      SELECT c.new_id, c.old_id,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand c
+      JOIN shing sa ON sa.id = c.new_id
+      JOIN shing sb ON sb.id = c.old_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    best AS (
+      SELECT new_id, old_id AS dup_of, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, old_id) AS rn
+      FROM ver
+    )
+    SELECT new_id, dup_of, jaccard FROM best WHERE rn = 1
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an incoming batch (doc_id % 10 ∈ {{8,9}} — a
+    deterministic 20% stand-in for a micro-batch) probed against the
+    existing corpus (the other 80%) via banded MinHash-LSH, exact-Jaccard
+    verified ≥ 0.5, reporting each duplicate's best existing match
+    (max jaccard, ties to the smallest old id).
+
+    This is the shape corpus ingestion needs at 100 TB: the corpus is
+    never self-joined — its (id, band_key) frame acts as a persisted
+    index the batch equi-probes, so per-batch cost scales with the
+    batch, not the corpus. Banding is per-doc, so splitting the corpus
+    does not change any signature (the oracle bands once and filters)."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    pairs = lsh_incremental_pairs(existing, incoming, "doc_id", "text",
+                                  k=_K, bands=_BANDS, threshold=0.5)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), "old_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("dup_of"), "jaccard"))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from aether_firebase_consumer_spark.functions.text import (
     LANG_STOPWORDS,
@@ -349,3 +350,92 @@ def text_char_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("sum_counts").cast("double")
                      / (F.col("n_bigrams") * F.col("total"))
                      .cast("double")).alias("score")))
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS s_tok,
+             (SELECT COUNT(*) FROM dl) AS d_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(44 * tf.tf * n.s_tok * n.n_docs AS DOUBLE)
+               / CAST(df.df * (20 * tf.tf * n.s_tok
+                               + 6 * n.s_tok
+                               + 18 * dl.dl * n.d_docs) AS DOUBLE)
+               AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by BM25 (k1=1.2, b=0.75) — the
+    retrieval-grade successor to ``text_tfidf_topk``: term-frequency
+    saturation (tf·(k1+1)/(tf+k1·…)) plus document-length
+    normalization (b·dl/avgdl), with idf in rational form (N/df).
+
+    Bit-exactness: the float form of BM25 is a 7-op double tree whose
+    per-op rounding drifts a ulp between engines, so the score is
+    algebraically cleared of its inner divisions first. With
+    S = Σ tokens, D = |docs|, avgdl = S/D and k1=6/5, b=3/4:
+
+        score = 44·tf·S·N / (df · (20·tf·S + 6·S + 18·dl·D))
+
+    — exact BIGINT arithmetic up to ONE final double division, the
+    same single-rounding trick the repo's other scores use ("rational
+    form over ln"). Overflow bound: 44·tf·S·N must fit BIGINT —
+    true through sf0.1 by orders of magnitude; at 100 TB switch to
+    the float form (scores then drive a top-k, where a last-ulp tie
+    flip is immaterial without an oracle hash to match).
+
+    Plan shape: one exploded token frame reused for tf / df / dl; df
+    is a broadcast-sized vocabulary side; dl co-partitions with tf on
+    doc_id; S, D, N are driver scalars (one count + one 1-row agg).
+    Top-k per doc via row_number on the shuffle tf already needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.count()
+    s_tok, d_docs = dl.agg(F.sum("dl"), F.count("*")).collect()[0]
+    num = (F.lit(44) * F.col("tf") * F.lit(s_tok) * F.lit(n_docs)) \
+        .cast("double")
+    den = (F.col("df") * (F.lit(20) * F.col("tf") * F.lit(s_tok)
+                          + F.lit(6 * s_tok)
+                          + F.lit(18 * d_docs) * F.col("dl"))) \
+        .cast("double")
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .withColumn("score", num / den)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+    )
