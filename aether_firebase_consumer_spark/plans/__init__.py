@@ -71,5 +71,6 @@ def _load_all() -> None:
         corpus_queries,
         quality_queries,
         clustering_queries,
+        kafka_queries,
     )
     _LOADED = True

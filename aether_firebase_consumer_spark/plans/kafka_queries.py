@@ -1,0 +1,100 @@
+"""Kafka-path queries: the jar-free ``kafka_py`` source under the
+driver's oracle gate.
+
+The builder stands up an in-process :class:`MiniKafkaBroker` (pure
+Python, real TCP), produces a deterministic subset of the orders table
+into a 4-partition topic as JSON values, and reads it back through the
+``kafka_py`` DataSource — so the correctness gate covers the whole
+produce → wire → fetch → parse path, not just the transformations
+behind it. The oracle is the same subset straight from parquet: if the
+round trip drops, duplicates, or corrupts one message, the value hash
+breaks.
+
+Brokers are cached per (process, sf_dir) and their daemon threads die
+with the process; the produced subset is bounded (~5% of orders), so
+the resident log is a few hundred KB.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.plans import register
+from aether_firebase_consumer_spark.tables import load_table
+
+_BROKERS: dict[str, tuple] = {}
+
+
+def _orders_broker(spark: SparkSession, sf_dir: str):
+    """Start (once per process and sf_dir) a broker holding the orders
+    subset as JSON messages; returns (bootstrap, topic)."""
+    cached = _BROKERS.get(sf_dir)
+    if cached:
+        return cached
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice")
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "bench.orders"
+    broker.create_topic(topic, partitions=4)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        for i in range(0, len(rows), 500):
+            chunk = rows[i:i + 500]
+            by_part: dict[int, list] = {}
+            for r in chunk:
+                # json.dumps floats use repr (shortest round trip), so
+                # Spark's JSON parser recovers the identical double
+                payload = json.dumps({
+                    "o_orderkey": r.o_orderkey,
+                    "o_custkey": r.o_custkey,
+                    "o_orderstatus": r.o_orderstatus,
+                    "o_totalprice": r.o_totalprice,
+                }).encode()
+                by_part.setdefault(r.o_orderkey % 4, []).append(
+                    (str(r.o_orderkey).encode(), payload))
+            for part, msgs in by_part.items():
+                c.produce(topic, part, msgs)
+    _BROKERS[sf_dir] = (broker.bootstrap, topic)
+    return _BROKERS[sf_dir]
+
+
+@register(
+    "kafka_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def kafka_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders subset produced to a real (in-process) Kafka-wire broker
+    and read back via the jar-free ``kafka_py`` batch source — O1 under
+    the oracle gate. Scale shape: one Spark task per Kafka partition,
+    each fetching only its own offset range over its own socket; JSON
+    decode is Catalyst ``from_json`` (JVM, codegen), not Python."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    bootstrap, topic = _orders_broker(spark, sf_dir)
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", bootstrap)
+           .option("subscribe", topic)
+           .load())
+    parsed = raw.select(F.from_json(
+        F.col("value").cast("string"),
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double").alias("o"))
+    return parsed.select("o.o_orderkey", "o.o_custkey",
+                         "o.o_orderstatus", "o.o_totalprice")
