@@ -130,11 +130,20 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
                         subscribe_pattern: str,
                         starting_offsets: str = "earliest",
                         max_offsets_per_trigger: int | None = None,
-                        security: dict[str, str] | None = None) -> DataFrame:
+                        security: dict[str, str] | None = None,
+                        use_wire_fallback: bool = True) -> DataFrame:
     """Kafka source (reference O1/O2): subscribePattern carries the
     tenant-prefixed wildcard (``topic_pattern_to_regex``), checkpointing
     replaces manual offset commit (``conf/consumer/kafka.json:3-6``).
-    Requires the spark-sql-kafka jar (not in the v1 image)."""
+
+    The JVM spark-sql-kafka source is preferred (vectorized, full
+    option surface). When its jar is absent — as in this image — and
+    ``use_wire_fallback`` is set, the jar-free ``kafka_py`` source
+    (``sources/kafka_pysource.py``: pure-Python wire protocol, same
+    output schema minus the timestamp columns) serves the stream
+    instead, so the poll loop works either way. ``security`` options
+    have no fallback equivalent (the wire client speaks PLAINTEXT
+    only) — with security configured, jar absence stays an error."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(
             bootstrap, subscribe_pattern, starting_offsets,
@@ -142,10 +151,23 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as err:  # jar missing → actionable error
-        raise NotImplementedError(
-            "kafka source requires the org.apache.spark:spark-sql-kafka "
-            "jar on the classpath (absent in this environment)") from err
+    except Exception as err:  # jar missing → fall back or error
+        if not use_wire_fallback or security:
+            raise NotImplementedError(
+                "kafka source requires the org.apache.spark:"
+                "spark-sql-kafka jar on the classpath (absent in this "
+                "environment)" + (" and the jar-free fallback does not "
+                                  "support security options" if security
+                                  else "")) from err
+        from aether_firebase_consumer_spark.sources.kafka_pysource import (
+            register_kafka_py,
+        )
+        register_kafka_py(spark)
+        return (spark.readStream.format("kafka_py")
+                .option("bootstrap", bootstrap)
+                .option("subscribePattern", subscribe_pattern)
+                .option("startingOffsets", starting_offsets)
+                .load())
 
 
 def decode_json_docs(raw: DataFrame, schema: T.StructType | str,

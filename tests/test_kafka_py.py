@@ -297,3 +297,34 @@ def test_reference_path_kafka_avro_pipeline(spark, broker, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert doc_table.read().count() == 10       # nothing re-written
+
+
+def test_stream_kafka_source_falls_back_to_wire(spark, broker, tmp_path):
+    """readers.stream_kafka_source prefers the JVM source; with the jar
+    absent (this image) it transparently serves the same stream through
+    kafka_py — the poll loop works either way."""
+    from aether_firebase_consumer_spark.sources.readers import (
+        stream_kafka_source,
+    )
+
+    with _client(broker) as c:
+        c.produce("t1.a", 0, [(None, b"m1"), (None, b"m2")])
+    sdf = stream_kafka_source(spark, broker.bootstrap, r"t1\..*")
+    q = (sdf.writeStream.format("memory").queryName("kpy_fb")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        vals = sorted(bytes(r.value) for r in spark.table("kpy_fb").collect())
+        assert vals == [b"m1", b"m2"]
+    finally:
+        q.stop()
+
+
+def test_stream_kafka_source_security_has_no_fallback(spark, broker):
+    from aether_firebase_consumer_spark.sources.readers import (
+        stream_kafka_source,
+    )
+
+    with pytest.raises(NotImplementedError, match="security"):
+        stream_kafka_source(spark, broker.bootstrap, r"t1\..*",
+                            security={"security.protocol": "SASL_SSL"})
