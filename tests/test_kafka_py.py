@@ -328,3 +328,58 @@ def test_stream_kafka_source_security_has_no_fallback(spark, broker):
     with pytest.raises(NotImplementedError, match="security"):
         stream_kafka_source(spark, broker.bootstrap, r"t1\..*",
                             security={"security.protocol": "SASL_SSL"})
+
+
+def test_job_reconcile_on_kafka_source(spark, broker, tmp_path):
+    """O2/O18 on the REAL source type: a JobManager-managed streaming
+    query consumes a Kafka topic pattern through the wire source; the
+    subscription's pattern changes mid-run → reconfigure swaps queries
+    on the same checkpoint. Offsets for the old topics stay committed
+    (no reprocessing), the new pattern's topics are consumed from
+    earliest — Kafka resubscription semantics, exactly what the
+    reference's reconcile poll does (artifacts.py:287-300)."""
+    from aether_firebase_consumer_spark.control.jobs import (
+        JobManager,
+        JobStatus,
+    )
+    from aether_firebase_consumer_spark.sources.readers import (
+        stream_kafka_source,
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def make_start_fn(pattern):
+        def start_fn(checkpoint):
+            stream = stream_kafka_source(spark, broker.bootstrap, pattern)
+            return (stream.selectExpr("CAST(value AS STRING) AS v",
+                                      "topic", "partition", "offset")
+                    .writeStream.format("parquet").option("path", out_dir)
+                    .option("checkpointLocation", checkpoint)
+                    .start())
+        return start_fn
+
+    with _client(broker) as c:
+        c.produce("t1.alpha", 0, [(None, b"a1"), (None, b"a2")])
+        c.produce("t1.beta", 0, [(None, b"b1")])
+
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("t1", "job-k", make_start_fn(r"t1\.alpha"))
+    job.start()
+    job.query.processAllAvailable()
+    q1 = job.query
+    assert sorted(r.v for r in spark.read.parquet(out_dir).collect()) \
+        == ["a1", "a2"]
+
+    job.reconfigure(make_start_fn(r"t1\.beta"))
+    assert not q1.isActive and job.query is not q1
+    assert job.get_status() == JobStatus.NORMAL
+    with _client(broker) as c:
+        c.produce("t1.alpha", 0, [(None, b"a3")])   # no longer subscribed
+        c.produce("t1.beta", 0, [(None, b"b2")])
+    job.query.processAllAvailable()
+    job.stop()
+
+    vals = sorted(r.v for r in spark.read.parquet(out_dir).collect())
+    # alpha rows exactly once from before the swap; beta consumed from
+    # earliest on resubscription; a3 not consumed
+    assert vals == ["a1", "a2", "b1", "b2"]
