@@ -179,17 +179,56 @@ class KafkaPyBatchReader(DataSourceReader):
 
 class KafkaPyStreamReader(DataSourceStreamReader):
     """Micro-batch reader: offsets are {"topic,partition": position}
-    dicts, checkpointed by Spark."""
+    dicts, checkpointed by Spark.
+
+    ``maxOffsetsPerTrigger`` bounds micro-batch size (the scalable
+    analogue of the reference's per-poll message cap,
+    ``artifacts.py:272``): the total is split evenly across the
+    topic-partitions with pending data, and ``latestOffset`` advances
+    at most that far beyond ``_floor`` — the per-tp high-water mark of
+    everything already PLANNED, learned from the (start, end) ranges
+    the engine passes to :meth:`partitions`. Two protocol facts
+    observed against Spark 4.1's microbatch engine dictate that
+    anchor (the Python DataSource API has no ReadLimit):
+
+    * ordering — the engine's first ``latestOffset`` precedes
+      ``initialOffset``, and ``commit(batch_n)`` can arrive AFTER
+      ``latestOffset`` for batch n+1, so the committed position is a
+      stale base; the planned end is the correct one. Until the first
+      ``partitions`` call the floor is empty, so the first micro-batch
+      of a fresh start or a restart-from-checkpoint (whose position
+      lives in Spark's checkpoint, invisible here) is uncapped.
+    * monotonicity — the engine plans ``partitions(prev_end,
+      new_latest)`` without clamping, so a ``latestOffset`` result
+      stepping behind an already-planned end would re-read (duplicate)
+      that range; capping against the floor also guarantees the
+      result never regresses."""
 
     def __init__(self, options: dict) -> None:
         self._resolver = _TopicResolver(options)
+        mopt = (options.get("maxoffsetspertrigger")
+                or options.get("maxOffsetsPerTrigger"))
+        self._max_per_trigger = int(mopt) if mopt else None
+        #: per-tp high-water mark of planned ranges (see docstring)
+        self._floor: dict = {}
 
     def initialOffset(self) -> dict:
         time = EARLIEST if self._resolver.starting == "earliest" else LATEST
         return self._resolver.offsets(time)
 
     def latestOffset(self) -> dict:
-        return self._resolver.offsets(LATEST)
+        latest = self._resolver.offsets(LATEST)
+        out = dict(latest)
+        base = self._floor
+        if self._max_per_trigger is not None and base:
+            pending = [k for k, v in out.items() if v > base.get(k, 0)]
+            if pending:
+                share = max(1, self._max_per_trigger // len(pending))
+                for k in pending:
+                    out[k] = min(out[k], base.get(k, 0) + share)
+        for k, v in base.items():  # never step behind a planned end
+            out[k] = max(out.get(k, v), v)
+        return out
 
     def partitions(self, start: dict, end: dict):
         host, port = self._resolver.host, self._resolver.port
@@ -198,6 +237,9 @@ class KafkaPyStreamReader(DataSourceStreamReader):
             # a tp absent from start = topic that appeared mid-stream
             # (pattern subscription): consume it from the beginning
             s = start.get(key, 0)
+            # learn the planned high-water mark (incl. checkpointed
+            # positions flowing through after a restart)
+            self._floor[key] = max(self._floor.get(key, 0), s, e)
             if e > s:
                 topic, part = _split_tp(key)
                 out.append(KafkaRangePartition(host, port, topic, part, s, e))

@@ -163,11 +163,14 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
             register_kafka_py,
         )
         register_kafka_py(spark)
-        return (spark.readStream.format("kafka_py")
-                .option("bootstrap", bootstrap)
-                .option("subscribePattern", subscribe_pattern)
-                .option("startingOffsets", starting_offsets)
-                .load())
+        reader = (spark.readStream.format("kafka_py")
+                  .option("bootstrap", bootstrap)
+                  .option("subscribePattern", subscribe_pattern)
+                  .option("startingOffsets", starting_offsets))
+        if max_offsets_per_trigger is not None:
+            reader = reader.option("maxOffsetsPerTrigger",
+                                   str(max_offsets_per_trigger))
+        return reader.load()
 
 
 def decode_json_docs(raw: DataFrame, schema: T.StructType | str,

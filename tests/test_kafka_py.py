@@ -383,3 +383,36 @@ def test_job_reconcile_on_kafka_source(spark, broker, tmp_path):
     # alpha rows exactly once from before the swap; beta consumed from
     # earliest on resubscription; a3 not consumed
     assert vals == ["a1", "a2", "b1", "b2"]
+
+
+def test_max_offsets_per_trigger_bounds_batches(spark, broker, tmp_path):
+    """maxOffsetsPerTrigger=10: once the first commit anchors the cap
+    (the engine's very first batch is uncapped — see the reader
+    docstring), a backlog of 35 messages drains in micro-batches of
+    ≤ 10 rows, exactly once."""
+    _register(spark)
+    broker.create_topic("t.cap", partitions=1)
+    with _client(broker) as c:
+        c.produce("t.cap", 0, [(None, b"seed")])
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "t.cap")
+           .option("maxOffsetsPerTrigger", "10").load())
+    q = (sdf.writeStream.format("memory").queryName("kpy_cap")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()           # batch 0: the seed row
+        assert spark.table("kpy_cap").count() == 1
+        with _client(broker) as c:        # 35-message backlog
+            c.produce("t.cap", 0,
+                      [(None, f"m{i}".encode()) for i in range(35)])
+        q.processAllAvailable()
+        out = spark.table("kpy_cap")
+        assert out.count() == 36          # drained, no duplicates
+        assert out.select("offset").distinct().count() == 36
+        sizes = [p["numInputRows"] for p in q.recentProgress
+                 if p["numInputRows"] > 0]
+        # the backlog batches are capped: 35 rows → ≥ 4 batches of ≤ 10
+        assert sizes and max(sizes) <= 10 and len(sizes) >= 5
+    finally:
+        q.stop()
