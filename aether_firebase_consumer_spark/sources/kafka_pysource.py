@@ -42,7 +42,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from aether_firebase_consumer_spark.sources.kafka_wire import (
@@ -255,6 +258,83 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         pass
 
 
+class KafkaWriteCommit(WriterCommitMessage):
+    """Per-task produce receipt (rows produced per topic-partition)."""
+
+    def __init__(self, counts: dict) -> None:
+        self.counts = counts
+
+
+def _to_bytes(v) -> Optional[bytes]:
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return str(v).encode("utf-8")
+
+
+class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Produce rows to a topic over the wire client — the sink half of
+    the round trip (batch ``df.write`` and streaming
+    ``writeStream.format("kafka_py")``).
+
+    Input columns: ``value`` (binary or string, required), optional
+    ``key`` (binary or string), optional ``partition`` (int). Without
+    a ``partition`` column rows route by ``hash(key) % n_partitions``
+    (the default-partitioner contract; keyless rows go round-robin
+    within the task). Delivery is AT-LEAST-ONCE, same as the JVM
+    Kafka sink: a task retry re-produces its rows — v0 has no
+    transactional produce, so exactly-once needs an idempotent
+    consumer downstream (which the pipeline's MERGE sink is).
+
+    Each task opens one socket and produces in 500-message chunks —
+    the reference's Firestore batch-commit size, and the same
+    producer-per-task shape the reader uses."""
+
+    def __init__(self, options: dict) -> None:
+        self.host, self.port = _parse_bootstrap(options)
+        self.topic = options.get("topic")
+        if not self.topic:
+            raise ValueError("kafka_py sink: 'topic' option required")
+
+    def write(self, rows) -> KafkaWriteCommit:
+        counts: dict[int, int] = {}
+        with KafkaWireClient(self.host, self.port) as client:
+            parts = client.metadata([self.topic]).get(self.topic) or [0]
+            buf: dict[int, list] = {}
+            rr = 0
+
+            def flush(p: int) -> None:
+                if buf.get(p):
+                    client.produce(self.topic, p, buf[p])
+                    counts[p] = counts.get(p, 0) + len(buf[p])
+                    buf[p] = []
+
+            for row in rows:
+                d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                key = _to_bytes(d.get("key"))
+                value = _to_bytes(d.get("value"))
+                if d.get("partition") is not None:
+                    p = int(d["partition"]) % len(parts)
+                elif key is not None:
+                    p = hash(key) % len(parts)
+                else:
+                    p = parts[rr % len(parts)]
+                    rr += 1
+                buf.setdefault(p, []).append((key, value))
+                if len(buf[p]) >= 500:
+                    flush(p)
+            for p in list(buf):
+                flush(p)
+        return KafkaWriteCommit(counts)
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        pass  # v0 produce is unconditional; nothing to finalize
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        pass  # produced rows stay (at-least-once), consumer dedups
+
+
 class KafkaPyDataSource(DataSource):
     """``spark.read.format("kafka_py")`` / ``spark.readStream.…`` after
     ``spark.dataSource.register(KafkaPyDataSource)``."""
@@ -271,6 +351,16 @@ class KafkaPyDataSource(DataSource):
 
     def streamReader(self, schema) -> KafkaPyStreamReader:
         return KafkaPyStreamReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> KafkaPyWriter:
+        if overwrite:
+            raise ValueError(
+                "kafka_py sink: overwrite mode is meaningless for an "
+                "append-only log; use mode('append')")
+        return KafkaPyWriter(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> KafkaPyWriter:
+        return KafkaPyWriter(dict(self.options))
 
 
 def register_kafka_py(spark) -> None:

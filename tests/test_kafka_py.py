@@ -416,3 +416,77 @@ def test_max_offsets_per_trigger_bounds_batches(spark, broker, tmp_path):
         assert sizes and max(sizes) <= 10 and len(sizes) >= 5
     finally:
         q.stop()
+
+
+# ------------------------------------------------------------------- sink
+
+def test_batch_write_then_read_roundtrip(spark, broker):
+    """df.write.format('kafka_py') produces over the wire; a batch read
+    gets every row back. Keyed rows land on a stable partition
+    (default-partitioner contract)."""
+    _register(spark)
+    broker.create_topic("sink.topic", partitions=3)
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", f"payload-{i}") for i in range(40)],
+        "key string, value string")
+    (df.write.format("kafka_py")
+     .option("bootstrap", broker.bootstrap)
+     .option("topic", "sink.topic").mode("append").save())
+    back = (spark.read.format("kafka_py")
+            .option("bootstrap", broker.bootstrap)
+            .option("subscribe", "sink.topic").load())
+    rows = back.collect()
+    assert sorted(bytes(r.value).decode() for r in rows) \
+        == sorted(f"payload-{i}" for i in range(40))
+    # same key → same partition, always
+    key_parts = {}
+    for r in rows:
+        key_parts.setdefault(bytes(r.key), set()).add(r.partition)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+
+
+def test_explicit_partition_column_wins(spark, broker):
+    _register(spark)
+    broker.create_topic("sink.explicit", partitions=4)
+    df = spark.createDataFrame(
+        [(None, f"v{i}", i % 2) for i in range(10)],
+        "key string, value string, partition int")
+    (df.write.format("kafka_py")
+     .option("bootstrap", broker.bootstrap)
+     .option("topic", "sink.explicit").mode("append").save())
+    back = (spark.read.format("kafka_py")
+            .option("bootstrap", broker.bootstrap)
+            .option("subscribe", "sink.explicit").load())
+    assert {r.partition for r in back.collect()} == {0, 1}
+
+
+def test_stream_topic_to_topic_pipe(spark, broker, tmp_path):
+    """readStream one topic → writeStream another: the wire source and
+    sink compose into a streaming pipe, incremental across triggers."""
+    _register(spark)
+    broker.create_topic("pipe.in", partitions=2)
+    broker.create_topic("pipe.out", partitions=2)
+    with _client(broker) as c:
+        for i in range(8):
+            c.produce("pipe.in", i % 2, [(None, f"m{i}".encode())])
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "pipe.in").load())
+    q = (sdf.selectExpr("key", "upper(CAST(value AS STRING)) AS value",
+                        "partition")
+         .writeStream.format("kafka_py")
+         .option("bootstrap", broker.bootstrap)
+         .option("topic", "pipe.out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        with _client(broker) as c:
+            c.produce("pipe.in", 0, [(None, b"late")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "pipe.out").load())
+    vals = sorted(bytes(r.value).decode() for r in out.collect())
+    assert vals == sorted([f"M{i}" for i in range(8)] + ["LATE"])
