@@ -98,3 +98,96 @@ def kafka_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice double").alias("o"))
     return parsed.select("o.o_orderkey", "o.o_custkey",
                          "o.o_orderstatus", "o.o_totalprice")
+
+
+_AVRO_BROKERS: dict[str, tuple] = {}
+
+_CUSTOMER_AVSC = {
+    "type": "record",
+    "name": "Customer",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        {"name": "c_name", "type": ["null", "string"], "default": None},
+        {"name": "c_nationkey", "type": "int"},
+        {"name": "c_acctbal", "type": "double"},
+        {"name": "c_mktsegment", "type": ["null", "string"],
+         "default": None},
+    ],
+}
+
+
+def _customer_avro_broker(spark: SparkSession, sf_dir: str):
+    """Broker holding a customer subset as AVRO-BINARY messages (the
+    reference's actual value encoding) — started once per process."""
+    cached = _AVRO_BROKERS.get(sf_dir)
+    if cached:
+        return cached
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        encode_record,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    rows = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 10 == 0)
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "bench.customer.avro"
+    broker.create_topic(topic, partitions=4)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        by_part: dict[int, list] = {}
+        for r in rows:
+            payload = encode_record(_CUSTOMER_AVSC, {
+                "c_custkey": r.c_custkey,
+                "c_name": r.c_name,
+                "c_nationkey": r.c_nationkey,
+                "c_acctbal": r.c_acctbal,
+                "c_mktsegment": r.c_mktsegment,
+            })
+            by_part.setdefault(r.c_custkey % 4, []).append(
+                (str(r.c_custkey).encode(), payload))
+        for part, msgs in by_part.items():
+            for i in range(0, len(msgs), 500):
+                c.produce(topic, part, msgs[i:i + 500])
+    _AVRO_BROKERS[sf_dir] = (broker.bootstrap, topic)
+    return _AVRO_BROKERS[sf_dir]
+
+
+@register(
+    "kafka_avro_roundtrip_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+)
+def kafka_avro_roundtrip_customer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The reference's actual input encoding end-to-end: a customer
+    subset Avro-binary-encoded (pure-Python spec codec) into a wire
+    broker, read back via the ``kafka_py`` source, decoded with the
+    jar-free ``decode_avro_docs_py`` Arrow kernel — one oracle gate
+    over wire transport AND Avro codec together. The decode is the
+    documented no-jar escape hatch (per-row Python inside Arrow
+    batches); at cluster scale the spark-avro ``from_avro`` path wins
+    (``readers.read_avro``), so this query is a correctness gate, not
+    a bench headliner."""
+    import json as _json
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    bootstrap, topic = _customer_avro_broker(spark, sf_dir)
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", bootstrap)
+           .option("subscribe", topic)
+           .load())
+    return decode_avro_docs_py(raw.select("value"),
+                               _json.dumps(_CUSTOMER_AVSC))

@@ -490,3 +490,37 @@ def test_stream_topic_to_topic_pipe(spark, broker, tmp_path):
            .option("subscribe", "pipe.out").load())
     vals = sorted(bytes(r.value).decode() for r in out.collect())
     assert vals == sorted([f"M{i}" for i in range(8)] + ["LATE"])
+
+
+# --------------------------------------------------------- property tests
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _msg = st.tuples(st.one_of(st.none(), st.binary(max_size=64)),
+                     st.one_of(st.none(), st.binary(max_size=256)))
+
+    @given(st.lists(_msg, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_message_set_roundtrip_property(msgs):
+        entries = [(i, k, v) for i, (k, v) in enumerate(msgs)]
+        assert decode_message_set(encode_message_set(entries)) == entries
+
+    @given(st.lists(_msg, min_size=1, max_size=10),
+           st.integers(min_value=1, max_value=11))
+    @settings(max_examples=60, deadline=None)
+    def test_message_set_truncation_property(msgs, cut):
+        """Any truncation yields a clean prefix: never an exception,
+        never a corrupt record — the consumer contract for max_bytes
+        fetch responses."""
+        entries = [(i, k, v) for i, (k, v) in enumerate(msgs)]
+        full = encode_message_set(entries)
+        got = decode_message_set(full[:len(full) - min(cut, len(full))])
+        assert got == entries[:len(got)]
