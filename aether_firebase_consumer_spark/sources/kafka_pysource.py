@@ -36,6 +36,7 @@ is the proof-of-semantics twin, like ``avro_codec`` is for Avro.
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Iterator, Optional
 
 from pyspark.sql.datasource import (
@@ -280,9 +281,11 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
 
     Input columns: ``value`` (binary or string, required), optional
     ``key`` (binary or string), optional ``partition`` (int). Without
-    a ``partition`` column rows route by ``hash(key) % n_partitions``
-    (the default-partitioner contract; keyless rows go round-robin
-    within the task). Delivery is AT-LEAST-ONCE, same as the JVM
+    a ``partition`` column rows route by ``crc32(key) % n_partitions``
+    — a process-independent stand-in for the default partitioner's
+    murmur2 (Python's own ``hash()`` is seed-randomized per process
+    and would scatter one key across partitions between executors);
+    keyless rows go round-robin within the task. Delivery is AT-LEAST-ONCE, same as the JVM
     Kafka sink: a task retry re-produces its rows — v0 has no
     transactional produce, so exactly-once needs an idempotent
     consumer downstream (which the pipeline's MERGE sink is).
@@ -317,7 +320,7 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                 if d.get("partition") is not None:
                     p = int(d["partition"]) % len(parts)
                 elif key is not None:
-                    p = hash(key) % len(parts)
+                    p = zlib.crc32(key) % len(parts)
                 else:
                     p = parts[rr % len(parts)]
                     rr += 1

@@ -157,6 +157,9 @@ def decode_message_set(data: bytes, *, validate_crc: bool = True
     while r.remaining() >= 12:
         offset = r.i64()
         size = r.i32()
+        if size <= 0:
+            raise ValueError(
+                f"message at offset {offset}: non-positive size {size}")
         if r.remaining() < size:
             break  # partial trailing message
         msg = r._take(size)
