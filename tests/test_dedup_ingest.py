@@ -1,0 +1,70 @@
+"""Streaming incremental dedup: DedupIngestJob rejects near-dups
+within a batch and against the accumulated corpus, with an audit log.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.dedup_ingest import DedupIngestJob
+
+D1 = ("the quick brown fox jumps over the lazy dog near the old river "
+      "bank today")
+D1_NEAR = ("the quick brown fox jumps over the lazy dog near the old "
+           "river bank tonight")
+D2 = ("spark structured streaming maintains state across micro batches "
+      "with checkpointed offsets and watermarks")
+D2_NEAR = ("spark structured streaming maintains state across micro "
+           "batches with checkpointed offsets and watermark")
+D5 = ("an entirely unrelated document describing minhash banding and "
+      "jaccard verification for corpus hygiene")
+
+
+def _feed(spark, src, name, rows):
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .coalesce(1).write.parquet(str(src / name))
+
+
+def test_dedup_ingest_in_batch_and_cross_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "corpus"), ["doc_id"])
+    rejects = ParquetUpsertTable(spark, str(tmp_path / "rejects"), ["doc_id"])
+    job = DedupIngestJob(spark, corpus, rejects)
+
+    def run():
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet(str(src) + "/*"))
+        q = job.writer(stream, str(tmp_path / "ckpt")).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # batch 1: d3 is a near-dup of d1 within the batch → rejected,
+    # keep-smallest-id
+    _feed(spark, src, "b1", [(1, D1), (2, D2), (3, D1_NEAR)])
+    run()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+    assert {r.doc_id: r.dup_of for r in rejects.read().collect()} == {3: 1}
+
+    # batch 2: d4 near-dups d2 from the CORPUS → rejected with audit;
+    # d5 is new → accepted
+    _feed(spark, src, "b2", [(4, D2_NEAR), (5, D5)])
+    run()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 5}
+    rej = {r.doc_id: r.dup_of for r in rejects.read().collect()}
+    assert rej == {3: 1, 4: 2}
+    jac = {r.doc_id: r.jaccard for r in rejects.read().collect()}
+    assert 0.5 <= jac[4] <= 1.0
+
+    # batch 3: re-delivering a known doc id is an UPDATE (bypasses the
+    # near-dup gate — it would only match its own prior version); a
+    # near-dup of d5 arriving in the same batch is caught IN-BATCH
+    # against the re-delivery and logged with dup_of = 5
+    _feed(spark, src, "b3", [(5, D5), (6, D5 + " extra")])
+    run()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 5}
+    rej3 = {r.doc_id: r.dup_of for r in rejects.read().collect()}
+    assert rej3 == {3: 1, 4: 2, 6: 5}
