@@ -227,3 +227,65 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.max("us") - F.min("us")).alias("duration_us"),
                  F.countDistinct("event_type").cast("bigint")
                  .alias("n_types")))
+
+
+@register(
+    "events_max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d
+      FROM events
+    ),
+    swept AS (
+      SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS concur
+      FROM pts
+    )
+    SELECT event_type, MAX(concur) AS max_concurrent
+    FROM swept GROUP BY event_type
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: each event is active for 5
+    minutes; the classic sweep line (+1 at start, −1 at end, running
+    sum, max) — but computed as a DISTRIBUTED prefix-sum, because a
+    naive ``PARTITION BY event_type ORDER BY t`` window serializes an
+    entire type (a handful of partitions at 100 TB):
+
+    1. bucket the ±1 points into 1-hour windows; the local running sum
+       sorts only within (type, bucket) — parallelism = types ×
+       buckets,
+    2. per-bucket totals (types × buckets rows, tiny) get a prefix-sum
+       window for each bucket's carry-in,
+    3. peak = max over buckets of carry-in + local max.
+
+    The oracle runs the textbook single-sweep form; both orderings
+    break start/end ties end-first (``ORDER BY t, d``) — the half-open
+    interval convention, so back-to-back intervals never double-count.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"))
+    dur = 300_000_000
+    starts = ev.select("event_type", F.col("ts_us").alias("t"),
+                       F.lit(1).alias("d"))
+    ends = ev.select("event_type", (F.col("ts_us") + dur).alias("t"),
+                     F.lit(-1).alias("d"))
+    bucket_us = 3600 * 1_000_000
+    pts = starts.unionAll(ends).withColumn(
+        "bucket", F.floor(F.col("t") / bucket_us))
+    wloc = (W.partitionBy("event_type", "bucket").orderBy("t", "d")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    loc = pts.withColumn("run", F.sum("d").over(wloc))
+    per_bucket = loc.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"),
+        F.sum("d").alias("total"))
+    wcarry = (W.partitionBy("event_type").orderBy("bucket")
+              .rowsBetween(W.unboundedPreceding, -1))
+    carried = per_bucket.withColumn(
+        "carry", F.coalesce(F.sum("total").over(wcarry), F.lit(0)))
+    return (carried.groupBy("event_type")
+            .agg(F.max(F.col("carry") + F.col("local_max"))
+                 .alias("max_concurrent")))

@@ -357,3 +357,33 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           LAST_VALUE(o_orderkey) OVER w AS running_last
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / nth_value / last_value)
+    over a TOTAL order (price, key) — the tie-broken ordering makes
+    every peer group a singleton, so the default RANGE frame is
+    deterministic on both engines. ``running_last`` equals the current
+    row's key under that frame — kept because it pins the default-frame
+    semantics (a full-partition frame would return the max instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                 "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.last("o_orderkey").over(w).alias("running_last"),
+    )
