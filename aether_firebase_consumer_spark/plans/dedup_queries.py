@@ -580,3 +580,24 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("new_id", F.col("old_id").alias("dup_of"), "jaccard"))
+
+
+@register("dedup_minhash_lsh_fast")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-speed MinHash-LSH: xxhash64 signatures computed in
+    ONE projection (array transform — no signature shuffle; see the
+    measured notes on ``lsh_candidate_pairs_xx``). Same banding and
+    exact-Jaccard ≥ 0.5 verify as ``dedup_minhash_lsh``; that query
+    carries the SQL oracle for the algorithm,
+    ``tests/test_operators.py`` pins this variant against brute-force
+    truth, and the benched pair quantifies what portability costs —
+    measured: the md5 hash itself is nearly free, the portable form's
+    extra shuffle is the actual tax."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs_xx,
+    )
+
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs_xx(docs, "doc_id", "text",
+                                   k=_K, bands=_BANDS)
+    return pairs.filter(F.col("jaccard") >= 0.5)

@@ -368,3 +368,38 @@ def test_kmeans_empty_embeddings_returns_empty(spark, tmp_path):
     out = embedding_kmeans(spark, d)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster"]
+
+
+def test_lsh_fast_variant_recall_and_precision(spark):
+    """The xxhash64 production variant (no SQL oracle possible) is
+    pinned against brute-force truth: on the sf0.001 fixture both the
+    portable and fast banding find EVERY true near-dup pair (recall
+    1.0), and exact-Jaccard verification makes precision exact by
+    construction (asserted anyway)."""
+    from aether_firebase_consumer_spark.functions.text import shingles
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_xx,
+    )
+    from aether_firebase_consumer_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     shingles(F.col("text"), 3).alias("sh")) \
+        .filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = {(r.id_a, r.id_b) for r in
+             (a.join(b, F.col("id_a") < F.col("id_b"))
+              .withColumn("j",
+                          F.size(F.array_intersect("sh_a", "sh_b"))
+                          .cast("double")
+                          / F.size(F.array_union("sh_a", "sh_b")))
+              .filter(F.col("j") >= 0.5).select("id_a", "id_b")
+              .collect())}
+    assert truth  # fixture contains genuine near-dups
+    for fn in (lsh_candidate_pairs, lsh_candidate_pairs_xx):
+        found = {(r.id_a, r.id_b) for r in
+                 fn(docs, "doc_id", "text")
+                 .filter(F.col("jaccard") >= 0.5).collect()}
+        assert found == truth, fn.__name__
