@@ -917,3 +917,80 @@ def resolve_record(writer_avsc: Mapping[str, Any],
     (int→long→float→double, string↔bytes), recursing through
     records/arrays/maps/nullable unions."""
     return resolve_value(writer_avsc, reader_avsc, record)
+
+
+# ---------------------------------------------------------------------------
+# schema-id framed messages (registry wire format: magic 0x00 + int32 id)
+# ---------------------------------------------------------------------------
+
+def encode_framed(schema_id: int, avsc: Mapping[str, Any],
+                  record: Mapping[str, Any]) -> bytes:
+    """Frame one record the way schema-registry producers do on the
+    public wire format: ``0x00`` magic byte, big-endian int32 schema
+    id, then the plain Avro binary body. The id is the topic's pointer
+    into whatever registry maps ids to writer schemas — here a plain
+    dict, on a real deployment an HTTP registry client with the same
+    contract."""
+    return (b"\x00" + int(schema_id).to_bytes(4, "big")
+            + encode_record(avsc, record))
+
+
+def decode_avro_docs_py_framed(df: DataFrame,
+                               writer_schemas: Mapping[int, str],
+                               reader_avsc_json: str,
+                               value_col: str = "value") -> DataFrame:
+    """Multi-generation topic decode: each message carries its schema
+    id (``encode_framed`` wire format); every record decodes under ITS
+    OWN writer schema and then resolves to the single reader schema
+    via spec Schema Resolution (defaults for reader-added fields,
+    writer-only fields dropped, primitive promotions) — so one topic
+    can mix producer generations and the stream still lands in one
+    typed frame, the message-level twin of the mixed-generation
+    container-directory read.
+
+    ``writer_schemas`` maps schema id → avsc JSON. An id missing from
+    the map raises (a registry-configuration error, unlike a tombstone
+    which stays an all-null row). Arrow-batched ``mapInPandas`` like
+    ``decode_avro_docs_py`` — no shuffle, scales with scan splits."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    reader = json.loads(reader_avsc_json)
+    writers = {int(i): json.loads(s) if isinstance(s, str) else s
+               for i, s in writer_schemas.items()}
+    schema = avro_to_spark_schema(reader)
+    schema = StructType([
+        StructField(f.name, f.dataType, True, f.metadata)
+        for f in schema.fields])
+    field_names = [f.name for f in schema.fields]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                if raw is None:
+                    rows.append([None] * len(field_names))
+                    continue
+                raw = bytes(raw)
+                if len(raw) < 5 or raw[0] != 0:
+                    raise ValueError(
+                        "framed Avro message must start with magic 0x00 "
+                        f"+ int32 schema id; got {raw[:5]!r}")
+                sid = int.from_bytes(raw[1:5], "big")
+                writer = writers.get(sid)
+                if writer is None:
+                    raise KeyError(
+                        f"schema id {sid} not in the registry map "
+                        f"(known: {sorted(writers)})")
+                rec = _shape(writer, _decode_record_tagged(writer, raw[5:]))
+                rec = resolve_record(writer, reader, rec)
+                rows.append([rec.get(n) for n in field_names])
+            yield pd.DataFrame(rows, columns=field_names)
+
+    out = df.select(value_col).mapInPandas(decode_batches, schema=schema)
+    for f in schema.fields:
+        if f.metadata:
+            out = out.withMetadata(f.name, f.metadata)
+    return apply_extended_types(out)

@@ -524,3 +524,70 @@ if _HAS_HYPOTHESIS:
         full = encode_message_set(entries)
         got = decode_message_set(full[:len(full) - min(cut, len(full))])
         assert got == entries[:len(got)]
+
+
+# --------------------------------------- schema-registry framed messages
+
+V1_AVSC = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "count", "type": "int"},
+    ],
+}
+V2_AVSC = {
+    "type": "record", "name": "Doc", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "count", "type": "long"},          # int → long promotion
+        {"name": "source", "type": "string", "default": "legacy"},
+    ],
+}
+
+
+def test_framed_mixed_generation_topic(spark, broker):
+    """One topic, two producer generations: each message carries its
+    schema id (magic 0x00 + int32); the decoder resolves every record
+    to the reader schema — v1 rows get the reader default for the new
+    field and the int→long promotion."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py_framed,
+        encode_framed,
+    )
+
+    _register(spark)
+    with _client(broker) as c:
+        c.produce("t.framed", 0, [
+            (None, encode_framed(1, V1_AVSC, {"id": "a", "count": 7})),
+            (None, encode_framed(2, V2_AVSC,
+                                 {"id": "b", "count": 9_999_999_999,
+                                  "source": "web"})),
+            (None, encode_framed(1, V1_AVSC, {"id": "c", "count": 3})),
+        ])
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "t.framed").load())
+    out = decode_avro_docs_py_framed(
+        raw, {1: json.dumps(V1_AVSC), 2: json.dumps(V2_AVSC)},
+        json.dumps(V2_AVSC))
+    rows = {r["id"]: (r["count"], r["source"]) for r in out.collect()}
+    assert rows == {"a": (7, "legacy"), "b": (9_999_999_999, "web"),
+                    "c": (3, "legacy")}
+    assert dict(out.dtypes)["count"] == "bigint"  # promoted reader type
+
+
+def test_framed_unknown_schema_id_raises(spark, broker):
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py_framed,
+        encode_framed,
+    )
+
+    _register(spark)
+    with _client(broker) as c:
+        c.produce("t.framed2", 0, [
+            (None, encode_framed(9, V1_AVSC, {"id": "x", "count": 1}))])
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "t.framed2").load())
+    out = decode_avro_docs_py_framed(
+        raw, {1: json.dumps(V1_AVSC)}, json.dumps(V1_AVSC))
+    with pytest.raises(Exception, match="schema id 9"):
+        out.collect()
