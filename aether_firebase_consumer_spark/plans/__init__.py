@@ -72,5 +72,6 @@ def _load_all() -> None:
         quality_queries,
         clustering_queries,
         kafka_queries,
+        udx_queries,
     )
     _LOADED = True
