@@ -68,3 +68,47 @@ def test_dedup_ingest_in_batch_and_cross_batch(spark, tmp_path):
     assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 5}
     rej3 = {r.doc_id: r.dup_of for r in rejects.read().collect()}
     assert rej3 == {3: 1, 4: 2, 6: 5}
+
+
+def test_dedup_ingest_from_kafka_stream(spark, tmp_path):
+    """Full composition: documents arrive as JSON over the wire Kafka
+    source; DedupIngestJob grows the corpus with near-dup rejection
+    across triggers."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+    import json
+
+    register_kafka_py(spark)
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "corpus"), ["doc_id"])
+    job = DedupIngestJob(spark, corpus)
+
+    with MiniKafkaBroker() as broker:
+        def produce(rows):
+            with KafkaWireClient(broker.host, broker.port) as c:
+                c.produce("docs.in", 0, [
+                    (str(i).encode(),
+                     json.dumps({"doc_id": i, "text": t}).encode())
+                    for i, t in rows])
+
+        stream = (spark.readStream.format("kafka_py")
+                  .option("bootstrap", broker.bootstrap)
+                  .option("subscribe", "docs.in").load())
+        docs = (stream
+                .select(F.from_json(F.col("value").cast("string"),
+                                    "doc_id bigint, text string").alias("d"))
+                .select("d.doc_id", "d.text"))
+        q = job.writer(docs, str(tmp_path / "ckpt")).start()
+        try:
+            produce([(1, D1), (2, D2)])
+            q.processAllAvailable()
+            assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+            produce([(3, D1_NEAR), (4, D5)])   # 3 near-dups corpus doc 1
+            q.processAllAvailable()
+            assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 4}
+        finally:
+            q.stop()
