@@ -147,15 +147,17 @@ class _TopicResolver:
         return sorted(tps)
 
     def offsets(self, time: int) -> dict[str, int]:
+        """One metadata + ONE bulk ListOffsets round trip per poll,
+        regardless of partition count."""
         with self._client() as c:
             meta = c.metadata(self.topics)
-            out = {}
-            for topic, parts in meta.items():
-                if self.pattern and not self.pattern.fullmatch(topic):
-                    continue
-                for p in parts:
-                    out[_tp_key(topic, p)] = c.list_offsets(topic, p, time)
-        return out
+            wanted = {topic: parts for topic, parts in meta.items()
+                      if not (self.pattern
+                              and not self.pattern.fullmatch(topic))}
+            if not wanted:
+                return {}
+            bulk = c.list_offsets_bulk(wanted, time)
+        return {_tp_key(t, p): off for (t, p), off in bulk.items()}
 
 
 class KafkaPyBatchReader(DataSourceReader):

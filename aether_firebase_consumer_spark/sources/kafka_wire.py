@@ -318,24 +318,39 @@ class KafkaWireClient:
 
     def list_offsets(self, topic: str, partition: int, time: int) -> int:
         """EARLIEST (-2) → log start, LATEST (-1) → log end offset."""
+        out = self.list_offsets_bulk({topic: [partition]}, time)
+        return out[(topic, partition)]
+
+    def list_offsets_bulk(self, topics: dict[str, list[int]], time: int
+                          ) -> dict[tuple[str, int], int]:
+        """All requested (topic, partition) positions in ONE request —
+        the v0 wire format batches topics and partitions natively, so a
+        1000-partition subscription costs one round trip per offset
+        poll, not one per partition (the per-trigger driver cost that
+        actually matters at scale)."""
         w = _Writer()
         w.i32(-1)     # replica_id
-        w.i32(1)
-        w.string(topic)
-        w.i32(1)
-        w.i32(partition)
-        w.i64(time)
-        w.i32(1)      # max offsets
+        w.i32(len(topics))
+        for topic, parts in topics.items():
+            w.string(topic)
+            w.i32(len(parts))
+            for p in parts:
+                w.i32(p)
+                w.i64(time)
+                w.i32(1)  # max offsets
         r = self._call(API_LIST_OFFSETS, bytes(w.buf))
-        r.i32()
-        r.string()
-        r.i32()
-        r.i32()
-        err = r.i16()
-        offs = [r.i64() for _ in range(r.i32())]
-        if err != ERR_NONE:
-            raise RuntimeError(f"list_offsets failed: error {err}")
-        return offs[0] if offs else 0
+        out: dict[tuple[str, int], int] = {}
+        for _ in range(r.i32()):
+            name = r.string() or ""
+            for _ in range(r.i32()):
+                pid = r.i32()
+                err = r.i16()
+                offs = [r.i64() for _ in range(r.i32())]
+                if err != ERR_NONE:
+                    raise RuntimeError(
+                        f"list_offsets {name}/{pid} failed: error {err}")
+                out[(name, pid)] = offs[0] if offs else 0
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -591,3 +591,14 @@ def test_framed_unknown_schema_id_raises(spark, broker):
         raw, {1: json.dumps(V1_AVSC)}, json.dumps(V1_AVSC))
     with pytest.raises(Exception, match="schema id 9"):
         out.collect()
+
+
+def test_list_offsets_bulk_single_round_trip(broker):
+    with _client(broker) as c:
+        c.produce("bulk.a", 0, [(None, b"x"), (None, b"y")])
+        c.produce("bulk.a", 1, [(None, b"z")])
+        c.produce("bulk.b", 0, [(None, b"w")])
+        out = c.list_offsets_bulk({"bulk.a": [0, 1], "bulk.b": [0]}, LATEST)
+        assert out == {("bulk.a", 0): 2, ("bulk.a", 1): 1, ("bulk.b", 0): 1}
+        lo = c.list_offsets_bulk({"bulk.a": [0, 1]}, EARLIEST)
+        assert lo == {("bulk.a", 0): 0, ("bulk.a", 1): 0}
