@@ -160,24 +160,50 @@ class _TopicResolver:
         return {_tp_key(t, p): off for (t, p), off in bulk.items()}
 
 
+def _split_ranges(ranges: list[tuple[str, int, int, int]],
+                  min_partitions: Optional[int],
+                  host: str, port: int) -> list[KafkaRangePartition]:
+    """(topic, partition, start, end) → InputPartitions, subdividing
+    offset ranges until there are ≥ ``min_partitions`` tasks (the JVM
+    source's ``minPartitions`` contract): a skewed topic whose data
+    sits in one Kafka partition would otherwise serialize into one
+    Spark task. Ranges are split proportionally to their length, so
+    splits stay balanced."""
+    total = sum(e - s for _, _, s, e in ranges)
+    out: list[KafkaRangePartition] = []
+    want = min_partitions or 0
+    for topic, part, s, e in ranges:
+        n = 1
+        if want > len(ranges) and total > 0:
+            n = max(1, round((e - s) / total * want))
+        n = min(n, e - s)
+        step = (e - s + n - 1) // n
+        for lo in range(s, e, step):
+            out.append(KafkaRangePartition(
+                host, port, topic, part, lo, min(lo + step, e)))
+    return out
+
+
 class KafkaPyBatchReader(DataSourceReader):
     """Batch scan: a snapshot of earliest→latest at planning time."""
 
     def __init__(self, options: dict) -> None:
         self._resolver = _TopicResolver(options)
+        mopt = (options.get("minpartitions")
+                or options.get("minPartitions"))
+        self._min_partitions = int(mopt) if mopt else None
 
     def partitions(self):
         lo = self._resolver.offsets(EARLIEST)
         hi = self._resolver.offsets(LATEST)
-        host, port = self._resolver.host, self._resolver.port
-        out = []
+        ranges = []
         for key, end in sorted(hi.items()):
             start = lo.get(key, 0)
             if end > start:
                 topic, part = _split_tp(key)
-                out.append(KafkaRangePartition(
-                    host, port, topic, part, start, end))
-        return out
+                ranges.append((topic, part, start, end))
+        return _split_ranges(ranges, self._min_partitions,
+                             self._resolver.host, self._resolver.port)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -215,6 +241,8 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         mopt = (options.get("maxoffsetspertrigger")
                 or options.get("maxOffsetsPerTrigger"))
         self._max_per_trigger = int(mopt) if mopt else None
+        mp = options.get("minpartitions") or options.get("minPartitions")
+        self._min_partitions = int(mp) if mp else None
         #: per-tp high-water mark of planned ranges (see docstring)
         self._floor: dict = {}
 
@@ -237,8 +265,7 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
-        host, port = self._resolver.host, self._resolver.port
-        out = []
+        ranges = []
         for key, e in sorted(end.items()):
             # a tp absent from start = topic that appeared mid-stream
             # (pattern subscription): consume it from the beginning
@@ -248,8 +275,9 @@ class KafkaPyStreamReader(DataSourceStreamReader):
             self._floor[key] = max(self._floor.get(key, 0), s, e)
             if e > s:
                 topic, part = _split_tp(key)
-                out.append(KafkaRangePartition(host, port, topic, part, s, e))
-        return out
+                ranges.append((topic, part, s, e))
+        return _split_ranges(ranges, self._min_partitions,
+                             self._resolver.host, self._resolver.port)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)

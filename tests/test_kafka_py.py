@@ -602,3 +602,33 @@ def test_list_offsets_bulk_single_round_trip(broker):
         assert out == {("bulk.a", 0): 2, ("bulk.a", 1): 1, ("bulk.b", 0): 1}
         lo = c.list_offsets_bulk({"bulk.a": [0, 1]}, EARLIEST)
         assert lo == {("bulk.a", 0): 0, ("bulk.a", 1): 0}
+
+
+def test_min_partitions_splits_offset_ranges(spark, broker, tmp_path):
+    """minPartitions=8 over a single-Kafka-partition topic: the batch
+    splits into ≥8 Spark tasks with disjoint offset ranges, result
+    identical — the skewed-topic parallelism escape hatch."""
+    _register(spark)
+    with _client(broker) as c:
+        c.produce("skewed.t", 0, [(None, f"m{i}".encode())
+                                  for i in range(200)])
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "skewed.t")
+          .option("minPartitions", "8").load())
+    assert df.rdd.getNumPartitions() >= 8
+    rows = df.collect()
+    assert sorted(r.offset for r in rows) == list(range(200))
+
+    # streaming path honors it too
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "skewed.t")
+           .option("minPartitions", "4").load())
+    q = (sdf.writeStream.format("memory").queryName("kpy_minp")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("kpy_minp").count() == 200
+    finally:
+        q.stop()
