@@ -191,3 +191,122 @@ def kafka_avro_roundtrip_customer(spark: SparkSession,
            .load())
     return decode_avro_docs_py(raw.select("value"),
                                _json.dumps(_CUSTOMER_AVSC))
+
+
+_PIPELINE_CACHE: dict[str, str] = {}
+
+
+def _run_stream_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """Run the full streaming reference path once per (process,
+    sf_dir): wire broker → kafka_py stream → JSON decode → filter →
+    mask → route → hash-gated MERGE upsert; returns the doc-table
+    path. Cached so the driver's query run and oracle comparison share
+    one execution."""
+    cached = _PIPELINE_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    import json as _json
+    import tempfile
+
+    from aether_firebase_consumer_spark.operators.filtering import (
+        FilterConfig,
+    )
+    from aether_firebase_consumer_spark.operators.masking import MaskConfig
+    from aether_firebase_consumer_spark.operators.routing import Subscription
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HashStateTable,
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from aether_firebase_consumer_spark.streaming.pipeline import (
+        PipelineConfig,
+        StreamingUpsertJob,
+    )
+
+    register_kafka_py(spark)
+    rows = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 20 == 0)
+            .select("event_id", "event_type", "user_id", "value", "props")
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "tenant1.events"
+    broker.create_topic(topic, partitions=2)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        for i in range(0, len(rows), 500):
+            chunk = rows[i:i + 500]
+            by_part: dict[int, list] = {}
+            for r in chunk:
+                doc = {"id": str(r.event_id),
+                       "topic": "tenant1." + r.event_type,
+                       "user_id": r.user_id, "value": r.value,
+                       "props": r.props}
+                by_part.setdefault(r.event_id % 2, []).append(
+                    (doc["id"].encode(), _json.dumps(doc).encode()))
+            for part, msgs in by_part.items():
+                c.produce(topic, part, msgs)
+
+    workdir = tempfile.mkdtemp(prefix="kafka_pipeline_q_")
+    stream = (spark.readStream.format("kafka_py")
+              .option("bootstrap", broker.bootstrap)
+              .option("subscribe", topic).load())
+    docs = (stream.select(F.from_json(
+        F.col("value").cast("string"),
+        "id string, topic string, user_id bigint, value double, "
+        "props string").alias("d")).select("d.*"))
+    cfg = PipelineConfig(
+        tenant="tenant1",
+        filter_config=FilterConfig(
+            "topic", ["tenant1.click", "tenant1.view"]),
+        mask_config=MaskConfig(["public", "private"], "public"),
+        classifications={"props": "private"},
+        subscriptions=[Subscription(id="s1", topic_pattern="*")],
+        sync_mode="forward",
+    )
+    doc_table = ParquetUpsertTable(spark, f"{workdir}/docs", ["id"])
+    hash_table = HashStateTable(spark, f"{workdir}/hashes")
+    job = StreamingUpsertJob(cfg, doc_table, hash_table)
+    q = job.writer(docs, f"{workdir}/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    broker.stop()
+    _PIPELINE_CACHE[sf_dir] = f"{workdir}/docs"
+    return _PIPELINE_CACHE[sf_dir]
+
+
+@register(
+    "kafka_stream_pipeline",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'tenant1.' || event_type AS topic,
+           '_aether/entities/' || event_type AS target_path,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
+    FROM events
+    WHERE event_id % 20 = 0 AND event_type IN ('click', 'view')
+    """,
+)
+def kafka_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E1 consumer loop as a REAL Structured Streaming
+    run under the value-hash gate: an events subset produced as JSON
+    messages to a wire broker, consumed by the ``kafka_py`` stream,
+    filtered (O3) / masked (O4: ``props`` dropped) / routed (O5-O7)
+    and MERGE-upserted (O12) through ``StreamingUpsertJob`` — the
+    query returns the landed doc table projected to its deterministic
+    columns, so any loss, duplication, or mis-route anywhere in the
+    streaming path breaks the hash. The run executes once per process
+    (cached) and drains with ``processAllAvailable``."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    path = _run_stream_pipeline(spark, sf_dir)
+    table = ParquetUpsertTable(spark, path, ["id"])
+    return (table.read()
+            .select("id", "topic", "target_path",
+                    F.col("value").cast("decimal(18,2)").cast("double")
+                    .alias("value_dec")))
