@@ -35,6 +35,7 @@ Wire format notes (v0 everywhere — the simplest stable dialect):
 
 from __future__ import annotations
 
+import bisect
 import socket
 import socketserver
 import struct
@@ -362,16 +363,23 @@ class MiniKafkaBroker:
 
     Topics auto-create on first produce (1 partition) or explicitly via
     :meth:`create_topic`. Message logs are per-(topic, partition) lists
-    of (key, value); offsets are list indices — dense from 0, exactly
-    the Kafka log contract a consumer resumes against.
+    of (offset, key, value) with a per-partition next-offset counter —
+    offsets are dense from 0 until :meth:`compact` runs, after which
+    the log keeps only the LAST entry per key with its ORIGINAL offset
+    (Kafka log compaction): consumers must tolerate offset gaps, and
+    the tests pin that the reader does.
 
     Threading: ``ThreadingTCPServer`` (connection-per-thread) with one
     lock around the log dict — correct for the test/bench scale this
     serves; the point is wire fidelity, not broker throughput."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        #: (topic, partition) → list of (offset, key, value), offsets
+        #: strictly increasing (gaps after compaction)
         self._logs: dict[tuple[str, int],
-                         list[tuple[Optional[bytes], Optional[bytes]]]] = {}
+                         list[tuple[int, Optional[bytes],
+                                    Optional[bytes]]]] = {}
+        self._next: dict[tuple[str, int], int] = {}
         self._lock = threading.Lock()
         broker = self
 
@@ -423,7 +431,27 @@ class MiniKafkaBroker:
 
     def log_end_offset(self, topic: str, partition: int) -> int:
         with self._lock:
-            return len(self._logs.get((topic, partition), []))
+            return self._next.get((topic, partition), 0)
+
+    def compact(self, topic: str) -> int:
+        """Kafka log compaction: keep only the LAST message per key in
+        every partition of ``topic`` (null-key messages always
+        survive), preserving original offsets — creating gaps. Returns
+        the number of messages removed."""
+        removed = 0
+        with self._lock:
+            for (t, p), log in self._logs.items():
+                if t != topic:
+                    continue
+                last: dict[bytes, int] = {}
+                for off, k, _ in log:
+                    if k is not None:
+                        last[bytes(k)] = off
+                kept = [(off, k, v) for off, k, v in log
+                        if k is None or last[bytes(k)] == off]
+                removed += len(log) - len(kept)
+                self._logs[(t, p)] = kept
+        return removed
 
     # -- dispatch ---------------------------------------------------------
     def _dispatch(self, req: _Reader) -> bytes:
@@ -484,8 +512,10 @@ class MiniKafkaBroker:
                 msgs = decode_message_set(mset)
                 with self._lock:
                     log = self._logs.setdefault((topic, partition), [])
-                    base = len(log)
-                    log.extend((k, v) for _, k, v in msgs)
+                    base = self._next.setdefault((topic, partition), 0)
+                    for i, (_, k, v) in enumerate(msgs):
+                        log.append((base + i, k, v))
+                    self._next[(topic, partition)] = base + len(msgs)
                 results.append((topic, partition, ERR_NONE, base))
         w.i32(len(results))
         for topic, partition, err, base in results:
@@ -512,11 +542,14 @@ class MiniKafkaBroker:
                         out.append((topic, partition,
                                     ERR_UNKNOWN_TOPIC_OR_PARTITION, 0, b""))
                         continue
-                    hw = len(log)
+                    hw = self._next.get((topic, partition), 0)
                     entries = []
                     size = 0
-                    for off in range(offset, hw):
-                        k, v = log[off]
+                    # first entry with offset >= requested (offsets are
+                    # sorted; gaps possible after compaction)
+                    i = bisect.bisect_left(log, offset,
+                                           key=lambda e: e[0])
+                    for off, k, v in log[i:]:
                         msg = encode_message(k, v)
                         size += 12 + len(msg)
                         if entries and size > max_bytes:
@@ -549,9 +582,12 @@ class MiniKafkaBroker:
                     out.append((topic, partition,
                                 ERR_UNKNOWN_TOPIC_OR_PARTITION, []))
                 elif time == EARLIEST:
-                    out.append((topic, partition, ERR_NONE, [0]))
+                    first = log[0][0] if log else \
+                        self._next.get((topic, partition), 0)
+                    out.append((topic, partition, ERR_NONE, [first]))
                 else:  # LATEST or a timestamp → log end (no index in v0)
-                    out.append((topic, partition, ERR_NONE, [len(log)]))
+                    out.append((topic, partition, ERR_NONE,
+                                [self._next.get((topic, partition), 0)]))
         w.i32(len(out))
         for topic, partition, err, offs in out:
             w.string(topic)

@@ -632,3 +632,46 @@ def test_min_partitions_splits_offset_ranges(spark, broker, tmp_path):
         assert spark.table("kpy_minp").count() == 200
     finally:
         q.stop()
+
+
+def test_log_compaction_preserves_offsets_and_reader_handles_gaps(
+        spark, broker, tmp_path):
+    """After compaction the log keeps the LAST message per key at its
+    ORIGINAL offset (gaps appear); batch and streaming reads both
+    tolerate the gaps — the real-Kafka compacted-topic contract."""
+    _register(spark)
+    with _client(broker) as c:
+        c.produce("state.t", 0, [(b"A", b"a1"), (b"B", b"b1"),
+                                 (b"A", b"a2"), (b"C", b"c1"),
+                                 (b"A", b"a3")])
+    assert broker.compact("state.t") == 2   # a1, a2 removed
+    with _client(broker) as c:
+        assert c.list_offsets("state.t", 0, EARLIEST) == 1  # b1's offset
+        assert c.list_offsets("state.t", 0, LATEST) == 5
+        got = c.fetch("state.t", 0, 0)
+        assert got == [(1, b"B", b"b1"), (3, b"C", b"c1"),
+                       (4, b"A", b"a3")]
+        # fetch from inside a gap lands on the next retained offset
+        assert c.fetch("state.t", 0, 2)[0] == (3, b"C", b"c1")
+
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "state.t").load())
+    rows = {bytes(r.key): (bytes(r.value), r.offset) for r in df.collect()}
+    assert rows == {b"A": (b"a3", 4), b"B": (b"b1", 1), b"C": (b"c1", 3)}
+
+    # streaming resumes over the gap and picks up post-compaction data
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "state.t").load())
+    q = (sdf.writeStream.format("memory").queryName("kpy_compact")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("kpy_compact").count() == 3
+        with _client(broker) as c:
+            c.produce("state.t", 0, [(b"B", b"b2")])
+        q.processAllAvailable()
+        assert spark.table("kpy_compact").count() == 4
+    finally:
+        q.stop()
