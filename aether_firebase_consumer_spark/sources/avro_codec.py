@@ -424,16 +424,27 @@ def _shape(avsc: Any, value: Any) -> Any:
 # ---------------------------------------------------------------------------
 
 def decode_avro_docs_py(df: DataFrame, avsc_json: str,
-                        value_col: str = "value") -> DataFrame:
+                        value_col: str = "value",
+                        mode: str = "failfast") -> DataFrame:
     """Jar-free ``from_avro``: decode binary Avro ``value_col`` into the
     columns of the mapped schema via ``mapInPandas`` (Arrow batches),
     then apply extended-type casts. Non-value columns are dropped, as
     with ``decode_avro_docs``; select them alongside beforehand if
-    needed. Scales with scan parallelism — no shuffle, no state."""
+    needed. Scales with scan parallelism — no shuffle, no state.
+
+    ``mode`` mirrors the JVM ``from_avro`` parse-mode contract:
+    ``failfast`` (default) raises on a malformed payload — the whole
+    task fails, surfacing corruption loudly; ``permissive`` turns the
+    malformed message into an all-null row (the same shape a tombstone
+    takes), so one poison message cannot kill a long-running stream —
+    pair it with an ``observe()`` null-count metric to keep corruption
+    visible."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
 
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     avsc = json.loads(avsc_json)
     schema = avro_to_spark_schema(avsc)
     # tombstones (null payloads) null every field of their row, so the
@@ -454,7 +465,14 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
                     # must not poison the stream
                     rows.append([None] * len(field_names))
                     continue
-                rec = _shape(avsc, _decode_record_tagged(avsc, bytes(raw)))
+                try:
+                    rec = _shape(avsc,
+                                 _decode_record_tagged(avsc, bytes(raw)))
+                except Exception:
+                    if mode == "failfast":
+                        raise
+                    rows.append([None] * len(field_names))
+                    continue
                 rows.append([rec.get(n) for n in field_names])
             yield pd.DataFrame(rows, columns=field_names)
 

@@ -609,3 +609,35 @@ def test_decode_docs_null_value_tombstone(spark):
     rows = sorted(out.collect(), key=lambda r: (r["a"] is None, r["a"] or 0))
     assert (rows[0]["a"], rows[0]["b"]) == (5, "y")
     assert rows[1]["a"] is None and rows[1]["b"] is None
+
+
+def test_decode_avro_docs_py_parse_modes(spark):
+    """from_avro parse-mode contract on the jar-free decoder: failfast
+    raises on a malformed payload, permissive turns it into an all-null
+    row while good rows around it decode normally."""
+    import json as _json
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py,
+        encode_record,
+    )
+
+    avsc = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "n", "type": "long"}]}
+    good1 = encode_record(avsc, {"id": "a", "n": 1})
+    good2 = encode_record(avsc, {"id": "b", "n": 2})
+    poison = b"\xff\xff\xff\xff\xff"  # not a valid R record
+    df = spark.createDataFrame(
+        [(good1,), (poison,), (good2,)], "value binary")
+
+    out = decode_avro_docs_py(df, _json.dumps(avsc), mode="permissive")
+    rows = sorted([(r["id"], r["n"]) for r in out.collect()],
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [("a", 1), ("b", 2), (None, None)]
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        decode_avro_docs_py(df, _json.dumps(avsc)).collect()  # failfast
+    with _pytest.raises(ValueError, match="failfast|permissive"):
+        decode_avro_docs_py(df, _json.dumps(avsc), mode="lenient")
