@@ -212,3 +212,18 @@ class JobManager:
         prefix = tenant + "."
         return sorted(t[len(prefix):] for t in all_topics
                       if t.startswith(prefix))
+
+    @staticmethod
+    def list_topics_from_broker(bootstrap: str, tenant: str) -> list[str]:
+        """E3 against a LIVE broker: one Metadata round trip over the
+        wire client, then the same tenant-scoped anchored strip. With
+        the spark-sql-kafka jar the JVM AdminClient would serve this;
+        the wire client keeps the endpoint real in jar-free images."""
+        from aether_firebase_consumer_spark.sources.kafka_wire import (
+            KafkaWireClient,
+        )
+
+        host, _, port = bootstrap.rpartition(":")
+        with KafkaWireClient(host, int(port)) as c:
+            topics = list(c.metadata())
+        return JobManager.list_topics(topics, tenant)

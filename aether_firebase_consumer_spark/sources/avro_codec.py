@@ -425,7 +425,8 @@ def _shape(avsc: Any, value: Any) -> Any:
 
 def decode_avro_docs_py(df: DataFrame, avsc_json: str,
                         value_col: str = "value",
-                        mode: str = "failfast") -> DataFrame:
+                        mode: str = "failfast",
+                        keep_value: bool = False) -> DataFrame:
     """Jar-free ``from_avro``: decode binary Avro ``value_col`` into the
     columns of the mapped schema via ``mapInPandas`` (Arrow batches),
     then apply extended-type casts. Non-value columns are dropped, as
@@ -438,7 +439,11 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
     malformed message into an all-null row (the same shape a tombstone
     takes), so one poison message cannot kill a long-running stream —
     pair it with an ``observe()`` null-count metric to keep corruption
-    visible."""
+    visible. ``keep_value`` appends the ORIGINAL binary payload as a
+    trailing ``value_col`` column — with permissive mode this is the
+    dead-letter-queue enabler: rows decoding all-null with a non-null
+    payload ARE the poison messages, ready to route to a DLQ topic
+    byte-identical."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
@@ -450,31 +455,37 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
     # tombstones (null payloads) null every field of their row, so the
     # decode output must be nullable even where the Avro schema is not
     # — matching from_avro's null-struct contract
-    schema = StructType([
-        StructField(f.name, f.dataType, True, f.metadata)
-        for f in schema.fields])
-    field_names = [f.name for f in schema.fields]
+    fields = [StructField(f.name, f.dataType, True, f.metadata)
+              for f in schema.fields]
+    if keep_value:
+        from pyspark.sql.types import BinaryType
+        fields.append(StructField(value_col, BinaryType(), True))
+    schema = StructType(fields)
+    field_names = [f.name for f in schema.fields
+                   if not (keep_value and f.name == value_col)]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for raw in pdf[value_col]:
+                raw = None if raw is None else bytes(raw)
+                tail = [raw] if keep_value else []
                 if raw is None:
                     # tombstone / null payload: an all-null row, the
                     # same contract as from_avro — one bad message
                     # must not poison the stream
-                    rows.append([None] * len(field_names))
+                    rows.append([None] * len(field_names) + tail)
                     continue
                 try:
-                    rec = _shape(avsc,
-                                 _decode_record_tagged(avsc, bytes(raw)))
+                    rec = _shape(avsc, _decode_record_tagged(avsc, raw))
                 except Exception:
                     if mode == "failfast":
                         raise
-                    rows.append([None] * len(field_names))
+                    rows.append([None] * len(field_names) + tail)
                     continue
-                rows.append([rec.get(n) for n in field_names])
-            yield pd.DataFrame(rows, columns=field_names)
+                rows.append([rec.get(n) for n in field_names] + tail)
+            yield pd.DataFrame(rows, columns=field_names
+                               + ([value_col] if keep_value else []))
 
     out = df.select(value_col).mapInPandas(decode_batches, schema=schema)
     for f in schema.fields:

@@ -675,3 +675,109 @@ def test_log_compaction_preserves_offsets_and_reader_handles_gaps(
         assert spark.table("kpy_compact").count() == 4
     finally:
         q.stop()
+
+
+def test_control_plane_lists_broker_topics(broker):
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+
+    with _client(broker) as c:
+        c.produce("t1.alpha", 0, [(None, b"x")])
+        c.produce("t1.beta", 0, [(None, b"x")])
+        c.produce("t2.gamma", 0, [(None, b"x")])
+        c.produce("t10.delta", 0, [(None, b"x")])  # prefix-share trap
+    assert JobManager.list_topics_from_broker(broker.bootstrap, "t1") \
+        == ["alpha", "beta"]
+
+
+def test_event_time_window_over_wire_stream(spark, broker, tmp_path):
+    """Event-time tumbling window with a watermark over the wire
+    source: magic-0 messages carry no broker timestamp, so event time
+    comes from the payload — exactly the 100 TB posture (broker
+    timestamps are ingest time; analytics windows on payload time)."""
+    import json as _json
+
+    _register(spark)
+    with _client(broker) as c:
+        evs = [("2024-01-01T00:00:05", 1.0), ("2024-01-01T00:00:55", 2.0),
+               ("2024-01-01T00:01:10", 4.0), ("2024-01-01T00:02:30", 8.0)]
+        c.produce("win.t", 0, [
+            (None, _json.dumps({"ts": ts, "v": v}).encode())
+            for ts, v in evs])
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "win.t").load())
+    parsed = (sdf.select(F.from_json(F.col("value").cast("string"),
+                                     "ts string, v double").alias("d"))
+              .select(F.to_timestamp("d.ts").alias("ts"), "d.v")
+              .withWatermark("ts", "10 minutes"))
+    agg = (parsed.groupBy(F.window("ts", "1 minute").alias("w"))
+           .agg(F.sum("v").alias("total")))
+    q = (agg.writeStream.format("memory").queryName("kpy_win")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        got = {r.w.start.isoformat(): r.total
+               for r in spark.table("kpy_win").collect()}
+        assert got == {"2024-01-01T00:00:00": 3.0,
+                       "2024-01-01T00:01:00": 4.0,
+                       "2024-01-01T00:02:00": 8.0}
+    finally:
+        q.stop()
+
+
+def test_dead_letter_queue_pattern(spark, broker, tmp_path):
+    """Poison-message handling end to end, fully distributed:
+    permissive Avro decode with keep_value=True keeps the original
+    bytes beside the decoded columns, so foreachBatch routes good rows
+    onward and produces the byte-identical bad payloads to a
+    dead-letter topic via the kafka_py sink — nothing lost, nothing
+    fatal, no driver-side row handling."""
+    import json as _json
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py,
+        encode_record,
+    )
+
+    _register(spark)
+    avsc = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "n", "type": "long"}]}
+    with _client(broker) as c:
+        c.produce("dlq.in", 0, [
+            (None, encode_record(avsc, {"id": "a", "n": 1})),
+            (None, b"\xff\xff\xff\xff"),
+            (None, encode_record(avsc, {"id": "b", "n": 2})),
+        ])
+    broker.create_topic("dlq.bad", partitions=1)
+
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "dlq.in").load())
+    good_dir = str(tmp_path / "good")
+
+    def route(batch, epoch_id):
+        decoded = decode_avro_docs_py(
+            batch.select("value"), _json.dumps(avsc),
+            mode="permissive", keep_value=True)
+        decoded.filter(F.col("id").isNotNull()) \
+            .drop("value").write.mode("append").parquet(good_dir)
+        bad = decoded.filter(F.col("id").isNull()
+                             & F.col("value").isNotNull())
+        (bad.select(F.lit(None).cast("binary").alias("key"), "value")
+            .write.format("kafka_py")
+            .option("bootstrap", broker.bootstrap)
+            .option("topic", "dlq.bad").mode("append").save())
+
+    q = (sdf.writeStream.foreachBatch(route)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+
+    assert {r["id"] for r in spark.read.parquet(good_dir).collect()} \
+        == {"a", "b"}
+    dlq = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "dlq.bad").load())
+    assert [bytes(r.value) for r in dlq.collect()] == [b"\xff\xff\xff\xff"]
