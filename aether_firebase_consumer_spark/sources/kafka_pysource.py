@@ -135,17 +135,6 @@ class _TopicResolver:
     def _client(self) -> KafkaWireClient:
         return KafkaWireClient(self.host, self.port)
 
-    def resolve(self) -> list[tuple[str, int]]:
-        """Current (topic, partition) set per subscription."""
-        with self._client() as c:
-            meta = c.metadata(self.topics)
-        tps = []
-        for topic, parts in meta.items():
-            if self.pattern and not self.pattern.fullmatch(topic):
-                continue
-            tps.extend((topic, p) for p in parts)
-        return sorted(tps)
-
     def offsets(self, time: int) -> dict[str, int]:
         """One metadata + ONE bulk ListOffsets round trip per poll,
         regardless of partition count."""
