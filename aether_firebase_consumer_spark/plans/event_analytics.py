@@ -289,3 +289,38 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (carried.groupBy("event_type")
             .agg(F.max(F.col("carry") + F.col("local_max"))
                  .alias("max_concurrent")))
+
+
+@register(
+    "events_running_global_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               AS running_value
+    FROM events
+    """,
+)
+def events_running_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running sum over the whole event stream — the query shape
+    that is a scale-killer as a naive window (no PARTITION BY → one
+    task) — via :func:`~.operators.prefix.global_running_sum`: local
+    running sums within hour buckets, a bounded carry prefix over
+    bucket totals, broadcast join back. DECIMAL accumulation makes the
+    distributed grouping bit-identical to the oracle's single sweep;
+    DOUBLE only at the surface."""
+    from aether_firebase_consumer_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("value").cast("decimal(18,2)").alias("v"),
+        F.unix_micros("ts").alias("us"))
+    out = global_running_sum(
+        ev, ["us", "event_id"], F.col("v"),
+        F.floor(F.col("us") / (3600 * 1_000_000)),
+        out_col="running_value")
+    return out.select("event_id",
+                      F.col("running_value").cast("double")
+                      .alias("running_value"))

@@ -290,6 +290,11 @@ def test_registry_wide_anti_pattern_sweep(spark):
     _load_all()
     ARROW_PYTHON_OK = {"kafka_avro_roundtrip_customer"}
     ROW_PYTHON_OK = {"udtf_word_ngrams"}
+    # the two-phase distributed prefix scan (operators/prefix.py) ends
+    # with a window over BUCKET TOTALS — #buckets rows, not the input;
+    # that bounded carry step is the fix for whole-input global
+    # windows, not an instance of them
+    BOUNDED_CARRY_WINDOW_OK = {"events_running_global_sum"}
     offenders = []
     for name in sorted(REGISTRY):
         p = plan(spark, name)
@@ -313,6 +318,8 @@ def test_registry_wide_anti_pattern_sweep(spark):
                 continue
             last = groups[-1]
             if len(groups) < 2 or " ASC" in last or " DESC" in last:
+                if name in BOUNDED_CARRY_WINDOW_OK and "_total" in ln:
+                    continue  # the bounded carry window (see above)
                 offenders.append(
                     (name, f"unpartitioned Window: {ln.strip()[:120]}"))
     assert not offenders, offenders
