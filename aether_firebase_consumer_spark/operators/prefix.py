@@ -62,3 +62,33 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
                        "_bucket")
             .withColumn(out_col, F.col("_carry") + F.col("_local"))
             .drop("_bucket", "_local", "_carry"))
+
+
+def global_running_agg(df: DataFrame, order_cols: list[str],
+                       value: Column, bucket: Column, agg: str = "sum",
+                       out_col: str = "running") -> DataFrame:
+    """:func:`global_running_sum` generalized to any associative +
+    commutative aggregate — ``sum`` / ``min`` / ``max``. The carry for
+    min/max is the prefix min/max of per-bucket extremes (no zero
+    element, so the first bucket's carry is NULL and coalesces to the
+    local value)."""
+    if agg == "sum":
+        return global_running_sum(df, order_cols, value, bucket, out_col)
+    if agg not in ("min", "max"):
+        raise ValueError(f"agg must be sum|min|max, got {agg!r}")
+    fn = F.min if agg == "min" else F.max
+    comb = F.least if agg == "min" else F.greatest
+    tagged = df.withColumn("_bucket", bucket)
+    wloc = (W.partitionBy("_bucket").orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    local = tagged.withColumn("_local", fn(value).over(wloc))
+    totals = tagged.groupBy("_bucket").agg(fn(value).alias("_total"))
+    wcarry = (W.orderBy("_bucket")
+              .rowsBetween(W.unboundedPreceding, -1))
+    carry = totals.withColumn("_carry", fn("_total").over(wcarry))
+    return (local.join(F.broadcast(carry.select("_bucket", "_carry")),
+                       "_bucket")
+            .withColumn(out_col,
+                        F.when(F.col("_carry").isNull(), F.col("_local"))
+                        .otherwise(comb(F.col("_carry"), F.col("_local"))))
+            .drop("_bucket", "_local", "_carry"))

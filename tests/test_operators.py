@@ -403,3 +403,37 @@ def test_lsh_fast_variant_recall_and_precision(spark):
                  fn(docs, "doc_id", "text")
                  .filter(F.col("jaccard") >= 0.5).collect()}
         assert found == truth, fn.__name__
+
+
+def test_global_running_agg_matches_single_sweep(spark):
+    """The two-phase distributed prefix scan must equal the naive
+    single-task global window for sum, min, and max — including
+    bucket-boundary carries and the NULL first-bucket carry."""
+    from pyspark.sql import Window as W
+
+    from aether_firebase_consumer_spark.operators.prefix import (
+        global_running_agg,
+        global_running_sum,
+    )
+
+    rows = [(i, (i * 7919) % 100, ((i * 31) % 17) - 8) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, ord bigint, v bigint") \
+        .withColumn("vd", F.col("v").cast("decimal(18,2)"))
+    naive_w = W.orderBy("ord", "id").rowsBetween(W.unboundedPreceding,
+                                                 W.currentRow)
+    bucket = F.floor(F.col("ord") / 10)
+
+    naive = {r.id: float(r.s) for r in
+             df.withColumn("s", F.sum("vd").over(naive_w)).collect()}
+    two = {r.id: float(r.running) for r in
+           global_running_sum(df, ["ord", "id"], F.col("vd"),
+                              bucket).collect()}
+    assert two == naive
+
+    for agg, fn in (("min", F.min), ("max", F.max)):
+        naive = {r.id: r.s for r in
+                 df.withColumn("s", fn("v").over(naive_w)).collect()}
+        two = {r.id: r.running for r in
+               global_running_agg(df, ["ord", "id"], F.col("v"),
+                                  bucket, agg=agg).collect()}
+        assert two == naive, agg
