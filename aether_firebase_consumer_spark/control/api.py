@@ -67,10 +67,13 @@ class ControlApi:
 
     def __init__(self, registry: R.ResourceRegistry, jobs: JobManager,
                  broker_topics: list[str] | None = None,
-                 metrics=None):
+                 metrics=None, bootstrap: str | None = None):
         self.registry = registry
         self.jobs = jobs
         self.broker_topics = broker_topics or []
+        #: when set, /job/list_topics asks the LIVE broker (one wire
+        #: Metadata round trip) instead of the static topic list
+        self.bootstrap = bootstrap
         #: optional control.metrics.MetricsRecorder serving /job/get_metrics
         self.metrics = metrics
         self._server: ThreadingHTTPServer | None = None
@@ -127,6 +130,14 @@ class ControlApi:
 
     def _handle_job(self, action, query, tenant):
         if action == "list_topics":
+            if self.bootstrap:
+                try:
+                    return 200, JobManager.list_topics_from_broker(
+                        self.bootstrap, tenant)
+                except OSError as err:
+                    # unreachable broker → explicit 502, the
+                    # reference's wrapped-connection-error contract
+                    return 502, {"error": f"broker unreachable: {err}"}
             return 200, JobManager.list_topics(self.broker_topics, tenant)
         jid = (query.get("id") or [None])[0]
         job = self.jobs.get(tenant, jid)

@@ -781,3 +781,48 @@ def test_dead_letter_queue_pattern(spark, broker, tmp_path):
            .option("bootstrap", broker.bootstrap)
            .option("subscribe", "dlq.bad").load())
     assert [bytes(r.value) for r in dlq.collect()] == [b"\xff\xff\xff\xff"]
+
+
+def test_rest_list_topics_from_live_broker(broker, tmp_path):
+    """E3 over HTTP against the LIVE broker: GET /job/list_topics
+    serves a wire Metadata round trip; an unreachable broker maps to
+    502 (the reference's wrapped connection error)."""
+    import json as _json
+    import urllib.request
+
+    from aether_firebase_consumer_spark.control.api import ControlApi
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+    from aether_firebase_consumer_spark.control.resources import (
+        ResourceRegistry,
+    )
+
+    with _client(broker) as c:
+        c.produce("t1.alpha", 0, [(None, b"x")])
+        c.produce("t2.beta", 0, [(None, b"x")])
+    api = ControlApi(ResourceRegistry(), JobManager(str(tmp_path / "ck")),
+                     bootstrap=broker.bootstrap)
+    port = api.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/job/list_topics",
+            headers={"x-oauth-realm": "t1"})
+        with urllib.request.urlopen(req) as resp:
+            assert _json.loads(resp.read()) == ["alpha"]
+    finally:
+        api.stop()
+
+    # dead broker → 502
+    dead = ControlApi(ResourceRegistry(), JobManager(str(tmp_path / "ck2")),
+                      bootstrap="127.0.0.1:1")
+    port = dead.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/job/list_topics",
+            headers={"x-oauth-realm": "t1"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 502")
+        except urllib.error.HTTPError as err:
+            assert err.code == 502
+    finally:
+        dead.stop()
