@@ -310,3 +310,36 @@ def kafka_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "topic", "target_path",
                     F.col("value").cast("decimal(18,2)").cast("double")
                     .alias("value_dec")))
+
+
+_AVRO_DIRS: dict[str, str] = {}
+
+
+@register(
+    "avro_py_roundtrip_supplier",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def avro_py_roundtrip_supplier(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The ``avro_py`` DataSource under the oracle gate: supplier
+    written as Avro container files through ``df.write.format`` (4
+    files, per-file atomic tmp+rename), read back through
+    ``spark.read.format`` (one task per file, schema from the first
+    container header) — if the container framing, zigzag varints, or
+    type mapping corrupt one value, the hash breaks. Write happens once
+    per (process, sf_dir); the read is what each call plans."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sources.avro_pysource import (
+        register_avro_py,
+    )
+
+    register_avro_py(spark)
+    d = _AVRO_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="avro_py_q_")
+        (load_table(spark, sf_dir, "supplier")
+         .repartition(4).write.format("avro_py")
+         .option("path", d).mode("append").save())
+        _AVRO_DIRS[sf_dir] = d
+    return spark.read.format("avro_py").load(d)
