@@ -100,3 +100,35 @@ def test_error_surfaces(spark, tmp_path):
     with pytest.raises(Exception, match="overwrite"):
         df.write.format("avro_py").option("path", str(tmp_path / "x")) \
             .mode("overwrite").save()
+
+
+def test_streaming_growing_directory(spark, tmp_path):
+    """readStream.format('avro_py') ingests files as they appear:
+    incremental triggers, checkpoint restart without re-reading."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        write_avro_container,
+    )
+
+    avsc = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "long"}]}
+    d = tmp_path / "stream"
+    d.mkdir()
+    write_avro_container(str(d / "f1.avro"), avsc, [{"id": 1}, {"id": 2}])
+    register_avro_py(spark)
+    ckpt, outdir = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    sdf = spark.readStream.format("avro_py").load(str(d))
+
+    def run_once():
+        q = (sdf.writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(outdir).collect()) \
+        == [1, 2]
+    write_avro_container(str(d / "f2.avro"), avsc, [{"id": 3}])
+    run_once()  # restart: only the new file
+    assert sorted(r.id for r in spark.read.parquet(outdir).collect()) \
+        == [1, 2, 3]
