@@ -1,0 +1,113 @@
+"""The reference's consumer model, runnable against the wire broker.
+
+The reference ingests with a group-scoped, manual-commit poll loop
+(``consumer.poll_and_deserialize(timeout, num_messages)`` inside a
+while-loop, ``firebase/app/artifacts.py:263-285``; ``enable.auto.
+commit: false`` / ``auto.offset.reset: earliest`` from
+``conf/consumer/kafka.json:3-6``). The Spark engine replaces that loop
+with Structured Streaming + checkpoints — but O19's consumer-group
+contract (commit AFTER processing, resume from the group's committed
+position, group isolation) deserves an executable form, and non-Spark
+tooling around a corpus (probes, backfills, smoke monitors) still
+consumes this way. :class:`PollLoopConsumer` is that form: ~80 lines
+over the wire client, crash-resume proven in tests.
+
+NOT a Spark input path — the engine's sources are ``kafka_py`` /
+``stream_kafka_source``. This exists for reference parity and as the
+second, independent consumer implementation the broker's offset APIs
+are tested against.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from aether_firebase_consumer_spark.sources.kafka_wire import (
+    EARLIEST,
+    LATEST,
+    KafkaWireClient,
+)
+
+
+class PollLoopConsumer:
+    """Manual-commit poll loop: ``poll(n)`` → process → ``commit()``.
+
+    At-least-once by construction, exactly like the reference: a crash
+    between processing and commit re-delivers from the last committed
+    position (the downstream idempotent upsert absorbs the replay)."""
+
+    def __init__(self, bootstrap: str, group: str,
+                 topics: Optional[list[str]] = None,
+                 pattern: Optional[str] = None,
+                 auto_offset_reset: str = "earliest") -> None:
+        if bool(topics) == bool(pattern):
+            raise ValueError("exactly one of topics/pattern required")
+        if auto_offset_reset not in ("earliest", "latest"):
+            raise ValueError(f"bad auto_offset_reset {auto_offset_reset!r}")
+        host, _, port = bootstrap.rpartition(":")
+        self._client = KafkaWireClient(host, int(port))
+        self.group = group
+        self._reset = auto_offset_reset
+        meta = self._client.metadata(topics)
+        rx = re.compile(pattern) if pattern else None
+        self._tps: list[tuple[str, int]] = sorted(
+            (t, p) for t, parts in meta.items()
+            if (rx.fullmatch(t) if rx else True) for p in parts)
+        #: next offset to read per tp (populated lazily from the
+        #: group's committed position, else auto.offset.reset)
+        self._pos: dict[tuple[str, int], int] = {}
+        self._rr = 0
+
+    def _position(self, tp: tuple[str, int]) -> int:
+        pos = self._pos.get(tp)
+        if pos is None:
+            committed = self._client.offset_fetch(self.group, *tp)
+            if committed >= 0:
+                pos = committed
+            else:
+                time = EARLIEST if self._reset == "earliest" else LATEST
+                pos = self._client.list_offsets(tp[0], tp[1], time)
+            self._pos[tp] = pos
+        return pos
+
+    def poll(self, max_messages: int = 1
+             ) -> list[tuple[str, int, int, Optional[bytes],
+                             Optional[bytes]]]:
+        """≤ ``max_messages`` as (topic, partition, offset, key, value),
+        round-robin across assigned partitions (the reference polls 1
+        at a time — ``num_messages=1`` — which is just this with the
+        default)."""
+        out = []
+        tried = 0
+        while len(out) < max_messages and tried < len(self._tps):
+            tp = self._tps[self._rr % len(self._tps)]
+            self._rr += 1
+            tried += 1
+            pos = self._position(tp)
+            end = self._client.list_offsets(tp[0], tp[1], LATEST)
+            if pos >= end:
+                continue
+            batch = self._client.fetch(tp[0], tp[1], pos)
+            for off, key, value in batch:
+                if len(out) >= max_messages:
+                    break
+                out.append((tp[0], tp[1], off, key, value))
+                self._pos[tp] = off + 1
+            tried = 0  # made progress: give every partition a new shot
+        return out
+
+    def commit(self) -> None:
+        """Commit every consumed position broker-side — called AFTER
+        processing, the manual-commit contract."""
+        for (topic, partition), pos in self._pos.items():
+            self._client.offset_commit(self.group, topic, partition, pos)
+
+    def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

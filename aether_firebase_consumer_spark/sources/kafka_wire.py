@@ -47,6 +47,8 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
 
 EARLIEST = -2
 LATEST = -1
@@ -353,6 +355,53 @@ class KafkaWireClient:
                 out[(name, pid)] = offs[0] if offs else 0
         return out
 
+    def offset_commit(self, group: str, topic: str, partition: int,
+                      offset: int, metadata: str = "") -> None:
+        """Commit a consumer-group position broker-side (the
+        reference's manual-commit model: ``enable.auto.commit: false``
+        + explicit commit after processing. Spark's own readers never
+        call this — checkpoints own their offsets — but non-Spark
+        poll-loop consumers do, and O19's group isolation lives
+        here)."""
+        w = _Writer()
+        w.string(group)
+        w.i32(1)
+        w.string(topic)
+        w.i32(1)
+        w.i32(partition)
+        w.i64(offset)
+        w.string(metadata)
+        r = self._call(API_OFFSET_COMMIT, bytes(w.buf))
+        r.i32()       # topic count
+        r.string()
+        r.i32()       # partition count
+        r.i32()       # partition id
+        err = r.i16()
+        if err != ERR_NONE:
+            raise RuntimeError(f"offset_commit failed: error {err}")
+
+    def offset_fetch(self, group: str, topic: str, partition: int) -> int:
+        """Fetch the committed position; -1 when the group has none
+        (the v0 unknown-offset convention — the caller falls back to
+        its auto.offset.reset policy)."""
+        w = _Writer()
+        w.string(group)
+        w.i32(1)
+        w.string(topic)
+        w.i32(1)
+        w.i32(partition)
+        r = self._call(API_OFFSET_FETCH, bytes(w.buf))
+        r.i32()
+        r.string()
+        r.i32()
+        r.i32()
+        offset = r.i64()
+        r.string()    # metadata
+        err = r.i16()
+        if err != ERR_NONE:
+            raise RuntimeError(f"offset_fetch failed: error {err}")
+        return offset
+
 
 # ---------------------------------------------------------------------------
 # broker
@@ -380,6 +429,8 @@ class MiniKafkaBroker:
                          list[tuple[int, Optional[bytes],
                                     Optional[bytes]]]] = {}
         self._next: dict[tuple[str, int], int] = {}
+        #: (group, topic, partition) → committed consumer offset
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
         broker = self
 
@@ -471,6 +522,10 @@ class MiniKafkaBroker:
             self._handle_fetch(req, w)
         elif api_key == API_LIST_OFFSETS:
             self._handle_list_offsets(req, w)
+        elif api_key == API_OFFSET_COMMIT:
+            self._handle_offset_commit(req, w)
+        elif api_key == API_OFFSET_FETCH:
+            self._handle_offset_fetch(req, w)
         else:
             raise ValueError(f"api key {api_key} unsupported")
         return bytes(w.buf)
@@ -597,3 +652,42 @@ class MiniKafkaBroker:
             w.i32(len(offs))
             for o in offs:
                 w.i64(o)
+
+    def _handle_offset_commit(self, req: _Reader, w: _Writer) -> None:
+        group = req.string() or ""
+        out = []
+        for _ in range(req.i32()):
+            topic = req.string() or ""
+            for _ in range(req.i32()):
+                partition = req.i32()
+                offset = req.i64()
+                req.string()  # metadata
+                with self._lock:
+                    self._group_offsets[(group, topic, partition)] = offset
+                out.append((topic, partition))
+        w.i32(len(out))
+        for topic, partition in out:
+            w.string(topic)
+            w.i32(1)
+            w.i32(partition)
+            w.i16(ERR_NONE)
+
+    def _handle_offset_fetch(self, req: _Reader, w: _Writer) -> None:
+        group = req.string() or ""
+        out = []
+        for _ in range(req.i32()):
+            topic = req.string() or ""
+            for _ in range(req.i32()):
+                partition = req.i32()
+                with self._lock:
+                    off = self._group_offsets.get(
+                        (group, topic, partition), -1)
+                out.append((topic, partition, off))
+        w.i32(len(out))
+        for topic, partition, off in out:
+            w.string(topic)
+            w.i32(1)
+            w.i32(partition)
+            w.i64(off)
+            w.string("")   # metadata
+            w.i16(ERR_NONE)

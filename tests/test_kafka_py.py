@@ -826,3 +826,71 @@ def test_rest_list_topics_from_live_broker(broker, tmp_path):
             assert err.code == 502
     finally:
         dead.stop()
+
+
+# ----------------------------------------------- consumer-group poll loop
+
+def test_offset_commit_fetch_group_isolation(broker):
+    with _client(broker) as c:
+        c.produce("g.t", 0, [(None, b"x"), (None, b"y")])
+        assert c.offset_fetch("g1", "g.t", 0) == -1   # unknown group
+        c.offset_commit("g1", "g.t", 0, 2)
+        assert c.offset_fetch("g1", "g.t", 0) == 2
+        assert c.offset_fetch("g2", "g.t", 0) == -1   # isolated
+
+
+def test_poll_loop_consumer_crash_resume(broker):
+    """The reference's manual-commit loop: poll → process → commit;
+    a crash between processing and commit re-delivers (at-least-once),
+    a crash after commit resumes exactly; groups are independent."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        PollLoopConsumer,
+    )
+
+    with _client(broker) as c:
+        c.produce("loop.t", 0, [(None, f"m{i}".encode())
+                                for i in range(10)])
+
+    with PollLoopConsumer(broker.bootstrap, "job1",
+                          topics=["loop.t"]) as con:
+        first = con.poll(max_messages=4)
+        assert [bytes(v).decode() for *_, v in first] \
+            == ["m0", "m1", "m2", "m3"]
+        con.commit()
+        con.poll(max_messages=2)   # m4, m5 consumed but NOT committed
+    # "crash": new consumer, same group → resumes at the committed 4
+    with PollLoopConsumer(broker.bootstrap, "job1",
+                          topics=["loop.t"]) as con:
+        redelivered = con.poll(max_messages=3)
+        assert [bytes(v).decode() for *_, v in redelivered] \
+            == ["m4", "m5", "m6"]
+        con.commit()
+    # an unrelated group starts from auto.offset.reset=earliest
+    with PollLoopConsumer(broker.bootstrap, "job2",
+                          topics=["loop.t"]) as con:
+        assert bytes(con.poll(1)[0][4]) == b"m0"
+    # latest reset skips history
+    with _client(broker) as c:
+        pass
+    with PollLoopConsumer(broker.bootstrap, "job3", topics=["loop.t"],
+                          auto_offset_reset="latest") as con:
+        assert con.poll(5) == []
+        with _client(broker) as c:
+            c.produce("loop.t", 0, [(None, b"fresh")])
+        assert bytes(con.poll(1)[0][4]) == b"fresh"
+
+
+def test_poll_loop_consumer_pattern_and_round_robin(broker):
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        PollLoopConsumer,
+    )
+
+    broker.create_topic("rr.a", partitions=2)
+    with _client(broker) as c:
+        c.produce("rr.a", 0, [(None, b"p0-a"), (None, b"p0-b")])
+        c.produce("rr.a", 1, [(None, b"p1-a")])
+        c.produce("other.x", 0, [(None, b"ignored")])
+    with PollLoopConsumer(broker.bootstrap, "g", pattern=r"rr\..*") as con:
+        got = con.poll(max_messages=10)
+        assert sorted(bytes(v).decode() for *_, v in got) \
+            == ["p0-a", "p0-b", "p1-a"]
