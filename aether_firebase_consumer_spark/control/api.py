@@ -52,6 +52,7 @@ _JOB_METHODS = {
     "get_logs": ("GET",),
     "get_metrics": ("GET",),
     "list_topics": ("GET",),
+    "consumer_lag": ("GET",),
     "pause": ("POST",),
     "resume": ("POST",),
 }
@@ -129,6 +130,17 @@ class ControlApi:
         return 404, {"error": f"unknown action {action}"}
 
     def _handle_job(self, action, query, tenant):
+        if action == "consumer_lag":
+            if not self.bootstrap:
+                return 400, {"error": "no broker bootstrap configured"}
+            group = (query.get("group") or [None])[0]
+            if not group:
+                return 400, {"error": "group query parameter required"}
+            try:
+                return 200, JobManager.consumer_lag(
+                    self.bootstrap, group, tenant)
+            except OSError as err:
+                return 502, {"error": f"broker unreachable: {err}"}
         if action == "list_topics":
             if self.bootstrap:
                 try:

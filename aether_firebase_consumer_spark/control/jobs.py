@@ -227,3 +227,31 @@ class JobManager:
         with KafkaWireClient(host, int(port)) as c:
             topics = list(c.metadata())
         return JobManager.list_topics(topics, tenant)
+
+    @staticmethod
+    def consumer_lag(bootstrap: str, group: str,
+                     tenant: str) -> dict[str, int]:
+        """Per-topic-partition consumer lag (log end − committed) for a
+        group over the tenant's topics — the falling-behind signal the
+        reference surfaces as a processed-message counter
+        (``artifacts.py:305,322,327``), computed from broker state
+        instead of a hand tally. A group with no committed position
+        reports lag from offset 0 (everything pending)."""
+        from aether_firebase_consumer_spark.sources.kafka_wire import (
+            LATEST,
+            KafkaWireClient,
+        )
+
+        host, _, port = bootstrap.rpartition(":")
+        prefix = tenant + "."
+        out: dict[str, int] = {}
+        with KafkaWireClient(host, int(port)) as c:
+            meta = {t: ps for t, ps in c.metadata().items()
+                    if t.startswith(prefix)}
+            if not meta:
+                return out
+            ends = c.list_offsets_bulk(meta, LATEST)
+            for (topic, p), end in sorted(ends.items()):
+                committed = c.offset_fetch(group, topic, p)
+                out[f"{topic},{p}"] = end - max(committed, 0)
+        return out

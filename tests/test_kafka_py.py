@@ -894,3 +894,39 @@ def test_poll_loop_consumer_pattern_and_round_robin(broker):
         got = con.poll(max_messages=10)
         assert sorted(bytes(v).decode() for *_, v in got) \
             == ["p0-a", "p0-b", "p1-a"]
+
+
+def test_consumer_lag_endpoint(broker, tmp_path):
+    import json as _json
+    import urllib.request
+
+    from aether_firebase_consumer_spark.control.api import ControlApi
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+    from aether_firebase_consumer_spark.control.resources import (
+        ResourceRegistry,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        PollLoopConsumer,
+    )
+
+    with _client(broker) as c:
+        c.produce("t1.a", 0, [(None, f"m{i}".encode()) for i in range(6)])
+    with PollLoopConsumer(broker.bootstrap, "job1", topics=["t1.a"]) as con:
+        con.poll(max_messages=4)
+        con.commit()
+    assert JobManager.consumer_lag(broker.bootstrap, "job1", "t1") \
+        == {"t1.a,0": 2}
+    assert JobManager.consumer_lag(broker.bootstrap, "fresh", "t1") \
+        == {"t1.a,0": 6}
+
+    api = ControlApi(ResourceRegistry(), JobManager(str(tmp_path / "ck")),
+                     bootstrap=broker.bootstrap)
+    port = api.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/job/consumer_lag?group=job1",
+            headers={"x-oauth-realm": "t1"})
+        with urllib.request.urlopen(req) as resp:
+            assert _json.loads(resp.read()) == {"t1.a,0": 2}
+    finally:
+        api.stop()
