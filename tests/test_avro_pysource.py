@@ -132,3 +132,21 @@ def test_streaming_growing_directory(spark, tmp_path):
     run_once()  # restart: only the new file
     assert sorted(r.id for r in spark.read.parquet(outdir).collect()) \
         == [1, 2, 3]
+
+
+def test_typed_roundtrip_temporal_decimal_nested(spark, tmp_path):
+    """Logical and nested types survive the format boundary exactly:
+    micros timestamps, dates, decimals, arrays, structs."""
+    register_avro_py(spark)
+    d = str(tmp_path / "typed")
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP'2024-01-02 03:04:05.123456' AS ts, "
+        "DATE'2024-06-30' AS dt, CAST(12.34 AS DECIMAL(10,2)) AS dec, "
+        "ARRAY(1,2,3) AS arr, NAMED_STRUCT('a', 'x', 'b', 2) AS st")
+    df.write.format("avro_py").option("path", d).mode("append").save()
+    back = spark.read.format("avro_py").load(d)
+    assert back.schema.simpleString() == df.schema.simpleString() or \
+        [f.dataType.simpleString() for f in back.schema.fields] \
+        == [f.dataType.simpleString() for f in df.schema.fields]
+    a, b = df.collect()[0], back.collect()[0]
+    assert tuple(a) == tuple(b)
