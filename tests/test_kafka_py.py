@@ -930,3 +930,40 @@ def test_consumer_lag_endpoint(broker, tmp_path):
             assert _json.loads(resp.read()) == {"t1.a,0": 2}
     finally:
         api.stop()
+
+
+def test_volume_10k_messages_exactly_once(spark, broker, tmp_path):
+    """10k messages across 4 partitions: the executor fetch loop pages
+    through max_bytes-bounded responses; every offset arrives exactly
+    once, batch and streaming."""
+    _register(spark)
+    broker.create_topic("vol.t", partitions=4)
+    with _client(broker) as c:
+        for p in range(4):
+            msgs = [(None, f"p{p}-m{i}-{'x' * 64}".encode())
+                    for i in range(2500)]
+            for i in range(0, len(msgs), 500):
+                c.produce("vol.t", p, msgs[i:i + 500])
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "vol.t").load())
+    agg = df.groupBy("partition").count().collect()
+    assert {r.partition: r["count"] for r in agg} \
+        == {0: 2500, 1: 2500, 2: 2500, 3: 2500}
+    assert df.select("partition", "offset").distinct().count() == 10_000
+
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "vol.t")
+           .option("maxOffsetsPerTrigger", "4000").load())
+    q = (sdf.selectExpr("partition", "offset")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 10_000
+    assert out.distinct().count() == 10_000
