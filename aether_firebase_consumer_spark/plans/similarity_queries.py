@@ -461,3 +461,84 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w_c))
             .filter(F.col("rn") <= 5)
             .drop("rn"))
+
+
+@register(
+    "similarity_incremental_neardup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_band_sql('embeddings', _NEARDUP_BANDS[0])} AS band0,
+             {_band_sql('embeddings', _NEARDUP_BANDS[1])} AS band1
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT i.vec_id AS new_id, e.vec_id AS old_id
+      FROM sig i JOIN sig e
+        ON i.vec_id % 10 >= 8 AND e.vec_id % 10 < 8
+       AND (i.band0 = e.band0 OR i.band1 = e.band1)
+    ),
+    ver AS (
+      SELECT c.new_id, c.old_id, {_COS_SQL} AS cos_sim
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.new_id
+      JOIN embeddings b ON b.vec_id = c.old_id
+      WHERE {_COS_SQL} >= 0.35
+    ),
+    best AS (
+      SELECT new_id, old_id AS dup_of, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY cos_sim DESC, old_id) AS rn
+      FROM ver
+    )
+    SELECT new_id, dup_of, cos_sim FROM best WHERE rn = 1
+    """,
+)
+def similarity_incremental_neardup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup — the vector twin of
+    ``dedup_incremental_lsh``: an incoming batch (vec_id % 10 ∈ {8,9})
+    probes the existing corpus's sign-LSH band index via equi-join
+    (never a corpus self-join), exact cosine verifies candidates
+    ≥ 0.35, and each duplicate reports its best existing match. At
+    100 TB the corpus's (band_idx, band_key, vec_id) frame is a
+    persisted bucketed index; per-batch cost ∝ batch size. Banding is
+    per-vector, so the corpus split changes no signature (the oracle
+    bands once and filters sides in the join)."""
+    from pyspark.sql import Window as W
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+
+    def banded(df):
+        sig = df.select(
+            "vec_id",
+            lsh_bucket(F.col("embedding"), _NEARDUP_BANDS[0]).alias("band0"),
+            lsh_bucket(F.col("embedding"), _NEARDUP_BANDS[1]).alias("band1"))
+        return sig.select(
+            "vec_id",
+            F.explode(F.array(
+                F.struct(F.lit(0).alias("bi"), F.col("band0").alias("bk")),
+                F.struct(F.lit(1).alias("bi"), F.col("band1").alias("bk"))
+            )).alias("band")
+        ).select("vec_id", F.col("band.bi").alias("bi"),
+                 F.col("band.bk").alias("bk"))
+
+    existing = emb.filter(F.col("vec_id") % 10 < 8)
+    incoming = emb.filter(F.col("vec_id") % 10 >= 8)
+    cand = (banded(incoming)
+            .select(F.col("vec_id").alias("new_id"), "bi", "bk")
+            .join(banded(existing)
+                  .select(F.col("vec_id").alias("old_id"), "bi", "bk"),
+                  ["bi", "bk"])
+            .select("new_id", "old_id").distinct())
+    emb_n = emb.select(F.col("vec_id").alias("new_id"),
+                       F.col("embedding").alias("emb_n"))
+    emb_o = emb.select(F.col("vec_id").alias("old_id"),
+                       F.col("embedding").alias("emb_o"))
+    ver = (cand.join(emb_n, "new_id").join(emb_o, "old_id")
+           .select("new_id", "old_id",
+                   cosine(F.col("emb_n"), F.col("emb_o")).alias("cos_sim"))
+           .filter(F.col("cos_sim") >= 0.35))
+    w = W.partitionBy("new_id").orderBy(F.desc("cos_sim"), "old_id")
+    return (ver.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("dup_of"), "cos_sim"))
