@@ -387,3 +387,42 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
         F.last("o_orderkey").over(w).alias("running_last"),
     )
+
+
+@register(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT p_partkey, p_size,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS near_size_value
+    FROM part
+    """,
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM over a value-range frame — the distributive-aggregate
+    generalization ``window_range_frame`` promises: a range frame
+    depends only on the ORDER value, so aggregate DECIMAL partials per
+    distinct ``p_size`` first (map-side combined, ~50 rows), band-join
+    the tiny partial table with itself on ``s' ∈ [s−2, s]``, and
+    broadcast the per-size frame sums back onto the fact scan. Same
+    result as the oracle's global range window, no single-task
+    WindowExec; DECIMAL partials keep the regrouped addition exact,
+    DOUBLE only at the surface."""
+    p = load_table(spark, sf_dir, "part")
+    partials = p.groupBy("p_size").agg(
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("s"))
+    near = partials.select(F.col("p_size").alias("s2"),
+                           F.col("s").alias("sum2"))
+    frame_sums = (
+        partials.join(F.broadcast(near),
+                      (F.col("s2") >= F.col("p_size") - F.lit(2))
+                      & (F.col("s2") <= F.col("p_size")))
+        .groupBy("p_size")
+        .agg(F.sum("sum2").alias("near_size_value"))
+    )
+    return (p.select("p_partkey", "p_size")
+            .join(F.broadcast(frame_sums), "p_size")
+            .select("p_partkey", "p_size",
+                    F.col("near_size_value").cast("double")
+                    .alias("near_size_value")))
