@@ -46,6 +46,11 @@ class DedupIngestJob:
         self.rejects = rejects
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.k, self.bands = threshold, k, bands
+        #: cumulative counters (driver-side, tiny): batches processed,
+        #: docs accepted into the corpus, docs rejected as near-dups —
+        #: the processed/suppressed tallies the reference's report
+        #: counter hand-maintains, fed from the batch plans' own counts
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
 
     def _log_rejects(self, matches: DataFrame, loser_col: str,
                      winner_col: str, epoch_id: int) -> None:
@@ -86,6 +91,11 @@ class DedupIngestJob:
             accepted_fresh = fresh.join(dup_ids, self.id_col, "left_anti")
             updates = survivors.join(known, self.id_col, "left_semi")
             survivors = updates.unionByName(accepted_fresh)
+        n_in = batch.count()
+        n_kept = survivors.count()
+        self.stats["batches"] += 1
+        self.stats["accepted"] += n_kept
+        self.stats["rejected"] += n_in - n_kept
         self.corpus.merge(survivors)
 
     def writer(self, stream: DataFrame, checkpoint: str):
