@@ -49,6 +49,7 @@ API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
+API_VERSIONS = 18
 
 EARLIEST = -2
 LATEST = -1
@@ -402,6 +403,20 @@ class KafkaWireClient:
             raise RuntimeError(f"offset_fetch failed: error {err}")
         return offset
 
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        """api_key → (min, max) supported versions — the negotiation
+        request real clients send first; everything this broker speaks
+        is v0."""
+        r = self._call(API_VERSIONS, b"")
+        err = r.i16()
+        if err != ERR_NONE:
+            raise RuntimeError(f"api_versions failed: error {err}")
+        out = {}
+        for _ in range(r.i32()):
+            key = r.i16()
+            out[key] = (r.i16(), r.i16())
+        return out
+
 
 # ---------------------------------------------------------------------------
 # broker
@@ -526,6 +541,8 @@ class MiniKafkaBroker:
             self._handle_offset_commit(req, w)
         elif api_key == API_OFFSET_FETCH:
             self._handle_offset_fetch(req, w)
+        elif api_key == API_VERSIONS:
+            self._handle_api_versions(w)
         else:
             raise ValueError(f"api key {api_key} unsupported")
         return bytes(w.buf)
@@ -691,3 +708,14 @@ class MiniKafkaBroker:
             w.i64(off)
             w.string("")   # metadata
             w.i16(ERR_NONE)
+
+    def _handle_api_versions(self, w: _Writer) -> None:
+        supported = [API_PRODUCE, API_FETCH, API_LIST_OFFSETS,
+                     API_METADATA, API_OFFSET_COMMIT, API_OFFSET_FETCH,
+                     API_VERSIONS]
+        w.i16(ERR_NONE)
+        w.i32(len(supported))
+        for key in supported:
+            w.i16(key)
+            w.i16(0)   # min version
+            w.i16(0)   # max version

@@ -967,3 +967,19 @@ def test_volume_10k_messages_exactly_once(spark, broker, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 10_000
     assert out.distinct().count() == 10_000
+
+
+def test_api_versions_negotiation(broker):
+    """The first request real clients send: every spoken API reports
+    v0..v0."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        API_FETCH,
+        API_METADATA,
+        API_OFFSET_COMMIT,
+        API_PRODUCE,
+    )
+
+    with _client(broker) as c:
+        vers = c.api_versions()
+    for key in (API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT):
+        assert vers[key] == (0, 0)
