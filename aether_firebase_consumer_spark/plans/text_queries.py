@@ -439,3 +439,58 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score", "rn")
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2,
+                                           0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' '))))
+               AS s
+      FROM documents
+    ),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+    scored AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM sh JOIN df ON sh.s = df.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_unique,
+           CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+    FROM scored
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    3-shingles that appear in NO other document — high novelty marks
+    fresh content, low novelty marks boilerplate/templates/copies (the
+    memorization-risk signal curation pipelines threshold on; the
+    complement of ``dedup_chunk_overlap``'s shared-chunk ratio, at
+    shingle granularity).
+
+    Plan shape: one shingle explode feeds both the document-frequency
+    aggregation and the per-doc join-back; the DF side is
+    vocabulary-bounded. The ratio is one double division of exact
+    counts — bit-exact cross-engine. At 100 TB the shingle join keys
+    become 60-bit hashes (as in the dedup family) so the shuffle never
+    carries text."""
+    from aether_firebase_consumer_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(shingles(F.col("text"), 3)).alias("s"))
+    df_ = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (sh.join(df_, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .alias("n_unique"))
+            .select("doc_id", "n_shingles", "n_unique",
+                    (F.col("n_unique").cast("double")
+                     / F.col("n_shingles")).alias("novelty")))
