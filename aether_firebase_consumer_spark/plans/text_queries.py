@@ -422,8 +422,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = docs.count()
-    s_tok, d_docs = dl.agg(F.sum("dl"), F.count("*")).collect()[0]
+    # one driver action for all three corpus scalars (was a count()
+    # plus a separate 2-scalar agg — two setup jobs for one scan's
+    # worth of data): s_tok/d_docs recomputed from the docs scan
+    # directly — sum(size(split)) ≡ sum(dl) and count(text) ≡ the
+    # number of docs explode keeps (split never yields an empty
+    # array; only NULL text drops out) — so the values, and the
+    # oracle hash, are bit-identical to the dl-side aggregation
+    # (guard NULL text explicitly: legacy configs make size(NULL) = -1,
+    # which would silently skew the sum instead of being skipped)
+    n_docs, s_tok, d_docs = docs.agg(
+        F.count("*"),
+        F.coalesce(F.sum(F.when(F.col("text").isNotNull(),
+                                F.size(F.split("text", " ")))), F.lit(0)),
+        F.count("text")).collect()[0]
     num = (F.lit(44) * F.col("tf") * F.lit(s_tok) * F.lit(n_docs)) \
         .cast("double")
     den = (F.col("df") * (F.lit(20) * F.col("tf") * F.lit(s_tok)

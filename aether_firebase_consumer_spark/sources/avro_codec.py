@@ -459,6 +459,18 @@ def decode_avro_docs_py(df: DataFrame, avsc_json: str,
               for f in schema.fields]
     if keep_value:
         from pyspark.sql.types import BinaryType
+        if any(f.name == value_col for f in fields):
+            # the decoded record would collide with the appended raw
+            # payload column: the name check below would drop the
+            # DECODED field from field_names while the StructType kept
+            # both, mis-aligning pandas columns against the declared
+            # schema at runtime — fail loudly at plan-build instead
+            raise ValueError(
+                f"decode_avro_docs_py(keep_value=True): the Avro "
+                f"schema already has a field named {value_col!r}; "
+                f"pass a different value_col (e.g. read the raw "
+                f"column under another name) so the kept payload "
+                "does not shadow the decoded field")
         fields.append(StructField(value_col, BinaryType(), True))
     schema = StructType(fields)
     field_names = [f.name for f in schema.fields

@@ -80,6 +80,7 @@ class PollLoopConsumer:
         default)."""
         out = []
         tried = 0
+        stalled = None
         while len(out) < max_messages and tried < len(self._tps):
             tp = self._tps[self._rr % len(self._tps)]
             self._rr += 1
@@ -89,12 +90,29 @@ class PollLoopConsumer:
             if pos >= end:
                 continue
             batch = self._client.fetch(tp[0], tp[1], pos)
+            if not batch:
+                # pos < end but the fetch yielded nothing: a v0 broker
+                # truncates at max_bytes, so a single message larger
+                # than the fetch size decodes to zero complete messages
+                # — resetting `tried` here would spin forever.
+                stalled = (tp, pos, end)
+                continue
             for off, key, value in batch:
                 if len(out) >= max_messages:
                     break
                 out.append((tp[0], tp[1], off, key, value))
                 self._pos[tp] = off + 1
             tried = 0  # made progress: give every partition a new shot
+        if not out and stalled:
+            # a full round produced nothing while some partition still
+            # has pending offsets it cannot fetch — raise loudly
+            # (same contract as the Spark-side _read_range) instead of
+            # letting the caller's poll loop spin on empty results
+            (topic, part), pos, end = stalled
+            raise RuntimeError(
+                f"fetch at {topic}/{part}:{pos} returned no messages "
+                f"but log end is {end} — message larger than fetch "
+                "max_bytes, or log truncated")
         return out
 
     def commit(self) -> None:

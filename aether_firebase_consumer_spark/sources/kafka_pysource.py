@@ -309,9 +309,11 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
     transactional produce, so exactly-once needs an idempotent
     consumer downstream (which the pipeline's MERGE sink is).
 
-    Each task opens one socket and produces in 500-message chunks —
-    the reference's Firestore batch-commit size, and the same
-    producer-per-task shape the reader uses."""
+    Each task opens one socket and produces in 500-message chunks — a
+    produce-request sizing choice (the reference's Firestore
+    batch-commit size is 50 docs, MAX_SUBMIT in firebase/app/
+    artifacts.py — that contract lives in sinks/upsert.py, not here)
+    — and the same producer-per-task shape the reader uses."""
 
     def __init__(self, options: dict) -> None:
         self.host, self.port = _parse_bootstrap(options)

@@ -126,6 +126,30 @@ def kafka_source_options(bootstrap: str, subscribe_pattern: str,
     return opts
 
 
+def _is_source_missing_error(err: Exception) -> bool:
+    """Does ``err`` mean "the kafka datasource jar is not on the
+    classpath" (→ the jar-free fallback applies) as opposed to a REAL
+    load failure (bad options, auth, unreachable broker) that must
+    surface as-is? Matches Spark's source-resolution error class/
+    message shapes across versions; anything else is not ours to
+    swallow."""
+    msg = f"{type(err).__name__}: {err}"
+    cond = getattr(err, "getErrorClass", None) or \
+        getattr(err, "getCondition", None)
+    if cond is not None:
+        try:
+            if (cond() or "").startswith("DATA_SOURCE_NOT_FOUND"):
+                return True
+        except Exception:
+            pass
+    return any(sig in msg for sig in (
+        "Failed to find data source",
+        "Failed to find the data source",
+        "DATA_SOURCE_NOT_FOUND",
+        "ClassNotFoundException",
+        "NoClassDefFoundError"))
+
+
 def stream_kafka_source(spark: SparkSession, bootstrap: str,
                         subscribe_pattern: str,
                         starting_offsets: str = "earliest",
@@ -151,7 +175,15 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as err:  # jar missing → fall back or error
+    except Exception as err:
+        # Fall back ONLY on the jar-missing/classpath error class: any
+        # other load() failure (bad options, auth, unreachable broker)
+        # must surface as-is — silently swapping in the PLAINTEXT
+        # v0-only wire client would mask the real error and change
+        # semantics against a live cluster (no timestamp columns, no
+        # modern message format).
+        if not _is_source_missing_error(err):
+            raise
         if not use_wire_fallback or security:
             raise NotImplementedError(
                 "kafka source requires the org.apache.spark:"

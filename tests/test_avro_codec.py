@@ -641,3 +641,34 @@ def test_decode_avro_docs_py_parse_modes(spark):
         decode_avro_docs_py(df, _json.dumps(avsc)).collect()  # failfast
     with _pytest.raises(ValueError, match="failfast|permissive"):
         decode_avro_docs_py(df, _json.dumps(avsc), mode="lenient")
+
+
+def test_decode_keep_value_rejects_schema_field_collision(spark):
+    """keep_value=True with an Avro schema that itself has a field
+    named value_col would emit duplicate columns and mis-align the
+    pandas batch against the declared StructType — the decoder must
+    fail loudly at plan-build time instead (ADVICE r5)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        decode_avro_docs_py,
+        encode_record,
+    )
+
+    avsc = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "value", "type": "long"}]}
+    raw = encode_record(avsc, {"id": "a", "value": 1})
+    df = spark.createDataFrame([(raw,)], "value binary")
+    with _pytest.raises(ValueError, match="value_col|shadow"):
+        decode_avro_docs_py(df, _json.dumps(avsc), keep_value=True)
+    # same schema decodes fine without keep_value, and with keep_value
+    # when the raw column is read under a non-colliding name
+    assert decode_avro_docs_py(df, _json.dumps(avsc)).collect()[0]["id"] \
+        == "a"
+    df2 = df.withColumnRenamed("value", "_raw")
+    out = decode_avro_docs_py(df2, _json.dumps(avsc), keep_value=True,
+                              value_col="_raw").collect()[0]
+    assert out["id"] == "a" and bytes(out["_raw"]) == raw

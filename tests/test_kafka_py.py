@@ -983,3 +983,42 @@ def test_api_versions_negotiation(broker):
         vers = c.api_versions()
     for key in (API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT):
         assert vers[key] == (0, 0)
+
+
+def test_poll_raises_on_stalled_fetch_instead_of_spinning(broker):
+    """A pending offset whose fetch decodes to zero messages (v0
+    max_bytes truncation of an oversized message) must RAISE, not spin
+    or silently return empty forever (ADVICE r5)."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        PollLoopConsumer,
+    )
+
+    with _client(broker) as c:
+        c.produce("stall.t", 0, [(None, b"big-message")])
+    with PollLoopConsumer(broker.bootstrap, "g-stall",
+                          topics=["stall.t"]) as con:
+        con._client.fetch = lambda *a, **kw: []  # truncated-away batch
+        with pytest.raises(RuntimeError, match="max_bytes|truncated"):
+            con.poll(max_messages=5)
+
+
+def test_jar_fallback_only_for_source_missing_errors():
+    """stream_kafka_source's jar-free fallback engages ONLY on the
+    classpath/source-resolution error family — any other load()
+    failure surfaces as-is (ADVICE r5: don't mask real errors with a
+    silent PLAINTEXT v0 client swap)."""
+    from aether_firebase_consumer_spark.sources.readers import (
+        _is_source_missing_error,
+    )
+
+    assert _is_source_missing_error(
+        Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data "
+                  "source: kafka."))
+    assert _is_source_missing_error(
+        Exception("java.lang.ClassNotFoundException: kafka.DefaultSource"))
+    assert not _is_source_missing_error(
+        ValueError("Option 'kafka.bootstrap.servers' must be set"))
+    assert not _is_source_missing_error(
+        Exception("Connection refused: broker:9092"))
+    assert not _is_source_missing_error(
+        Exception("SASL authentication failed"))

@@ -20,6 +20,11 @@ import traceback
 import duckdb
 
 import os
+
+# runnable from a bare shell (`python3 tools/oracle_check.py ...`)
+# without PYTHONPATH=. — the repo root holds the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
