@@ -102,10 +102,12 @@ def minhash_signature_xx(shingle_arr: Column, k: int = 8) -> list[Column]:
 
 def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
                    k: int, bands: int, shingle_k: int
-                   ) -> tuple[DataFrame, DataFrame]:
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared LSH front half: per-doc shingle sets and the exploded
-    (id, band_key) frame. Returns ``(sh, long)`` where ``sh`` is
-    (id, sh:array<string>) and ``long`` is one row per (id, band).
+    (id, band_key) frame. Returns ``(sh, long, banded)`` where ``sh``
+    is (id, sh:array<string>), ``long`` is one row per (id, band), and
+    ``banded`` is the pre-explode (id, band_keys:array<string>) frame
+    (what :func:`lsh_index_frame` persists).
 
     One md5 per shingle (explode), k affine permutations as integer
     math, map-side partial MIN combine — the signature shuffle carries
@@ -132,11 +134,77 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
         .alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("id", *band_cols)
+    banded = sig.select(
+        "id", F.array(*band_cols).alias("band_keys"))
     long = banded.select(
-        "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
-        .alias("band_key"))
-    return sh, long
+        "id", F.explode("band_keys").alias("band_key"))
+    return sh, long, banded
+
+
+def lsh_index_frame(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8, bands: int = 4,
+                    shingle_k: int = 3) -> DataFrame:
+    """The PERSISTABLE form of the LSH front half: one row per doc,
+    ``(id_col, sh: array<string>, band_keys: array<string>)`` — exactly
+    the shingle sets and band keys :func:`_lsh_band_long` computes, but
+    keyed by doc so a :class:`~..sinks.upsert.ParquetUpsertTable` can
+    maintain it incrementally (merge survivors' rows at ingest time)
+    instead of the probe side re-shingling the whole corpus per batch.
+
+    Docs with empty shingle sets (empty/near-empty text) are absent —
+    they can never band-match, same as the transient frame. Contents
+    are plan-for-plan identical to a from-scratch recompute, which is
+    what makes index-probed matching (:func:`lsh_probe_index_pairs`)
+    interchangeable with :func:`lsh_incremental_pairs`."""
+    sh, _long, banded = _lsh_band_long(df, id_col, text_col,
+                                       k, bands, shingle_k)
+    return (sh.join(banded, "id")
+            .select(F.col("id").alias(id_col), "sh", "band_keys"))
+
+
+def lsh_probe_index_pairs(index: DataFrame, incoming: DataFrame,
+                          id_col: str, text_col: str,
+                          k: int = 8, bands: int = 4,
+                          shingle_k: int = 3,
+                          threshold: float = 0.5) -> DataFrame:
+    """:func:`lsh_incremental_pairs` with the EXISTING side served from
+    a persisted :func:`lsh_index_frame` table instead of recomputed
+    from corpus text — the 100 TB shape the incremental operator's
+    docstring promises: per-batch cost ∝ batch (shingle+hash the batch,
+    equi-join its band keys into the index, verify candidates against
+    stored shingle sets), never ∝ corpus.
+
+    Returns (new_id, old_id, jaccard) for incoming docs whose exact
+    shingle-Jaccard against some indexed doc is ≥ ``threshold`` —
+    bit-identical to the recompute form when ``index`` equals
+    ``lsh_index_frame(existing, ...)`` with the same parameters.
+
+    Scale shape: the index explode produces (id, band_key) rows the
+    table can be bucketed/partitioned by at real scale, so the probe
+    is a pruned scan + equi-join; shingle sets travel only for the
+    candidate ids (semi-join first keeps the big side narrow)."""
+    sh_i, long_i, _ = _lsh_band_long(incoming, id_col, text_col,
+                                     k, bands, shingle_k)
+    long_e = index.select(F.col(id_col).alias("id"),
+                          F.explode("band_keys").alias("band_key"))
+    cand = (long_i.alias("a")
+            .join(long_e.alias("b"),
+                  F.col("a.band_key") == F.col("b.band_key"))
+            .select(F.col("a.id").alias("new_id"),
+                    F.col("b.id").alias("old_id"))
+            .distinct())
+    sh_new = sh_i.select(F.col("id").alias("new_id"),
+                         F.col("sh").alias("sh_new"))
+    sh_old = index.select(F.col(id_col).alias("old_id"),
+                          F.col("sh").alias("sh_old")) \
+        .join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    return (cand.join(sh_new, "new_id").join(sh_old, "old_id")
+            .select("new_id", "old_id",
+                    (F.size(F.array_intersect("sh_new", "sh_old"))
+                     .cast("double")
+                     / F.size(F.array_union("sh_new", "sh_old")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def lsh_incremental_pairs(existing: DataFrame, incoming: DataFrame,
@@ -160,10 +228,10 @@ def lsh_incremental_pairs(existing: DataFrame, incoming: DataFrame,
     bucketed/persisted index the batch probes, cost ∝ batch size, not
     corpus²; only candidate ids fetch shingle sets for the exact
     verify."""
-    sh_e, long_e = _lsh_band_long(existing, id_col, text_col,
-                                  k, bands, shingle_k)
-    sh_i, long_i = _lsh_band_long(incoming, id_col, text_col,
-                                  k, bands, shingle_k)
+    sh_e, long_e, _ = _lsh_band_long(existing, id_col, text_col,
+                                     k, bands, shingle_k)
+    sh_i, long_i, _ = _lsh_band_long(incoming, id_col, text_col,
+                                     k, bands, shingle_k)
     cand = (long_i.alias("a")
             .join(long_e.alias("b"),
                   F.col("a.band_key") == F.col("b.band_key"))
@@ -198,7 +266,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     step 3; AQE skew-join splits it, and empty docs are filtered up
     front.
     """
-    sh, long = _lsh_band_long(df, id_col, text_col, k, bands, shingle_k)
+    sh, long, _ = _lsh_band_long(df, id_col, text_col, k, bands, shingle_k)
     a, b = long.alias("a"), long.alias("b")
     pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
                     & (F.col("a.id") < F.col("b.id")))

@@ -114,3 +114,156 @@ def test_dedup_ingest_from_kafka_stream(spark, tmp_path):
             assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 4}
         finally:
             q.stop()
+
+
+# ------------------------------------------------ persisted band index
+
+def _mk_doc(i: int, words: int = 30) -> str:
+    # deterministic, mutually non-near-dup documents: each doc's word
+    # stream is salted with its id so jaccard between distinct docs
+    # stays near zero
+    return " ".join(f"w{i}x{j}" for j in range(words))
+
+
+def test_band_index_job_matches_recompute_job(spark, tmp_path):
+    """With band_index set, DedupIngestJob must produce EXACTLY the
+    corpus, rejects, and counters of the recompute path over the same
+    batch sequence (in-batch dups, corpus near-dups, updates), and the
+    maintained index must equal a from-scratch lsh_index_frame of the
+    corpus text (plus empty-text tombstones)."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_index_frame,
+    )
+
+    def mk_job(root, with_index):
+        corpus = ParquetUpsertTable(spark, str(root / "corpus"), ["doc_id"])
+        rejects = ParquetUpsertTable(spark, str(root / "rej"), ["doc_id"])
+        idx = ParquetUpsertTable(spark, str(root / "idx"), ["doc_id"]) \
+            if with_index else None
+        return DedupIngestJob(spark, corpus, rejects, band_index=idx), \
+            corpus, rejects, idx
+
+    (a := tmp_path / "a").mkdir()
+    (b := tmp_path / "b").mkdir()
+    job_i, corp_i, rej_i, idx_i = mk_job(a, True)
+    job_r, corp_r, rej_r, _ = mk_job(b, False)
+
+    batches = [
+        [(1, D1), (2, D2), (3, D1_NEAR)],          # in-batch near-dup
+        [(4, D2_NEAR), (5, D5)],                   # corpus near-dup
+        [(5, D5 + " rev"), (6, D5 + " extra")],    # update + in-batch
+        [(7, D1_NEAR), (8, _mk_doc(8))],           # dup of indexed doc 1
+        [(2, ""), (9, D2_NEAR)],                   # doc 2 EMPTIED; 9
+                                                   # still matches 2's
+                                                   # PRE-merge index row
+        [(10, D2_NEAR)],                           # after the tombstone:
+                                                   # 10 matches nothing
+    ]
+    for n, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+        job_i.process_batch(bdf, n)
+        job_r.process_batch(bdf, n)
+
+    def snap(t):
+        return sorted((r.doc_id, r.text) for r in t.read().collect())
+
+    assert snap(corp_i) == snap(corp_r)
+    assert {r.doc_id for r in corp_i.read().collect()} == {1, 2, 5, 8, 10}
+    ri = {(r.doc_id, r.dup_of) for r in rej_i.read().collect()}
+    assert ri == {(r.doc_id, r.dup_of) for r in rej_r.read().collect()}
+    assert ri == {(3, 1), (4, 2), (6, 5), (7, 1), (9, 2)}
+    assert job_i.stats == job_r.stats
+
+    # index ≡ from-scratch recompute over current corpus text, with
+    # empty-text docs present as tombstones (zero band keys)
+    want = {(r.doc_id, tuple(r.sh), tuple(r.band_keys))
+            for r in lsh_index_frame(
+                corp_i.read(), "doc_id", "text").collect()}
+    got = {(r.doc_id, tuple(r.sh), tuple(r.band_keys))
+           for r in idx_i.read().collect()}
+    tombs = {r.doc_id for r in idx_i.read()
+             .filter(F.size("band_keys") == 0).collect()}
+    assert tombs == {2}
+    assert {g for g in got if g[0] not in tombs} == want
+
+
+def test_band_index_backfills_existing_corpus(spark, tmp_path):
+    """Attaching a band_index to an ALREADY-populated corpus backfills
+    the index from the full corpus on the next batch, so probes see
+    pre-index history."""
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"])
+    job0 = DedupIngestJob(spark, corpus)  # no index yet
+    job0.process_batch(
+        spark.createDataFrame([(1, D1), (2, D2)],
+                              "doc_id bigint, text string"), 0)
+
+    idx = ParquetUpsertTable(spark, str(tmp_path / "i"), ["doc_id"])
+    job1 = DedupIngestJob(spark, corpus, band_index=idx)
+    job1.process_batch(
+        spark.createDataFrame([(5, D5)], "doc_id bigint, text string"), 1)
+    assert {r.doc_id for r in idx.read().collect()} == {1, 2, 5}
+    # a near-dup of PRE-INDEX doc 1 is now caught via the index probe
+    job1.process_batch(
+        spark.createDataFrame([(6, D1_NEAR)],
+                              "doc_id bigint, text string"), 2)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 5}
+
+
+def test_probe_index_pairs_equals_incremental_pairs(spark):
+    """Operator-level contract: lsh_probe_index_pairs over
+    lsh_index_frame(existing) is bit-identical to
+    lsh_incremental_pairs(existing, incoming)."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        lsh_index_frame,
+        lsh_probe_index_pairs,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, _mk_doc(i)) for i in range(20)] + [(100, D1), (101, D2)],
+        "doc_id bigint, text string")
+    incoming = spark.createDataFrame(
+        [(200, D1_NEAR), (201, D2_NEAR), (202, _mk_doc(202)),
+         (203, D1)],
+        "doc_id bigint, text string")
+    ref = {(r.new_id, r.old_id, r.jaccard) for r in
+           lsh_incremental_pairs(existing, incoming, "doc_id", "text")
+           .collect()}
+    idx = lsh_index_frame(existing, "doc_id", "text")
+    got = {(r.new_id, r.old_id, r.jaccard) for r in
+           lsh_probe_index_pairs(idx, incoming, "doc_id", "text")
+           .collect()}
+    assert got == ref
+    assert {(n, o) for n, o, _ in ref} == {(200, 100), (201, 101),
+                                           (203, 100)}
+
+
+def test_process_batch_single_materialization_job_count(spark, tmp_path):
+    """r5 VERDICT item 2: the survivors/LSH plan executes ONCE per
+    batch (localCheckpoint), not re-run for each of counters + merge.
+    Pinned via Spark job count under a job group: if the checkpoints
+    are removed, the count jumps well past the bound."""
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"])
+    rejects = ParquetUpsertTable(spark, str(tmp_path / "r"), ["doc_id"])
+    idx = ParquetUpsertTable(spark, str(tmp_path / "i"), ["doc_id"])
+    job = DedupIngestJob(spark, corpus, rejects, band_index=idx)
+    job.process_batch(
+        spark.createDataFrame([(1, D1), (2, D2)],
+                              "doc_id bigint, text string"), 0)
+
+    sc = spark.sparkContext
+    batch = spark.createDataFrame(
+        [(3, D1_NEAR), (4, D5), (4, D5), (5, D2_NEAR)],
+        "doc_id bigint, text string")
+    sc.setJobGroup("dedup-batch-probe", "single-materialization pin")
+    try:
+        job.process_batch(batch, 1)
+    finally:
+        sc.setJobGroup("", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("dedup-batch-probe"))
+    # measured: ~61 jobs per batch with the three localCheckpoints
+    # (the merges and AQE stages dominate); the same batch WITHOUT the
+    # checkpoints — the pre-r6 re-execution shape — measured ~569.
+    # The bound sits at 2× the checkpointed count: removing any
+    # checkpoint blows through it immediately.
+    assert 0 < n_jobs <= 130, f"batch ran {n_jobs} Spark jobs"
