@@ -12,6 +12,17 @@ tooling around a corpus (probes, backfills, smoke monitors) still
 consumes this way. :class:`PollLoopConsumer` is that form: ~80 lines
 over the wire client, crash-resume proven in tests.
 
+:class:`GroupConsumer` adds the piece the reference actually leans on
+the broker for: DYNAMIC PARTITION ASSIGNMENT. The reference's
+consumers share the ``{tenant}.firebaseconsumer.{job_id}`` group
+(``firebase/app/artifacts.py:226-232``) and let the broker's
+rebalance protocol split partitions across instances; this class runs
+that same protocol (FindCoordinator → JoinGroup → leader-computed
+range assignment → SyncGroup → Heartbeat) against the wire broker —
+two instances in one group consume disjoint partition sets, and a
+member's death or departure hands its partitions to the survivors,
+resuming from the group's committed offsets.
+
 NOT a Spark input path — the engine's sources are ``kafka_py`` /
 ``stream_kafka_source``. This exists for reference parity and as the
 second, independent consumer implementation the broker's offset APIs
@@ -21,12 +32,16 @@ are tested against.
 from __future__ import annotations
 
 import re
+import time as _time
 from typing import Optional
 
 from aether_firebase_consumer_spark.sources.kafka_wire import (
     EARLIEST,
     LATEST,
+    GroupMembershipError,
+    GroupRebalanceError,
     KafkaWireClient,
+    range_assignment,
 )
 
 
@@ -122,6 +137,161 @@ class PollLoopConsumer:
             self._client.offset_commit(self.group, topic, partition, pos)
 
     def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class GroupConsumer:
+    """Broker-coordinated group member: joins, gets its partition
+    share, polls only that share, heartbeats, and rebalances when the
+    group changes — the reference's multi-instance consumption model.
+
+    ``poll`` drives everything: it (re)joins on first use and whenever
+    a heartbeat/commit reports a rebalance, so callers keep the same
+    ``poll → process → commit`` loop as :class:`PollLoopConsumer`.
+    Manual commit, at-least-once: a member that takes over a partition
+    resumes from the GROUP's committed position (committed by whichever
+    member held it last), re-delivering anything processed-but-
+    uncommitted — exactly the reference's crash semantics."""
+
+    def __init__(self, bootstrap: str, group: str, topics: list[str],
+                 session_timeout_ms: int = 10000,
+                 heartbeat_interval_ms: int = 1000,
+                 auto_offset_reset: str = "earliest") -> None:
+        host, _, port = bootstrap.rpartition(":")
+        # protocol fidelity: ask where the coordinator lives and talk
+        # to it (single-node broker: it's the same address)
+        with KafkaWireClient(host, int(port)) as probe:
+            chost, cport = probe.find_coordinator(group)
+        self._client = KafkaWireClient(chost, cport)
+        self.group = group
+        self.topics = list(topics)
+        self._session_ms = session_timeout_ms
+        self._hb_interval = heartbeat_interval_ms / 1000.0
+        self._reset = auto_offset_reset
+        self.member_id = ""
+        self.generation = -1
+        #: sorted (topic, partition) list this member currently owns
+        self.assignment: list[tuple[str, int]] = []
+        self._pos: dict[tuple[str, int], int] = {}
+        self._rr = 0
+        self._last_hb = 0.0
+        self._active = False
+
+    # -- membership -------------------------------------------------------
+    def _rejoin(self) -> None:
+        """JoinGroup → (leader only) compute range assignment →
+        SyncGroup; repeats if a concurrent membership change aborts
+        the sync."""
+        while True:
+            try:
+                me, gen, leader, members = self._client.join_group(
+                    self.group, self.member_id, self.topics,
+                    session_timeout_ms=self._session_ms)
+                self.member_id = me
+                if me == leader:
+                    topo = self._client.metadata(
+                        sorted({t for subs in members.values()
+                                for t in subs}))
+                    plan = range_assignment(members, topo)
+                    parts = self._client.sync_group(
+                        self.group, gen, me, plan)
+                else:
+                    parts = self._client.sync_group(self.group, gen, me)
+            except GroupRebalanceError:
+                continue            # group moved on mid-sync: rejoin
+            except GroupMembershipError:
+                self.member_id = ""  # stale identity: start fresh
+                continue
+            self.generation = gen
+            old = dict(self._pos)
+            self.assignment = sorted(
+                (t, p) for t, ps in parts.items() for p in ps)
+            # positions for retained partitions carry over; gained
+            # partitions re-resolve from the group's committed offsets
+            self._pos = {tp: off for tp, off in old.items()
+                         if tp in set(self.assignment)}
+            self._rr = 0
+            self._active = True
+            self._last_hb = _time.monotonic()
+            return
+
+    def _maybe_heartbeat(self) -> None:
+        if _time.monotonic() - self._last_hb < self._hb_interval:
+            return
+        try:
+            self._client.heartbeat(self.group, self.generation,
+                                   self.member_id)
+            self._last_hb = _time.monotonic()
+        except (GroupRebalanceError, GroupMembershipError):
+            self._active = False
+
+    def _position(self, tp: tuple[str, int]) -> int:
+        pos = self._pos.get(tp)
+        if pos is None:
+            committed = self._client.offset_fetch(self.group, *tp)
+            if committed >= 0:
+                pos = committed
+            else:
+                time = EARLIEST if self._reset == "earliest" else LATEST
+                pos = self._client.list_offsets(tp[0], tp[1], time)
+            self._pos[tp] = pos
+        return pos
+
+    # -- consumption ------------------------------------------------------
+    def poll(self, max_messages: int = 1
+             ) -> list[tuple[str, int, int, Optional[bytes],
+                             Optional[bytes]]]:
+        """≤ ``max_messages`` from this member's ASSIGNED partitions,
+        (re)joining the group first when needed."""
+        if not self._active:
+            self._rejoin()
+        self._maybe_heartbeat()
+        if not self._active:     # heartbeat saw a rebalance
+            self._rejoin()
+        out: list[tuple[str, int, int, Optional[bytes],
+                        Optional[bytes]]] = []
+        tried = 0
+        while (self.assignment and len(out) < max_messages
+               and tried < len(self.assignment)):
+            tp = self.assignment[self._rr % len(self.assignment)]
+            self._rr += 1
+            tried += 1
+            pos = self._position(tp)
+            end = self._client.list_offsets(tp[0], tp[1], LATEST)
+            if pos >= end:
+                continue
+            batch = self._client.fetch(tp[0], tp[1], pos)
+            if not batch:
+                continue
+            for off, key, value in batch:
+                if len(out) >= max_messages:
+                    break
+                out.append((tp[0], tp[1], off, key, value))
+                self._pos[tp] = off + 1
+            tried = 0
+        return out
+
+    def commit(self) -> None:
+        """Commit consumed positions for the partitions this member
+        holds — the group-shared positions a successor resumes from."""
+        for (topic, partition), pos in self._pos.items():
+            self._client.offset_commit(self.group, topic, partition, pos)
+
+    def close(self) -> None:
+        """Leave the group (immediate rebalance for survivors) and
+        drop the connection."""
+        if self._active:
+            try:
+                self._client.leave_group(self.group, self.member_id)
+            except RuntimeError:
+                pass
+            self._active = False
         self._client.close()
 
     def __enter__(self):

@@ -11,8 +11,15 @@ run a real TCP produce→fetch round trip against
 Semantics mirror the JVM Kafka source where they overlap:
 
 * output schema ``key binary, value binary, topic string,
-  partition int, offset bigint`` (no timestamp — magic-0 messages
-  carry none),
+  partition int, offset bigint, timestamp timestamp,
+  timestampType int`` — the JVM source's columns. Timestamps ride
+  magic-2 record batches (Fetch v4, negotiated via ApiVersions);
+  against a v0-only broker the fetch falls back to magic-0 message
+  sets and the column degrades to null with ``timestampType = -1``
+  (NoTimestampType). ``timestampType`` is 0 (CreateTime) for
+  timestamped rows — the mini broker stamps v0-produced messages
+  with append time but serves every batch as CreateTime; per-topic
+  LogAppendTime marking is a real-broker concern,
 * options: ``bootstrap`` (host:port), ``subscribe`` (comma-separated
   topics) or ``subscribePattern`` (anchored regex over broker
   metadata), ``startingOffsets`` (earliest|latest, default earliest),
@@ -35,7 +42,9 @@ is the proof-of-semantics twin, like ``avro_codec`` is for Avro.
 
 from __future__ import annotations
 
+import datetime
 import re
+import time
 import zlib
 from typing import Iterator, Optional
 
@@ -56,7 +65,19 @@ from aether_firebase_consumer_spark.sources.kafka_wire import (
 )
 
 SCHEMA = ("key binary, value binary, topic string, "
-          "partition int, offset bigint")
+          "partition int, offset bigint, timestamp timestamp, "
+          "timestampType int")
+
+_EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def _ms_to_dt(ts_ms: Optional[int]) -> Optional[datetime.datetime]:
+    # timedelta arithmetic is exact at ms precision (float
+    # fromtimestamp is not); aware UTC datetimes convert to Spark
+    # TimestampType unambiguously
+    if ts_ms is None:
+        return None
+    return _EPOCH + datetime.timedelta(milliseconds=ts_ms)
 
 
 def _parse_bootstrap(options: dict) -> tuple[str, int]:
@@ -97,17 +118,18 @@ def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
     with KafkaWireClient(p.host, p.port) as client:
         offset = p.start
         while offset < p.end:
-            batch = client.fetch(p.topic, p.partition, offset)
+            batch = client.fetch_records(p.topic, p.partition, offset)
             if not batch:
                 raise RuntimeError(
                     f"fetch at {p.topic}/{p.partition}:{offset} returned "
                     f"nothing but range end is {p.end} — log truncated?")
-            for off, key, value in batch:
+            for off, ts, key, value in batch:
                 if off >= p.end:
                     break
                 if off < offset:
                     continue
-                yield (key, value, p.topic, p.partition, off)
+                yield (key, value, p.topic, p.partition, off,
+                       _ms_to_dt(ts), 0 if ts is not None else -1)
             offset = max(offset + 1, batch[-1][0] + 1)
 
 
@@ -293,13 +315,30 @@ def _to_bytes(v) -> Optional[bytes]:
     return str(v).encode("utf-8")
 
 
+def _to_ts_ms(v) -> Optional[int]:
+    """Sink ``timestamp`` column → epoch ms. Accepts epoch-ms ints,
+    and datetimes (naive ones are taken as UTC — pass aware datetimes
+    or ints for unambiguous wire timestamps)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int((v - _EPOCH) / datetime.timedelta(milliseconds=1))
+    raise ValueError(f"kafka_py sink: bad timestamp value {v!r}")
+
+
 class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
     """Produce rows to a topic over the wire client — the sink half of
     the round trip (batch ``df.write`` and streaming
     ``writeStream.format("kafka_py")``).
 
     Input columns: ``value`` (binary or string, required), optional
-    ``key`` (binary or string), optional ``partition`` (int). Without
+    ``key`` (binary or string), optional ``partition`` (int), optional
+    ``timestamp`` (timestamp or epoch-ms long → Produce v3 record
+    batches with producer CreateTime). Without
     a ``partition`` column rows route by ``crc32(key) % n_partitions``
     — a process-independent stand-in for the default partitioner's
     murmur2 (Python's own ``hash()`` is seed-randomized per process
@@ -329,15 +368,28 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
             rr = 0
 
             def flush(p: int) -> None:
-                if buf.get(p):
-                    client.produce(self.topic, p, buf[p])
-                    counts[p] = counts.get(p, 0) + len(buf[p])
-                    buf[p] = []
+                if not buf.get(p):
+                    return
+                if any(ts is not None for _, _, ts in buf[p]):
+                    # rows carry producer timestamps → Produce v3
+                    # (record batch); rows without one in the same
+                    # chunk get stamped now
+                    now = int(time.time() * 1000)
+                    client.produce_records(
+                        self.topic, p,
+                        [(k, v, ts if ts is not None else now)
+                         for k, v, ts in buf[p]])
+                else:
+                    client.produce(self.topic, p,
+                                   [(k, v) for k, v, _ in buf[p]])
+                counts[p] = counts.get(p, 0) + len(buf[p])
+                buf[p] = []
 
             for row in rows:
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
                 key = _to_bytes(d.get("key"))
                 value = _to_bytes(d.get("value"))
+                ts = _to_ts_ms(d.get("timestamp"))
                 if d.get("partition") is not None:
                     p = int(d["partition"]) % len(parts)
                 elif key is not None:
@@ -345,7 +397,7 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                 else:
                     p = parts[rr % len(parts)]
                     rr += 1
-                buf.setdefault(p, []).append((key, value))
+                buf.setdefault(p, []).append((key, value, ts))
                 if len(buf[p]) >= 500:
                     flush(p)
             for p in list(buf):

@@ -21,7 +21,7 @@ remains the production path (``readers.kafka_source_options``
 assembles its options) — this module is the proof-of-semantics and
 the no-jar escape hatch, exactly like ``avro_codec`` is for Avro.
 
-Wire format notes (v0 everywhere — the simplest stable dialect):
+Wire format notes:
   request  = int32 size ++ int16 api_key ++ int16 api_version ++
              int32 correlation_id ++ STRING client_id ++ body
   response = int32 size ++ int32 correlation_id ++ body
@@ -31,6 +31,27 @@ Wire format notes (v0 everywhere — the simplest stable dialect):
   message  = int32 crc32(magic..end) ++ int8 magic=0 ++ int8 attrs=0
              ++ BYTES key ++ BYTES value
   message set = repeat(int64 offset ++ int32 size ++ message)
+
+Two wire dialects are spoken, negotiated via ApiVersions exactly like
+a real client (``KafkaWireClient`` caches the broker's advertised
+ranges and picks the highest it knows):
+
+* the v0 APIs with magic-0 message sets (above) — the simplest stable
+  dialect, kept for compatibility and as the fallback, and
+* the modern record-batch dialect: Produce v3 / Fetch v4 with MAGIC-2
+  RECORD BATCHES (CRC32C over the batch, zigzag-varint records,
+  per-record TIMESTAMPS and headers — kafka.apache.org/documentation
+  #recordbatch) plus ListOffsets v1 (timestamp→offset lookup), which
+  is what lets ``kafka_py`` surface the JVM source's ``timestamp``
+  column.
+
+Consumer GROUPS: OffsetCommit/OffsetFetch v0 persist positions, and
+the full v0 membership protocol — FindCoordinator, JoinGroup,
+SyncGroup, Heartbeat, LeaveGroup — runs broker-side rebalancing: the
+broker elects the first-sorted member leader, the leader computes the
+(client-side, range) assignment from every member's subscription, and
+death or departure of a member triggers a generation bump the
+survivors observe as REBALANCE_IN_PROGRESS on their next heartbeat.
 """
 
 from __future__ import annotations
@@ -40,6 +61,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time as _time
 import zlib
 from typing import Iterable, Optional
 
@@ -49,14 +71,30 @@ API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_OFFSET_COMMIT = 8
 API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_VERSIONS = 18
 
 EARLIEST = -2
 LATEST = -1
 
 ERR_NONE = 0
-ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
+
+
+class GroupRebalanceError(RuntimeError):
+    """The group entered a rebalance — the member must rejoin."""
+
+
+class GroupMembershipError(RuntimeError):
+    """Unknown member id or stale generation — rejoin from scratch."""
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +221,241 @@ def decode_message_set(data: bytes, *, validate_crc: bool = True
 
 
 # ---------------------------------------------------------------------------
+# record batches (magic 2)
+# ---------------------------------------------------------------------------
+
+def _crc32c_table() -> list[int]:
+    # CRC-32C (Castagnoli), reflected polynomial 0x82F63B78 — the
+    # checksum magic-2 record batches carry (zlib.crc32 is CRC-32/ISO,
+    # a different polynomial; Kafka switched for v2)
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _put_varint(buf: bytearray, n: int) -> None:
+    v = _zigzag(n)
+    while v >= 0x80:
+        buf.append((v & 0x7F) | 0x80)
+        v >>= 7
+    buf.append(v)
+
+
+def _get_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(v), pos
+        shift += 7
+
+
+ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
+
+
+def encode_record_batch(
+        entries: list[tuple[int, int, Optional[bytes], Optional[bytes]]],
+        *, log_append_time: bool = False) -> bytes:
+    """(offset, timestamp_ms, key, value)* → one magic-2 record batch.
+
+    Offsets need not be dense (log compaction leaves gaps; deltas
+    carry them). Timestamps are per-record; the batch stores base/max
+    and zigzag deltas. ``log_append_time`` sets the attributes bit
+    real brokers use to mark broker-stamped (vs producer CreateTime)
+    timestamps."""
+    if not entries:
+        return b""
+    base_off = entries[0][0]
+    base_ts = entries[0][1]
+    max_ts = max(e[1] for e in entries)
+    records = bytearray()
+    for off, ts, key, value in entries:
+        rec = bytearray()
+        rec.append(0)                      # record attributes
+        _put_varint(rec, ts - base_ts)     # timestampDelta
+        _put_varint(rec, off - base_off)   # offsetDelta
+        if key is None:
+            _put_varint(rec, -1)
+        else:
+            _put_varint(rec, len(key))
+            rec += key
+        if value is None:
+            _put_varint(rec, -1)
+        else:
+            _put_varint(rec, len(value))
+            rec += value
+        _put_varint(rec, 0)                # headers
+        _put_varint(records, len(rec))
+        records += rec
+    attrs = ATTR_TIMESTAMP_LOG_APPEND if log_append_time else 0
+    body = _Writer()                       # attributes .. records
+    body.i16(attrs)
+    body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
+    body.i64(base_ts)
+    body.i64(max_ts)
+    body.i64(-1)                           # producerId
+    body.i16(-1)                           # producerEpoch
+    body.i32(-1)                           # baseSequence
+    body.i32(len(entries))
+    body.raw(bytes(records))
+    crc = crc32c(bytes(body.buf))
+    w = _Writer()
+    w.i64(base_off)
+    w.i32(4 + 1 + 4 + len(body.buf))       # batchLength: epoch..end
+    w.i32(-1)                              # partitionLeaderEpoch
+    w.i8(2)                                # magic
+    w.buf += struct.pack(">I", crc)
+    w.raw(bytes(body.buf))
+    return bytes(w.buf)
+
+
+def decode_record_batches(data: bytes, *, validate_crc: bool = True
+                          ) -> list[tuple[int, int, Optional[bytes],
+                                          Optional[bytes]]]:
+    """Concatenated magic-2 record batches → [(offset, timestamp_ms,
+    key, value)]. A trailing partial batch (max_bytes truncation) is
+    dropped, mirroring consumer behavior."""
+    out: list[tuple[int, int, Optional[bytes], Optional[bytes]]] = []
+    pos = 0
+    while len(data) - pos >= 12:
+        base_off, batch_len = struct.unpack_from(">qi", data, pos)
+        end = pos + 12 + batch_len
+        if batch_len <= 0 or end > len(data):
+            break  # partial trailing batch
+        magic = data[pos + 16]
+        if magic != 2:
+            raise ValueError(f"unsupported record-batch magic {magic}")
+        (crc,) = struct.unpack_from(">I", data, pos + 17)
+        body = data[pos + 21:end]
+        if validate_crc and crc32c(body) != crc:
+            raise ValueError(
+                f"record batch at offset {base_off}: CRC32C mismatch")
+        attrs, _last_delta, base_ts = struct.unpack_from(">hiq", body, 0)
+        if attrs & 0x07:
+            raise ValueError(
+                f"compressed record batch (codec {attrs & 0x07}) "
+                "unsupported")
+        (count,) = struct.unpack_from(">i", body, 36)
+        p = 40
+        for _ in range(count):
+            rec_len, p = _get_varint(body, p)
+            rec_end = p + rec_len
+            p += 1  # record attributes
+            ts_delta, p = _get_varint(body, p)
+            off_delta, p = _get_varint(body, p)
+            klen, p = _get_varint(body, p)
+            key = None if klen < 0 else bytes(body[p:p + klen])
+            p += max(klen, 0)
+            vlen, p = _get_varint(body, p)
+            value = None if vlen < 0 else bytes(body[p:p + vlen])
+            p += max(vlen, 0)
+            out.append((base_off + off_delta, base_ts + ts_delta,
+                        key, value))
+            p = rec_end  # skip headers
+        pos = end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# consumer-protocol payloads (the opaque BYTES inside JoinGroup/SyncGroup)
+# ---------------------------------------------------------------------------
+
+def encode_subscription(topics: list[str]) -> bytes:
+    """ConsumerProtocolSubscription v0: the metadata a member attaches
+    to its JoinGroup 'range'/'roundrobin' protocol entry."""
+    w = _Writer()
+    w.i16(0)                   # version
+    w.i32(len(topics))
+    for t in topics:
+        w.string(t)
+    w.bytes_(b"")              # userdata
+    return bytes(w.buf)
+
+
+def decode_subscription(data: bytes) -> list[str]:
+    r = _Reader(data)
+    r.i16()
+    return [r.string() or "" for _ in range(r.i32())]
+
+
+def encode_assignment(parts: dict[str, list[int]]) -> bytes:
+    """ConsumerProtocolAssignment v0: what the leader hands each
+    member through SyncGroup."""
+    w = _Writer()
+    w.i16(0)
+    w.i32(len(parts))
+    for topic in sorted(parts):
+        w.string(topic)
+        w.i32(len(parts[topic]))
+        for p in parts[topic]:
+            w.i32(p)
+    w.bytes_(b"")
+    return bytes(w.buf)
+
+
+def decode_assignment(data: bytes) -> dict[str, list[int]]:
+    if not data:
+        return {}
+    r = _Reader(data)
+    r.i16()
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string() or ""
+        out[topic] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assignment(members: dict[str, list[str]],
+                     topo: dict[str, list[int]]
+                     ) -> dict[str, dict[str, list[int]]]:
+    """The RangeAssignor every leader runs client-side: per topic,
+    partitions sorted and split into contiguous ranges over the
+    members subscribed to it (sorted by member id), earlier members
+    absorbing the remainder — the public algorithm from Kafka's
+    RangeAssignor javadoc."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    topics = sorted({t for subs in members.values() for t in subs})
+    for topic in topics:
+        parts = sorted(topo.get(topic, []))
+        subs = sorted(m for m, ts in members.items() if topic in ts)
+        if not parts or not subs:
+            continue
+        per, extra = divmod(len(parts), len(subs))
+        pos = 0
+        for i, m in enumerate(subs):
+            n = per + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = parts[pos:pos + n]
+            pos += n
+    return out
+
+
+# ---------------------------------------------------------------------------
 # client
 # ---------------------------------------------------------------------------
 
@@ -207,6 +480,7 @@ class KafkaWireClient:
         self.host, self.port = host, port
         self.client_id = client_id
         self._corr = 0
+        self._vers: Optional[dict[int, tuple[int, int]]] = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
 
     def close(self) -> None:
@@ -222,11 +496,11 @@ class KafkaWireClient:
         self.close()
 
     # -- framing ----------------------------------------------------------
-    def _call(self, api_key: int, body: bytes) -> _Reader:
+    def _call(self, api_key: int, body: bytes, version: int = 0) -> _Reader:
         self._corr += 1
         head = _Writer()
         head.i16(api_key)
-        head.i16(0)  # api_version 0 everywhere
+        head.i16(version)
         head.i32(self._corr)
         head.string(self.client_id)
         payload = bytes(head.buf) + body
@@ -237,6 +511,18 @@ class KafkaWireClient:
         if corr != self._corr:
             raise ValueError(f"correlation mismatch {corr} != {self._corr}")
         return resp
+
+    def _max_version(self, api_key: int) -> int:
+        """Highest version the broker advertises for ``api_key`` (one
+        cached ApiVersions round trip — the negotiation every real
+        client does before its first request). A broker that cannot
+        answer ApiVersions at all is treated as v0-everything."""
+        if self._vers is None:
+            try:
+                self._vers = self.api_versions()
+            except (RuntimeError, ValueError, ConnectionError, EOFError):
+                self._vers = {}
+        return self._vers.get(api_key, (0, 0))[1]
 
     # -- apis -------------------------------------------------------------
     def metadata(self, topics: Optional[list[str]] = None
@@ -271,7 +557,10 @@ class KafkaWireClient:
     def produce(self, topic: str, partition: int,
                 messages: list[tuple[Optional[bytes], Optional[bytes]]]
                 ) -> int:
-        """Append (key, value) messages; returns the base offset."""
+        """Append (key, value) messages; returns the base offset.
+        Broker stamps LogAppendTime timestamps (v0 carries none on the
+        wire); use :meth:`produce_records` to ship producer
+        CreateTime timestamps."""
         mset = encode_message_set((0, k, v) for k, v in messages)
         w = _Writer()
         w.i16(1)      # acks
@@ -289,6 +578,43 @@ class KafkaWireClient:
         r.i32()       # partition id
         err = r.i16()
         base = r.i64()
+        if err != ERR_NONE:
+            raise RuntimeError(f"produce failed: error {err}")
+        return base
+
+    def produce_records(
+            self, topic: str, partition: int,
+            messages: list[tuple[Optional[bytes], Optional[bytes], int]]
+    ) -> int:
+        """Append (key, value, timestamp_ms) via Produce v3 (magic-2
+        record batch, producer CreateTime timestamps); returns the
+        base offset. Requires a broker advertising Produce ≥ v3 —
+        raises otherwise rather than silently dropping timestamps."""
+        if self._max_version(API_PRODUCE) < 3:
+            raise RuntimeError(
+                "broker does not support Produce v3 (record batches); "
+                "use produce() for the magic-0 path")
+        batch = encode_record_batch(
+            [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)])
+        w = _Writer()
+        w.string(None)  # transactional_id
+        w.i16(1)        # acks
+        w.i32(10000)    # timeout
+        w.i32(1)
+        w.string(topic)
+        w.i32(1)
+        w.i32(partition)
+        w.i32(len(batch))
+        w.raw(batch)
+        r = self._call(API_PRODUCE, bytes(w.buf), version=3)
+        r.i32()         # topic count
+        r.string()
+        r.i32()         # partition count
+        r.i32()         # partition id
+        err = r.i16()
+        base = r.i64()
+        r.i64()         # log_append_time
+        r.i32()         # throttle_time_ms
         if err != ERR_NONE:
             raise RuntimeError(f"produce failed: error {err}")
         return base
@@ -319,6 +645,51 @@ class KafkaWireClient:
         if err != ERR_NONE:
             raise RuntimeError(f"fetch failed: error {err}")
         return decode_message_set(raw)
+
+    def fetch_records(self, topic: str, partition: int, offset: int,
+                      max_bytes: int = 1 << 20
+                      ) -> list[tuple[int, Optional[int],
+                                      Optional[bytes], Optional[bytes]]]:
+        """Fetch with timestamps: [(offset, timestamp_ms, key, value)].
+
+        Uses Fetch v4 (magic-2 record batches) when the broker
+        advertises it; falls back to v0 message sets with
+        ``timestamp=None`` (magic-0 carries no timestamp) — so callers
+        get one shape either way and the timestamp column degrades to
+        null instead of failing against an old broker."""
+        if self._max_version(API_FETCH) < 4:
+            return [(off, None, k, v)
+                    for off, k, v in self.fetch(topic, partition, offset,
+                                                max_bytes)]
+        w = _Writer()
+        w.i32(-1)            # replica_id
+        w.i32(0)             # max_wait_ms
+        w.i32(0)             # min_bytes
+        w.i32(max_bytes)     # request-level max_bytes (v3+)
+        w.i8(0)              # isolation_level: READ_UNCOMMITTED (v4+)
+        w.i32(1)
+        w.string(topic)
+        w.i32(1)
+        w.i32(partition)
+        w.i64(offset)
+        w.i32(max_bytes)
+        r = self._call(API_FETCH, bytes(w.buf), version=4)
+        r.i32()              # throttle_time_ms
+        r.i32()              # topic count
+        r.string()
+        r.i32()              # partition count
+        r.i32()              # partition id
+        err = r.i16()
+        r.i64()              # high watermark
+        r.i64()              # last_stable_offset
+        for _ in range(r.i32()):   # aborted_transactions
+            r.i64(); r.i64()
+        size = r.i32()
+        raw = r._take(size)
+        if err != ERR_NONE:
+            raise RuntimeError(f"fetch failed: error {err}")
+        return [(off, ts, k, v)
+                for off, ts, k, v in decode_record_batches(raw)]
 
     def list_offsets(self, topic: str, partition: int, time: int) -> int:
         """EARLIEST (-2) → log start, LATEST (-1) → log end offset."""
@@ -354,6 +725,45 @@ class KafkaWireClient:
                     raise RuntimeError(
                         f"list_offsets {name}/{pid} failed: error {err}")
                 out[(name, pid)] = offs[0] if offs else 0
+        return out
+
+    def offsets_for_times(self, targets: dict[tuple[str, int], int]
+                          ) -> dict[tuple[str, int],
+                                    Optional[tuple[int, int]]]:
+        """ListOffsets v1: (topic, partition) → timestamp_ms targets;
+        returns the (timestamp, offset) of the FIRST message at-or-
+        after each target, or None when no such message exists — the
+        ``startingOffsetsByTimestamp`` primitive. EARLIEST/LATEST
+        sentinels also work (offset with timestamp -1)."""
+        if self._max_version(API_LIST_OFFSETS) < 1:
+            raise RuntimeError(
+                "broker does not support ListOffsets v1 "
+                "(timestamp lookup)")
+        w = _Writer()
+        w.i32(-1)
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), ts in targets.items():
+            by_topic.setdefault(t, []).append((p, ts))
+        w.i32(len(by_topic))
+        for t, parts in by_topic.items():
+            w.string(t)
+            w.i32(len(parts))
+            for p, ts in parts:
+                w.i32(p)
+                w.i64(ts)
+        r = self._call(API_LIST_OFFSETS, bytes(w.buf), version=1)
+        out: dict[tuple[str, int], Optional[tuple[int, int]]] = {}
+        for _ in range(r.i32()):
+            name = r.string() or ""
+            for _ in range(r.i32()):
+                pid = r.i32()
+                err = r.i16()
+                ts = r.i64()
+                off = r.i64()
+                if err != ERR_NONE:
+                    raise RuntimeError(
+                        f"offsets_for_times {name}/{pid}: error {err}")
+                out[(name, pid)] = None if off < 0 else (ts, off)
         return out
 
     def offset_commit(self, group: str, topic: str, partition: int,
@@ -403,6 +813,109 @@ class KafkaWireClient:
             raise RuntimeError(f"offset_fetch failed: error {err}")
         return offset
 
+    # -- group membership (v0) --------------------------------------------
+    @staticmethod
+    def _group_err(err: int, what: str) -> None:
+        if err == ERR_NONE:
+            return
+        if err == ERR_REBALANCE_IN_PROGRESS:
+            raise GroupRebalanceError(f"{what}: rebalance in progress")
+        if err in (ERR_UNKNOWN_MEMBER_ID, ERR_ILLEGAL_GENERATION):
+            raise GroupMembershipError(f"{what}: error {err}")
+        raise RuntimeError(f"{what} failed: error {err}")
+
+    def find_coordinator(self, group: str) -> tuple[str, int]:
+        """GroupCoordinator v0: which broker coordinates ``group``
+        (always this one for the mini broker — kept for protocol
+        fidelity; real clients must ask before any group API)."""
+        w = _Writer()
+        w.string(group)
+        r = self._call(API_FIND_COORDINATOR, bytes(w.buf))
+        err = r.i16()
+        r.i32()                     # node id
+        host = r.string() or ""
+        port = r.i32()
+        self._group_err(err, "find_coordinator")
+        return host, port
+
+    def join_group(self, group: str, member_id: str, topics: list[str],
+                   session_timeout_ms: int = 10000,
+                   protocol: str = "range"
+                   ) -> tuple[str, int, str, dict[str, list[str]]]:
+        """JoinGroup v0. Blocks while the broker gathers the
+        generation's members. Returns (member_id, generation,
+        leader_id, members) where ``members`` maps member_id → its
+        subscribed topics — non-empty ONLY for the leader, which must
+        compute the assignment and deliver it via :meth:`sync_group`;
+        followers get ``{}`` and sync with no assignments.
+        First-time callers pass ``member_id=""`` (the broker assigns
+        one)."""
+        w = _Writer()
+        w.string(group)
+        w.i32(session_timeout_ms)
+        w.string(member_id)
+        w.string("consumer")
+        w.i32(1)
+        w.string(protocol)
+        w.bytes_(encode_subscription(topics))
+        r = self._call(API_JOIN_GROUP, bytes(w.buf))
+        err = r.i16()
+        generation = r.i32()
+        r.string()                  # protocol
+        leader = r.string() or ""
+        me = r.string() or ""
+        members = {}
+        for _ in range(r.i32()):
+            mid = r.string() or ""
+            meta = r.bytes_() or b""
+            members[mid] = decode_subscription(meta)
+        self._group_err(err, "join_group")
+        return me, generation, leader, members
+
+    def sync_group(self, group: str, generation: int, member_id: str,
+                   assignments: Optional[dict[str,
+                                              dict[str, list[int]]]] = None
+                   ) -> dict[str, list[int]]:
+        """SyncGroup v0: the leader passes ``assignments``
+        (member_id → topic → partitions); followers pass None and
+        block until the leader syncs. Returns THIS member's
+        assignment."""
+        w = _Writer()
+        w.string(group)
+        w.i32(generation)
+        w.string(member_id)
+        items = assignments or {}
+        w.i32(len(items))
+        for mid, parts in items.items():
+            w.string(mid)
+            w.bytes_(encode_assignment(parts))
+        r = self._call(API_SYNC_GROUP, bytes(w.buf))
+        err = r.i16()
+        assignment = r.bytes_() or b""
+        self._group_err(err, "sync_group")
+        return decode_assignment(assignment)
+
+    def heartbeat(self, group: str, generation: int,
+                  member_id: str) -> None:
+        """Heartbeat v0 — raises :class:`GroupRebalanceError` when the
+        broker wants the member to rejoin."""
+        w = _Writer()
+        w.string(group)
+        w.i32(generation)
+        w.string(member_id)
+        r = self._call(API_HEARTBEAT, bytes(w.buf))
+        self._group_err(r.i16(), "heartbeat")
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        """LeaveGroup v0 — clean departure triggers an immediate
+        rebalance for the survivors (vs waiting out the session
+        timeout)."""
+        w = _Writer()
+        w.string(group)
+        w.string(member_id)
+        r = self._call(API_LEAVE_GROUP, bytes(w.buf))
+        self._group_err(r.i16(), "leave_group")
+
     def api_versions(self) -> dict[int, tuple[int, int]]:
         """api_key → (min, max) supported versions — the negotiation
         request real clients send first; everything this broker speaks
@@ -437,16 +950,30 @@ class MiniKafkaBroker:
     lock around the log dict — correct for the test/bench scale this
     serves; the point is wire fidelity, not broker throughput."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
-        #: (topic, partition) → list of (offset, key, value), offsets
-        #: strictly increasing (gaps after compaction)
+    #: how long JoinGroup waits for the rest of the generation before
+    #: evicting stragglers and completing the rebalance (the broker's
+    #: group.initial.rebalance.delay / rebalance-timeout analogue)
+    rebalance_timeout: float = 5.0
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 clock=None) -> None:
+        #: (topic, partition) → list of (offset, timestamp_ms, key,
+        #: value), offsets strictly increasing (gaps after compaction).
+        #: v0 produces are stamped with ``clock`` (LogAppendTime);
+        #: v3 produces carry producer CreateTime timestamps.
         self._logs: dict[tuple[str, int],
-                         list[tuple[int, Optional[bytes],
+                         list[tuple[int, int, Optional[bytes],
                                     Optional[bytes]]]] = {}
         self._next: dict[tuple[str, int], int] = {}
         #: (group, topic, partition) → committed consumer offset
         self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
+        #: injectable ms clock — tests pin deterministic timestamps
+        self._clock = clock or (lambda: int(_time.time() * 1000))
+        #: group_id → membership state; guarded by _gcond's lock
+        self._groups: dict[str, dict] = {}
+        self._gcond = threading.Condition()
+        self._member_seq = 0
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -510,37 +1037,73 @@ class MiniKafkaBroker:
                 if t != topic:
                     continue
                 last: dict[bytes, int] = {}
-                for off, k, _ in log:
+                for off, _ts, k, _ in log:
                     if k is not None:
                         last[bytes(k)] = off
-                kept = [(off, k, v) for off, k, v in log
+                kept = [(off, ts, k, v) for off, ts, k, v in log
                         if k is None or last[bytes(k)] == off]
                 removed += len(log) - len(kept)
                 self._logs[(t, p)] = kept
         return removed
+
+    #: (api_key → (min, max)) — what ApiVersions advertises and what
+    #: _dispatch accepts
+    SUPPORTED: dict[int, tuple[int, int]] = {
+        API_PRODUCE: (0, 3),         # v3 = magic-2 record batches
+        API_FETCH: (0, 4),           # v4 = record batches + isolation
+        API_LIST_OFFSETS: (0, 1),    # v1 = timestamp→offset lookup
+        API_METADATA: (0, 0),
+        API_OFFSET_COMMIT: (0, 0),
+        API_OFFSET_FETCH: (0, 0),
+        API_FIND_COORDINATOR: (0, 0),
+        API_JOIN_GROUP: (0, 0),
+        API_HEARTBEAT: (0, 0),
+        API_LEAVE_GROUP: (0, 0),
+        API_SYNC_GROUP: (0, 0),
+        API_VERSIONS: (0, 0),
+    }
 
     # -- dispatch ---------------------------------------------------------
     def _dispatch(self, req: _Reader) -> bytes:
         api_key = req.i16()
         api_version = req.i16()
         corr = req.i32()
-        req.string()  # client_id
+        client_id = req.string() or ""
         w = _Writer()
         w.i32(corr)
-        if api_version != 0:
-            raise ValueError(f"api version {api_version} unsupported")
+        lo, hi = self.SUPPORTED.get(api_key, (0, -1))
+        if not lo <= api_version <= hi:
+            raise ValueError(
+                f"api {api_key} v{api_version} unsupported")
+        # intermediate versions this broker never emitted (e.g.
+        # Produce v1/v2, Fetch v1-v3) are not implemented — the
+        # paired client only negotiates v0 or the advertised max
         if api_key == API_METADATA:
             self._handle_metadata(req, w)
         elif api_key == API_PRODUCE:
-            self._handle_produce(req, w)
+            if api_version not in (0, 3):
+                raise ValueError(f"produce v{api_version} unimplemented")
+            self._handle_produce(req, w, api_version)
         elif api_key == API_FETCH:
-            self._handle_fetch(req, w)
+            if api_version not in (0, 4):
+                raise ValueError(f"fetch v{api_version} unimplemented")
+            self._handle_fetch(req, w, api_version)
         elif api_key == API_LIST_OFFSETS:
-            self._handle_list_offsets(req, w)
+            self._handle_list_offsets(req, w, api_version)
         elif api_key == API_OFFSET_COMMIT:
             self._handle_offset_commit(req, w)
         elif api_key == API_OFFSET_FETCH:
             self._handle_offset_fetch(req, w)
+        elif api_key == API_FIND_COORDINATOR:
+            self._handle_find_coordinator(req, w)
+        elif api_key == API_JOIN_GROUP:
+            self._handle_join_group(req, w, client_id)
+        elif api_key == API_SYNC_GROUP:
+            self._handle_sync_group(req, w)
+        elif api_key == API_HEARTBEAT:
+            self._handle_heartbeat(req, w)
+        elif api_key == API_LEAVE_GROUP:
+            self._handle_leave_group(req, w)
         elif api_key == API_VERSIONS:
             self._handle_api_versions(w)
         else:
@@ -571,9 +1134,13 @@ class MiniKafkaBroker:
                 w.i32(1); w.i32(0)  # replicas [0]
                 w.i32(1); w.i32(0)  # isr [0]
 
-    def _handle_produce(self, req: _Reader, w: _Writer) -> None:
+    def _handle_produce(self, req: _Reader, w: _Writer,
+                        version: int) -> None:
+        if version >= 3:
+            req.string()   # transactional_id
         req.i16()  # acks
         req.i32()  # timeout
+        now = self._clock()
         results = []
         for _ in range(req.i32()):
             topic = req.string() or ""
@@ -581,12 +1148,19 @@ class MiniKafkaBroker:
                 partition = req.i32()
                 size = req.i32()
                 mset = req._take(size)
-                msgs = decode_message_set(mset)
+                if version >= 3:
+                    # magic-2 record batch with producer timestamps
+                    msgs = [(ts, k, v) for _, ts, k, v
+                            in decode_record_batches(mset)]
+                else:
+                    # magic-0: no wire timestamp → LogAppendTime
+                    msgs = [(now, k, v) for _, k, v
+                            in decode_message_set(mset)]
                 with self._lock:
                     log = self._logs.setdefault((topic, partition), [])
                     base = self._next.setdefault((topic, partition), 0)
-                    for i, (_, k, v) in enumerate(msgs):
-                        log.append((base + i, k, v))
+                    for i, (ts, k, v) in enumerate(msgs):
+                        log.append((base + i, ts, k, v))
                     self._next[(topic, partition)] = base + len(msgs)
                 results.append((topic, partition, ERR_NONE, base))
         w.i32(len(results))
@@ -596,11 +1170,19 @@ class MiniKafkaBroker:
             w.i32(partition)
             w.i16(err)
             w.i64(base)
+            if version >= 3:
+                w.i64(-1)   # log_append_time (-1: CreateTime batch)
+        if version >= 3:
+            w.i32(0)        # throttle_time_ms
 
-    def _handle_fetch(self, req: _Reader, w: _Writer) -> None:
+    def _handle_fetch(self, req: _Reader, w: _Writer,
+                      version: int) -> None:
         req.i32()  # replica
         req.i32()  # max_wait
         req.i32()  # min_bytes
+        if version >= 4:
+            req.i32()  # request-level max_bytes
+            req.i8()   # isolation_level
         out = []
         for _ in range(req.i32()):
             topic = req.string() or ""
@@ -621,14 +1203,21 @@ class MiniKafkaBroker:
                     # sorted; gaps possible after compaction)
                     i = bisect.bisect_left(log, offset,
                                            key=lambda e: e[0])
-                    for off, k, v in log[i:]:
-                        msg = encode_message(k, v)
-                        size += 12 + len(msg)
+                    for off, ts, k, v in log[i:]:
+                        size += (26 + len(k or b"") + len(v or b"")
+                                 if version >= 4
+                                 else 12 + len(encode_message(k, v)))
                         if entries and size > max_bytes:
                             break
-                        entries.append((off, k, v))
-                mset = encode_message_set(entries)
+                        entries.append((off, ts, k, v))
+                if version >= 4:
+                    mset = encode_record_batch(entries)
+                else:
+                    mset = encode_message_set(
+                        (off, k, v) for off, _ts, k, v in entries)
                 out.append((topic, partition, ERR_NONE, hw, mset))
+        if version >= 4:
+            w.i32(0)   # throttle_time_ms
         w.i32(len(out))
         for topic, partition, err, hw, mset in out:
             w.string(topic)
@@ -636,10 +1225,14 @@ class MiniKafkaBroker:
             w.i32(partition)
             w.i16(err)
             w.i64(hw)
+            if version >= 4:
+                w.i64(hw)  # last_stable_offset (no transactions)
+                w.i32(0)   # aborted_transactions
             w.i32(len(mset))
             w.raw(mset)
 
-    def _handle_list_offsets(self, req: _Reader, w: _Writer) -> None:
+    def _handle_list_offsets(self, req: _Reader, w: _Writer,
+                             version: int) -> None:
         req.i32()  # replica
         out = []
         for _ in range(req.i32()):
@@ -647,28 +1240,43 @@ class MiniKafkaBroker:
             for _ in range(req.i32()):
                 partition = req.i32()
                 time = req.i64()
-                req.i32()  # max offsets
+                if version == 0:
+                    req.i32()  # max offsets (v0 only)
                 with self._lock:
                     log = self._logs.get((topic, partition))
+                    end = self._next.get((topic, partition), 0)
                 if log is None:
                     out.append((topic, partition,
-                                ERR_UNKNOWN_TOPIC_OR_PARTITION, []))
+                                ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, []))
                 elif time == EARLIEST:
-                    first = log[0][0] if log else \
-                        self._next.get((topic, partition), 0)
-                    out.append((topic, partition, ERR_NONE, [first]))
-                else:  # LATEST or a timestamp → log end (no index in v0)
-                    out.append((topic, partition, ERR_NONE,
-                                [self._next.get((topic, partition), 0)]))
+                    first = log[0][0] if log else end
+                    out.append((topic, partition, ERR_NONE, -1, [first]))
+                elif time == LATEST:
+                    out.append((topic, partition, ERR_NONE, -1, [end]))
+                elif version >= 1:
+                    # v1: first message with timestamp >= target
+                    hit = next(((ts, off) for off, ts, _k, _v in log
+                                if ts >= time), None)
+                    if hit is None:
+                        out.append((topic, partition, ERR_NONE, -1, []))
+                    else:
+                        out.append((topic, partition, ERR_NONE,
+                                    hit[0], [hit[1]]))
+                else:  # v0 has no timestamp index → log end
+                    out.append((topic, partition, ERR_NONE, -1, [end]))
         w.i32(len(out))
-        for topic, partition, err, offs in out:
+        for topic, partition, err, ts, offs in out:
             w.string(topic)
             w.i32(1)
             w.i32(partition)
             w.i16(err)
-            w.i32(len(offs))
-            for o in offs:
-                w.i64(o)
+            if version >= 1:
+                w.i64(ts)
+                w.i64(offs[0] if offs else -1)
+            else:
+                w.i32(len(offs))
+                for o in offs:
+                    w.i64(o)
 
     def _handle_offset_commit(self, req: _Reader, w: _Writer) -> None:
         group = req.string() or ""
@@ -710,12 +1318,189 @@ class MiniKafkaBroker:
             w.i16(ERR_NONE)
 
     def _handle_api_versions(self, w: _Writer) -> None:
-        supported = [API_PRODUCE, API_FETCH, API_LIST_OFFSETS,
-                     API_METADATA, API_OFFSET_COMMIT, API_OFFSET_FETCH,
-                     API_VERSIONS]
         w.i16(ERR_NONE)
-        w.i32(len(supported))
-        for key in supported:
+        w.i32(len(self.SUPPORTED))
+        for key in sorted(self.SUPPORTED):
+            lo, hi = self.SUPPORTED[key]
             w.i16(key)
-            w.i16(0)   # min version
-            w.i16(0)   # max version
+            w.i16(lo)
+            w.i16(hi)
+
+    # -- group coordination (v0 membership protocol) ----------------------
+    #
+    # State machine per group (the public coordinator protocol,
+    # kafka.apache.org/protocol #group-membership):
+    #   Empty → Joining → AwaitSync → Stable → (member change) → Joining
+    # JoinGroup BLOCKS the handler thread (thread-per-connection makes
+    # that safe) until every known member has rejoined or the
+    # rebalance timeout evicts stragglers; the completing thread bumps
+    # the generation and elects the first-sorted member leader. The
+    # LEADER computes assignments client-side and distributes them via
+    # SyncGroup; followers block in SyncGroup until it does. Heartbeat
+    # renews the session and is the channel rebalances are signalled
+    # on (REBALANCE_IN_PROGRESS → member rejoins).
+
+    def _group(self, group: str) -> dict:
+        return self._groups.setdefault(group, {
+            "state": "Empty", "generation": 0, "leader": "",
+            "protocol": "", "members": {},  # id → member dict
+            "pending": set(), "deadline": 0.0, "assignments": {},
+        })
+
+    def _expire_members(self, g: dict) -> None:
+        """Evict members whose session lapsed (no heartbeat); a death
+        noticed while Stable triggers a rebalance the survivors see."""
+        now = _time.monotonic()
+        dead = [mid for mid, m in g["members"].items()
+                if m["expires"] < now]
+        for mid in dead:
+            del g["members"][mid]
+            g["pending"].discard(mid)
+        if dead and g["members"] and g["state"] in ("Stable", "AwaitSync"):
+            self._begin_rebalance(g)
+        elif not g["members"]:
+            g["state"] = "Empty"
+
+    def _begin_rebalance(self, g: dict) -> None:
+        g["state"] = "Joining"
+        g["pending"] = set(g["members"])
+        g["deadline"] = _time.monotonic() + self.rebalance_timeout
+        g["assignments"] = {}
+        self._gcond.notify_all()
+
+    def _handle_join_group(self, req: _Reader, w: _Writer,
+                           client_id: str) -> None:
+        group = req.string() or ""
+        session_ms = req.i32()
+        member_id = req.string() or ""
+        req.string()  # protocol_type
+        protos = []
+        for _ in range(req.i32()):
+            protos.append((req.string() or "", req.bytes_() or b""))
+        proto_name = protos[0][0] if protos else "range"
+        metadata = protos[0][1] if protos else b""
+        with self._gcond:
+            g = self._group(group)
+            self._expire_members(g)
+            if not member_id:
+                self._member_seq += 1
+                member_id = f"{client_id or 'member'}-{self._member_seq}"
+            g["members"][member_id] = {
+                "metadata": metadata, "session_ms": session_ms,
+                "expires": _time.monotonic() + session_ms / 1000.0,
+            }
+            if g["state"] != "Joining":
+                self._begin_rebalance(g)
+            g["pending"].discard(member_id)
+            self._gcond.notify_all()
+            while (g["state"] == "Joining" and g["pending"]
+                   and _time.monotonic() < g["deadline"]):
+                self._gcond.wait(0.05)
+            if g["state"] == "Joining":
+                # this thread completes the join phase: stragglers out
+                for mid in g["pending"]:
+                    g["members"].pop(mid, None)
+                g["pending"] = set()
+                g["generation"] += 1
+                g["leader"] = min(g["members"])
+                g["protocol"] = proto_name
+                g["state"] = "AwaitSync"
+                self._gcond.notify_all()
+            generation = g["generation"]
+            leader = g["leader"]
+            protocol = g["protocol"]
+            members = [(mid, m["metadata"])
+                       for mid, m in sorted(g["members"].items())] \
+                if member_id == leader else []
+            err = ERR_NONE if member_id in g["members"] \
+                else ERR_UNKNOWN_MEMBER_ID
+        w.i16(err)
+        w.i32(generation)
+        w.string(protocol)
+        w.string(leader)
+        w.string(member_id)
+        w.i32(len(members))
+        for mid, meta in members:
+            w.string(mid)
+            w.bytes_(meta)
+
+    def _handle_sync_group(self, req: _Reader, w: _Writer) -> None:
+        group = req.string() or ""
+        generation = req.i32()
+        member_id = req.string() or ""
+        assignments = {}
+        for _ in range(req.i32()):
+            mid = req.string() or ""
+            assignments[mid] = req.bytes_() or b""
+        err = ERR_NONE
+        assignment = b""
+        with self._gcond:
+            g = self._group(group)
+            self._expire_members(g)
+            m = g["members"].get(member_id)
+            if m is None:
+                err = ERR_UNKNOWN_MEMBER_ID
+            elif generation != g["generation"]:
+                err = ERR_ILLEGAL_GENERATION
+            elif g["state"] == "Joining":
+                err = ERR_REBALANCE_IN_PROGRESS
+            else:
+                m["expires"] = _time.monotonic() + m["session_ms"] / 1000.0
+                if member_id == g["leader"] and assignments:
+                    g["assignments"] = assignments
+                    g["state"] = "Stable"
+                    self._gcond.notify_all()
+                deadline = _time.monotonic() + self.rebalance_timeout
+                while (g["state"] == "AwaitSync"
+                       and g["generation"] == generation
+                       and _time.monotonic() < deadline):
+                    self._gcond.wait(0.05)
+                if g["state"] == "Stable" and g["generation"] == generation:
+                    assignment = g["assignments"].get(member_id, b"")
+                else:
+                    err = ERR_REBALANCE_IN_PROGRESS
+        w.i16(err)
+        w.bytes_(assignment)
+
+    def _handle_heartbeat(self, req: _Reader, w: _Writer) -> None:
+        group = req.string() or ""
+        generation = req.i32()
+        member_id = req.string() or ""
+        with self._gcond:
+            g = self._group(group)
+            self._expire_members(g)
+            m = g["members"].get(member_id)
+            if m is None:
+                err = ERR_UNKNOWN_MEMBER_ID
+            elif generation != g["generation"]:
+                err = ERR_ILLEGAL_GENERATION
+            elif g["state"] != "Stable":
+                err = ERR_REBALANCE_IN_PROGRESS
+            else:
+                m["expires"] = _time.monotonic() + m["session_ms"] / 1000.0
+                err = ERR_NONE
+        w.i16(err)
+
+    def _handle_leave_group(self, req: _Reader, w: _Writer) -> None:
+        group = req.string() or ""
+        member_id = req.string() or ""
+        with self._gcond:
+            g = self._group(group)
+            if member_id in g["members"]:
+                del g["members"][member_id]
+                g["pending"].discard(member_id)
+                if g["members"]:
+                    self._begin_rebalance(g)
+                else:
+                    g["state"] = "Empty"
+                err = ERR_NONE
+            else:
+                err = ERR_UNKNOWN_MEMBER_ID
+        w.i16(err)
+
+    def _handle_find_coordinator(self, req: _Reader, w: _Writer) -> None:
+        req.string()  # group — single-node: always this broker
+        w.i16(ERR_NONE)
+        w.i32(0)      # node id
+        w.string(self.host)
+        w.i32(self.port)

@@ -164,7 +164,9 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
     option surface). When its jar is absent — as in this image — and
     ``use_wire_fallback`` is set, the jar-free ``kafka_py`` source
     (``sources/kafka_pysource.py``: pure-Python wire protocol, same
-    output schema minus the timestamp columns) serves the stream
+    output schema including the timestamp columns — magic-2 record
+    batches via Fetch v4, null timestamps against a v0-only broker)
+    serves the stream
     instead, so the poll loop works either way. ``security`` options
     have no fallback equivalent (the wire client speaks PLAINTEXT
     only) — with security configured, jar absence stays an error."""
@@ -179,9 +181,9 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str,
         # Fall back ONLY on the jar-missing/classpath error class: any
         # other load() failure (bad options, auth, unreachable broker)
         # must surface as-is — silently swapping in the PLAINTEXT
-        # v0-only wire client would mask the real error and change
-        # semantics against a live cluster (no timestamp columns, no
-        # modern message format).
+        # wire client would mask the real error and change semantics
+        # against a live cluster (no TLS/SASL, no consumer-quota or
+        # transactional semantics).
         if not _is_source_missing_error(err):
             raise
         if not use_wire_fallback or security:

@@ -1,0 +1,373 @@
+"""Magic-2 record batches, timestamp surfaces, and the consumer-group
+rebalance protocol (JoinGroup/SyncGroup/Heartbeat/LeaveGroup) — the
+round-6 close of O19: the reference's consumers share a group and let
+the BROKER split partitions across instances
+(``firebase/app/artifacts.py:226-232``); these tests run that same
+choreography against the wire broker.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from aether_firebase_consumer_spark.sources.kafka_consumer import (
+    GroupConsumer,
+)
+from aether_firebase_consumer_spark.sources.kafka_wire import (
+    EARLIEST,
+    KafkaWireClient,
+    MiniKafkaBroker,
+    decode_record_batches,
+    encode_record_batch,
+    range_assignment,
+)
+
+
+@pytest.fixture()
+def broker():
+    with MiniKafkaBroker(clock=lambda: 1_700_000_000_000) as b:
+        b.rebalance_timeout = 2.0
+        yield b
+
+
+def _client(broker):
+    return KafkaWireClient(broker.host, broker.port)
+
+
+# ------------------------------------------------------- record batch codec
+
+def test_record_batch_roundtrip_with_gaps_and_nulls():
+    entries = [(5, 1000, b"k0", b"v0"),
+               (6, 1010, None, b"v1"),
+               (9, 990, b"k2", None)]   # offset gap + ts below base
+    assert decode_record_batches(encode_record_batch(entries)) == entries
+
+
+def test_record_batch_concatenated_and_partial_trailing():
+    b1 = encode_record_batch([(0, 100, b"a", b"x")])
+    b2 = encode_record_batch([(1, 200, b"b", b"y")])
+    both = decode_record_batches(b1 + b2)
+    assert both == [(0, 100, b"a", b"x"), (1, 200, b"b", b"y")]
+    # max_bytes truncation mid-batch: the partial batch is dropped
+    assert decode_record_batches(b1 + b2[:-3]) == [(0, 100, b"a", b"x")]
+
+
+def test_record_batch_crc32c_validated():
+    data = bytearray(encode_record_batch([(0, 100, b"k", b"value")]))
+    data[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32C"):
+        decode_record_batches(bytes(data))
+
+
+def test_crc32c_known_vector():
+    # the standard check value for CRC-32C: crc("123456789")
+    from aether_firebase_consumer_spark.sources.kafka_wire import crc32c
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+# --------------------------------------------------- timestamps on the wire
+
+def test_produce_records_fetch_records_roundtrip(broker):
+    """Producer CreateTime timestamps survive produce v3 → fetch v4."""
+    with _client(broker) as c:
+        base = c.produce_records(
+            "ts.t", 0, [(b"k1", b"v1", 1111), (None, b"v2", 2222)])
+        assert base == 0
+        got = c.fetch_records("ts.t", 0, 0)
+    assert got == [(0, 1111, b"k1", b"v1"), (1, 2222, None, b"v2")]
+
+
+def test_v0_produce_gets_log_append_timestamp(broker):
+    """Magic-0 produces carry no timestamp; the broker stamps append
+    time (the injected clock), and fetch_records surfaces it."""
+    with _client(broker) as c:
+        c.produce("ts.v0", 0, [(b"k", b"v")])
+        got = c.fetch_records("ts.v0", 0, 0)
+    assert got == [(0, 1_700_000_000_000, b"k", b"v")]
+
+
+def test_mixed_dialect_interop(broker):
+    """v0 and v3 produces into one partition; both v0 fetch (no ts)
+    and v4 fetch (with ts) read the whole log."""
+    with _client(broker) as c:
+        c.produce("ts.mix", 0, [(b"a", b"1")])
+        c.produce_records("ts.mix", 0, [(b"b", b"2", 42)])
+        v0 = c.fetch("ts.mix", 0, 0)
+        v4 = c.fetch_records("ts.mix", 0, 0)
+    assert v0 == [(0, b"a", b"1"), (1, b"b", b"2")]
+    assert v4 == [(0, 1_700_000_000_000, b"a", b"1"), (1, 42, b"b", b"2")]
+
+
+def test_offsets_for_times(broker):
+    with _client(broker) as c:
+        c.produce_records("ts.lookup", 0,
+                          [(None, b"a", 100), (None, b"b", 200),
+                           (None, b"c", 300)])
+        hits = c.offsets_for_times({("ts.lookup", 0): 150})
+        assert hits[("ts.lookup", 0)] == (200, 1)
+        # beyond the last timestamp → no offset
+        assert c.offsets_for_times({("ts.lookup", 0): 999})[
+            ("ts.lookup", 0)] is None
+        # sentinel EARLIEST still works through v1
+        assert c.offsets_for_times({("ts.lookup", 0): EARLIEST})[
+            ("ts.lookup", 0)][1] == 0
+
+
+def test_compaction_preserves_timestamps_and_v4_gap_offsets(broker):
+    """Post-compaction offset gaps ride record-batch deltas."""
+    with _client(broker) as c:
+        c.produce_records("ts.c", 0, [(b"A", b"a1", 10), (b"B", b"b1", 20),
+                                      (b"A", b"a2", 30)])
+        broker.compact("ts.c")
+        got = c.fetch_records("ts.c", 0, 0)
+    assert got == [(1, 20, b"B", b"b1"), (2, 30, b"A", b"a2")]
+
+
+# ------------------------------------------------------------ range assignor
+
+def test_range_assignment_algorithm():
+    plan = range_assignment(
+        {"m1": ["t"], "m2": ["t"]}, {"t": [0, 1, 2, 3, 4]})
+    assert plan == {"m1": {"t": [0, 1, 2]}, "m2": {"t": [3, 4]}}
+    # member subscribed to a topic with no partitions gets nothing;
+    # multiple topics assign independently
+    plan = range_assignment(
+        {"m1": ["a", "b"], "m2": ["b"]}, {"a": [0], "b": [0, 1]})
+    assert plan == {"m1": {"a": [0], "b": [0]}, "m2": {"b": [1]}}
+
+
+# ------------------------------------------------------- group choreography
+
+def _seed(broker, topic: str, parts: int, per_part: int) -> None:
+    broker.create_topic(topic, partitions=parts)
+    with _client(broker) as c:
+        for p in range(parts):
+            c.produce(topic, p,
+                      [(None, f"{topic}-{p}-{i}".encode())
+                       for i in range(per_part)])
+
+
+# JoinGroup BLOCKS until the whole generation gathers — so each group
+# member must live on its own thread, exactly like real deployments
+# (one consumer per process/thread; interleaving two members on one
+# thread would deadlock-then-evict in real Kafka too).
+
+class _Member(threading.Thread):
+    """A scripted consumer on its own thread: keeps poll-driven
+    liveness (heartbeats, rejoins) while the test directs phases."""
+
+    def __init__(self, broker, group: str, topics: list[str],
+                 session_timeout_ms: int = 10000) -> None:
+        super().__init__(daemon=True)
+        self.c = GroupConsumer(broker.bootstrap, group, topics,
+                               session_timeout_ms=session_timeout_ms,
+                               heartbeat_interval_ms=100)
+        self.got: list[tuple] = []
+        self.budget = 0          # how many messages to consume
+        self.lock = threading.Lock()
+        self.stop_evt = threading.Event()
+        self.err: Exception | None = None
+
+    def run(self) -> None:
+        try:
+            while not self.stop_evt.is_set():
+                with self.lock:
+                    want = min(5, self.budget)
+                msgs = self.c.poll(want)
+                with self.lock:
+                    self.got.extend(msgs)
+                    self.budget -= len(msgs)
+                threading.Event().wait(0.02)
+        except Exception as e:   # pragma: no cover
+            self.err = e
+
+    def allow(self, n: int) -> None:
+        with self.lock:
+            self.budget += n
+
+    def snapshot(self) -> list[tuple]:
+        with self.lock:
+            return list(self.got)
+
+    def stop(self, leave: bool = True) -> None:
+        self.stop_evt.set()
+        self.join(timeout=10)
+        if leave:
+            self.c.close()
+
+
+def _wait_until(pred, timeout: float = 15.0) -> bool:
+    import time
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_two_members_split_partitions_disjointly(broker):
+    _seed(broker, "g.t", 4, 5)
+    a = _Member(broker, "grp", ["g.t"])
+    b = _Member(broker, "grp", ["g.t"])
+    a.start()
+    b.start()
+    try:
+        a.allow(100)
+        b.allow(100)
+        assert _wait_until(
+            lambda: len(a.snapshot()) + len(b.snapshot()) >= 20)
+        assert a.err is None and b.err is None
+        pa, pb = set(a.c.assignment), set(b.c.assignment)
+        assert pa and pb and pa.isdisjoint(pb)
+        assert pa | pb == {("g.t", p) for p in range(4)}
+        assert a.c.generation == b.c.generation
+        seen = {(t, p, o) for t, p, o, _, _ in a.snapshot() + b.snapshot()}
+        assert len(seen) == 20                      # no dup, no loss
+        # each member read only from its own share
+        assert {(t, p) for t, p, _, _, _ in a.snapshot()} <= pa
+        assert {(t, p) for t, p, _, _, _ in b.snapshot()} <= pb
+    finally:
+        a.stop()
+        b.stop()
+
+
+def test_survivor_takes_over_from_committed_offsets(broker):
+    """Member departure → survivor rebalances onto ALL partitions and
+    resumes the departed member's partition from the GROUP's committed
+    position (at-least-once: uncommitted work re-delivers)."""
+    _seed(broker, "g.h", 2, 10)
+    a = _Member(broker, "grp2", ["g.h"])
+    b = _Member(broker, "grp2", ["g.h"])
+    a.start()
+    b.start()
+    try:
+        assert _wait_until(lambda: len(a.c.assignment) == 1
+                           and len(b.c.assignment) == 1)
+        # b consumes 3 from its single partition and commits
+        b.allow(3)
+        assert _wait_until(lambda: len(b.snapshot()) == 3)
+        b.c.commit()
+        bt, bp = b.c.assignment[0]
+        assert [o for _, _, o, _, _ in b.snapshot()] == [0, 1, 2]
+        # clean departure → a absorbs both partitions
+        b.stop(leave=True)
+        assert _wait_until(
+            lambda: set(a.c.assignment) == {("g.h", 0), ("g.h", 1)})
+        a.allow(100)
+        assert _wait_until(lambda: len(a.snapshot()) >= 17)
+        by_tp: dict[tuple, list[int]] = {}
+        for t, p, o, _, _ in a.snapshot():
+            by_tp.setdefault((t, p), []).append(o)
+        # b's partition resumes from its commit (offset 3), not 0
+        assert by_tp[(bt, bp)] == list(range(3, 10))
+        # a's own partition from earliest (nothing committed)
+        (at, ap) = next(tp for tp in by_tp if tp != (bt, bp))
+        assert by_tp[(at, ap)] == list(range(10))
+    finally:
+        a.stop()
+
+
+def test_silent_death_expires_via_session_timeout(broker):
+    """A member that dies WITHOUT LeaveGroup is evicted once its
+    session lapses; the survivor's next heartbeat surfaces the
+    rebalance and it absorbs the dead member's partitions."""
+    broker.rebalance_timeout = 1.0
+    _seed(broker, "g.d", 2, 2)
+    a = _Member(broker, "grp3", ["g.d"], session_timeout_ms=1000)
+    b = _Member(broker, "grp3", ["g.d"], session_timeout_ms=1000)
+    a.start()
+    b.start()
+    try:
+        assert _wait_until(lambda: len(a.c.assignment) == 1
+                           and len(b.c.assignment) == 1)
+        # hard death: socket gone, no LeaveGroup, no more heartbeats
+        b.stop_evt.set()
+        b.join(timeout=10)
+        b.c._client.close()
+        assert _wait_until(
+            lambda: set(a.c.assignment) == {("g.d", 0), ("g.d", 1)},
+            timeout=20.0), "survivor never absorbed dead member's share"
+        assert a.err is None
+    finally:
+        a.stop()
+
+
+def test_concurrent_joins_converge_to_one_generation(broker):
+    """Three members joining concurrently converge to ONE stable
+    generation with a full, disjoint partition cover."""
+    _seed(broker, "g.c", 6, 1)
+    members = [_Member(broker, "grp4", ["g.c"]) for _ in range(3)]
+    for m in members:
+        m.start()
+    try:
+        def settled() -> bool:
+            gens = {m.c.generation for m in members}
+            cover = [tp for m in members for tp in m.c.assignment]
+            return (len(gens) == 1
+                    and sorted(cover) == [("g.c", p) for p in range(6)])
+
+        assert _wait_until(settled, timeout=30.0)
+        assert all(m.err is None for m in members)
+    finally:
+        for m in members:
+            m.stop()
+
+
+# ------------------------------------------- kafka_py timestamp column
+
+def _register(spark):
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+    register_kafka_py(spark)
+
+
+def test_kafka_py_surfaces_timestamp_column(spark, broker):
+    """The JVM source's timestamp/timestampType columns, served from
+    magic-2 record batches: producer CreateTime for v3 produces,
+    broker append time (the injected clock) for v0 produces."""
+    import datetime as dt
+
+    _register(spark)
+    with _client(broker) as c:
+        c.produce_records("spark.ts", 0, [(b"k1", b"v1", 1_600_000_000_000)])
+        c.produce("spark.ts", 0, [(b"k2", b"v2")])   # broker-stamped
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "spark.ts").load())
+    assert df.columns == ["key", "value", "topic", "partition",
+                          "offset", "timestamp", "timestampType"]
+    rows = {r.offset: r for r in df.collect()}
+    utc = dt.timezone.utc
+
+    def as_utc(ts):
+        # session-tz-naive datetime → aware UTC instant
+        return ts.astimezone(utc) if ts.tzinfo else \
+            ts.replace(tzinfo=dt.timezone.utc)
+
+    got0 = rows[0].timestamp
+    assert got0 is not None and rows[0].timestampType == 0
+    assert int(as_utc(got0).timestamp() * 1000) in (1_600_000_000_000,)
+    assert int(as_utc(rows[1].timestamp).timestamp() * 1000) \
+        == 1_700_000_000_000
+
+
+def test_kafka_py_sink_timestamp_column_roundtrip(spark, broker):
+    """writeStream/write with a timestamp column produces v3 record
+    batches whose CreateTime round-trips exactly."""
+    _register(spark)
+    broker.create_topic("spark.sink", partitions=1)
+    df = spark.createDataFrame(
+        [(b"a", b"p1", 123_000), (b"b", b"p2", 456_000)],
+        "key binary, value binary, timestamp long")
+    (df.write.format("kafka_py")
+     .option("bootstrap", broker.bootstrap)
+     .option("topic", "spark.sink").mode("append").save())
+    with _client(broker) as c:
+        got = sorted(c.fetch_records("spark.sink", 0, 0),
+                     key=lambda e: e[2] or b"")
+    assert [(k, v, ts) for _, ts, k, v in got] \
+        == [(b"a", b"p1", 123_000), (b"b", b"p2", 456_000)]

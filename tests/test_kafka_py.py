@@ -970,19 +970,28 @@ def test_volume_10k_messages_exactly_once(spark, broker, tmp_path):
 
 
 def test_api_versions_negotiation(broker):
-    """The first request real clients send: every spoken API reports
-    v0..v0."""
+    """The first request real clients send: the advertised ranges are
+    exactly what the broker dispatches — v0 everywhere, plus the
+    record-batch dialect (Produce v3 / Fetch v4) and the timestamp
+    lookup (ListOffsets v1)."""
     from aether_firebase_consumer_spark.sources.kafka_wire import (
         API_FETCH,
+        API_JOIN_GROUP,
+        API_LIST_OFFSETS,
         API_METADATA,
         API_OFFSET_COMMIT,
         API_PRODUCE,
+        MiniKafkaBroker,
     )
 
     with _client(broker) as c:
         vers = c.api_versions()
-    for key in (API_PRODUCE, API_FETCH, API_METADATA, API_OFFSET_COMMIT):
+    assert vers[API_PRODUCE] == (0, 3)
+    assert vers[API_FETCH] == (0, 4)
+    assert vers[API_LIST_OFFSETS] == (0, 1)
+    for key in (API_METADATA, API_OFFSET_COMMIT, API_JOIN_GROUP):
         assert vers[key] == (0, 0)
+    assert vers == MiniKafkaBroker.SUPPORTED
 
 
 def test_poll_raises_on_stalled_fetch_instead_of_spinning(broker):
