@@ -333,6 +333,87 @@ def similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Production near-dup banding: r=8 planes x b=4 bands (keyspace 256
+# per band). At production thresholds (cos >= 0.9, per-plane agreement
+# p ~ 0.9) this is the right AND-OR point: ~0.87 theoretical recall
+# [1-(1-p^8)^4] with 16x fewer candidate pairs than the 2x4 demo
+# config above. 32 planes, deterministic seed, shared by plan+oracle.
+_HI_PLANES = hyperplane_signs("afcs-lsh-hi-v1", n_planes=32, dim=64)
+_HI_BANDS = [_HI_PLANES[i * 8:(i + 1) * 8] for i in range(4)]
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            bands: list[list[list[float]]],
+                            threshold: float) -> DataFrame:
+    """Banded sign-LSH near-dup pairs over any embedding frame —
+    the reusable operator behind ``similarity_embedding_neardup_hi``
+    (and the planted-duplicate recall tests): posexplode per-band
+    keys, equi-join on (band_idx, band_key), exact-cosine verify of
+    the distinct candidates. Returns (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold. Never an all-pairs join;
+    candidate volume ~ bands * N^2 / keyspace per band key."""
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lsh_band_keys(F.col(vec_col), bands))
+        .alias("bi", "bk"))
+    cand = (keyed.select(F.col("_id").alias("id_a"), "bi", "bk")
+            .join(keyed.select(F.col("_id").alias("id_b"), "bi", "bk"),
+                  ["bi", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("emb_b"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b",
+                    cosine(F.col("emb_a"), F.col("emb_b"))
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+_HI_BAND_OR = " OR ".join(
+    f"s1.hband{i} = s2.hband{i}" for i in range(4))
+
+
+@register(
+    "similarity_embedding_neardup_hi",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {", ".join(f"{_band_sql('embeddings', _HI_BANDS[i])} AS hband{i}"
+                        for i in range(4))}
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+      FROM sig s1 JOIN sig s2
+        ON s1.vec_id < s2.vec_id AND ({_HI_BAND_OR})
+    )
+    SELECT c.id_a, c.id_b, {_COS_SQL} AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_COS_SQL} >= 0.9
+    """,
+)
+def similarity_embedding_neardup_hi(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the PRODUCTION threshold (cos >= 0.9)
+    with the production banding (r=8 planes x b=4 bands, keyspace 256
+    per band) — the config ``similarity_embedding_neardup``'s
+    docstring promises; the 2x4 demo config stays registered for the
+    fixtures' weak 0.35 threshold. The driver fixtures contain no
+    pairs at cos >= 0.9, so this query's oracle pins the *machinery*
+    (band keys, candidate join, verify) bit-exactly on real data; the
+    RECALL of this exact config is pinned by the planted-duplicate
+    test (tests/test_clustering.py) against brute force — >= 0.7
+    floor at cos >= 0.9, theory ~0.87."""
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                   _HI_BANDS, 0.9)
+
+
 @register(
     "similarity_norms",
     oracle="""
