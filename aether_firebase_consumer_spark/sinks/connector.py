@@ -95,6 +95,78 @@ class FileSystemDocumentStore(DocumentStoreConnector):
             return None
 
 
+class HttpDocumentStore(DocumentStoreConnector):
+    """Concrete NETWORK connector: a REST document store over stdlib
+    HTTP — the shape a real Firestore/RTDB/Elasticsearch client takes
+    (the reference's store is Firestore via its SDK,
+    ``firebase/app/helpers.py:93-114``; no such SDK ships here, so
+    this speaks the generic protocol every hosted document store
+    fronts: batched POST upserts + a health endpoint).
+
+    Wire contract:
+
+    * ``POST {base_url}/batch`` with JSON ``[{"path": p, "doc": d},
+      ...]`` — atomic-enough batched set-by-path upsert; 2xx = commit.
+    * ``GET {base_url}/health`` — the connection test.
+
+    Retryability mapping: HTTP 408/429/5xx and socket-level failures
+    (refused, reset, timeout) raise :class:`TransientStoreError` —
+    ``commit_with_retry`` backs off and retries, and an unreachable
+    store at partition start trips the don't-fetch-if-you-can't-post
+    gate. Any other HTTP error (400, 403, 404...) propagates: bad
+    requests don't become infinite retries.
+
+    Executor-side lifecycle: one instance per partition via the
+    factory (urllib keeps no persistent socket, so the connector is
+    trivially picklable-safe — but the factory pattern is kept so a
+    session-pooling client drops in unchanged)."""
+
+    RETRYABLE = frozenset({408, 429, 500, 502, 503, 504})
+
+    def __init__(self, base_url: str, timeout: float = 10.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _post(self, path: str, body: bytes) -> None:
+        import socket
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(
+            self.base_url + path, data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code in self.RETRYABLE:
+                raise TransientStoreError(
+                    f"store returned {e.code} for {path}") from e
+            raise
+        except (urllib.error.URLError, socket.timeout,
+                ConnectionError, OSError) as e:
+            raise TransientStoreError(
+                f"store unreachable at {self.base_url}{path}: {e}") from e
+
+    def write_batch(self, docs: list[tuple[str, Mapping[str, Any]]]) -> None:
+        payload = json.dumps(
+            [{"path": p, "doc": dict(d)} for p, d in docs],
+            sort_keys=True).encode()
+        self._post("/batch", payload)
+
+    def test_connection(self) -> None:
+        import socket
+        import urllib.error
+        import urllib.request
+        try:
+            with urllib.request.urlopen(self.base_url + "/health",
+                                        timeout=self.timeout):
+                pass
+        except (urllib.error.URLError, socket.timeout,
+                ConnectionError, OSError) as e:
+            raise TransientStoreError(
+                f"health check failed for {self.base_url}: {e}") from e
+
+
 def commit_with_retry(store: DocumentStoreConnector,
                       batch: list[tuple[str, Mapping[str, Any]]],
                       max_retries: int = 5,

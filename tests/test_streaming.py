@@ -1071,3 +1071,104 @@ def test_multi_version_batch_consistent_survivor(spark, tmp_path):
         [("x", "v3", 3)], "id string, payload string, offset long"), 2)
     got = {r["id"]: r["payload"] for r in doc_table.read().collect()}
     assert got == {"x": "v3", "y": "w1"}
+
+
+def test_http_document_store_e2e_with_injected_transient_failures(
+        spark, tmp_path):
+    """O12's connector contract against a real NETWORK store: a REST
+    document server that 503s the first commit of every batch window;
+    foreachBatch partitions retry with backoff and converge — every
+    doc lands exactly once by path, and replaying the micro-batch from
+    a fresh checkpoint is idempotent (set-by-path). This is the
+    reference's MAX_SUBMIT + unreachable-store behavior
+    (artifacts.py:302-327) over the generic protocol a hosted document
+    store fronts."""
+    import http.server
+    import json as _json
+    import threading
+
+    from aether_firebase_consumer_spark.sinks.connector import (
+        HttpDocumentStore,
+        TransientStoreError,
+        foreach_batch_document_writer,
+    )
+
+    docs: dict[str, dict] = {}
+    state = {"batch_calls": 0, "writes": 0, "fail_every": 3}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            self.send_response(200 if self.path == "/health" else 404)
+            self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/batch":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                state["batch_calls"] += 1
+                # every 3rd commit attempt fails transiently BEFORE
+                # applying — the retry must re-send the same batch
+                if state["batch_calls"] % state["fail_every"] == 1:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                for item in _json.loads(body):
+                    docs[item["path"]] = item["doc"]
+                    state["writes"] += 1
+            self.send_response(200)
+            self.end_headers()
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        # direct contract check: 503 maps to TransientStoreError
+        import pytest as _pytest
+        state["fail_every"] = 10**9   # next call is %...==1 → fails
+        state["batch_calls"] = 0
+        with _pytest.raises(TransientStoreError, match="503"):
+            HttpDocumentStore(url).write_batch([("probe/1", {"v": 1})])
+        state["fail_every"] = 3
+
+        src = tmp_path / "http_src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(str(i), "_aether/entities/doc", f"p{i}") for i in range(120)],
+            "id string, target_path string, payload string") \
+            .coalesce(2).write.parquet(str(src / "b1"))
+
+        def run(ckpt):
+            stream = (spark.readStream
+                      .schema("id string, target_path string, "
+                              "payload string")
+                      .parquet(str(src) + "/*"))
+            q = (stream.writeStream
+                 .foreachBatch(foreach_batch_document_writer(
+                     lambda: HttpDocumentStore(url),
+                     max_per_commit=50, base_backoff=0.01))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run(str(tmp_path / "http_ckpt"))
+        with lock:
+            assert len(docs) == 120           # all present, by path
+            assert state["writes"] >= 120     # retries re-sent batches
+            retried = state["batch_calls"] - state["writes"] // 50
+        assert retried >= 1                   # failures really happened
+        assert docs["_aether/entities/doc/7"]["payload"] == "p7"
+
+        # replay from a fresh checkpoint → idempotent convergence
+        run(str(tmp_path / "http_ckpt2"))
+        with lock:
+            assert len(docs) == 120
+    finally:
+        server.shutdown()
+        server.server_close()
