@@ -22,7 +22,11 @@ Semantics mirror the JVM Kafka source where they overlap:
   LogAppendTime marking is a real-broker concern,
 * options: ``bootstrap`` (host:port), ``subscribe`` (comma-separated
   topics) or ``subscribePattern`` (anchored regex over broker
-  metadata), ``startingOffsets`` (earliest|latest, default earliest),
+  metadata), ``startingOffsets`` (earliest|latest, default earliest)
+  or ``startingTimestamp`` (epoch ms — each partition starts at the
+  first message at-or-after it via ListOffsets v1; partitions with
+  nothing that late start at the log end, the JVM source's 'latest'
+  fallback strategy),
 * streaming offsets are per-(topic, partition) log positions,
   checkpointed by Spark — restart resumes exactly where the last
   committed micro-batch ended (exactly-once with an idempotent sink),
@@ -148,27 +152,62 @@ class _TopicResolver:
         self.topics = [t.strip() for t in subscribe.split(",")] \
             if subscribe else None
         self.pattern = re.compile(pattern) if pattern else None
-        start = (options.get("startingoffsets")
-                 or options.get("startingOffsets") or "earliest").lower()
+        start_opt = (options.get("startingoffsets")
+                     or options.get("startingOffsets"))
+        ts_opt = (options.get("startingtimestamp")
+                  or options.get("startingTimestamp"))
+        if start_opt and ts_opt:
+            raise ValueError(
+                "kafka_py: startingOffsets and startingTimestamp are "
+                "mutually exclusive")
+        start = (start_opt or "earliest").lower()
         if start not in ("earliest", "latest"):
             raise ValueError(f"kafka_py: bad startingOffsets {start!r}")
         self.starting = start
+        #: epoch-ms start position (JVM source's startingTimestamp):
+        #: each partition begins at the first message with
+        #: timestamp >= this; partitions with no such message start at
+        #: the log end (the JVM 'latest' fallback strategy)
+        self.starting_ts = int(ts_opt) if ts_opt else None
 
     def _client(self) -> KafkaWireClient:
         return KafkaWireClient(self.host, self.port)
+
+    def _wanted(self, c: KafkaWireClient) -> dict[str, list[int]]:
+        meta = c.metadata(self.topics)
+        return {topic: parts for topic, parts in meta.items()
+                if not (self.pattern
+                        and not self.pattern.fullmatch(topic))}
 
     def offsets(self, time: int) -> dict[str, int]:
         """One metadata + ONE bulk ListOffsets round trip per poll,
         regardless of partition count."""
         with self._client() as c:
-            meta = c.metadata(self.topics)
-            wanted = {topic: parts for topic, parts in meta.items()
-                      if not (self.pattern
-                              and not self.pattern.fullmatch(topic))}
+            wanted = self._wanted(c)
             if not wanted:
                 return {}
             bulk = c.list_offsets_bulk(wanted, time)
         return {_tp_key(t, p): off for (t, p), off in bulk.items()}
+
+    def initial_offsets(self) -> dict[str, int]:
+        """Where consumption starts: startingTimestamp (ListOffsets v1
+        timestamp→offset, one bulk request) when set, else
+        startingOffsets earliest/latest."""
+        if self.starting_ts is None:
+            return self.offsets(
+                EARLIEST if self.starting == "earliest" else LATEST)
+        with self._client() as c:
+            wanted = self._wanted(c)
+            if not wanted:
+                return {}
+            targets = {(t, p): self.starting_ts
+                       for t, parts in wanted.items() for p in parts}
+            hits = c.offsets_for_times(targets)
+            ends = c.list_offsets_bulk(wanted, LATEST)
+        return {_tp_key(t, p): (hits[(t, p)][1]
+                                if hits.get((t, p)) is not None
+                                else ends[(t, p)])
+                for t, parts in wanted.items() for p in parts}
 
 
 def _split_ranges(ranges: list[tuple[str, int, int, int]],
@@ -205,7 +244,7 @@ class KafkaPyBatchReader(DataSourceReader):
         self._min_partitions = int(mopt) if mopt else None
 
     def partitions(self):
-        lo = self._resolver.offsets(EARLIEST)
+        lo = self._resolver.initial_offsets()
         hi = self._resolver.offsets(LATEST)
         ranges = []
         for key, end in sorted(hi.items()):
@@ -258,8 +297,7 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         self._floor: dict = {}
 
     def initialOffset(self) -> dict:
-        time = EARLIEST if self._resolver.starting == "earliest" else LATEST
-        return self._resolver.offsets(time)
+        return self._resolver.initial_offsets()
 
     def latestOffset(self) -> dict:
         latest = self._resolver.offsets(LATEST)

@@ -371,3 +371,54 @@ def test_kafka_py_sink_timestamp_column_roundtrip(spark, broker):
                      key=lambda e: e[2] or b"")
     assert [(k, v, ts) for _, ts, k, v in got] \
         == [(b"a", b"p1", 123_000), (b"b", b"p2", 456_000)]
+
+
+def test_kafka_py_starting_timestamp(spark, broker, tmp_path):
+    """startingTimestamp (JVM-source parity): batch and streaming
+    reads begin at the first message at-or-after the timestamp; a
+    partition with nothing that late starts at its log end."""
+    _register(spark)
+    broker.create_topic("ts.start", partitions=2)
+    with _client(broker) as c:
+        c.produce_records("ts.start", 0,
+                          [(None, b"old0", 100), (None, b"new0", 5000)])
+        c.produce_records("ts.start", 1,
+                          [(None, b"old1", 200)])   # nothing >= 1000
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "ts.start")
+          .option("startingTimestamp", "1000").load())
+    assert [bytes(r.value) for r in df.collect()] == [b"new0"]
+
+    # streaming: initial offset honors the timestamp, later data flows
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "ts.start")
+           .option("startingTimestamp", "1000").load())
+    q = (sdf.writeStream.format("memory").queryName("kpy_ts")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        vals = {bytes(r.value) for r in spark.table("kpy_ts").collect()}
+        assert vals == {b"new0"}
+        with _client(broker) as c:
+            c.produce_records("ts.start", 1, [(None, b"late1", 9000)])
+        q.processAllAvailable()
+        vals = {bytes(r.value) for r in spark.table("kpy_ts").collect()}
+        assert vals == {b"new0", b"late1"}
+    finally:
+        q.stop()
+
+
+def test_kafka_py_starting_timestamp_excludes_starting_offsets(
+        spark, broker):
+    _register(spark)
+    broker.create_topic("ts.both", partitions=1)
+    df = (spark.read.format("kafka_py")
+          .option("bootstrap", broker.bootstrap)
+          .option("subscribe", "ts.both")
+          .option("startingOffsets", "earliest")
+          .option("startingTimestamp", "1000"))
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        df.load().collect()

@@ -30,6 +30,13 @@ SFS = [("0.001", "/root/testdata/sf0.001"),
        ("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1")]
 
+# optional 4th decade: a synthesized sf1 fixture dir (tools/synth_sf1.py)
+# — at sf0.1 the slopes are overhead-dominated (max ~0.8), so the 1.5
+# quadratic threshold only has teeth once the fastest probed query
+# clears a couple of seconds
+if os.environ.get("SPARK_GRAFT_SF1_DIR"):
+    SFS.append(("1", os.environ["SPARK_GRAFT_SF1_DIR"]))
+
 DEFAULT = ["flagship_filter_mask_route", "q1_pricing_summary",
            "q18_large_volume_customer", "join_fact_fact",
            "dedup_minhash_lsh", "dedup_chunk_overlap",
@@ -54,10 +61,12 @@ def main() -> None:
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
             times[sf] = round(best, 3)
-        # log-log slope over the top decade: 1.0 = linear in data size,
-        # ~0 = fixed-overhead bound, ~2 = quadratic danger
-        slope = (math.log(times["0.1"] / times["0.01"]) / math.log(10)
-                 if times["0.01"] > 0 else float("nan"))
+        # log-log slope over the top decade (the two LARGEST scales
+        # probed): 1.0 = linear in data size, ~0 = fixed-overhead
+        # bound, ~2 = quadratic danger
+        hi, lo = SFS[-1][0], SFS[-2][0]
+        slope = (math.log(times[hi] / times[lo]) / math.log(10)
+                 if times[lo] > 0 else float("nan"))
         out[name] = {"sec": times, "slope_top_decade": round(slope, 2)}
     print(json.dumps({"queries": out}))
 
