@@ -134,11 +134,11 @@ def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
     return F.array_position(scores, F.array_max(scores)).cast("int")
 
 
-def _ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
-    """All k cell scores (v·cᵢ − |cᵢ|²/2) as one array — the transposed
-    fold from :func:`ivf_cell`, shared by argmax and nprobe>1."""
+def _dot_all(vec: Column, cents: list[list[float]]) -> Column:
+    """All k dot products v·cᵢ as one array — one transposed fold
+    carrying k running sums (addition order per entry:
+    e₀c₀+e₁c₁+…, exactly ``list_dot_product``'s)."""
     k, dim = len(cents), len(cents[0])
-    biases = ivf_cell_scores(cents)
     # ONE JVM-parsed nested-array literal (k*dim doubles) instead of
     # dim CreateArray(k literals) nodes: identical values and fold
     # order, but Python-side construction and Catalyst analysis are
@@ -146,13 +146,20 @@ def _ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
     # quantizer (the ann_ivf bench entry is mostly plan build time)
     cents_t = lit_double_matrix(
         [[float(cents[i][j]) for i in range(k)] for j in range(dim)])
-    partials = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(dim)),
         lit_doubles([0.0] * k),
         lambda acc, j: F.zip_with(
             acc, F.element_at(cents_t, j),
             lambda a, c: a + F.element_at(vec, j) * c))
-    return F.zip_with(partials,
+
+
+def _ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """All k cell scores (v·cᵢ − |cᵢ|²/2) as one array — the transposed
+    fold from :func:`ivf_cell`, shared by argmax and nprobe>1; biases
+    added AFTER the fold so each entry is ``list_dot_product + bias``."""
+    biases = ivf_cell_scores(cents)
+    return F.zip_with(_dot_all(vec, cents),
                       lit_doubles([float(b) for b in biases]),
                       lambda s, b: s + b)
 
@@ -181,3 +188,57 @@ def lsh_band_keys(vec: Column, bands: list[list[list[float]]]) -> Column:
     stays an EQUI-join after posexplode."""
     return F.array(*[lsh_bucket(vec, band).cast("bigint")
                      for band in bands])
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ): m subspaces x k codes, ADC scoring
+# --------------------------------------------------------------------------
+
+def pq_codebooks(seed: str, m: int, k: int, dim: int
+                 ) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``m`` subspaces of ``dim//m`` dims,
+    ``k`` centroids each — md5-derived exact binary fractions like
+    :func:`ivf_centroids` (trained per-subspace k-means slots in
+    identically; the engine provides the index structure)."""
+    d = dim // m
+    return [ivf_centroids(f"{seed}:sub{s}", k, d) for s in range(m)]
+
+
+def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
+    """PQ encoding: array of ``m`` 1-based code ids, subspace ``s``
+    assigned to argmax (subvec·c − |c|²/2) == nearest centroid by L2 —
+    the same fold + first-occurrence argmax as :func:`ivf_cell`, per
+    subspace, so ties break identically to the SQL oracle's
+    ``list_position(scores, list_max(scores))``. At rest this is the
+    whole vector: m bytes instead of dim floats (8 vs 512 here)."""
+    d = len(books[0][0])
+    cols = []
+    for s, book in enumerate(books):
+        sub = F.slice(vec, s * d + 1, d)
+        scores = _ivf_scores(sub, book)
+        cols.append(F.array_position(
+            scores, F.array_max(scores)).cast("int"))
+    return F.array(*cols)
+
+
+def pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
+    """The query-side ADC lookup table, flattened: entry
+    ``s*k + (code-1)`` holds ``q_sub_s · c_{s,code}`` (no bias — ADC
+    approximates the inner product q·v ≈ Σ_s q_s·c_{s,code_s(v)}).
+    Computed ONCE per query (m·k dots), then every corpus vector's
+    score is m array lookups + m-1 adds — the PQ trade."""
+    return F.concat(*[
+        _dot_all(F.slice(vec, s * len(books[0][0]) + 1,
+                         len(books[0][0])), book)
+        for s, book in enumerate(books)])
+
+
+def pq_adc_score(lut: Column, codes: Column, m: int, k: int) -> Column:
+    """ADC inner-product estimate: left-to-right Σ_s lut[s*k+codes[s]]
+    (1-based element_at; the fold's 0.0 seed is bit-neutral because no
+    lut entry can be -0.0 — dots fold from +0.0)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            lut, s * k + F.element_at(codes, s + 1)))

@@ -28,6 +28,10 @@ from aether_firebase_consumer_spark.functions.vectors import (
     lsh_band_keys,
     lsh_bucket,
     norm,
+    pq_adc_score,
+    pq_codebooks,
+    pq_codes,
+    pq_lut,
 )
 from aether_firebase_consumer_spark.plans import register
 from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
@@ -412,6 +416,125 @@ def similarity_embedding_neardup_hi(spark: SparkSession,
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(emb, "vec_id", "embedding",
                                    _HI_BANDS, 0.9)
+
+
+# Product quantization: m=8 subspaces of 8 dims, k=16 codes each —
+# a vector compresses to 8 bytes; ADC scores a pair with 8 table
+# lookups instead of a 64-dim dot product.
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8
+_PQ_BOOKS = pq_codebooks("afcs-pq-v1", m=_PQ_M, k=_PQ_K, dim=64)
+
+
+def _pq_sub_sql(alias: str, s: int) -> str:
+    lo, hi = s * _PQ_D + 1, (s + 1) * _PQ_D
+    return f"({alias}.embedding::DOUBLE[])[{lo}:{hi}]"
+
+
+def _pq_code_sql(alias: str, s: int) -> str:
+    book = _PQ_BOOKS[s]
+    biases = ivf_cell_scores(book)
+    scores = ", ".join(
+        f"list_dot_product({_pq_sub_sql(alias, s)}, ["
+        + ", ".join(repr(v) for v in c) + "]::DOUBLE[]) + " + repr(b)
+        for c, b in zip(book, biases))
+    return (f"CAST(list_position([{scores}], "
+            f"list_max([{scores}])) AS INT)")
+
+
+def _pq_book_sql(s: int) -> str:
+    return ("[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in c) + "]"
+        for c in _PQ_BOOKS[s]) + "]::DOUBLE[][]")
+
+
+_PQ_ADC_SQL = " + ".join(
+    f"list_dot_product({_pq_sub_sql('q', s)}, "
+    f"({_pq_book_sql(s)})[b.code{s}])"
+    for s in range(_PQ_M))
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_pq_code_sql('embeddings', s)} AS code{s}"
+                        for s in range(_PQ_M))}
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM codes WHERE vec_id < 5),
+    adc AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PQ_ADC_SQL} AS qscore
+      FROM q JOIN codes b ON b.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id) AS qrn
+      FROM adc
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id, {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS_SQL} DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.qrn <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM rerank WHERE rn <= 5
+    """,
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector as 8 one-byte
+    codes (nearest centroid per 8-dim subspace), score query↔vector
+    with ASYMMETRIC DISTANCE COMPUTATION — the query precomputes an
+    8x16 lookup table of subspace dots, each corpus vector then costs
+    8 array lookups — shortlist top-20 by ADC, exact-cosine re-rank,
+    emit top-5 (the IVFADC recipe minus the coarse stage; compose with
+    ``similarity_ann_ivf``'s cell filter for the full pipeline).
+
+    100 TB shape: the scan side carries (vec_id, codes) — 8 BYTES per
+    vector instead of 256+ — so the candidate sweep is bandwidth-bound
+    on a table 32x smaller than the embeddings; the 5-row query side
+    (codes + LUTs) broadcasts; top-k is a bounded window. Codebooks
+    are deterministic literals shared with the DuckDB oracle
+    (``pq_codebooks``; trained per-subspace k-means slots in
+    identically). Recall vs brute force is pinned by
+    tests/test_clustering.py."""
+    from pyspark.sql import Window as W
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    codes = emb.select("vec_id",
+                       pq_codes(F.col("embedding"), _PQ_BOOKS)
+                       .alias("codes"))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 pq_lut(F.col("embedding"), _PQ_BOOKS).alias("lut")))
+    adc = (codes.crossJoin(F.broadcast(q))
+           .filter(F.col("vec_id") != F.col("query_id"))
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   pq_adc_score(F.col("lut"), F.col("codes"),
+                                _PQ_M, _PQ_K).alias("qscore")))
+    w_s = W.partitionBy("query_id").orderBy(F.desc("qscore"),
+                                            "neighbor_id")
+    shortlist = (adc.withColumn("qrn", F.row_number().over(w_s))
+                 .filter(F.col("qrn") <= 20).drop("qscore", "qrn"))
+    emb_q = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"))
+    emb_n = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("n_emb"))
+    w_r = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                            "neighbor_id")
+    return (shortlist.join(F.broadcast(emb_q), "query_id")
+            .join(emb_n, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= 5).drop("rn"))
 
 
 @register(

@@ -113,10 +113,12 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # extension headliners are added as they land
     for extra in ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
+                  "dedup_incremental_lsh",
                   "similarity_topk_cosine",
                   "similarity_ann_ivf", "text_quality_score",
                   "docs_quality_filter", "embedding_kmeans",
-                  "kafka_roundtrip_orders"):
+                  "kafka_roundtrip_orders",
+                  "similarity_embedding_neardup_hi"):
         if extra in REGISTRY:
             names.append(extra)
 

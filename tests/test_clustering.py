@@ -177,3 +177,59 @@ def test_neardup_hi_banding_recall_on_planted_duplicates(spark):
     assert got <= truth               # exact precision (verified cosine)
     recall = len(got & truth) / len(truth)
     assert recall >= 0.7, f"recall {recall:.2f} below floor"
+
+
+def test_ann_pq_encoding_and_recall(spark):
+    """Product quantization: (a) pq_codes picks the true nearest
+    centroid per subspace (argmax of the fold == brute-force argmin
+    L2), (b) ADC recall@5 vs exact brute force clears the floor on
+    the driver fixtures (random md5 codebooks, mean measured 0.24 —
+    same ballpark as sign-LSH's 0.16 on this weakly-clustered data;
+    trained per-subspace k-means slots in identically)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aether_firebase_consumer_spark.functions.vectors import (
+        pq_codes,
+    )
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        _PQ_BOOKS,
+        similarity_ann_pq,
+    )
+    from aether_firebase_consumer_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+
+    # (a) encoding correctness on a sample, vs python brute force
+    sample = emb.limit(20).select(
+        "vec_id", "embedding",
+        pq_codes(F.col("embedding"), _PQ_BOOKS).alias("codes")).collect()
+    for r in sample:
+        vec = [float(x) for x in r.embedding]
+        for s, book in enumerate(_PQ_BOOKS):
+            sub = vec[s * 8:(s + 1) * 8]
+            d2 = [sum((x - c) ** 2 for x, c in zip(sub, cent))
+                  for cent in book]
+            assert r.codes[s] - 1 == d2.index(min(d2)), \
+                f"vec {r.vec_id} subspace {s}"
+
+    # (b) recall@5 vs exact top-5
+    got: dict[int, set] = {}
+    for r in similarity_ann_pq(spark, sf).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(x * x for x in b)))
+
+    recalls = []
+    for q in range(5):
+        ranked = sorted((vid for vid in vecs if vid != q),
+                        key=lambda v: (-cos(vecs[q], vecs[v]), v))[:5]
+        recalls.append(len(got.get(q, set()) & set(ranked)) / 5)
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
