@@ -439,6 +439,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            shingle_k: int = 3,
+                            threshold: float = 0.8,
+                            max_doc_freq: int | None = None) -> DataFrame:
+    """ASYMMETRIC containment C(A⊂B) = |A∩B| / |A| — the
+    boilerplate/quote detector Jaccard misses: a short document pasted
+    inside a much longer one has tiny Jaccard (the union is huge) but
+    containment ≈ 1. Returns DIRECTED pairs (contained_id,
+    container_id, containment) over distinct ids with
+    containment ≥ ``threshold``, both directions evaluated.
+
+    Same inverted-index shape (and stop-shingle DF cap, recomputed
+    sizes) as :func:`ngram_jaccard_pairs`: the join fan-out bound and
+    the 100 TB posture are identical; only the final ratio differs —
+    divide by the CONTAINED side's set size instead of the union."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_k).alias("sh")) \
+           .filter(F.size("sh") > 0)
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("shingle")
+                .agg(F.count("*").alias("df_"))
+                .filter(F.col("df_") <= max_doc_freq)
+                .select("shingle"))
+        inv = inv.join(rare, "shingle")
+    sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") != F.col("b.id")))
+               .groupBy(F.col("a.id").alias("contained_id"),
+                        F.col("b.id").alias("container_id"))
+               .agg(F.count("*").alias("n_common")))
+    na = sizes.select(F.col("id").alias("contained_id"),
+                      F.col("n").alias("n_a"))
+    return (common.join(na, "contained_id")
+            .select("contained_id", "container_id",
+                    (F.col("n_common").cast("double") / F.col("n_a"))
+                    .alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def lsh_candidate_pairs_xx(df: DataFrame, id_col: str, text_col: str,
                            k: int = 8, bands: int = 4,
                            shingle_k: int = 3) -> DataFrame:

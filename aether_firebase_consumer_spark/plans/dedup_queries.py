@@ -19,6 +19,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     lsh_incremental_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     portable_hash60,
     simhash,
@@ -308,6 +309,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
                                max_doc_freq=_JACCARD_DF_CAP)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inv0 AS (SELECT id, unnest(sh) AS shingle FROM shing),
+    inv AS (
+      SELECT id, shingle FROM inv0
+      WHERE shingle IN (SELECT shingle FROM inv0
+                        GROUP BY shingle
+                        HAVING COUNT(*) <= {_JACCARD_DF_CAP})
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM inv GROUP BY id),
+    common AS (
+      SELECT a.id AS contained_id, b.id AS container_id,
+             COUNT(*) AS n_common
+      FROM inv a JOIN inv b
+        ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT c.contained_id, c.container_id,
+           CAST(c.n_common AS DOUBLE) / sa.n AS containment
+    FROM common c
+    JOIN sizes sa ON sa.id = c.contained_id
+    WHERE CAST(c.n_common AS DOUBLE) / sa.n >= 0.8
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle containment |A∩B|/|A| ≥ 0.8 — catches a short
+    document pasted inside a longer one, which Jaccard misses (the
+    union dwarfs the intersection). Same DF-capped inverted-index
+    join as ``dedup_ngram_jaccard``; only the final ratio differs."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(docs, "doc_id", "text", threshold=0.8,
+                                   max_doc_freq=_JACCARD_DF_CAP)
 
 
 # Survivor-restricted shingle CTE for the end-to-end pipeline: same

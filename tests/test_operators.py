@@ -437,3 +437,32 @@ def test_global_running_agg_matches_single_sweep(spark):
                global_running_agg(df, ["ord", "id"], F.col("v"),
                                   bucket, agg=agg).collect()}
         assert two == naive, agg
+
+
+def test_ngram_containment_asymmetric(spark):
+    """Containment catches the pasted-quote case Jaccard misses: a
+    10-token doc embedded verbatim in a 100-token doc has containment
+    ~1 in the contained->container direction only, while its Jaccard
+    stays far below any dedup threshold."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long_ = " ".join(f"w{i}" for i in range(60)) + " " + short + " " \
+        + " ".join(f"z{i}" for i in range(30))
+    other = " ".join(f"o{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)],
+        "doc_id bigint, text string")
+
+    cont = {(r.contained_id, r.container_id): r.containment
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.8).collect()}
+    assert set(cont) == {(1, 2)}       # directed: only short-in-long
+    assert cont[(1, 2)] == 1.0         # every shingle of 1 is in 2
+
+    jac = ngram_jaccard_pairs(df, "doc_id", "text",
+                              threshold=0.5).collect()
+    assert jac == []                   # Jaccard never sees it
