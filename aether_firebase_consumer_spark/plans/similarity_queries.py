@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.functions.vectors import (
+    _dot_all,
     cosine,
     dot,
     hyperplane_signs,
@@ -26,6 +27,7 @@ from aether_firebase_consumer_spark.functions.vectors import (
     ivf_cells_top2,
     ivf_centroids,
     lsh_band_keys,
+    lit_double_matrix,
     lsh_bucket,
     norm,
     pq_adc_score,
@@ -522,6 +524,149 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             "neighbor_id")
     shortlist = (adc.withColumn("qrn", F.row_number().over(w_s))
                  .filter(F.col("qrn") <= 20).drop("qscore", "qrn"))
+    emb_q = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"))
+    emb_n = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("n_emb"))
+    w_r = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                            "neighbor_id")
+    return (shortlist.join(F.broadcast(emb_q), "query_id")
+            .join(emb_n, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= 5).drop("rn"))
+
+
+# -- IVFADC: the composed production recipe ---------------------------------
+# coarse IVF cell + PQ over the RESIDUAL (v - centroid), ADC scoring
+# q·v ≈ q·c_cell + Σ_s q_s·book_s[code_s] — Jégou et al.'s public
+# IVFADC structure, on the shared quantizers above.
+
+_CENTS64_SQL = ("[" + ", ".join(
+    "[" + ", ".join(repr(v) for v in c) + "]" for c in _CENTS)
+    + "]::DOUBLE[][]")
+
+
+def _pq_res_code_sql(s: int) -> str:
+    """code_s over the residual list column ``res`` (from the rescols
+    CTE): argmax of dot(res_slice, c) − |c|²/2, first occurrence."""
+    lo, hi = s * _PQ_D + 1, (s + 1) * _PQ_D
+    book = _PQ_BOOKS[s]
+    biases = ivf_cell_scores(book)
+    scores = ", ".join(
+        f"list_dot_product(res[{lo}:{hi}], ["
+        + ", ".join(repr(v) for v in c) + "]::DOUBLE[]) + " + repr(b)
+        for c, b in zip(book, biases))
+    return (f"CAST(list_position([{scores}], "
+            f"list_max([{scores}])) AS INT)")
+
+
+_IVFADC_ADC_SQL = " + ".join(
+    f"list_dot_product({_pq_sub_sql('q', s)}, "
+    f"({_pq_book_sql(s)})[b.code{s}])"
+    for s in range(_PQ_M))
+
+
+@register(
+    "similarity_ann_ivfadc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id, embedding, {_scores_sql('embeddings')} AS s
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id, embedding, i AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s[i] DESC, i) AS cell_rank
+      FROM scored,
+           LATERAL (SELECT unnest(generate_series(1, {len(_CENTS)})) AS i)
+    ),
+    rescols AS (
+      SELECT vec_id, embedding, cell,
+             list_transform(generate_series(1, 64),
+               i -> (embedding::DOUBLE[])[i]
+                    - ({_CENTS64_SQL})[cell][i]) AS res
+      FROM probes WHERE cell_rank = 1
+    ),
+    coded AS (
+      SELECT vec_id, embedding, cell,
+             {", ".join(f"{_pq_res_code_sql(s)} AS code{s}"
+                        for s in range(_PQ_M))}
+      FROM rescols
+    ),
+    q AS (SELECT * FROM probes WHERE vec_id < 5 AND cell_rank <= 2),
+    adc AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[],
+                              ({_CENTS64_SQL})[b.cell])
+               + ({_IVFADC_ADC_SQL}) AS qscore
+      FROM q JOIN coded b ON b.cell = q.cell AND b.vec_id <> q.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id) AS qrn
+      FROM adc
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id, {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS_SQL} DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.qrn <= 50
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM rerank WHERE rn <= 5
+    """,
+)
+def similarity_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production ANN recipe (public structure
+    from Jégou/Douze/Schmid's PQ paper): coarse IVF assigns each
+    vector to a cell, PQ encodes the RESIDUAL v − c_cell as 8 one-byte
+    codes, a query probes its 2 best cells and scores candidates by
+    ADC: q·v ≈ q·c_cell + Σ_s q_s·book_s[code_s] — the cell dot is one
+    lookup into the query's precomputed 16-entry q·c array, the
+    residual part 8 LUT lookups. Shortlist 50, exact-cosine re-rank,
+    top-5 (random codebooks rank loosely — the shortlist is the
+    recall lever; trained residual codebooks shrink it).
+
+    100 TB shape: the inverted file carries (cell, 8 codes) per vector
+    — cell is the partition column (pruned probes), the scan payload
+    is 8 bytes + cell id; the query side (LUT + q·c array, 5 rows)
+    broadcasts. Residual encoding is what makes shared codebooks
+    accurate across cells — the same reason production FAISS-style
+    deployments encode residuals."""
+    from pyspark.sql import Window as W
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    cents64 = lit_double_matrix([[float(v) for v in c] for c in _CENTS])
+    assigned = emb.withColumn("cell", ivf_cell(F.col("embedding"), _CENTS))
+    res = F.zip_with(F.col("embedding"),
+                     F.element_at(cents64, F.col("cell")),
+                     lambda x, c: x.cast("double") - c)
+    inv = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "cell",
+        pq_codes(res, _PQ_BOOKS).alias("codes"))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .withColumn("cell", F.explode(
+             ivf_cells_top2(F.col("embedding"), _CENTS)))
+         .select(F.col("vec_id").alias("query_id"), "cell",
+                 _dot_all(F.col("embedding"), _CENTS).alias("qcs"),
+                 pq_lut(F.col("embedding"), _PQ_BOOKS).alias("lut")))
+    adc = (inv.join(F.broadcast(q), "cell")
+           .filter(F.col("neighbor_id") != F.col("query_id"))
+           .select("query_id", "neighbor_id",
+                   (F.element_at(F.col("qcs"), F.col("cell"))
+                    + pq_adc_score(F.col("lut"), F.col("codes"),
+                                   _PQ_M, _PQ_K)).alias("qscore")))
+    w_s = W.partitionBy("query_id").orderBy(F.desc("qscore"),
+                                            "neighbor_id")
+    shortlist = (adc.withColumn("qrn", F.row_number().over(w_s))
+                 .filter(F.col("qrn") <= 50).drop("qscore", "qrn"))
     emb_q = emb.select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"))
     emb_n = emb.select(F.col("vec_id").alias("neighbor_id"),
