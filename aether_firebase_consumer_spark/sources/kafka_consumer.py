@@ -157,12 +157,23 @@ class GroupConsumer:
     Manual commit, at-least-once: a member that takes over a partition
     resumes from the GROUP's committed position (committed by whichever
     member held it last), re-delivering anything processed-but-
-    uncommitted — exactly the reference's crash semantics."""
+    uncommitted — exactly the reference's crash semantics.
+
+    ``background_heartbeat=True`` moves heartbeating to a daemon
+    thread on its OWN connection (the KIP-62 split of session liveness
+    from processing progress): a member that takes longer than the
+    session timeout to process a batch between polls stays in the
+    group instead of being evicted mid-work — the exact hazard of the
+    reference's process-then-commit loop under a slow sink. The
+    thread only sends heartbeats; rebalances it observes flip
+    ``_active`` and the next ``poll`` rejoins, same as the inline
+    path."""
 
     def __init__(self, bootstrap: str, group: str, topics: list[str],
                  session_timeout_ms: int = 10000,
                  heartbeat_interval_ms: int = 1000,
-                 auto_offset_reset: str = "earliest") -> None:
+                 auto_offset_reset: str = "earliest",
+                 background_heartbeat: bool = False) -> None:
         host, _, port = bootstrap.rpartition(":")
         # protocol fidelity: ask where the coordinator lives and talk
         # to it (single-node broker: it's the same address)
@@ -182,6 +193,41 @@ class GroupConsumer:
         self._rr = 0
         self._last_hb = 0.0
         self._active = False
+        self._closed = False
+        self._hb_thread = None
+        if background_heartbeat:
+            import threading
+            self._hb_thread = threading.Thread(
+                target=self._hb_loop, args=(chost, cport), daemon=True)
+            self._hb_thread.start()
+
+    def _hb_loop(self, host: str, port: int) -> None:
+        """Background heartbeat on a dedicated connection (the wire
+        client is one blocking socket — the poll loop keeps its own).
+        Stale generation/member reads race benignly: the broker
+        answers ILLEGAL_GENERATION/UNKNOWN_MEMBER_ID, which flips
+        ``_active`` and the next poll rejoins."""
+        hb_client = None
+        while not self._closed:
+            _time.sleep(self._hb_interval)
+            if not self._active or self._closed:
+                continue
+            try:
+                if hb_client is None:
+                    hb_client = KafkaWireClient(host, port)
+                hb_client.heartbeat(self.group, self.generation,
+                                    self.member_id)
+                self._last_hb = _time.monotonic()
+            except (GroupRebalanceError, GroupMembershipError):
+                self._active = False
+            except (ConnectionError, OSError, RuntimeError):
+                try:
+                    if hb_client is not None:
+                        hb_client.close()
+                finally:
+                    hb_client = None
+        if hb_client is not None:
+            hb_client.close()
 
     # -- membership -------------------------------------------------------
     def _rejoin(self) -> None:
@@ -285,7 +331,8 @@ class GroupConsumer:
 
     def close(self) -> None:
         """Leave the group (immediate rebalance for survivors) and
-        drop the connection."""
+        drop the connection(s)."""
+        self._closed = True
         if self._active:
             try:
                 self._client.leave_group(self.group, self.member_id)

@@ -422,3 +422,40 @@ def test_kafka_py_starting_timestamp_excludes_starting_offsets(
     import pytest as _pytest
     with _pytest.raises(Exception, match="mutually exclusive"):
         df.load().collect()
+
+
+def test_background_heartbeat_survives_slow_processing(broker):
+    """KIP-62 split: with background_heartbeat, a member that stalls
+    between polls LONGER than its session timeout stays in the group
+    (the daemon thread heartbeats on its own connection); without it,
+    the same stall gets the member evicted and the next poll rejoins
+    under a bumped generation."""
+    import time
+
+    broker.rebalance_timeout = 1.0
+    _seed(broker, "g.slow", 1, 3)
+
+    slow = GroupConsumer(broker.bootstrap, "grp-slow", ["g.slow"],
+                         session_timeout_ms=1200,
+                         heartbeat_interval_ms=200,
+                         background_heartbeat=True)
+    try:
+        slow.poll(1)
+        gen = slow.generation
+        time.sleep(2.5)                   # >> session timeout
+        slow.poll(1)
+        assert slow.generation == gen     # never evicted, no rejoin
+    finally:
+        slow.close()
+
+    lazy = GroupConsumer(broker.bootstrap, "grp-lazy", ["g.slow"],
+                         session_timeout_ms=1200,
+                         heartbeat_interval_ms=200)
+    try:
+        lazy.poll(1)
+        gen = lazy.generation
+        time.sleep(2.5)
+        lazy.poll(1)                      # evicted → rejoined
+        assert lazy.generation > gen
+    finally:
+        lazy.close()
