@@ -539,6 +539,54 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5).drop("rn"))
 
 
+def embedding_index_frame(df: DataFrame, id_col: str, vec_col: str,
+                          bands: list[list[list[float]]]) -> DataFrame:
+    """The PERSISTABLE sign-LSH band index for vectors: one row per
+    id, ``(id_col, band_keys: array<bigint>)`` — what an upsert table
+    maintains incrementally so cross-batch matching probes a stored
+    index instead of re-hashing the corpus (the vector twin of
+    ``operators.dedup.lsh_index_frame``). Embeddings stay in the
+    corpus table only; the verify fetches them per-candidate."""
+    return df.select(F.col(id_col),
+                     lsh_band_keys(F.col(vec_col), bands)
+                     .alias("band_keys"))
+
+
+def embedding_probe_index_pairs(index: DataFrame, corpus: DataFrame,
+                                incoming: DataFrame,
+                                id_col: str, vec_col: str,
+                                bands: list[list[list[float]]],
+                                threshold: float) -> DataFrame:
+    """Incremental embedding near-dup with the EXISTING side served
+    from a persisted :func:`embedding_index_frame` table: band the
+    incoming batch, equi-join its (band_idx, band_key) rows into the
+    index, fetch embeddings for the CANDIDATE ids only (semi-join into
+    the corpus, column-pruned to id+vector), exact-cosine verify.
+    Returns (new_id, old_id, cos_sim) with cos_sim ≥ threshold —
+    bit-identical to recomputing the corpus band frame when ``index``
+    equals ``embedding_index_frame(corpus, ...)``. Per-batch cost ∝
+    batch: the corpus is never re-hashed."""
+    long_i = incoming.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(lsh_band_keys(F.col(vec_col), bands))
+        .alias("bi", "bk"))
+    long_e = index.select(
+        F.col(id_col).alias("old_id"),
+        F.posexplode("band_keys").alias("bi", "bk"))
+    cand = (long_i.join(long_e, ["bi", "bk"])
+            .select("new_id", "old_id").distinct())
+    emb_n = incoming.select(F.col(id_col).alias("new_id"),
+                            F.col(vec_col).alias("emb_n"))
+    emb_o = corpus.select(F.col(id_col).alias("old_id"),
+                          F.col(vec_col).alias("emb_o")) \
+        .join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    return (cand.join(emb_n, "new_id").join(emb_o, "old_id")
+            .select("new_id", "old_id",
+                    cosine(F.col("emb_n"), F.col("emb_o"))
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 # -- IVFADC: the composed production recipe ---------------------------------
 # coarse IVF cell + PQ over the RESIDUAL (v - centroid), ADC scoring
 # q·v ≈ q·c_cell + Σ_s q_s·book_s[code_s] — Jégou et al.'s public

@@ -1,0 +1,138 @@
+"""Streaming EMBEDDING corpus growth with incremental near-dup
+rejection — the vector twin of :mod:`.dedup_ingest`: each micro-batch
+drops in-batch cosine near-dups (keep smallest id), probes the
+accumulated corpus for cross-batch near-dups, and merges only the
+survivors; rejected vectors can land in an audit table with their best
+existing match.
+
+Scale posture mirrors the text job exactly: with ``band_index`` set
+(the production shape), the sign-LSH band index ``(id, band_keys)`` is
+a second incrementally-maintained
+:class:`~..sinks.upsert.ParquetUpsertTable` — survivors merge their
+band keys at ingest time, each batch probes the PERSISTED index
+(:func:`~..plans.similarity_queries.embedding_probe_index_pairs`), and
+embeddings for the exact-cosine verify are fetched per-candidate from
+the corpus (column-pruned semi-join), so per-batch cost is ∝ batch
+size, never ∝ corpus. Without ``band_index`` the job recomputes the
+corpus band frame per batch (correct, simple); rejection semantics are
+identical either way and test-pinned.
+
+Banding is pluggable: the 2×4 demo config suits the fixtures' weak
+thresholds; pass ``plans.similarity_queries._HI_BANDS`` with
+``threshold=0.9`` for the production near-dup point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.plans.similarity_queries import (
+    _NEARDUP_BANDS,
+    embedding_index_frame,
+    embedding_neardup_pairs,
+    embedding_probe_index_pairs,
+)
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+
+
+class EmbeddingIngestJob:
+    """foreachBatch handler: near-dup-gated vector-corpus accumulation.
+
+    Same contract as :class:`~.dedup_ingest.DedupIngestJob`: known ids
+    are UPDATEs and bypass the gate (they would match their own prior
+    version); in-batch groups keep their smallest id; audit rows pair
+    ``dup_of`` and ``cos_sim`` from the SAME best match (max cosine,
+    ties to the smallest winner id). Attaching a ``band_index`` to an
+    already-populated corpus backfills it once on the next batch."""
+
+    def __init__(self, spark: SparkSession, corpus: ParquetUpsertTable,
+                 rejects: ParquetUpsertTable | None = None,
+                 band_index: ParquetUpsertTable | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.35,
+                 bands: list | None = None) -> None:
+        self.spark = spark
+        self.corpus = corpus
+        self.rejects = rejects
+        self.band_index = band_index
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = threshold
+        self.bands = bands if bands is not None else _NEARDUP_BANDS
+        #: cumulative driver-side counters
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+
+    def _log_rejects(self, matches: DataFrame, loser_col: str,
+                     winner_col: str, epoch_id: int) -> None:
+        if self.rejects is None:
+            return
+        w = W.partitionBy(loser_col).orderBy(F.desc("cos_sim"),
+                                             F.asc(winner_col))
+        best = (matches.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        self.rejects.merge(
+            best.select(F.col(loser_col).alias(self.id_col),
+                        F.col(winner_col).alias("dup_of"), "cos_sim",
+                        F.lit(epoch_id).alias("epoch")))
+
+    def _recompute_pairs(self, existing: DataFrame,
+                         fresh: DataFrame) -> DataFrame:
+        """Fallback matching without a persisted index: band the
+        corpus from its vectors per batch (identical arithmetic to the
+        probe path — the index IS this frame, persisted)."""
+        return embedding_probe_index_pairs(
+            embedding_index_frame(existing, self.id_col, self.vec_col,
+                                  self.bands),
+            existing, fresh, self.id_col, self.vec_col,
+            self.bands, self.threshold)
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.dropDuplicates([self.id_col])
+        # in-batch near-dups: id_a < id_b by construction → dropping
+        # every id_b keeps the smallest id per near-dup group
+        in_pairs = embedding_neardup_pairs(
+            batch, self.id_col, self.vec_col, self.bands,
+            self.threshold).localCheckpoint()
+        self._log_rejects(in_pairs, "id_b", "id_a", epoch_id)
+        losers = in_pairs.select(F.col("id_b").alias(self.id_col)) \
+            .distinct()
+        survivors = batch.join(losers, self.id_col, "left_anti")
+
+        existing = self.corpus.read()
+        had_index = False
+        if existing is not None:
+            known = existing.select(self.id_col).distinct()
+            fresh = survivors.join(known, self.id_col, "left_anti")
+            index = self.band_index.read() \
+                if self.band_index is not None else None
+            if index is not None:
+                had_index = True
+                matches = embedding_probe_index_pairs(
+                    index, existing, fresh, self.id_col, self.vec_col,
+                    self.bands, self.threshold)
+            else:
+                matches = self._recompute_pairs(existing, fresh)
+            matches = matches.localCheckpoint()
+            self._log_rejects(matches, "new_id", "old_id", epoch_id)
+            dup_ids = matches.select(
+                F.col("new_id").alias(self.id_col)).distinct()
+            accepted_fresh = fresh.join(dup_ids, self.id_col, "left_anti")
+            updates = survivors.join(known, self.id_col, "left_semi")
+            survivors = updates.unionByName(accepted_fresh)
+        # one materialization: counters + both merges read this result
+        survivors = survivors.localCheckpoint()
+        n_in = batch.count()
+        n_kept = survivors.count()
+        self.stats["batches"] += 1
+        self.stats["accepted"] += n_kept
+        self.stats["rejected"] += n_in - n_kept
+        self.corpus.merge(survivors)
+        if self.band_index is not None:
+            src = survivors if had_index else self.corpus.read()
+            self.band_index.merge(embedding_index_frame(
+                src, self.id_col, self.vec_col, self.bands))
+
+    def writer(self, stream: DataFrame, checkpoint: str):
+        return (stream.writeStream
+                .foreachBatch(self.process_batch)
+                .option("checkpointLocation", checkpoint))
