@@ -278,16 +278,26 @@ def _get_varint(data: bytes, pos: int) -> tuple[int, int]:
 ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
 
 
+#: attributes bits 0-2: compression codec ids from the public spec
+CODEC_NONE, CODEC_GZIP = 0, 1
+
+
 def encode_record_batch(
         entries: list[tuple[int, int, Optional[bytes], Optional[bytes]]],
-        *, log_append_time: bool = False) -> bytes:
+        *, log_append_time: bool = False,
+        codec: Optional[str] = None) -> bytes:
     """(offset, timestamp_ms, key, value)* → one magic-2 record batch.
 
     Offsets need not be dense (log compaction leaves gaps; deltas
     carry them). Timestamps are per-record; the batch stores base/max
     and zigzag deltas. ``log_append_time`` sets the attributes bit
     real brokers use to mark broker-stamped (vs producer CreateTime)
-    timestamps."""
+    timestamps. ``codec="gzip"`` compresses the RECORDS section (only
+    — the header stays plain, per the spec); the CRC32C covers the
+    batch body as stored, compressed bytes included."""
+    if codec not in (None, "gzip"):
+        raise ValueError(f"unsupported record-batch codec {codec!r} "
+                         "(stdlib image: gzip only)")
     if not entries:
         return b""
     base_off = entries[0][0]
@@ -313,6 +323,11 @@ def encode_record_batch(
         _put_varint(records, len(rec))
         records += rec
     attrs = ATTR_TIMESTAMP_LOG_APPEND if log_append_time else 0
+    payload = bytes(records)
+    if codec == "gzip":
+        import gzip as _gzip
+        attrs |= CODEC_GZIP
+        payload = _gzip.compress(payload, mtime=0)  # deterministic
     body = _Writer()                       # attributes .. records
     body.i16(attrs)
     body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
@@ -322,7 +337,7 @@ def encode_record_batch(
     body.i16(-1)                           # producerEpoch
     body.i32(-1)                           # baseSequence
     body.i32(len(entries))
-    body.raw(bytes(records))
+    body.raw(payload)
     crc = crc32c(bytes(body.buf))
     w = _Writer()
     w.i64(base_off)
@@ -356,23 +371,30 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
             raise ValueError(
                 f"record batch at offset {base_off}: CRC32C mismatch")
         attrs, _last_delta, base_ts = struct.unpack_from(">hiq", body, 0)
-        if attrs & 0x07:
+        comp = attrs & 0x07
+        if comp not in (CODEC_NONE, CODEC_GZIP):
+            # 2=snappy 3=lz4 4=zstd: libraries not in this image —
+            # name the gap instead of mis-parsing
             raise ValueError(
-                f"compressed record batch (codec {attrs & 0x07}) "
-                "unsupported")
+                f"compressed record batch codec {comp} unsupported "
+                "(stdlib image decodes none/gzip)")
         (count,) = struct.unpack_from(">i", body, 36)
-        p = 40
+        recs = body[40:]
+        if comp == CODEC_GZIP:
+            import gzip as _gzip
+            recs = _gzip.decompress(recs)
+        p = 0
         for _ in range(count):
-            rec_len, p = _get_varint(body, p)
+            rec_len, p = _get_varint(recs, p)
             rec_end = p + rec_len
             p += 1  # record attributes
-            ts_delta, p = _get_varint(body, p)
-            off_delta, p = _get_varint(body, p)
-            klen, p = _get_varint(body, p)
-            key = None if klen < 0 else bytes(body[p:p + klen])
+            ts_delta, p = _get_varint(recs, p)
+            off_delta, p = _get_varint(recs, p)
+            klen, p = _get_varint(recs, p)
+            key = None if klen < 0 else bytes(recs[p:p + klen])
             p += max(klen, 0)
-            vlen, p = _get_varint(body, p)
-            value = None if vlen < 0 else bytes(body[p:p + vlen])
+            vlen, p = _get_varint(recs, p)
+            value = None if vlen < 0 else bytes(recs[p:p + vlen])
             p += max(vlen, 0)
             out.append((base_off + off_delta, base_ts + ts_delta,
                         key, value))
@@ -584,18 +606,20 @@ class KafkaWireClient:
 
     def produce_records(
             self, topic: str, partition: int,
-            messages: list[tuple[Optional[bytes], Optional[bytes], int]]
-    ) -> int:
+            messages: list[tuple[Optional[bytes], Optional[bytes], int]],
+            codec: Optional[str] = None) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
-        base offset. Requires a broker advertising Produce ≥ v3 —
-        raises otherwise rather than silently dropping timestamps."""
+        base offset. ``codec="gzip"`` ships the batch compressed.
+        Requires a broker advertising Produce ≥ v3 — raises otherwise
+        rather than silently dropping timestamps."""
         if self._max_version(API_PRODUCE) < 3:
             raise RuntimeError(
                 "broker does not support Produce v3 (record batches); "
                 "use produce() for the magic-0 path")
         batch = encode_record_batch(
-            [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)])
+            [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)],
+            codec=codec)
         w = _Writer()
         w.string(None)  # transactional_id
         w.i16(1)        # acks
@@ -956,7 +980,7 @@ class MiniKafkaBroker:
     rebalance_timeout: float = 5.0
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 clock=None) -> None:
+                 clock=None, fetch_codec: Optional[str] = None) -> None:
         #: (topic, partition) → list of (offset, timestamp_ms, key,
         #: value), offsets strictly increasing (gaps after compaction).
         #: v0 produces are stamped with ``clock`` (LogAppendTime);
@@ -970,6 +994,10 @@ class MiniKafkaBroker:
         self._lock = threading.Lock()
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
+        #: compress v4 fetch responses ("gzip") — real brokers serve
+        #: batches in the topic's codec; this exercises the client's
+        #: compressed-decode path end-to-end
+        self._fetch_codec = fetch_codec
         #: group_id → membership state; guarded by _gcond's lock
         self._groups: dict[str, dict] = {}
         self._gcond = threading.Condition()
@@ -1211,7 +1239,8 @@ class MiniKafkaBroker:
                             break
                         entries.append((off, ts, k, v))
                 if version >= 4:
-                    mset = encode_record_batch(entries)
+                    mset = encode_record_batch(entries,
+                                               codec=self._fetch_codec)
                 else:
                     mset = encode_message_set(
                         (off, k, v) for off, _ts, k, v in entries)
