@@ -495,3 +495,36 @@ def test_gzip_record_batches_end_to_end():
             got = c.fetch_records("gz.t", 0, 0)
     assert got == [(0, 11, b"a", b"x" * 1000), (1, 22, b"b", b"y" * 1000),
                    (2, 1, b"c", b"z")]
+
+
+def test_kafka_timestamp_drives_event_time_window(spark, broker, tmp_path):
+    """The surfaced timestamp column is a real TimestampType event-time
+    axis: a streaming kafka_py read supports withWatermark + windowed
+    aggregation on it (the thing the JVM source's timestamp exists
+    for). Producer CreateTime timestamps land in fixed 10s windows."""
+    _register(spark)
+    broker.create_topic("wm.t", partitions=1)
+    base = 1_700_000_000_000
+    with _client(broker) as c:
+        c.produce_records("wm.t", 0, [
+            (None, b"a", base + 1_000),      # window [0, 10s)
+            (None, b"b", base + 4_000),      # window [0, 10s)
+            (None, b"c", base + 12_000),     # window [10s, 20s)
+        ])
+    from pyspark.sql import functions as F
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "wm.t").load()
+           .withWatermark("timestamp", "5 seconds")
+           .groupBy(F.window("timestamp", "10 seconds"))
+           .agg(F.count("*").alias("n")))
+    q = (sdf.writeStream.format("memory").queryName("kpy_wm")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        rows = {(int(r["window"].start.timestamp() * 1000) - base, r.n)
+                for r in spark.table("kpy_wm").collect()}
+        assert rows == {(0, 2), (10_000, 1)}
+    finally:
+        q.stop()
