@@ -86,13 +86,24 @@ def hyperplane_signs(seed: str, n_planes: int, dim: int) -> list[list[float]]:
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = (vec · plane_i > 0). The plane
-    matrix is a plan-time literal — no shuffle, no state."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        lit_plane = lit_doubles([float(v) for v in plane])
-        bucket = bucket + F.when(dot(vec, lit_plane) > 0,
-                                 F.lit(2 ** i)).otherwise(F.lit(0))
-    return bucket.cast("bigint")
+    matrix is a plan-time literal — no shuffle, no state.
+
+    All plane dots come from ONE transposed fold (``_dot_all``)
+    carrying k running sums, instead of k independent dot folds: the
+    expression tree shrinks ~k× (the 32-plane production banding was
+    32 zip_with+aggregate chains), and the per-dot addition order is
+    unchanged (e₀c₀+e₁c₁+…, the ``list_dot_product`` order), so every
+    sign — and thus every band key — is bit-identical to the SQL
+    oracle's CASE-sum form."""
+    dots = _dot_all(vec, planes)
+    weights = F.array(*[F.lit(2 ** i).cast("bigint")
+                        for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(dots, weights,
+                   lambda d, w: F.when(d > 0, w)
+                   .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x)
 
 
 def ivf_centroids(seed: str, k: int, dim: int) -> list[list[float]]:

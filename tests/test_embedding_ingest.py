@@ -32,7 +32,15 @@ def _near(vec: list[float], salt: str, eps: float = 0.05) -> list[float]:
             for j, x in enumerate(vec)]
 
 
-BANDS2 = None  # default demo banding from the job
+# 2x4-plane banding MATCHED to these 16-dim vectors (the job's
+# default planes are 64-dim; dim mismatch now errors loudly instead of
+# zip_with-truncating — a silent data hazard at scale)
+from aether_firebase_consumer_spark.functions.vectors import (  # noqa: E402
+    hyperplane_signs,
+)
+
+_PLANES16 = hyperplane_signs("test-lsh-16", n_planes=8, dim=DIM)
+BANDS16 = [_PLANES16[:4], _PLANES16[4:]]
 
 
 def _df(spark, rows):
@@ -49,7 +57,8 @@ def jobs(spark, tmp_path):
         idx = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"]) \
             if with_index else None
         return EmbeddingIngestJob(spark, corpus, rejects,
-                                  band_index=idx, threshold=0.9), \
+                                  band_index=idx, threshold=0.9,
+                                  bands=BANDS16), \
             corpus, rejects, idx
     return mk
 
@@ -60,7 +69,6 @@ def test_embedding_ingest_index_matches_recompute(spark, tmp_path, jobs):
     near-dups, cross-batch near-dups, and updates; the maintained
     index equals a from-scratch recompute of the corpus."""
     from aether_firebase_consumer_spark.plans.similarity_queries import (
-        _NEARDUP_BANDS,
         embedding_index_frame,
     )
 
@@ -94,7 +102,7 @@ def test_embedding_ingest_index_matches_recompute(spark, tmp_path, jobs):
     want = {(r.vec_id, tuple(r.band_keys))
             for r in embedding_index_frame(
                 corp_i.read(), "vec_id", "embedding",
-                _NEARDUP_BANDS).collect()}
+                BANDS16).collect()}
     got = {(r.vec_id, tuple(r.band_keys))
            for r in idx_i.read().collect()}
     assert got == want
@@ -106,8 +114,6 @@ def test_embedding_ingest_backfill_and_probe_plan(spark, tmp_path, jobs):
     corpus side's keys come from the index file (band_keys in a file
     ReadSchema), embeddings fetched per-candidate only."""
     from aether_firebase_consumer_spark.plans.similarity_queries import (
-        _NEARDUP_BANDS,
-        embedding_index_frame,
         embedding_probe_index_pairs,
     )
 
@@ -116,7 +122,7 @@ def test_embedding_ingest_backfill_and_probe_plan(spark, tmp_path, jobs):
 
     idx = ParquetUpsertTable(spark, str(tmp_path / "idx"), ["vec_id"])
     job1 = EmbeddingIngestJob(spark, corpus, band_index=idx,
-                              threshold=0.9)
+                              threshold=0.9, bands=BANDS16)
     job1.process_batch(_df(spark, [(5, _vec(5))]), 1)
     assert {r.vec_id for r in idx.read().collect()} == {1, 2, 5}
     # a near-dup of PRE-INDEX vector 1 is caught via the index probe
@@ -126,7 +132,7 @@ def test_embedding_ingest_backfill_and_probe_plan(spark, tmp_path, jobs):
     probe = embedding_probe_index_pairs(
         idx.read(), corpus.read(),
         _df(spark, [(9, _near(_vec(2), "n9"))]),
-        "vec_id", "embedding", _NEARDUP_BANDS, 0.9)
+        "vec_id", "embedding", BANDS16, 0.9)
     assert {(r.new_id, r.old_id) for r in probe.collect()} == {(9, 2)}
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "band_keys:array<bigint>" in plan   # index file scanned
