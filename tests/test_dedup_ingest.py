@@ -319,3 +319,58 @@ def test_index_probe_plan_never_touches_corpus_text(spark, tmp_path):
     got = {(r.new_id, r.old_id) for r in probe.collect()}
     ref = {(r.new_id, r.old_id) for r in recompute.collect()}
     assert got == ref
+
+
+def test_dedup_ingest_under_job_manager_lifecycle(spark, tmp_path):
+    """The ingest job composes with the O18 control plane: managed as
+    a SparkJob, pause (stop) mid-corpus, feed more data, resume — the
+    checkpoint continues exactly where it paused (no re-processing, so
+    no spurious re-rejections), dedup semantics hold across the
+    pause, and the job's band index stays consistent."""
+    from aether_firebase_consumer_spark.control.jobs import (
+        JobManager,
+        JobStatus,
+    )
+    from aether_firebase_consumer_spark.operators.dedup import (
+        lsh_index_frame,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"])
+    rejects = ParquetUpsertTable(spark, str(tmp_path / "r"), ["doc_id"])
+    idx = ParquetUpsertTable(spark, str(tmp_path / "i"), ["doc_id"])
+    ingest = DedupIngestJob(spark, corpus, rejects, band_index=idx)
+
+    def start_fn(checkpoint):
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string")
+                  .parquet(str(src) + "/*"))
+        return (ingest.writer(stream, checkpoint)
+                .trigger(availableNow=True).start())
+
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("tenant-a", "dedup-ingest", start_fn)
+
+    _feed(spark, src, "b1", [(1, D1), (2, D2), (3, D1_NEAR)])
+    job.start()
+    job.query.awaitTermination()
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+
+    job.pause()
+    assert job.get_status() == JobStatus.PAUSED
+    _feed(spark, src, "b2", [(4, D2_NEAR), (5, D5)])
+
+    job.resume()
+    job.query.awaitTermination()
+    assert job.get_status() in (JobStatus.NORMAL,
+                                JobStatus.STOPPED)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2, 5}
+    assert {(r.doc_id, r.dup_of) for r in rejects.read().collect()} \
+        == {(3, 1), (4, 2)}
+    # index stayed consistent with the corpus across the pause
+    want = {(r.doc_id, tuple(r.band_keys)) for r in lsh_index_frame(
+        corpus.read(), "doc_id", "text").collect()}
+    got = {(r.doc_id, tuple(r.band_keys))
+           for r in idx.read().collect()}
+    assert got == want
