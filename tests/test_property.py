@@ -216,3 +216,91 @@ def test_upsert_table_model_based_op_sequences(spark, tmp_path):
         assert len(t.versions()) == 2
         got = {r["id"]: (r["v"], r["part"]) for r in t.read().collect()}
         assert got == model
+
+
+# ------------------------------------------------- kafka wire codecs
+
+_kv = st.one_of(st.none(), st.binary(max_size=64))
+_entry = st.tuples(
+    st.integers(min_value=0, max_value=2**31),           # offset delta base
+    st.integers(min_value=-2**40, max_value=2**40),      # timestamp ms
+    _kv, _kv)
+
+
+@given(st.lists(_entry, min_size=1, max_size=20),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_record_batch_roundtrip_property(entries, gz):
+    """Any (offset, ts, key, value) sequence with strictly-increasing
+    offsets round-trips through the magic-2 codec, gzip or plain; any
+    TRUNCATION decodes to a clean prefix of whole batches (never an
+    exception, never a partial record)."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    # make offsets strictly increasing (cumulative), per the log model
+    fixed = []
+    off = 0
+    for d, ts, k, v in entries:
+        fixed.append((off, ts, k, v))
+        off += 1 + (d % 3)       # gaps allowed (compaction)
+    wire = encode_record_batch(fixed, codec="gzip" if gz else None)
+    assert decode_record_batches(wire) == fixed
+    # truncation at every boundary: prefix-of-batches or nothing
+    for cut in (0, 1, 12, len(wire) // 2, len(wire) - 1):
+        got = decode_record_batches(wire[:cut])
+        assert got == [] or got == fixed
+
+
+@given(st.lists(st.tuples(st.integers(0, 2**30), _kv, _kv),
+                min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_message_set_roundtrip_property(entries):
+    """Magic-0 message sets: round trip for any offsets/keys/values;
+    truncation yields a prefix, never an error."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        decode_message_set,
+        encode_message_set,
+    )
+
+    wire = encode_message_set(entries)
+    assert decode_message_set(wire) == entries
+    got = decode_message_set(wire[:len(wire) - 1])
+    assert got == entries[:len(got)]
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_crc32c_matches_bitwise_reference(data):
+    """Table-driven CRC32C equals a bit-at-a-time reference
+    implementation of the Castagnoli polynomial."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import crc32c
+
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+    assert crc32c(data) == crc ^ 0xFFFFFFFF
+
+
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_zigzag_varint_roundtrip(values):
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        _get_varint,
+        _put_varint,
+    )
+
+    buf = bytearray()
+    for v in values:
+        _put_varint(buf, v)
+    pos = 0
+    out = []
+    for _ in values:
+        v, pos = _get_varint(bytes(buf), pos)
+        out.append(v)
+    assert out == values and pos == len(buf)
