@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.functions.vectors import (
     _dot_all,
+    _ivf_scores,
     cosine,
     dot,
     hyperplane_signs,
@@ -539,6 +540,46 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5).drop("rn"))
 
 
+def _pq_slice_sql(alias: str, s: int) -> str:
+    return _pq_sub_sql(alias, s)
+
+
+def _pq_trained_ctes() -> str:
+    """Per-subspace one-Lloyd-step training CTEs (the
+    ``embedding_kmeans`` pattern, 8×): init assignment from the
+    md5-random codebooks, per-(code, dim) ROUND(AVG, 6) update,
+    relational re-assignment against the data-derived codebooks."""
+    parts = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    for s in range(_PQ_M):
+        lo = s * _PQ_D
+        parts.append(f"""a0_{s} AS (
+      SELECT vec_id, embedding, {_pq_code_sql('e', s)} AS code FROM e
+    )""")
+        parts.append(f"""upd_{s} AS (
+      SELECT code, j,
+             ROUND(AVG((embedding::DOUBLE[])[{lo} + j]), 6) AS m
+      FROM a0_{s}, LATERAL (SELECT unnest(generate_series(1, {_PQ_D}))
+                            AS j)
+      GROUP BY code, j
+    )""")
+        parts.append(f"""cent_{s} AS (
+      SELECT code, list(m ORDER BY j) AS cv FROM upd_{s} GROUP BY code
+    )""")
+        parts.append(f"""re_{s} AS (
+      SELECT e.vec_id, c.code,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product({_pq_slice_sql('e', s)}, c.cv)
+                        - 0.5 * list_dot_product(c.cv, c.cv) DESC,
+                        c.code) AS rn
+      FROM e CROSS JOIN cent_{s} c
+    )""")
+        parts.append(f"""coded_{s} AS (
+      SELECT vec_id, code AS code{s} FROM re_{s} WHERE rn = 1
+    )""")
+    return ",\n    ".join(parts)
+
+
 def embedding_index_frame(df: DataFrame, id_col: str, vec_col: str,
                           bands: list[list[list[float]]]) -> DataFrame:
     """The PERSISTABLE sign-LSH band index for vectors: one row per
@@ -585,6 +626,139 @@ def embedding_probe_index_pairs(index: DataFrame, corpus: DataFrame,
                     cosine(F.col("emb_n"), F.col("emb_o"))
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+_PQ_TRAINED_ADC = " + ".join(
+    f"list_dot_product({_pq_sub_sql('q', s)}, c{s}.cv)"
+    for s in range(_PQ_M))
+
+_PQ_TRAINED_JOINS = "\n      ".join(
+    f"JOIN cent_{s} c{s} ON c{s}.code = b.code{s}"
+    for s in range(_PQ_M))
+
+
+@register(
+    "similarity_ann_pq_trained",
+    oracle=f"""
+    WITH {_pq_trained_ctes()},
+    coded AS (
+      SELECT e.vec_id,
+             {", ".join(f"coded_{s}.code{s}" for s in range(_PQ_M))}
+      FROM e {" ".join(f"JOIN coded_{s} ON coded_{s}.vec_id = e.vec_id"
+                       for s in range(_PQ_M))}
+    ),
+    q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
+    adc AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PQ_TRAINED_ADC} AS qscore
+      FROM q JOIN coded b ON b.vec_id <> q.vec_id
+      {_PQ_TRAINED_JOINS}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id) AS qrn
+      FROM adc
+    ),
+    rerank AS (
+      SELECT s.query_id, s.neighbor_id, {_COS_SQL} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {_COS_SQL} DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN embeddings a ON a.vec_id = s.query_id
+      JOIN embeddings b ON b.vec_id = s.neighbor_id
+      WHERE s.qrn <= 20
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM rerank WHERE rn <= 5
+    """,
+)
+def similarity_ann_pq_trained(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """PQ with TRAINED codebooks: one Lloyd step per subspace over the
+    corpus subvectors (init = the md5-random books), then the same
+    encode → ADC shortlist → exact re-rank pipeline as
+    ``similarity_ann_pq``. The training is the ``embedding_kmeans``
+    recipe applied 8×: codegen argmax assignment, per-(code, dim)
+    partial-avg shuffle bounded by m·k·d, trained centroids re-enter
+    as plan literals (ROUND 6 for cross-engine bit-identity — the
+    oracle trains the same books in SQL). Data-derived codebooks fit
+    the residual distribution, so ADC ranks tighter than the random
+    books at the same shortlist — the measured recall gap is pinned in
+    tests/test_clustering.py."""
+    from pyspark.sql import Window as W
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+
+    # --- one Lloyd step per subspace (bounded collect: ≤ m·k·d rows)
+    codes0 = pq_codes(F.col("embedding"), _PQ_BOOKS)
+    long = (emb.select("embedding",
+                       F.posexplode(codes0).alias("s", "code"))
+            .select("s", "code",
+                    F.posexplode(F.slice(
+                        F.col("embedding"),
+                        F.col("s") * _PQ_D + 1, _PQ_D))
+                    .alias("j", "val")))
+    upd = (long.groupBy("s", "code", "j")
+           .agg(F.round(F.avg(F.col("val").cast("double")), 6)
+                .alias("m")))
+    got: dict[tuple[int, int], dict[int, float]] = {}
+    for r in upd.collect():
+        got.setdefault((int(r.s), int(r.code)), {})[int(r.j)] = float(r.m)
+    books: list[list[list[float]]] = []
+    ids: list[list[int]] = []
+    for s in range(_PQ_M):
+        cs = sorted(c for (ss, c) in got if ss == s)
+        ids.append(cs)
+        books.append([[got[(s, c)][j] for j in range(_PQ_D)]
+                      for c in cs])
+
+    # --- re-encode against the trained books (original code ids kept
+    # so the SQL side's relational argmax matches positionally)
+    code_cols = []
+    for s in range(_PQ_M):
+        sub = F.slice(F.col("embedding"), s * _PQ_D + 1, _PQ_D)
+        scores = _ivf_scores(sub, books[s])
+        pos = F.array_position(scores, F.array_max(scores))
+        id_lit = F.array(*[F.lit(c) for c in ids[s]])
+        code_cols.append(F.element_at(id_lit, pos.cast("int"))
+                         .cast("int"))
+    coded = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.array(*code_cols).alias("codes"))
+
+    # --- ADC with 16-slot LUTs indexed by ORIGINAL code id (dead
+    # codes padded with zero vectors — never selected, never read)
+    padded = []
+    for s in range(_PQ_M):
+        rows = [[0.0] * _PQ_D for _ in range(_PQ_K)]
+        for c, cv in zip(ids[s], books[s]):
+            rows[c - 1] = cv
+        padded.append(rows)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 pq_lut(F.col("embedding"), padded).alias("lut")))
+    adc = (coded.crossJoin(F.broadcast(q))
+           .filter(F.col("neighbor_id") != F.col("query_id"))
+           .select("query_id", "neighbor_id",
+                   pq_adc_score(F.col("lut"), F.col("codes"),
+                                _PQ_M, _PQ_K).alias("qscore")))
+    w_s = W.partitionBy("query_id").orderBy(F.desc("qscore"),
+                                            "neighbor_id")
+    shortlist = (adc.withColumn("qrn", F.row_number().over(w_s))
+                 .filter(F.col("qrn") <= 20).drop("qscore", "qrn"))
+    emb_q = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"))
+    emb_n = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("n_emb"))
+    w_r = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                            "neighbor_id")
+    return (shortlist.join(F.broadcast(emb_q), "query_id")
+            .join(emb_n, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= 5).drop("rn"))
 
 
 # -- IVFADC: the composed production recipe ---------------------------------

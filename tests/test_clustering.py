@@ -259,3 +259,43 @@ def test_ann_ivfadc_compositional_recall(spark):
     recs = [len(got.get(q, set()) & ref[q]) / len(ref[q])
             for q in sorted(ref)]
     assert sum(recs) / len(recs) >= 0.3, recs
+
+
+def test_ann_pq_trained_beats_random_codebooks(spark):
+    """One Lloyd step per subspace lifts ADC rank quality: trained-PQ
+    recall@5 vs exact brute force is deterministic on the fixtures —
+    measured 0.32 trained vs 0.24 random — so the floor pins both the
+    absolute level and the trained>=random ordering (the IVF
+    trained-vs-random story, applied to the PQ codebooks)."""
+    import math
+
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        similarity_ann_pq,
+        similarity_ann_pq_trained,
+    )
+    from aether_firebase_consumer_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in load_table(spark, sf, "embeddings").collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(x * x for x in b)))
+
+    truth = {q: set(sorted((v for v in vecs if v != q),
+                           key=lambda v: (-cos(vecs[q], vecs[v]), v))[:5])
+             for q in range(5)}
+
+    def recall(fn):
+        got: dict[int, set] = {}
+        for r in fn(spark, sf).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & truth[q]) / 5
+                   for q in truth) / len(truth)
+
+    r_rand = recall(similarity_ann_pq)
+    r_trained = recall(similarity_ann_pq_trained)
+    assert r_trained >= 0.3, r_trained
+    assert r_trained >= r_rand, (r_trained, r_rand)
