@@ -298,7 +298,12 @@ def _register_pagerank() -> None:
             similarity_embedding_neardup,
         )
         emb = load_table(spark, sf_dir, "embeddings")
-        nd = similarity_embedding_neardup(spark, sf_dir)
+        # localCheckpoint: the near-dup pair derivation (banding +
+        # candidate join + cosine verify — the expensive part) runs
+        # ONCE; without it every edges reference in the 3-iteration
+        # loop re-derives it (Spark has no common-subplan reuse),
+        # which is what made the sf1 probe superlinear
+        nd = similarity_embedding_neardup(spark, sf_dir).localCheckpoint()
         edges = (nd.select(F.col("id_a").alias("src"),
                            F.col("id_b").alias("dst"))
                  .union(nd.select(F.col("id_b").alias("src"),
@@ -372,8 +377,10 @@ def _register_triangles() -> None:
         from aether_firebase_consumer_spark.plans.similarity_queries import (
             similarity_embedding_neardup,
         )
+        # one materialization: e1/e2/e3/deg all read the checkpointed
+        # pairs instead of re-deriving the near-dup computation 4x
         nd = similarity_embedding_neardup(spark, sf_dir) \
-            .select("id_a", "id_b")
+            .select("id_a", "id_b").localCheckpoint()
         e1 = nd.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         e2 = nd.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
         e3 = nd.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
