@@ -297,9 +297,14 @@ def connected_components(edges: DataFrame, src: str = "src",
     the growing lineage so round N doesn't replay rounds 1..N-1. The
     driver sees only a per-round convergence *count*, never row data.
     """
+    # localCheckpoint the symmetric edge list: it feeds the seed AND
+    # every propagation round — without it the caller's (expensive,
+    # LSH-derived) edge computation re-runs once per round, the same
+    # re-derivation the sf1 probe caught in the graph queries
     sym = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")) \
         .union(edges.select(F.col(dst).alias("e_src"),
-                            F.col(src).alias("e_dst")))
+                            F.col(src).alias("e_dst"))) \
+        .localCheckpoint()
     # seed label = min(id, direct neighbors): one aggregation instead of
     # an identity round — saves a full propagate+checkpoint+count cycle
     labels = (sym.groupBy(F.col("e_src").alias("id"))
