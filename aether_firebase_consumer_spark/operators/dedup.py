@@ -427,7 +427,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .agg(F.count("*").alias("df_"))
                 .filter(F.col("df_") <= max_doc_freq)
                 .select("shingle"))
-        inv = inv.join(rare, "shingle")
+        # localCheckpoint: the capped index feeds sizes AND both join
+        # sides — without it the DF-cap shuffle join re-derives 3x
+        # (measured 1.2x at the sf1 probe scale, and the gap widens
+        # with data since the recompute includes a growing shuffle)
+        inv = inv.join(rare, "shingle").localCheckpoint()
     sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -468,7 +472,9 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                 .agg(F.count("*").alias("df_"))
                 .filter(F.col("df_") <= max_doc_freq)
                 .select("shingle"))
-        inv = inv.join(rare, "shingle")
+        # same 3-reference shape as ngram_jaccard_pairs: one
+        # materialization of the capped index
+        inv = inv.join(rare, "shingle").localCheckpoint()
     sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
