@@ -279,7 +279,7 @@ ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
 
 
 #: attributes bits 0-2: compression codec ids from the public spec
-CODEC_NONE, CODEC_GZIP = 0, 1
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY = 0, 1, 2
 
 
 def encode_record_batch(
@@ -292,12 +292,14 @@ def encode_record_batch(
     carry them). Timestamps are per-record; the batch stores base/max
     and zigzag deltas. ``log_append_time`` sets the attributes bit
     real brokers use to mark broker-stamped (vs producer CreateTime)
-    timestamps. ``codec="gzip"`` compresses the RECORDS section (only
-    — the header stays plain, per the spec); the CRC32C covers the
-    batch body as stored, compressed bytes included."""
-    if codec not in (None, "gzip"):
+    timestamps. ``codec="gzip"``/``"snappy"`` compress the RECORDS
+    section (only — the header stays plain, per the spec); the CRC32C
+    covers the batch body as stored, compressed bytes included.
+    Snappy here is the raw block format (``sources/snappy_py``) —
+    magic-2 batches never use the legacy xerial framing."""
+    if codec not in (None, "gzip", "snappy"):
         raise ValueError(f"unsupported record-batch codec {codec!r} "
-                         "(stdlib image: gzip only)")
+                         "(this image: gzip or snappy)")
     if not entries:
         return b""
     base_off = entries[0][0]
@@ -328,6 +330,10 @@ def encode_record_batch(
         import gzip as _gzip
         attrs |= CODEC_GZIP
         payload = _gzip.compress(payload, mtime=0)  # deterministic
+    elif codec == "snappy":
+        from aether_firebase_consumer_spark.sources import snappy_py
+        attrs |= CODEC_SNAPPY
+        payload = snappy_py.compress(payload)
     body = _Writer()                       # attributes .. records
     body.i16(attrs)
     body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
@@ -372,17 +378,20 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
                 f"record batch at offset {base_off}: CRC32C mismatch")
         attrs, _last_delta, base_ts = struct.unpack_from(">hiq", body, 0)
         comp = attrs & 0x07
-        if comp not in (CODEC_NONE, CODEC_GZIP):
-            # 2=snappy 3=lz4 4=zstd: libraries not in this image —
+        if comp not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+            # 3=lz4 4=zstd: those formats aren't stdlib-reproducible —
             # name the gap instead of mis-parsing
             raise ValueError(
                 f"compressed record batch codec {comp} unsupported "
-                "(stdlib image decodes none/gzip)")
+                "(this image decodes none/gzip/snappy)")
         (count,) = struct.unpack_from(">i", body, 36)
         recs = body[40:]
         if comp == CODEC_GZIP:
             import gzip as _gzip
             recs = _gzip.decompress(recs)
+        elif comp == CODEC_SNAPPY:
+            from aether_firebase_consumer_spark.sources import snappy_py
+            recs = snappy_py.decompress(bytes(recs))
         p = 0
         for _ in range(count):
             rec_len, p = _get_varint(recs, p)
@@ -610,7 +619,7 @@ class KafkaWireClient:
             codec: Optional[str] = None) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
-        base offset. ``codec="gzip"`` ships the batch compressed.
+        base offset. ``codec="gzip"``/``"snappy"`` ships the batch compressed.
         Requires a broker advertising Produce ≥ v3 — raises otherwise
         rather than silently dropping timestamps."""
         if self._max_version(API_PRODUCE) < 3:
@@ -994,7 +1003,7 @@ class MiniKafkaBroker:
         self._lock = threading.Lock()
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
-        #: compress v4 fetch responses ("gzip") — real brokers serve
+        #: compress v4 fetch responses ("gzip"/"snappy") — real brokers serve
         #: batches in the topic's codec; this exercises the client's
         #: compressed-decode path end-to-end
         self._fetch_codec = fetch_codec

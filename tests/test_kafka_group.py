@@ -480,10 +480,11 @@ def test_gzip_record_batches_end_to_end():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC32C"):
         decode_record_batches(bytes(bad))
-    # unknown codec id (snappy=2) names the gap
+    # unknown codec id (lz4=3) names the gap (snappy=2 is supported
+    # since sources/snappy_py landed)
     legit = bytearray(plain)
-    legit[21 + 1] |= 0x02                  # attrs low byte ← codec 2
-    with pytest.raises(ValueError, match="codec 2 unsupported"):
+    legit[21 + 1] |= 0x03                  # attrs low byte ← codec 3
+    with pytest.raises(ValueError, match="codec 3 unsupported"):
         decode_record_batches(bytes(legit), validate_crc=False)
 
     with MiniKafkaBroker(clock=lambda: 1, fetch_codec="gzip") as b:

@@ -228,13 +228,13 @@ _entry = st.tuples(
 
 
 @given(st.lists(_entry, min_size=1, max_size=20),
-       st.booleans())
+       st.sampled_from([None, "gzip", "snappy"]))
 @settings(max_examples=60, deadline=None)
-def test_record_batch_roundtrip_property(entries, gz):
+def test_record_batch_roundtrip_property(entries, codec):
     """Any (offset, ts, key, value) sequence with strictly-increasing
-    offsets round-trips through the magic-2 codec, gzip or plain; any
-    TRUNCATION decodes to a clean prefix of whole batches (never an
-    exception, never a partial record)."""
+    offsets round-trips through the magic-2 codec — plain, gzip, or
+    snappy; any TRUNCATION decodes to a clean prefix of whole batches
+    (never an exception, never a partial record)."""
     from aether_firebase_consumer_spark.sources.kafka_wire import (
         decode_record_batches,
         encode_record_batch,
@@ -246,7 +246,7 @@ def test_record_batch_roundtrip_property(entries, gz):
     for d, ts, k, v in entries:
         fixed.append((off, ts, k, v))
         off += 1 + (d % 3)       # gaps allowed (compaction)
-    wire = encode_record_batch(fixed, codec="gzip" if gz else None)
+    wire = encode_record_batch(fixed, codec=codec)
     assert decode_record_batches(wire) == fixed
     # truncation at every boundary: prefix-of-batches or nothing
     for cut in (0, 1, 12, len(wire) // 2, len(wire) - 1):
