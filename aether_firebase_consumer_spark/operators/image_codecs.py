@@ -481,14 +481,194 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 _TIFF_TAGS = {256: "width", 257: "height", 258: "bits_per_sample",
               259: "compression", 262: "photometric",
               273: "strip_offsets", 277: "samples_per_pixel",
-              278: "rows_per_strip", 279: "strip_byte_counts"}
+              278: "rows_per_strip", 279: "strip_byte_counts",
+              317: "predictor"}
+
+#: TIFF 6.0 Compression tag values this codec speaks
+_TIFF_COMP_NONE, _TIFF_COMP_LZW, _TIFF_COMP_DEFLATE = 1, 5, 8
+_TIFF_COMP_PACKBITS, _TIFF_COMP_DEFLATE_OLD = 32773, 32946
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 → copy n+1 literals;
+    n in 129..255 (signed -1..-127) → repeat next byte 257-n times;
+    n == 128 → no-op."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        c = data[pos]
+        pos += 1
+        if c < 128:
+            end = pos + c + 1
+            if end > n:
+                raise ValueError("PackBits: truncated literal run")
+            out += data[pos:end]
+            pos = end
+        elif c > 128:
+            if pos >= n:
+                raise ValueError("PackBits: truncated replicate run")
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """One scanline → PackBits (spec: rows compress independently)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        # literal stretch: until a >=3 run starts (2-runs stay literal,
+        # matching common writers) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += row[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW: MSB-first code packing, Clear=256, EOI=257, new
+    entries from 258, EARLY code-width change (width bumps when the
+    next entry to be added is 2^width - 1 — the spec's famous
+    off-by-one vs GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos, n = 0, len(data)
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)          # missing EOI: tolerate EOF
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW: first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):           # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the entry linking THIS code
+        # to the next one is not known yet), so it must bump one entry
+        # earlier than the encoder's nxt == 2^w - 1 rule
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW encoder (mirror of the decoder's early change:
+    width bumps when the NEXT code to be assigned is 2^width - 1;
+    table resets via Clear at 4094 entries)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    width = 9
+    nxt = 258
+
+    def reset() -> None:
+        nonlocal table, width, nxt
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+        nxt = 258
+
+    reset()
+    emit(CLEAR, width)
+    omega = b""
+    for i in range(len(data)):
+        k = data[i:i + 1]
+        if omega + k in table:
+            omega += k
+            continue
+        emit(table[omega], width)
+        table[omega + k] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:          # early change
+            width += 1
+        omega = k
+        if nxt >= 4094:                    # spec: clear before overflow
+            emit(CLEAR, width)
+            reset()
+    if omega:
+        emit(table[omega], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _hdiff(raw: bytes, w: int, ch: int, *, decode: bool) -> bytes:
+    """TIFF predictor 2 (horizontal differencing), per scanline: each
+    sample stores (decode: accumulates) the delta vs the same sample
+    of the previous pixel, mod 256."""
+    out = bytearray(raw)
+    stride = w * ch
+    for r in range(0, len(raw), stride):
+        if decode:
+            for i in range(r + ch, r + stride):
+                out[i] = (out[i] + out[i - ch]) & 0xFF
+        else:
+            for i in range(r + stride - 1, r + ch - 1, -1):
+                out[i] = (out[i] - out[i - ch]) & 0xFF
+    return bytes(out)
 
 
 def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an uncompressed baseline TIFF (both byte orders):
-    returns (width, height, channels, raw pixels row-major). Scope:
-    8-bit grayscale or RGB, compression=1 (none), strip-organized,
-    first IFD only; LZW/PackBits/JPEG-in-TIFF, tiles, and planar
+    """Decode a baseline TIFF (both byte orders): returns (width,
+    height, channels, raw pixels row-major). Scope: 8-bit grayscale
+    or RGB, strip-organized, first IFD only; compression 1 (none),
+    5 (LZW, with predictor 2 horizontal differencing), 8/32946
+    (Deflate), or 32773 (PackBits) — each strip decompresses
+    independently per the spec. JPEG-in-TIFF, tiles, and planar
     configs raise ``ValueError``. The format is public (TIFF 6.0
     spec): II/MM magic, 42, IFD of (tag, type, count, value) entries,
     pixel data addressed by StripOffsets/StripByteCounts."""
@@ -531,31 +711,62 @@ def decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         counts = tags["strip_byte_counts"]
     except KeyError as err:
         raise ValueError(f"TIFF missing required tag: {err}") from err
-    if tags.get("compression", [1])[0] != 1:
-        raise ValueError("compressed TIFF not supported (uncompressed "
-                         "baseline only)")
+    comp = tags.get("compression", [_TIFF_COMP_NONE])[0]
+    if comp not in (_TIFF_COMP_NONE, _TIFF_COMP_LZW, _TIFF_COMP_DEFLATE,
+                    _TIFF_COMP_DEFLATE_OLD, _TIFF_COMP_PACKBITS):
+        raise ValueError(f"TIFF compression {comp} not supported "
+                         "(none/LZW/Deflate/PackBits)")
     ch = tags.get("samples_per_pixel", [1])[0]
     if ch not in (1, 3):
         raise ValueError(f"{ch} samples/pixel not supported")
     bps = tags.get("bits_per_sample", [8])
     if any(b != 8 for b in bps):
         raise ValueError("only 8-bit samples supported")
+    predictor = tags.get("predictor", [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
     data = bytearray()
     for off, cnt in zip(offsets, counts):
-        data += payload[off:off + cnt]
+        strip = payload[off:off + cnt]
+        if comp == _TIFF_COMP_LZW:
+            strip = _tiff_lzw_decode(strip)
+        elif comp in (_TIFF_COMP_DEFLATE, _TIFF_COMP_DEFLATE_OLD):
+            import zlib as _zlib
+            strip = _zlib.decompress(strip)
+        elif comp == _TIFF_COMP_PACKBITS:
+            strip = _packbits_decode(strip)
+        data += strip
     if len(data) < w * h * ch:
         raise ValueError("truncated TIFF strip data")
-    return w, h, ch, bytes(data[:w * h * ch])
+    raw = bytes(data[:w * h * ch])
+    if predictor == 2:
+        raw = _hdiff(raw, w, ch, decode=True)
+    return w, h, ch, raw
+
+
+_TIFF_COMP_NAMES = {"none": _TIFF_COMP_NONE, "lzw": _TIFF_COMP_LZW,
+                    "deflate": _TIFF_COMP_DEFLATE,
+                    "packbits": _TIFF_COMP_PACKBITS}
 
 
 def encode_tiff(w: int, h: int, raw: bytes, channels: int = 3,
-                endian: str = "little") -> bytes:
-    """Encode 8-bit gray/RGB pixels as a single-strip uncompressed
-    baseline TIFF (II or MM byte order)."""
+                endian: str = "little", compression: str = "none",
+                predictor: int = 1) -> bytes:
+    """Encode 8-bit gray/RGB pixels as a single-strip baseline TIFF
+    (II or MM byte order). ``compression``: "none", "lzw" (TIFF 6.0
+    early-change LZW), "deflate" (tag 8, zlib), or "packbits" (rows
+    compressed independently, per the spec). ``predictor=2`` applies
+    horizontal differencing before compression (tag 317; its wins
+    come with lzw/deflate)."""
     if len(raw) != w * h * channels:
         raise ValueError("pixel buffer does not match w*h*channels")
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
+    comp = _TIFF_COMP_NAMES.get(compression)
+    if comp is None:
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
     order = endian
     magic = b"II" if order == "little" else b"MM"
 
@@ -565,18 +776,32 @@ def encode_tiff(w: int, h: int, raw: bytes, channels: int = 3,
     def p32(v: int) -> bytes:
         return v.to_bytes(4, order)
 
+    strip = raw if predictor == 1 else _hdiff(raw, w, channels,
+                                              decode=False)
+    if comp == _TIFF_COMP_LZW:
+        strip = _tiff_lzw_encode(strip)
+    elif comp == _TIFF_COMP_DEFLATE:
+        import zlib as _zlib
+        strip = _zlib.compress(strip)
+    elif comp == _TIFF_COMP_PACKBITS:
+        stride = w * channels
+        strip = b"".join(_packbits_encode_row(strip[r:r + stride])
+                         for r in range(0, len(strip), stride))
+
     # layout: header(8) | pixel data | IFD
     data_off = 8
-    ifd_off = data_off + len(raw)
+    ifd_off = data_off + len(strip)
     entries = [
         (256, 3, 1, w), (257, 3, 1, h),
-        (259, 3, 1, 1),                    # no compression
+        (259, 3, 1, comp),
         (262, 3, 1, 1 if channels == 1 else 2),
         (273, 4, 1, data_off),             # single strip
         (277, 3, 1, channels),
         (278, 3, 1, h),
-        (279, 4, 1, len(raw)),
+        (279, 4, 1, len(strip)),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
     bps_extra = b""
     if channels == 3:
         # bits_per_sample needs 3 shorts -> external value area after IFD
@@ -596,4 +821,4 @@ def encode_tiff(w: int, h: int, raw: bytes, channels: int = 3,
             packed = p32(val)
         ifd += p16(tag) + p16(typ) + p32(count) + packed
     ifd += p32(0)  # no next IFD
-    return magic + p16(42) + p32(ifd_off) + raw + ifd + bps_extra
+    return magic + p16(42) + p32(ifd_off) + strip + ifd + bps_extra

@@ -12,7 +12,7 @@ PNG (all five filters + palette), 24-bit BMP, GIF87a/89a (full LZW),
 baseline JPEG gray+color with 4:2:0 and restart intervals
 (``operators/jpeg_codec.py``), PCM WAV (stdlib ``wave``) and G.711
 mu-law — so ``decode_image``/``decode_audio`` run REAL decodes with no
-PIL/soundfile. Only TIFF/WebP/compressed-audio/video remain env-gated
+PIL/soundfile. Only WebP/compressed-audio/video remain env-gated
 (``NotImplementedError`` with a clear message). ``scan_image_files``
 ingests real files via binaryFile with corrupt-blob quarantine.
 """
@@ -139,8 +139,8 @@ def decode_image(payload: bytes) -> "object":
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "WebP/compressed-TIFF decode requires PIL (not in this "
-            "environment); PPM/PNG/BMP/GIF/uncompressed-TIFF and baseline "
+            "WebP decode requires PIL (not in this environment); "
+            "PPM/PNG/BMP/GIF/TIFF (none/LZW/Deflate/PackBits) and baseline "
             "JPEG decode natively via operators.image_codecs / "
             "operators.jpeg_codec") from err
 

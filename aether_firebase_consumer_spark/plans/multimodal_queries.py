@@ -612,3 +612,69 @@ def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, channels int, "
         "r_out int, g_out int, b_out int")
+
+
+@register(
+    "multimodal_tiff_compressed_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    )
+    SELECT doc_id, 4 AS width, 2 AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'lzw' WHEN 1 THEN 'deflate'
+                ELSE 'packbits' END AS compression,
+           CAST(1 + doc_id % 2 AS INT) AS predictor,
+           CAST(ascii(substr(hx, 17, 1)) + ascii(substr(hx, 18, 1))
+              + ascii(substr(hx, 19, 1)) + ascii(substr(hx, 20, 1))
+              + ascii(substr(hx, 21, 1)) + ascii(substr(hx, 22, 1))
+              + ascii(substr(hx, 23, 1)) + ascii(substr(hx, 24, 1))
+              AS DOUBLE) / 8 AS avg_v
+    FROM px
+    """,
+)
+def multimodal_tiff_compressed_stats(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """REAL compressed-TIFF encode+decode inside an oracle-gated
+    query: each document's 4x2 grayscale pixels are md5(text) hex
+    chars 17-24; the Arrow kernel encodes with a per-row-varying
+    compression (doc_id % 3 → LZW / Deflate / PackBits) and predictor
+    (doc_id % 2 → none / horizontal differencing), decodes through
+    the strip-decompress + predictor-accumulate path, and reduces to
+    a mean the oracle recomputes arithmetically — so all three
+    compressors, both predictors, and their IFD tags are exercised
+    under the value-hash gate. Codec: operators/image_codecs.py
+    (TIFF 6.0 spec: early-change LZW, tag-8 Deflate, PackBits,
+    predictor tag 317)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_pixels = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.md5("text"), 17, 8), "UTF-8").alias("pixels"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        comps = ("lzw", "deflate", "packbits")
+        for pdf in batches:
+            out = []
+            for doc_id, pixels in zip(pdf["doc_id"], pdf["pixels"]):
+                comp = comps[int(doc_id) % 3]
+                pred = 1 + int(doc_id) % 2
+                tif = encode_tiff(4, 2, bytes(pixels), channels=1,
+                                  compression=comp, predictor=pred)
+                w, h, ch, raw = decode_tiff(tif)
+                assert ch == 1
+                out.append((int(doc_id), w, h, comp, pred,
+                            sum(raw) / (w * h)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "compression", "predictor",
+                "avg_v"])
+
+    return with_pixels.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, compression string, "
+        "predictor int, avg_v double")

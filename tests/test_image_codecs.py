@@ -494,16 +494,101 @@ def test_tiff_scope_rejection():
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"PK..")
     tif = bytearray(encode_tiff(2, 2, _pixels(12)))
-    # flip the compression tag (259) value to 5 (LZW)
+    # flip the compression tag (259) value to 7 (JPEG-in-TIFF):
+    # outside the none/LZW/Deflate/PackBits scope
     import struct as _s
     ifd = int.from_bytes(tif[4:8], "little")
     n = int.from_bytes(tif[ifd:ifd + 2], "little")
     for i in range(n):
         e = ifd + 2 + i * 12
         if int.from_bytes(tif[e:e + 2], "little") == 259:
-            tif[e + 8:e + 10] = _s.pack("<H", 5)
-    with pytest.raises(ValueError, match="compressed"):
+            tif[e + 8:e + 10] = _s.pack("<H", 7)
+    with pytest.raises(ValueError, match="compression 7 not supported"):
         decode_tiff(bytes(tif))
+
+
+@pytest.mark.parametrize("compression", ["lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_tiff_compressed_roundtrip(compression, predictor, channels):
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+    w, h = 9, 5
+    raw = _pixels(w * h * channels)
+    tif = encode_tiff(w, h, raw, channels=channels,
+                      compression=compression, predictor=predictor)
+    assert decode_tiff(tif) == (w, h, channels, raw)
+
+
+def test_tiff_compression_actually_compresses():
+    """A smooth gradient must shrink under lzw+predictor and deflate —
+    the whole point of tag 317 — and still round-trip exactly."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+    w, h = 64, 32
+    raw = bytes(((x + y) // 2) & 0xFF for y in range(h) for x in range(w))
+    plain = encode_tiff(w, h, raw, channels=1)
+    for kw in ({"compression": "lzw", "predictor": 2},
+               {"compression": "deflate", "predictor": 2},
+               {"compression": "lzw"}, {"compression": "deflate"}):
+        tif = encode_tiff(w, h, raw, channels=1, **kw)
+        assert len(tif) < len(plain)
+        assert decode_tiff(tif) == (w, h, 1, raw)
+
+
+def test_packbits_spec_vector():
+    """The worked example from the public TIFF 6.0 PackBits section
+    pins the decoder independently of our encoder."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        _packbits_decode,
+        _packbits_encode_row,
+    )
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex("AAAAAA80002A" + "AA" * 4
+                             + "80002A22" + "AA" * 10)
+    assert _packbits_decode(packed) == unpacked
+    # our encoder's output decodes to the same bytes (encodings may
+    # legally differ; the decode is the contract)
+    assert _packbits_decode(_packbits_encode_row(unpacked)) == unpacked
+
+
+def test_tiff_lzw_hand_packed_vector():
+    """Decoder pinned against a code stream packed by an INDEPENDENT
+    test-side bit packer: Clear, literals/extensions for
+    b'\\x07\\x07\\x07\\x08\\x08\\x07', EOI — all 9-bit, MSB-first."""
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+    # hand-traced LZW: 256(Clear) 7 258("77") 8 8 7 257(EOI)
+    codes = [256, 7, 258, 8, 8, 7, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    packed = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert _tiff_lzw_decode(packed) == b"\x07\x07\x07\x08\x08\x07"
+    # and the engine encoder produces exactly this canonical stream
+    assert _tiff_lzw_encode(b"\x07\x07\x07\x08\x08\x07") == packed
+
+
+def test_tiff_lzw_early_change_boundaries():
+    """Round trips across the 9->10->11->12-bit width changes and a
+    table reset: pseudo-random bytes force ~1 new table entry per 1-2
+    input bytes, so 20k bytes cross every early-change boundary and
+    the 4094-entry Clear."""
+    import zlib as _zlib
+
+    from aether_firebase_consumer_spark.operators.image_codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+    data = _zlib.compress(bytes(range(256)) * 400, 9)[:20000]
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+    run_heavy = (b"\x00" * 500 + data[:4000]) * 3
+    assert _tiff_lzw_decode(_tiff_lzw_encode(run_heavy)) == run_heavy
 
 
 def test_decode_image_dispatch_tiff():
