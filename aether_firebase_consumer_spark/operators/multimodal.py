@@ -200,10 +200,213 @@ def decode_wav_mulaw(payload: bytes) -> tuple[int, int, int, list[int]]:
     return rate, channels, len(samples) // channels, samples
 
 
+#: IMA ADPCM quantizer tables (public spec: IMA Digital Audio Focus
+#: and Technology Working Groups, "Recommended Practices for
+#: Enhancing Digital Audio Compatibility", 1992; also Microsoft's
+#: WAVE format tag 0x0011 documentation)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767)
+
+
+def _ima_decode_nibble(n: int, pred: int, idx: int) -> tuple[int, int]:
+    """One 4-bit ADPCM code → (new predictor, new step index). Exact
+    integer arithmetic per the spec's bit-shift reconstruction."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    if n & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[n]))
+    return pred, idx
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, int,
+                                                  list[int]]:
+    """Decode an IMA ADPCM (format code 0x11) RIFF/WAVE file to
+    linear int16 samples — 4:1-compressed speech/audio stdlib
+    ``wave`` refuses. Block-structured per the public layout: each
+    block carries a per-channel 4-byte header (int16 initial sample —
+    which IS the block's first output sample — uint8 step index,
+    reserved), then nibble data low-nibble-first, stereo interleaved
+    in 4-byte words per channel. Returns (rate, channels, n_frames,
+    samples interleaved by frame)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    code = int.from_bytes(fmt[0:2], "little")
+    if code != 0x11:
+        raise ValueError(f"not IMA ADPCM (format code {code})")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if channels not in (1, 2):
+        raise ValueError(f"{channels}-channel IMA ADPCM not supported")
+    per_block = (block_align - 4 * channels) * 2 // channels + 1
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0:b0 + block_align]
+        preds, idxs = [], []
+        local: list[list[int]] = []
+        for c in range(channels):
+            p = int.from_bytes(block[c * 4:c * 4 + 2], "little",
+                               signed=True)
+            i = block[c * 4 + 2]
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            local.append([p])              # header sample is sample 0
+        body = block[4 * channels:]
+        # mono: sequential nibbles; stereo: 4-byte words alternate
+        # channels, 8 nibbles (= 8 samples) per word
+        for wpos in range(0, len(body), 4):
+            c = (wpos // 4) % channels
+            for byte in body[wpos:wpos + 4]:
+                for n in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_decode_nibble(
+                        n, preds[c], idxs[c])
+                    local[c].append(preds[c])
+        for c in range(channels):
+            out[c].extend(local[c][:per_block])
+    n_frames = min(len(ch) for ch in out)
+    interleaved: list[int] = []
+    for f in range(n_frames):
+        for c in range(channels):
+            interleaved.append(out[c][f])
+    return rate, channels, n_frames, interleaved
+
+
+def encode_wav_ima_adpcm(rate: int, channels: int,
+                         samples: list[int],
+                         samples_per_block: int = 505) -> bytes:
+    """Encode linear int16 samples (interleaved by frame) as an IMA
+    ADPCM RIFF/WAVE file (format 0x11). The standard encoder state
+    machine: each block's first sample ships verbatim in the header;
+    every later sample quantizes its delta against the decoder's own
+    reconstruction, so encoder and decoder states stay locked. Lossy
+    by design — tests bound reconstruction error, not equality."""
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 mod 8")
+    frames = [samples[i:i + channels]
+              for i in range(0, len(samples), channels)]
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    blocks = bytearray()
+    run_idxs: list[int] | None = None      # adapted index carries over
+    for b0 in range(0, len(frames), samples_per_block):
+        chunk = frames[b0:b0 + samples_per_block]
+        # pad the tail block with its last frame (decoder emits per
+        # block_align, so keep blocks full)
+        while len(chunk) < samples_per_block:
+            chunk.append(chunk[-1])
+        preds = [chunk[0][c] for c in range(channels)]
+        if run_idxs is None:
+            # cold start: pick each channel's initial step near the
+            # first delta so the quantizer needn't ramp from step 7
+            # (the header ships the index, so any choice decodes)
+            run_idxs = []
+            for c in range(channels):
+                d = abs(chunk[1][c] - chunk[0][c]) if len(chunk) > 1 else 0
+                i = 0
+                while i < 88 and _IMA_STEP_TABLE[i] < d:
+                    i += 1
+                run_idxs.append(i)
+        idxs = list(run_idxs)
+        for c in range(channels):
+            blocks += preds[c].to_bytes(2, "little", signed=True)
+            blocks += bytes([idxs[c], 0])
+        nibbles: list[list[int]] = [[] for _ in range(channels)]
+        for frame in chunk[1:]:
+            for c in range(channels):
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = frame[c] - preds[c]
+                n = 0
+                if diff < 0:
+                    n = 8
+                    diff = -diff
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                preds[c], idxs[c] = _ima_decode_nibble(
+                    n, preds[c], idxs[c])
+                nibbles[c].append(n)
+        run_idxs = list(idxs)              # next block starts adapted
+        # pack: per channel, 8 nibbles per 4-byte word, words
+        # interleaved across channels
+        for w0 in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                eight = nibbles[c][w0:w0 + 8]
+                for k in range(0, 8, 2):
+                    blocks.append(eight[k] | (eight[k + 1] << 4))
+    per_block = samples_per_block
+    byte_rate = rate * block_align // per_block
+    fmt = (int(0x11).to_bytes(2, "little")
+           + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little")
+           + block_align.to_bytes(2, "little")
+           + (4).to_bytes(2, "little")
+           + (2).to_bytes(2, "little")
+           + per_block.to_bytes(2, "little"))
+    chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"data" + len(blocks).to_bytes(4, "little") + blocks)
+    return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks)
+
+
 def decode_audio(payload: bytes):
-    """Audio decode. PCM WAV decodes with the stdlib ``wave`` module
-    (no dependencies); compressed formats need soundfile, absent from
-    the v1 container — those raise with a clear error."""
+    """Audio decode. PCM WAV decodes with the stdlib ``wave`` module;
+    µ-law and IMA ADPCM WAVs decode via the native expanders (they
+    return sample LISTS, not PCM byte frames); other compressed
+    formats need soundfile, absent from the v1 container — those
+    raise with a clear error."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # peek the fmt tag to route compressed WAV variants
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if cid == b"fmt ":
+                code = int.from_bytes(payload[pos + 8:pos + 10], "little")
+                if code == 7:
+                    return decode_wav_mulaw(payload)
+                if code == 0x11:
+                    return decode_wav_ima_adpcm(payload)
+                break
+            pos += 8 + size + (size & 1)
+        return decode_wav(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     try:

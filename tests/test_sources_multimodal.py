@@ -554,3 +554,98 @@ def test_scan_image_files_mixed_directory(spark, tmp_path):
     assert rows["e.tif"]["ok"] and rows["e.tif"]["fmt"] == "tiff"
     assert not rows["bad.png"]["ok"]
     assert rows["bad.png"]["error"]  # quarantined with a reason
+
+
+def test_ima_adpcm_nibble_hand_vectors():
+    """The quantizer state machine pinned on hand-computed steps from
+    the public tables: index 0 -> step 7; nibble 4 adds the full step;
+    bit 8 negates; index moves by the index table, clamped."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        _ima_decode_nibble,
+    )
+    # pred=0, idx=0 (step 7), nibble 4: diff = 7>>3 + 7 = 7? no:
+    # diff = step>>3 (=0) + step (bit4) = 7; idx += 2
+    assert _ima_decode_nibble(4, 0, 0) == (7, 2)
+    # pred=7, idx=2 (step 9), nibble 12 (8|4): diff = 1 + 9 = 10,
+    # negated -> pred 7-10 = -3; idx 2+2 = 4
+    assert _ima_decode_nibble(12, 7, 2) == (-3, 4)
+    # clamping: idx 0 + table[0] = -1 -> 0; pred clamps at int16
+    assert _ima_decode_nibble(0, 0, 0) == (0, 0)
+    assert _ima_decode_nibble(7, 32767, 88) == (32767, 88)
+    assert _ima_decode_nibble(15, -32768, 88) == (-32768, 88)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ima_adpcm_wav_roundtrip(channels):
+    """encode -> decode reconstructs a sine within ADPCM's expected
+    error envelope (lossy 4:1 codec; locked encoder/decoder states
+    keep the error bounded, not drifting)."""
+    import math
+
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    n = 2000
+    samples = []
+    for i in range(n):
+        for c in range(channels):
+            samples.append(int(12000 * math.sin(
+                2 * math.pi * (i * (220 + 110 * c)) / 8000)))
+    wav = encode_wav_ima_adpcm(8000, channels, samples,
+                               samples_per_block=505)
+    rate, ch, frames, got = decode_wav_ima_adpcm(wav)
+    assert (rate, ch) == (8000, channels)
+    assert frames >= n                      # tail block padded
+    err = [abs(a - b) for a, b in zip(got[:n * channels], samples)]
+    assert max(err) < 2000                  # worst step at this slope
+    assert sum(err) / len(err) < 200        # and small on average
+    # dispatch: decode_audio routes fmt 0x11 to the ADPCM decoder
+    assert decode_audio(wav)[0] == 8000
+
+
+def test_ima_adpcm_block_boundary_reset():
+    """Each block restarts from its own header (seekability — the
+    reason the format is block-structured): decoding blocks
+    independently equals decoding the stream."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    samples = [((i * 37) % 9000) - 4500 for i in range(1200)]
+    wav = encode_wav_ima_adpcm(8000, 1, samples, samples_per_block=505)
+    _, _, _, full = decode_wav_ima_adpcm(wav)
+    # rebuild a one-block file from the second block's bytes
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(wav):
+        cid = wav[pos:pos + 4]
+        size = int.from_bytes(wav[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = wav[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data = wav[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    block_align = int.from_bytes(fmt[12:14], "little")
+    blk2 = data[block_align:2 * block_align]
+    solo = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(blk2))
+            .to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(blk2).to_bytes(4, "little") + blk2)
+    _, _, _, got = decode_wav_ima_adpcm(solo)
+    assert got == full[505:1010]
+
+
+def test_ima_adpcm_rejects_bad_input():
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_ima_adpcm(b"nope")
+    wav = bytearray(encode_wav_ima_adpcm(8000, 1, [0] * 600))
+    # corrupt the first block header's step index past 88
+    data_at = wav.index(b"data") + 8
+    wav[data_at + 2] = 90
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav_ima_adpcm(bytes(wav))
