@@ -556,9 +556,9 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("shared_ratio")))
 
 
-@register(
-    "dedup_incremental_lsh",
-    oracle=f"""
+# Shared by dedup_incremental_lsh and its partition-pruned twin: both
+# must produce the same pairs, so they carry the same oracle.
+_INCR_LSH_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     sig AS (
       SELECT id, sh, {", ".join(_minhash_sql(i) for i in range(_K))}
@@ -593,8 +593,10 @@ def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ver
     )
     SELECT new_id, dup_of, jaccard FROM best WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("dedup_incremental_lsh", oracle=_INCR_LSH_ORACLE)
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: an incoming batch (doc_id % 10 ∈ {{8,9}} — a
     deterministic 20% stand-in for a micro-batch) probed against the
@@ -617,6 +619,60 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("new_id", F.col("old_id").alias("dup_of"), "jaccard"))
+
+
+@register("dedup_incremental_lsh_pruned", oracle=_INCR_LSH_ORACLE)
+def dedup_incremental_lsh_pruned(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``dedup_incremental_lsh`` through the PERSISTED, partition-
+    pruned index path (round 7): the existing corpus's band keys are
+    written to a bkp-hash-partitioned ``(doc_id, band_key, bkp)``
+    upsert table and its shingle sets to an idp-partitioned per-doc
+    table; the incoming batch probes them via
+    :func:`~..operators.dedup.lsh_probe_partitioned_pairs`, whose scan
+    pushes the batch's prefixes as PartitionFilters — per-trigger
+    index I/O is bounded by the batch, not the corpus (the round-6
+    claims gap, closed and oracle-gated here: results are bit-
+    identical to the recompute form, so both carry the same oracle)."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+        lsh_band_index_rows,
+        lsh_index_frame,
+        lsh_probe_partitioned_pairs,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8)
+    root = tempfile.mkdtemp(prefix="lsh_pruned_idx_")
+    n_parts, idp_parts = 16, 8
+    doc_t = ParquetUpsertTable(spark, root + "/doc", ["doc_id"],
+                               partition_col="idp")
+    long_t = ParquetUpsertTable(spark, root + "/long",
+                                ["doc_id", "band_key"],
+                                partition_col="bkp")
+    doc_t.merge(lsh_index_frame(existing, "doc_id", "text",
+                                k=_K, bands=_BANDS)
+                .withColumn("idp", id_partition(F.col("doc_id"),
+                                                idp_parts)))
+    long_t.merge(lsh_band_index_rows(existing, "doc_id", "text",
+                                     k=_K, bands=_BANDS,
+                                     n_parts=n_parts))
+    pairs = lsh_probe_partitioned_pairs(
+        long_t.read(), doc_t.read(), incoming, "doc_id", "text",
+        k=_K, bands=_BANDS, threshold=0.5,
+        n_parts=n_parts, idp_parts=idp_parts)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), "old_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("dup_of"),
+                    "jaccard"))
 
 
 @register("dedup_minhash_lsh_fast")  # rows-only: xxhash64 has no DuckDB twin

@@ -628,6 +628,97 @@ def embedding_probe_index_pairs(index: DataFrame, corpus: DataFrame,
             .filter(F.col("cos_sim") >= threshold))
 
 
+def embedding_band_index_rows(df: DataFrame, id_col: str, vec_col: str,
+                              bands: list[list[list[float]]],
+                              n_parts: int | None = None) -> DataFrame:
+    """Rows for the PARTITION-PRUNABLE long vector band index:
+    ``(id_col, bi, bk, bkp)`` — one row per (vector, band), ``bkp``
+    the hash partition of the band key. Maintained by a
+    :class:`~..sinks.upsert.ParquetUpsertTable` keyed
+    ``[id_col, "bi"]`` with ``partition_col="bkp"``: because every
+    vector emits exactly ``len(bands)`` rows, a plain MERGE replaces
+    an update's rows exactly (no stale-key delete needed — the text
+    twin's tombstone machinery has no vector analogue)."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        BAND_INDEX_PARTITIONS,
+        band_partition,
+    )
+    n = BAND_INDEX_PARTITIONS if n_parts is None else n_parts
+    return (df.select(F.col(id_col),
+                      F.posexplode(lsh_band_keys(F.col(vec_col), bands))
+                      .alias("bi", "bk"))
+            .withColumn("bkp", band_partition(F.col("bk"), n)))
+
+
+def embedding_probe_partitioned_pairs(long_index: DataFrame,
+                                      corpus: DataFrame,
+                                      incoming: DataFrame,
+                                      id_col: str, vec_col: str,
+                                      bands: list[list[list[float]]],
+                                      threshold: float,
+                                      n_parts: int | None = None,
+                                      idp_parts: int | None = None,
+                                      materialize: bool = True
+                                      ) -> DataFrame:
+    """:func:`embedding_probe_index_pairs` with per-trigger I/O bounded
+    by the BATCH: the batch's band-key prefixes prune the
+    bkp-partitioned long index scan (PartitionFilters — exact, since
+    an equi-join match implies an equal prefix), and with ``idp_parts``
+    set and the corpus carrying an ``idp`` partition column, the
+    per-candidate embedding fetch prunes the corpus scan to candidate
+    ids' partitions the same way. Bit-identical to the unpruned probe.
+
+    ``materialize=False`` keeps full lazy lineage for plan inspection;
+    the default checkpoints the multi-referenced frames once."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        BAND_INDEX_PARTITIONS,
+        band_partition,
+        id_partition,
+    )
+    n = BAND_INDEX_PARTITIONS if n_parts is None else n_parts
+    long_i = incoming.select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(lsh_band_keys(F.col(vec_col), bands))
+        .alias("bi", "bk"))
+    if materialize:
+        long_i = long_i.localCheckpoint()
+    prefixes = [r[0] for r in long_i
+                .select(band_partition(F.col("bk"), n).alias("p"))
+                .distinct().collect()]
+    id_t = dict(incoming.dtypes)[id_col]
+    empty = incoming.sparkSession.createDataFrame(
+        [], f"new_id {id_t}, old_id {id_t}, cos_sim double")
+    if not prefixes:
+        return empty
+    pruned = long_index.filter(F.col("bkp").isin(prefixes))
+    cand = (long_i
+            .join(pruned.select(F.col(id_col).alias("old_id"),
+                                "bi", "bk"),
+                  ["bi", "bk"])
+            .select("new_id", "old_id").distinct())
+    if materialize:
+        # reused: idp-prefix collect + both verify joins
+        cand = cand.localCheckpoint()
+    co = corpus
+    if idp_parts is not None and "idp" in co.columns:
+        idps = [r[0] for r in cand
+                .select(id_partition(F.col("old_id"), idp_parts)
+                        .alias("p")).distinct().collect()]
+        if not idps:
+            return empty
+        co = co.filter(F.col("idp").isin(idps))
+    emb_n = incoming.select(F.col(id_col).alias("new_id"),
+                            F.col(vec_col).alias("emb_n"))
+    emb_o = co.select(F.col(id_col).alias("old_id"),
+                      F.col(vec_col).alias("emb_o")) \
+        .join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    return (cand.join(emb_n, "new_id").join(emb_o, "old_id")
+            .select("new_id", "old_id",
+                    cosine(F.col("emb_n"), F.col("emb_o"))
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 _PQ_TRAINED_ADC = " + ".join(
     f"list_dot_product({_pq_sub_sql('q', s)}, c{s}.cv)"
     for s in range(_PQ_M))
@@ -1034,9 +1125,9 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn"))
 
 
-@register(
-    "similarity_incremental_neardup",
-    oracle=f"""
+# Shared by similarity_incremental_neardup and its partition-pruned
+# twin: identical pairs, identical oracle.
+_INCR_NEARDUP_ORACLE = f"""
     WITH sig AS (
       SELECT vec_id, {_band_sql('embeddings', _NEARDUP_BANDS[0])} AS band0,
              {_band_sql('embeddings', _NEARDUP_BANDS[1])} AS band1
@@ -1062,8 +1153,11 @@ def similarity_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ver
     )
     SELECT new_id, dup_of, cos_sim FROM best WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("similarity_incremental_neardup",
+          oracle=_INCR_NEARDUP_ORACLE)
 def similarity_incremental_neardup(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING near-dup — the vector twin of
@@ -1113,3 +1207,52 @@ def similarity_incremental_neardup(spark: SparkSession,
     return (ver.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("new_id", F.col("old_id").alias("dup_of"), "cos_sim"))
+
+
+@register("similarity_incremental_neardup_pruned",
+          oracle=_INCR_NEARDUP_ORACLE)
+def similarity_incremental_neardup_pruned(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """``similarity_incremental_neardup`` through the PERSISTED,
+    partition-pruned index path (round 7, the vector twin of
+    ``dedup_incremental_lsh_pruned``): the existing corpus's sign-LSH
+    band keys are written to a bkp-hash-partitioned
+    ``(vec_id, bi, bk, bkp)`` upsert table and the corpus itself to an
+    idp-partitioned table; the incoming batch probes them via
+    :func:`embedding_probe_partitioned_pairs`, pushing the batch's
+    prefixes as PartitionFilters on the index scan and the candidate
+    ids' prefixes on the embedding fetch — per-trigger I/O ∝ batch,
+    never ∝ corpus. Bit-identical to the recompute form, so both
+    carry the same oracle."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    existing = emb.filter(F.col("vec_id") % 10 < 8)
+    incoming = emb.filter(F.col("vec_id") % 10 >= 8)
+    root = tempfile.mkdtemp(prefix="emb_pruned_idx_")
+    n_parts, idp_parts = 16, 8
+    corp_t = ParquetUpsertTable(spark, root + "/corp", ["vec_id"],
+                                partition_col="idp")
+    long_t = ParquetUpsertTable(spark, root + "/long",
+                                ["vec_id", "bi"], partition_col="bkp")
+    corp_t.merge(existing.withColumn(
+        "idp", id_partition(F.col("vec_id"), idp_parts)))
+    long_t.merge(embedding_band_index_rows(
+        existing, "vec_id", "embedding", _NEARDUP_BANDS, n_parts))
+    pairs = embedding_probe_partitioned_pairs(
+        long_t.read(), corp_t.read(), incoming, "vec_id", "embedding",
+        _NEARDUP_BANDS, 0.35, n_parts=n_parts, idp_parts=idp_parts)
+    w = W.partitionBy("new_id").orderBy(F.desc("cos_sim"), "old_id")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("old_id").alias("dup_of"),
+                    "cos_sim"))

@@ -14,11 +14,20 @@ incrementally-maintained :class:`~..sinks.upsert.ParquetUpsertTable`:
 survivors merge their index rows at ingest time, and each batch
 PROBES the persisted index (:func:`~.operators.dedup.
 lsh_probe_index_pairs`) instead of re-shingling the accumulated
-corpus — per-batch work is shingle+hash the batch, one equi-join into
-the index, and a candidate-only verify, independent of corpus size.
-Without ``band_index`` the job falls back to recomputing the corpus
-band frame per batch (correct, simple, fine for small corpora); the
-rejection semantics are identical either way and test-pinned.
+corpus — per-batch COMPUTE is shingle+hash the batch, one equi-join
+into the index, and a candidate-only verify, independent of corpus
+size. Per-batch I/O additionally stops growing with the corpus when
+``band_long_index`` is set (the full 100 TB shape): a bkp-partitioned
+``(id, band_key, bkp)`` table whose probe
+(:func:`~.operators.dedup.lsh_probe_partitioned_pairs`) pushes the
+batch's band-key prefixes as PartitionFilters, so each trigger scans
+only index directories a batch key can possibly match; with the
+per-doc table idp-partitioned, the shingle fetch for the verify is
+pruned to candidate ids' partitions the same way. Without
+``band_index`` the job falls back to recomputing the corpus band
+frame per batch (correct, simple, fine for small corpora); the
+rejection semantics are identical across all three paths and
+test-pinned.
 
 Rejected documents are not dropped silently: each batch can append a
 (doc_id, dup_of, jaccard, epoch) audit row set to a rejection log —
@@ -35,10 +44,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.operators.dedup import (
+    BAND_INDEX_PARTITIONS,
+    band_partition,
+    id_partition,
     lsh_candidate_pairs,
     lsh_incremental_pairs,
     lsh_index_frame,
     lsh_probe_index_pairs,
+    lsh_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 
@@ -56,19 +69,51 @@ class DedupIngestJob:
     drop out of the band frame). Attaching an index to an already-
     populated corpus backfills it from the full corpus ONCE on the
     next batch.
+
+    ``band_long_index`` (optional, requires ``band_index``): the
+    bkp-partitioned ``(id, band_key, bkp)`` probe table — key
+    ``[id_col, "band_key"]``, ``partition_col="bkp"`` — that bounds
+    per-trigger index I/O by the batch instead of the corpus (pruned
+    probe via PartitionFilters). Maintained MERGE-exactly: updates
+    delete their stale band keys (partition-pruned delete) before
+    merging new ones. Construct the per-doc ``band_index`` with
+    ``partition_col="idp"`` and pass ``idp_parts`` to also prune the
+    verify's shingle fetch to candidate partitions.
     """
 
     def __init__(self, spark: SparkSession, corpus: ParquetUpsertTable,
                  rejects: ParquetUpsertTable | None = None,
                  band_index: ParquetUpsertTable | None = None,
+                 band_long_index: ParquetUpsertTable | None = None,
                  id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.5, k: int = 8, bands: int = 4) -> None:
+                 threshold: float = 0.5, k: int = 8, bands: int = 4,
+                 n_parts: int = BAND_INDEX_PARTITIONS,
+                 idp_parts: int | None = None) -> None:
+        if band_long_index is not None:
+            if band_index is None:
+                raise ValueError(
+                    "band_long_index needs band_index: the pruned probe "
+                    "fetches candidate shingle sets from the per-doc "
+                    "index table")
+            if band_long_index.partition_col != "bkp":
+                raise ValueError(
+                    "band_long_index must be partitioned by 'bkp' — an "
+                    "unpartitioned long index re-scans the whole table "
+                    "per trigger, the exact I/O shape this table exists "
+                    "to avoid")
+        if (band_index is not None and band_index.partition_col == "idp"
+                and idp_parts is None):
+            raise ValueError(
+                "band_index is idp-partitioned but idp_parts is unset: "
+                "index rows could not compute their partition value")
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
         self.band_index = band_index
+        self.band_long_index = band_long_index
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.k, self.bands = threshold, k, bands
+        self.n_parts, self.idp_parts = n_parts, idp_parts
         #: cumulative counters (driver-side, tiny): batches processed,
         #: docs accepted into the corpus, docs rejected as near-dups —
         #: the processed/suppressed tallies the reference's report
@@ -102,7 +147,48 @@ class DedupIngestJob:
                   .join(idx.select(self.id_col), self.id_col, "left_anti")
                   .select(self.id_col, empty_arr.alias("sh"),
                           empty_arr.alias("band_keys")))
-        return idx.unionByName(blanks)
+        rows = idx.unionByName(blanks)
+        if (self.band_index is not None
+                and self.band_index.partition_col == "idp"):
+            rows = rows.withColumn(
+                "idp", id_partition(F.col(self.id_col), self.idp_parts))
+        return rows
+
+    def _explode_long(self, doc_rows: DataFrame) -> DataFrame:
+        """Long-index rows derived from per-doc index rows — the same
+        (id, band_key, bkp) frame :func:`~..operators.dedup.
+        lsh_band_index_rows` computes, but from already-shingled rows
+        so ONE shingle pass feeds both index tables."""
+        return (doc_rows
+                .select(self.id_col,
+                        F.explode("band_keys").alias("band_key"))
+                .withColumn("bkp", band_partition(F.col("band_key"),
+                                                  self.n_parts)))
+
+    def _maintain_long_index(self, doc_rows: DataFrame,
+                             prev_doc_index: DataFrame | None) -> None:
+        """Keep the bkp-partitioned long index MERGE-exact: an UPDATE
+        whose text changed must not leave its previous band keys behind
+        (they would keep producing candidates forever — harmless for
+        correctness, the verify reads current shingles, but unbounded
+        I/O under churn). Old keys come from the PRE-merge per-doc
+        index, so both the delete and the merge are pruned to the
+        batch's partitions."""
+        new_rows = self._explode_long(doc_rows).localCheckpoint()
+        if prev_doc_index is not None:
+            old_long = (prev_doc_index
+                        .join(doc_rows.select(self.id_col),
+                              self.id_col, "left_semi")
+                        .select(self.id_col,
+                                F.explode("band_keys").alias("band_key")))
+            stale = (old_long
+                     .join(new_rows, [self.id_col, "band_key"],
+                           "left_anti")
+                     .withColumn("bkp",
+                                 band_partition(F.col("band_key"),
+                                                self.n_parts)))
+            self.band_long_index.delete_keys(stale)
+        self.band_long_index.merge(new_rows)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         batch = batch.dropDuplicates([self.id_col])
@@ -120,18 +206,31 @@ class DedupIngestJob:
 
         existing = self.corpus.read()
         had_index = False
+        had_long = False
+        prev_index = None
         if existing is not None:
             # an id the corpus already holds is a re-delivery or an
             # UPDATE of that document — it merges directly and must not
             # be near-dup-gated (it would match its own prior version)
             known = existing.select(self.id_col).distinct()
             fresh = survivors.join(known, self.id_col, "left_anti")
-            index = self.band_index.read() \
+            prev_index = self.band_index.read() \
                 if self.band_index is not None else None
-            if index is not None:
+            long_idx = (self.band_long_index.read()
+                        if prev_index is not None
+                        and self.band_long_index is not None else None)
+            had_long = long_idx is not None
+            if had_long:
+                had_index = True
+                matches = lsh_probe_partitioned_pairs(
+                    long_idx, prev_index, fresh,
+                    self.id_col, self.text_col,
+                    k=self.k, bands=self.bands, threshold=self.threshold,
+                    n_parts=self.n_parts, idp_parts=self.idp_parts)
+            elif prev_index is not None:
                 had_index = True
                 matches = lsh_probe_index_pairs(
-                    index, fresh, self.id_col, self.text_col,
+                    prev_index, fresh, self.id_col, self.text_col,
                     k=self.k, bands=self.bands, threshold=self.threshold)
             else:
                 matches = lsh_incremental_pairs(
@@ -155,13 +254,25 @@ class DedupIngestJob:
         self.stats["rejected"] += n_in - n_kept
         self.corpus.merge(survivors)
         if self.band_index is not None:
-            if had_index:
-                self.band_index.merge(self._index_rows(survivors))
-            else:
-                # first sight of the index table: backfill from the
-                # full (just-merged) corpus so probes see every doc —
-                # a one-time cost, after which maintenance is ∝ batch
-                self.band_index.merge(self._index_rows(self.corpus.read()))
+            # had_index=False → first sight of the index table:
+            # backfill from the full (just-merged) corpus so probes see
+            # every doc — a one-time cost, then maintenance is ∝ batch
+            src = survivors if had_index else self.corpus.read()
+            doc_rows = self._index_rows(src)
+            if self.band_long_index is not None:
+                # ONE shingle pass feeds both index tables: the long
+                # rows below are an explode of these materialized rows
+                doc_rows = doc_rows.localCheckpoint()
+            self.band_index.merge(doc_rows)
+            if self.band_long_index is not None:
+                if had_long:
+                    self._maintain_long_index(doc_rows, prev_index)
+                else:
+                    # first sight of the LONG table (possibly attached
+                    # to an already-indexed corpus): backfill once from
+                    # the just-merged per-doc table — no re-shingling
+                    self.band_long_index.merge(
+                        self._explode_long(self.band_index.read()))
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

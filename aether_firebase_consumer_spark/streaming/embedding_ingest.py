@@ -12,10 +12,17 @@ a second incrementally-maintained
 band keys at ingest time, each batch probes the PERSISTED index
 (:func:`~..plans.similarity_queries.embedding_probe_index_pairs`), and
 embeddings for the exact-cosine verify are fetched per-candidate from
-the corpus (column-pruned semi-join), so per-batch cost is ∝ batch
-size, never ∝ corpus. Without ``band_index`` the job recomputes the
-corpus band frame per batch (correct, simple); rejection semantics are
-identical either way and test-pinned.
+the corpus (column-pruned semi-join), so per-batch COMPUTE is ∝ batch
+size, never ∝ corpus. Per-batch I/O additionally stops growing with
+the corpus when ``band_long_index`` is set (the full 100 TB shape): a
+bkp-partitioned ``(id, bi, bk, bkp)`` table — key ``[id_col, "bi"]``
+— whose probe (:func:`~..plans.similarity_queries.
+embedding_probe_partitioned_pairs`) pushes the batch's band-key
+prefixes as PartitionFilters; an idp-partitioned corpus additionally
+prunes the embedding fetch to candidate partitions. Without
+``band_index`` the job recomputes the corpus band frame per batch
+(correct, simple); rejection semantics are identical across all paths
+and test-pinned.
 
 Banding is pluggable: the 2×4 demo config suits the fixtures' weak
 thresholds; pass ``plans.similarity_queries._HI_BANDS`` with
@@ -27,11 +34,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from aether_firebase_consumer_spark.operators.dedup import (
+    BAND_INDEX_PARTITIONS,
+    id_partition,
+)
 from aether_firebase_consumer_spark.plans.similarity_queries import (
     _NEARDUP_BANDS,
+    embedding_band_index_rows,
     embedding_index_frame,
     embedding_neardup_pairs,
     embedding_probe_index_pairs,
+    embedding_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 
@@ -49,16 +62,27 @@ class EmbeddingIngestJob:
     def __init__(self, spark: SparkSession, corpus: ParquetUpsertTable,
                  rejects: ParquetUpsertTable | None = None,
                  band_index: ParquetUpsertTable | None = None,
+                 band_long_index: ParquetUpsertTable | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  threshold: float = 0.35,
-                 bands: list | None = None) -> None:
+                 bands: list | None = None,
+                 n_parts: int = BAND_INDEX_PARTITIONS,
+                 idp_parts: int | None = None) -> None:
+        if (band_long_index is not None
+                and band_long_index.partition_col != "bkp"):
+            raise ValueError(
+                "band_long_index must be partitioned by 'bkp' — an "
+                "unpartitioned long index re-scans the whole table per "
+                "trigger, the exact I/O shape it exists to avoid")
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
         self.band_index = band_index
+        self.band_long_index = band_long_index
         self.id_col, self.vec_col = id_col, vec_col
         self.threshold = threshold
         self.bands = bands if bands is not None else _NEARDUP_BANDS
+        self.n_parts, self.idp_parts = n_parts, idp_parts
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
 
@@ -100,13 +124,22 @@ class EmbeddingIngestJob:
 
         existing = self.corpus.read()
         had_index = False
+        had_long = False
         if existing is not None:
             known = existing.select(self.id_col).distinct()
             fresh = survivors.join(known, self.id_col, "left_anti")
             index = self.band_index.read() \
                 if self.band_index is not None else None
-            if index is not None:
-                had_index = True
+            had_index = index is not None
+            long_idx = self.band_long_index.read() \
+                if self.band_long_index is not None else None
+            had_long = long_idx is not None
+            if had_long:
+                matches = embedding_probe_partitioned_pairs(
+                    long_idx, existing, fresh, self.id_col,
+                    self.vec_col, self.bands, self.threshold,
+                    n_parts=self.n_parts, idp_parts=self.idp_parts)
+            elif had_index:
                 matches = embedding_probe_index_pairs(
                     index, existing, fresh, self.id_col, self.vec_col,
                     self.bands, self.threshold)
@@ -119,18 +152,42 @@ class EmbeddingIngestJob:
             accepted_fresh = fresh.join(dup_ids, self.id_col, "left_anti")
             updates = survivors.join(known, self.id_col, "left_semi")
             survivors = updates.unionByName(accepted_fresh)
-        # one materialization: counters + both merges read this result
+        # one materialization: counters + all merges read this result
         survivors = survivors.localCheckpoint()
         n_in = batch.count()
         n_kept = survivors.count()
         self.stats["batches"] += 1
         self.stats["accepted"] += n_kept
         self.stats["rejected"] += n_in - n_kept
-        self.corpus.merge(survivors)
+        merged = survivors
+        if self.corpus.partition_col == "idp":
+            # idp-partitioned corpus: the probe's embedding fetch can
+            # prune to candidate partitions (pass idp_parts)
+            if self.idp_parts is None:
+                raise ValueError("corpus is idp-partitioned but "
+                                 "idp_parts is unset")
+            merged = survivors.withColumn(
+                "idp", id_partition(F.col(self.id_col), self.idp_parts))
+        self.corpus.merge(merged)
+
+        def _maint_src(populated: bool) -> DataFrame:
+            if populated or existing is None:
+                # ∝ batch; when the corpus was empty before this batch
+                # the survivors ARE the whole corpus — no re-read
+                # (round-6 backfill double-read, folded)
+                return survivors
+            return self.corpus.read()  # one-time backfill
+
         if self.band_index is not None:
-            src = survivors if had_index else self.corpus.read()
             self.band_index.merge(embedding_index_frame(
-                src, self.id_col, self.vec_col, self.bands))
+                _maint_src(had_index), self.id_col, self.vec_col,
+                self.bands))
+        if self.band_long_index is not None:
+            # every vector emits exactly len(bands) rows keyed
+            # (id, bi), so MERGE alone replaces updates exactly
+            self.band_long_index.merge(embedding_band_index_rows(
+                _maint_src(had_long), self.id_col, self.vec_col,
+                self.bands, self.n_parts))
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

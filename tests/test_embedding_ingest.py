@@ -136,4 +136,211 @@ def test_embedding_ingest_backfill_and_probe_plan(spark, tmp_path, jobs):
     assert {(r.new_id, r.old_id) for r in probe.collect()} == {(9, 2)}
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "band_keys:array<bigint>" in plan   # index file scanned
-    assert str(tmp_path / "idx") in plan
+    # plan Location strings truncate at 100 chars (pytest tmp paths can
+    # exceed that), so pin the index-file read via inputFiles()
+    assert any(str(tmp_path / "idx") in f for f in probe.inputFiles())
+
+
+# ------------------------------------- partition-pruned long index (r7)
+
+N_PARTS = 64
+IDP_PARTS = 8
+
+
+def _mk_long_tables(spark, tmp_path, existing_df):
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        embedding_band_index_rows,
+    )
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "corp"),
+                                ["vec_id"], partition_col="idp")
+    long_t = ParquetUpsertTable(spark, str(tmp_path / "long"),
+                                ["vec_id", "bi"], partition_col="bkp")
+    corpus.merge(existing_df.withColumn(
+        "idp", id_partition(F.col("vec_id"), IDP_PARTS)))
+    long_t.merge(embedding_band_index_rows(
+        existing_df, "vec_id", "embedding", BANDS16, N_PARTS))
+    return corpus, long_t
+
+
+def test_embedding_pruned_probe_equals_unpruned(spark, tmp_path):
+    """The bkp-pruned probe is bit-identical to the unpruned index
+    probe and the recompute form, and its plan pushes REAL
+    PartitionFilters on both the long-index scan and the idp-
+    partitioned corpus embedding fetch."""
+    import re
+
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        embedding_index_frame,
+        embedding_probe_index_pairs,
+        embedding_probe_partitioned_pairs,
+    )
+
+    existing_df = _df(spark, [(i, _vec(i)) for i in range(12)])
+    incoming_df = _df(spark, [(100, _near(_vec(3), "p1")),
+                              (101, _near(_vec(7), "p2")),
+                              (102, _vec(40))])
+    corpus, long_t = _mk_long_tables(spark, tmp_path, existing_df)
+
+    got = embedding_probe_partitioned_pairs(
+        long_t.read(), corpus.read(), incoming_df,
+        "vec_id", "embedding", BANDS16, 0.9,
+        n_parts=N_PARTS, idp_parts=IDP_PARTS)
+    want = embedding_probe_index_pairs(
+        embedding_index_frame(existing_df, "vec_id", "embedding",
+                              BANDS16),
+        existing_df, incoming_df, "vec_id", "embedding", BANDS16, 0.9)
+    key = lambda df: {(r.new_id, r.old_id, round(r.cos_sim, 9))
+                      for r in df.collect()}
+    assert key(got) == key(want)
+    assert {(r.new_id, r.old_id) for r in got.collect()} >= {
+        (100, 3), (101, 7)}
+
+    lazy = embedding_probe_partitioned_pairs(
+        long_t.read(), corpus.read(), incoming_df,
+        "vec_id", "embedding", BANDS16, 0.9,
+        n_parts=N_PARTS, idp_parts=IDP_PARTS, materialize=False)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        lazy._jdf.queryExecution(), "formatted")
+    real = re.compile(r"#\d+L? (=|IN|INSET)")
+    bkp = re.findall(r"PartitionFilters: \[[^\]]*bkp[^\]]*\]", plan)
+    idp = re.findall(r"PartitionFilters: \[[^\]]*idp[^\]]*\]", plan)
+    assert bkp and all(real.search(f) for f in bkp)
+    assert idp and all(real.search(f) for f in idp)
+
+
+def test_embedding_long_index_job_matches_recompute(spark, tmp_path):
+    """EmbeddingIngestJob with the pruned long index (idp-partitioned
+    corpus, no per-doc index at all — the long table alone feeds the
+    probe) reproduces the recompute job's corpus/rejects/counters, and
+    the long table stays MERGE-exact under updates."""
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        embedding_band_index_rows,
+    )
+
+    def mk(root, kind):
+        root.mkdir()
+        rejects = ParquetUpsertTable(spark, str(root / "r"), ["vec_id"])
+        if kind == "recompute":
+            corpus = ParquetUpsertTable(spark, str(root / "c"),
+                                        ["vec_id"])
+            return EmbeddingIngestJob(spark, corpus, rejects,
+                                      threshold=0.9,
+                                      bands=BANDS16), corpus, rejects
+        corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"],
+                                    partition_col="idp")
+        long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                    ["vec_id", "bi"],
+                                    partition_col="bkp")
+        job = EmbeddingIngestJob(spark, corpus, rejects,
+                                 band_long_index=long_t, threshold=0.9,
+                                 bands=BANDS16, n_parts=N_PARTS,
+                                 idp_parts=IDP_PARTS)
+        return job, corpus, rejects
+
+    (jr, cr, rr) = mk(tmp_path / "a", "recompute")
+    (jp, cp, rp) = mk(tmp_path / "b", "pruned")
+
+    v1, v2, v5 = _vec(1), _vec(2), _vec(5)
+    batches = [
+        [(1, v1), (2, v2), (3, _near(v1, "n3"))],
+        [(4, _near(v2, "n4")), (5, v5)],
+        # UPDATE vector 5 to a DIFFERENT direction entirely
+        [(5, _vec(55)), (6, _vec(6))],
+        # 7 near-dups 5's NEW vector — only matched if the index
+        # reflects the update (old (5, bi) rows replaced by MERGE)
+        [(7, _near(_vec(55), "n7")), (8, _near(v5, "n8"))],
+    ]
+    for n, rows in enumerate(batches):
+        jr.process_batch(_df(spark, rows), n)
+        jp.process_batch(_df(spark, rows), n)
+
+    def snap(c):
+        return sorted((r.vec_id, tuple(r.embedding))
+                      for r in c.read().collect())
+
+    assert snap(cr) == snap(cp)
+    assert {(r.vec_id, r.dup_of) for r in rp.read().collect()} == \
+        {(r.vec_id, r.dup_of) for r in rr.read().collect()}
+    assert jr.stats == jp.stats
+    ids = {r.vec_id for r in cp.read().collect()}
+    assert 8 in ids and 7 not in ids  # update visible, no stale rows
+
+    fresh = embedding_band_index_rows(
+        cp.read(), "vec_id", "embedding", BANDS16, N_PARTS)
+    stored = jp.band_long_index.read()
+    cols = ["vec_id", "bi", "bk", "bkp"]
+    assert (sorted(map(tuple, stored.select(*cols).collect()))
+            == sorted(map(tuple, fresh.select(*cols).collect())))
+
+
+def test_embedding_ingest_under_job_manager_lifecycle(spark, tmp_path):
+    """Lifecycle parity with the text twin (VERDICT r6 #6): managed as
+    a SparkJob, pause mid-corpus, feed more data, resume — checkpoint
+    continues exactly, dedup semantics hold across the pause, and both
+    index tables stay consistent with the corpus."""
+    from aether_firebase_consumer_spark.control.jobs import (
+        JobManager,
+        JobStatus,
+    )
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        embedding_band_index_rows,
+        embedding_index_frame,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["vec_id"])
+    rejects = ParquetUpsertTable(spark, str(tmp_path / "r"), ["vec_id"])
+    idx = ParquetUpsertTable(spark, str(tmp_path / "i"), ["vec_id"])
+    long_t = ParquetUpsertTable(spark, str(tmp_path / "l"),
+                                ["vec_id", "bi"], partition_col="bkp")
+    ingest = EmbeddingIngestJob(spark, corpus, rejects, band_index=idx,
+                                band_long_index=long_t, threshold=0.9,
+                                bands=BANDS16, n_parts=N_PARTS)
+
+    def feed(name, rows):
+        _df(spark, rows).coalesce(1).write.parquet(str(src / name))
+
+    def start_fn(checkpoint):
+        stream = (spark.readStream
+                  .schema("vec_id bigint, embedding array<double>")
+                  .parquet(str(src) + "/*"))
+        return (ingest.writer(stream, checkpoint)
+                .trigger(availableNow=True).start())
+
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("tenant-a", "embedding-ingest", start_fn)
+
+    v1, v2 = _vec(1), _vec(2)
+    feed("b1", [(1, v1), (2, v2), (3, _near(v1, "n3"))])
+    job.start()
+    job.query.awaitTermination()
+    assert {r.vec_id for r in corpus.read().collect()} == {1, 2}
+
+    job.pause()
+    assert job.get_status() == JobStatus.PAUSED
+    feed("b2", [(4, _near(v2, "n4")), (5, _vec(5))])
+
+    job.resume()
+    job.query.awaitTermination()
+    assert job.get_status() in (JobStatus.NORMAL, JobStatus.STOPPED)
+    assert {r.vec_id for r in corpus.read().collect()} == {1, 2, 5}
+    assert {(r.vec_id, r.dup_of) for r in rejects.read().collect()} \
+        == {(3, 1), (4, 2)}
+    # both index tables consistent with the corpus across the pause
+    want_doc = {(r.vec_id, tuple(r.band_keys))
+                for r in embedding_index_frame(
+                    corpus.read(), "vec_id", "embedding",
+                    BANDS16).collect()}
+    assert {(r.vec_id, tuple(r.band_keys))
+            for r in idx.read().collect()} == want_doc
+    want_long = sorted(map(tuple, embedding_band_index_rows(
+        corpus.read(), "vec_id", "embedding", BANDS16, N_PARTS)
+        .select("vec_id", "bi", "bk", "bkp").collect()))
+    got_long = sorted(map(tuple, long_t.read()
+                          .select("vec_id", "bi", "bk", "bkp")
+                          .collect()))
+    assert got_long == want_long
