@@ -247,7 +247,7 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, int,
     samples interleaved by frame)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -256,6 +256,10 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, int,
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            # total frames per channel — authoritative for compressed
+            # WAV: the final block's pad samples must not be emitted
+            fact_frames = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt or data chunk")
@@ -269,8 +273,15 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, int,
         raise ValueError(f"{channels}-channel IMA ADPCM not supported")
     per_block = (block_align - 4 * channels) * 2 // channels + 1
     out: list[list[int]] = [[] for _ in range(channels)]
-    for b0 in range(0, len(data) - block_align + 1, block_align):
+    # iterate ALL blocks including a trailing PARTIAL one (encoders
+    # that don't pad emit a short final block; its sample count
+    # derives from its length — silently dropping it loses the tail)
+    for b0 in range(0, len(data), block_align):
         block = data[b0:b0 + block_align]
+        if len(block) < 4 * channels:
+            raise ValueError(
+                f"IMA ADPCM trailing fragment of {len(block)} bytes is "
+                f"shorter than the {4 * channels}-byte block header")
         preds, idxs = [], []
         local: list[list[int]] = []
         for c in range(channels):
@@ -295,6 +306,9 @@ def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, int,
         for c in range(channels):
             out[c].extend(local[c][:per_block])
     n_frames = min(len(ch) for ch in out)
+    if fact_frames is not None and fact_frames < n_frames:
+        # fact chunk trims final-block padding to the true length
+        n_frames = fact_frames
     interleaved: list[int] = []
     for f in range(n_frames):
         for c in range(channels):
@@ -380,7 +394,11 @@ def encode_wav_ima_adpcm(rate: int, channels: int,
            + (4).to_bytes(2, "little")
            + (2).to_bytes(2, "little")
            + per_block.to_bytes(2, "little"))
+    # fact chunk (mandatory for compressed WAV per RIFF spec): true
+    # frame count, so decoders trim the final block's pad frames
     chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+              + b"fact" + (4).to_bytes(4, "little")
+              + len(frames).to_bytes(4, "little")
               + b"data" + len(blocks).to_bytes(4, "little") + blocks)
     return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
             + b"WAVE" + chunks)

@@ -100,6 +100,92 @@ def kafka_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "o.o_orderstatus", "o.o_totalprice")
 
 
+_CODEC_BROKERS: dict[str, tuple] = {}
+
+
+def _orders_codec_broker(spark: SparkSession, sf_dir: str):
+    """Broker holding the SAME orders subset as
+    :func:`_orders_broker`, but shipped as COMPRESSED magic-2 record
+    batches — partitions 0/1 gzip, 2/3 pure-Python Snappy — with
+    deterministic CreateTime timestamps (o_orderkey ms)."""
+    cached = _CODEC_BROKERS.get(sf_dir)
+    if cached:
+        return cached
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice")
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "bench.orders.compressed"
+    broker.create_topic(topic, partitions=4)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        by_part: dict[int, list] = {}
+        for r in rows:
+            payload = json.dumps({
+                "o_orderkey": r.o_orderkey,
+                "o_custkey": r.o_custkey,
+                "o_orderstatus": r.o_orderstatus,
+                "o_totalprice": r.o_totalprice,
+            }).encode()
+            by_part.setdefault(r.o_orderkey % 4, []).append(
+                (str(r.o_orderkey).encode(), payload,
+                 int(r.o_orderkey)))
+        for part, msgs in by_part.items():
+            codec = "gzip" if part < 2 else "snappy"
+            for i in range(0, len(msgs), 500):
+                c.produce_records(topic, part, msgs[i:i + 500],
+                                  codec=codec)
+    _CODEC_BROKERS[sf_dir] = (broker.bootstrap, topic)
+    return _CODEC_BROKERS[sf_dir]
+
+
+@register(
+    "kafka_roundtrip_orders_compressed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderkey AS ts_ms
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def kafka_roundtrip_orders_compressed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The compressed-batch wire path under the oracle gate (round 7
+    — the gzip/Snappy codecs landed in round 6 pytest-only): the
+    orders subset ships as gzip (partitions 0/1) and pure-Python
+    Snappy (2/3) magic-2 record batches with CreateTime timestamps,
+    and is read back through ``kafka_py``'s fetch → decompress →
+    record-batch decode. The oracle adds the produced timestamp
+    (o_orderkey ms) so the per-record CreateTime survives compression
+    bit-exactly too — one hash over payloads AND timestamps across
+    both codecs."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    bootstrap, topic = _orders_codec_broker(spark, sf_dir)
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", bootstrap)
+           .option("subscribe", topic)
+           .load())
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"),
+                    "o_orderkey bigint, o_custkey bigint, "
+                    "o_orderstatus string, o_totalprice double")
+        .alias("o"),
+        (F.unix_micros(F.col("timestamp")) / 1000).cast("bigint")
+        .alias("ts_ms"))
+    return parsed.select("o.o_orderkey", "o.o_custkey",
+                         "o.o_orderstatus", "o.o_totalprice", "ts_ms")
+
+
 _AVRO_BROKERS: dict[str, tuple] = {}
 
 _CUSTOMER_AVSC = {

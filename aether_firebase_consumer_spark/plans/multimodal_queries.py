@@ -678,3 +678,69 @@ def multimodal_tiff_compressed_stats(spark: SparkSession,
         kernel,
         "doc_id bigint, width int, height int, compression string, "
         "predictor int, avg_v double")
+
+
+@register(
+    "multimodal_wav_adpcm_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 4))::BIGINT - 32768 AS v0,
+             ('0x' || substr(md5(text), 5, 4))::BIGINT - 32768 AS v1
+      FROM documents
+    )
+    SELECT doc_id, 8000 AS rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           25 AS n_frames,
+           CAST(v0 AS INT) AS v0_out,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN v1 END AS INT) AS v1_out
+    FROM v
+    """,
+)
+def multimodal_wav_adpcm_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL IMA-ADPCM encode+decode inside an oracle-gated query
+    (round 7 — restores the repo convention that every codec path
+    carries an oracle, like PCM WAV and compressed TIFF): each
+    document becomes a 25-frame mono-or-stereo constant signal whose
+    per-channel int16 values are md5-derived. Constant input is the
+    codec's EXACT point — the cold-start quantizer picks step index 0
+    (delta 0), so every nibble decodes diff 0 and reconstruction is
+    bit-perfect — which lets the oracle predict the decoded samples
+    arithmetically despite the codec being lossy in general. The
+    9-samples-per-block layout forces multi-block files with a padded
+    tail, so the fact-chunk frame trim (n_frames = 25, not 27) is
+    under the value-hash gate too. Codec: operators/multimodal.py
+    (decode_wav_ima_adpcm / encode_wav_ima_adpcm)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                v0 = int(hx[0:4], 16) - 32768
+                v1 = int(hx[4:8], 16) - 32768
+                ch = 1 + int(doc_id) % 2
+                frames = [v0] * 25 if ch == 1 else [v0, v1] * 25
+                wav = encode_wav_ima_adpcm(8000, ch, frames,
+                                           samples_per_block=9)
+                rate, ch2, n, got = decode_wav_ima_adpcm(wav)
+                assert got == frames        # constant in, constant out
+                out.append((int(doc_id), rate, ch2, n, got[0],
+                            got[1] if ch2 == 2 else None))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "rate", "channels", "n_frames",
+                "v0_out", "v1_out"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, rate int, channels int, n_frames int, "
+        "v0_out int, v1_out int")

@@ -114,8 +114,12 @@ def main() -> None:
     # extension headliners are added as they land
     for extra in ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
                   "dedup_incremental_lsh",
+                  "dedup_incremental_lsh_pruned",
+                  "dedup_ngram_jaccard", "dedup_ngram_containment",
                   "similarity_topk_cosine",
-                  "similarity_ann_ivf", "text_quality_score",
+                  "similarity_ann_ivf", "similarity_ann_pq",
+                  "similarity_ann_pq_trained", "similarity_ann_ivfadc",
+                  "text_quality_score",
                   "docs_quality_filter", "embedding_kmeans",
                   "kafka_roundtrip_orders",
                   "similarity_embedding_neardup_hi"):

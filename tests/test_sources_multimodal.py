@@ -649,3 +649,62 @@ def test_ima_adpcm_rejects_bad_input():
     wav[data_at + 2] = 90
     with pytest.raises(ValueError, match="step index"):
         decode_wav_ima_adpcm(bytes(wav))
+
+
+def test_ima_adpcm_fact_chunk_trims_padding():
+    """The encoder writes a fact chunk with the TRUE frame count and
+    the decoder honors it: final-block pad frames are not emitted
+    (round 7 — previously decode returned the padded length)."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    samples = [((i * 53) % 7000) - 3500 for i in range(25)]
+    wav = encode_wav_ima_adpcm(8000, 1, samples, samples_per_block=9)
+    assert b"fact" in wav
+    rate, ch, frames, got = decode_wav_ima_adpcm(wav)
+    assert (rate, ch, frames) == (8000, 1, 25)   # not 27 (3 blocks x 9)
+    assert len(got) == 25
+
+
+def test_ima_adpcm_decodes_trailing_partial_block():
+    """A short final block (non-padding encoder) decodes its tail
+    samples instead of being silently dropped (ADVICE r6): constant
+    input reconstructs exactly, so the tail values are checkable."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+    v = -12345
+    wav = encode_wav_ima_adpcm(8000, 1, [v] * 18, samples_per_block=9)
+    # extract fmt/data, rebuild WITHOUT fact and with the final
+    # block's body truncated to 2 bytes (header + 4 nibbles = 5
+    # samples), sizes corrected
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(wav):
+        cid = wav[pos:pos + 4]
+        size = int.from_bytes(wav[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = wav[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data = wav[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    block_align = int.from_bytes(fmt[12:14], "little")
+    cut = data[:block_align + 4 + 2]
+    short = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(cut))
+             .to_bytes(4, "little") + b"WAVE"
+             + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+             + b"data" + len(cut).to_bytes(4, "little") + cut)
+    _, _, frames, got = decode_wav_ima_adpcm(short)
+    assert frames == 9 + 5                  # full block + partial tail
+    assert got == [v] * 14                  # constant input is exact
+
+    # a fragment shorter than the block header is malformed, loudly
+    import pytest as _pytest
+    frag = data[:block_align + 3]
+    bad = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(frag))
+           .to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+           + b"data" + len(frag).to_bytes(4, "little") + frag)
+    with _pytest.raises(ValueError, match="block header"):
+        decode_wav_ima_adpcm(bad)
