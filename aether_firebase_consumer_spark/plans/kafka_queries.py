@@ -106,7 +106,8 @@ _CODEC_BROKERS: dict[str, tuple] = {}
 def _orders_codec_broker(spark: SparkSession, sf_dir: str):
     """Broker holding the SAME orders subset as
     :func:`_orders_broker`, but shipped as COMPRESSED magic-2 record
-    batches — partitions 0/1 gzip, 2/3 pure-Python Snappy — with
+    batches — one codec per partition: gzip, pure-Python Snappy,
+    pure-Python LZ4 frame, and uncompressed as the control — with
     deterministic CreateTime timestamps (o_orderkey ms)."""
     cached = _CODEC_BROKERS.get(sf_dir)
     if cached:
@@ -136,11 +137,11 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
             by_part.setdefault(r.o_orderkey % 4, []).append(
                 (str(r.o_orderkey).encode(), payload,
                  int(r.o_orderkey)))
+        codecs = ("gzip", "snappy", "lz4", None)
         for part, msgs in by_part.items():
-            codec = "gzip" if part < 2 else "snappy"
             for i in range(0, len(msgs), 500):
                 c.produce_records(topic, part, msgs[i:i + 500],
-                                  codec=codec)
+                                  codec=codecs[part])
     _CODEC_BROKERS[sf_dir] = (broker.bootstrap, topic)
     return _CODEC_BROKERS[sf_dir]
 
@@ -157,14 +158,15 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
 def kafka_roundtrip_orders_compressed(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """The compressed-batch wire path under the oracle gate (round 7
-    — the gzip/Snappy codecs landed in round 6 pytest-only): the
-    orders subset ships as gzip (partitions 0/1) and pure-Python
-    Snappy (2/3) magic-2 record batches with CreateTime timestamps,
-    and is read back through ``kafka_py``'s fetch → decompress →
+    — the gzip/Snappy codecs landed in round 6 pytest-only; LZ4
+    landed this round): the orders subset ships as magic-2 record
+    batches with one codec per partition — gzip, pure-Python Snappy,
+    pure-Python LZ4 frame, uncompressed control — with CreateTime
+    timestamps, read back through ``kafka_py``'s fetch → decompress →
     record-batch decode. The oracle adds the produced timestamp
     (o_orderkey ms) so the per-record CreateTime survives compression
     bit-exactly too — one hash over payloads AND timestamps across
-    both codecs."""
+    all three codecs."""
     from aether_firebase_consumer_spark.sources.kafka_pysource import (
         register_kafka_py,
     )

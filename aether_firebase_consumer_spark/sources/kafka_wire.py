@@ -279,7 +279,7 @@ ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
 
 
 #: attributes bits 0-2: compression codec ids from the public spec
-CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY = 0, 1, 2
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4 = 0, 1, 2, 3
 
 
 def encode_record_batch(
@@ -292,14 +292,16 @@ def encode_record_batch(
     carry them). Timestamps are per-record; the batch stores base/max
     and zigzag deltas. ``log_append_time`` sets the attributes bit
     real brokers use to mark broker-stamped (vs producer CreateTime)
-    timestamps. ``codec="gzip"``/``"snappy"`` compress the RECORDS
-    section (only — the header stays plain, per the spec); the CRC32C
-    covers the batch body as stored, compressed bytes included.
+    timestamps. ``codec="gzip"``/``"snappy"``/``"lz4"`` compress the
+    RECORDS section (only — the header stays plain, per the spec); the
+    CRC32C covers the batch body as stored, compressed bytes included.
     Snappy here is the raw block format (``sources/snappy_py``) —
-    magic-2 batches never use the legacy xerial framing."""
-    if codec not in (None, "gzip", "snappy"):
+    magic-2 batches never use the legacy xerial framing — and LZ4 is
+    the standard FRAME format (``sources/lz4_py``), per the magic-≥1
+    convention real brokers follow."""
+    if codec not in (None, "gzip", "snappy", "lz4"):
         raise ValueError(f"unsupported record-batch codec {codec!r} "
-                         "(this image: gzip or snappy)")
+                         "(this image: gzip, snappy, or lz4)")
     if not entries:
         return b""
     base_off = entries[0][0]
@@ -334,6 +336,10 @@ def encode_record_batch(
         from aether_firebase_consumer_spark.sources import snappy_py
         attrs |= CODEC_SNAPPY
         payload = snappy_py.compress(payload)
+    elif codec == "lz4":
+        from aether_firebase_consumer_spark.sources import lz4_py
+        attrs |= CODEC_LZ4
+        payload = lz4_py.compress_frame(payload)
     body = _Writer()                       # attributes .. records
     body.i16(attrs)
     body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
@@ -378,12 +384,13 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
                 f"record batch at offset {base_off}: CRC32C mismatch")
         attrs, _last_delta, base_ts = struct.unpack_from(">hiq", body, 0)
         comp = attrs & 0x07
-        if comp not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
-            # 3=lz4 4=zstd: those formats aren't stdlib-reproducible —
-            # name the gap instead of mis-parsing
+        if comp not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY,
+                        CODEC_LZ4):
+            # 4=zstd: that format isn't stdlib-reproducible — name
+            # the gap instead of mis-parsing
             raise ValueError(
                 f"compressed record batch codec {comp} unsupported "
-                "(this image decodes none/gzip/snappy)")
+                "(this image decodes none/gzip/snappy/lz4)")
         (count,) = struct.unpack_from(">i", body, 36)
         recs = body[40:]
         if comp == CODEC_GZIP:
@@ -392,6 +399,9 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
         elif comp == CODEC_SNAPPY:
             from aether_firebase_consumer_spark.sources import snappy_py
             recs = snappy_py.decompress(bytes(recs))
+        elif comp == CODEC_LZ4:
+            from aether_firebase_consumer_spark.sources import lz4_py
+            recs = lz4_py.decompress_frame(bytes(recs))
         p = 0
         for _ in range(count):
             rec_len, p = _get_varint(recs, p)
@@ -619,7 +629,8 @@ class KafkaWireClient:
             codec: Optional[str] = None) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
-        base offset. ``codec="gzip"``/``"snappy"`` ships the batch compressed.
+        base offset. ``codec="gzip"``/``"snappy"``/``"lz4"`` ships the
+        batch compressed.
         Requires a broker advertising Produce ≥ v3 — raises otherwise
         rather than silently dropping timestamps."""
         if self._max_version(API_PRODUCE) < 3:
@@ -1003,7 +1014,7 @@ class MiniKafkaBroker:
         self._lock = threading.Lock()
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
-        #: compress v4 fetch responses ("gzip"/"snappy") — real brokers serve
+        #: compress v4 fetch responses ("gzip"/"snappy"/"lz4") — real brokers serve
         #: batches in the topic's codec; this exercises the client's
         #: compressed-decode path end-to-end
         self._fetch_codec = fetch_codec
