@@ -173,7 +173,8 @@ class GroupConsumer:
                  session_timeout_ms: int = 10000,
                  heartbeat_interval_ms: int = 1000,
                  auto_offset_reset: str = "earliest",
-                 background_heartbeat: bool = False) -> None:
+                 background_heartbeat: bool = False,
+                 group_instance_id: str | None = None) -> None:
         host, _, port = bootstrap.rpartition(":")
         # protocol fidelity: ask where the coordinator lives and talk
         # to it (single-node broker: it's the same address)
@@ -186,6 +187,9 @@ class GroupConsumer:
         self._hb_interval = heartbeat_interval_ms / 1000.0
         self._reset = auto_offset_reset
         self.member_id = ""
+        #: KIP-345 static membership: survives restarts, reclaiming
+        #: the assignment without a rebalance (within session timeout)
+        self.group_instance_id = group_instance_id
         self.generation = -1
         #: sorted (topic, partition) list this member currently owns
         self.assignment: list[tuple[str, int]] = []
@@ -238,7 +242,8 @@ class GroupConsumer:
             try:
                 me, gen, leader, members = self._client.join_group(
                     self.group, self.member_id, self.topics,
-                    session_timeout_ms=self._session_ms)
+                    session_timeout_ms=self._session_ms,
+                    group_instance_id=self.group_instance_id)
                 self.member_id = me
                 if me == leader:
                     topo = self._client.metadata(
@@ -303,6 +308,7 @@ class GroupConsumer:
         out: list[tuple[str, int, int, Optional[bytes],
                         Optional[bytes]]] = []
         tried = 0
+        stalled = None
         while (self.assignment and len(out) < max_messages
                and tried < len(self.assignment)):
             tp = self.assignment[self._rr % len(self.assignment)]
@@ -314,6 +320,11 @@ class GroupConsumer:
                 continue
             batch = self._client.fetch(tp[0], tp[1], pos)
             if not batch:
+                # pos < end but zero complete messages decoded — an
+                # over-max_bytes message; same stalled-partition
+                # detection as PollLoopConsumer.poll, or the caller's
+                # poll loop spins forever on empty results
+                stalled = (tp, pos, end)
                 continue
             for off, key, value in batch:
                 if len(out) >= max_messages:
@@ -321,11 +332,28 @@ class GroupConsumer:
                 out.append((tp[0], tp[1], off, key, value))
                 self._pos[tp] = off + 1
             tried = 0
+        if not out and stalled:
+            (topic, part), pos, end = stalled
+            raise RuntimeError(
+                f"fetch at {topic}/{part}:{pos} returned no messages "
+                f"but log end is {end} — message larger than fetch "
+                "max_bytes, or log truncated")
         return out
 
     def commit(self) -> None:
         """Commit consumed positions for the partitions this member
-        holds — the group-shared positions a successor resumes from."""
+        holds — the group-shared positions a successor resumes from.
+
+        Generation-fenced: a member whose membership lapsed (heartbeat
+        saw a rebalance) must NOT write its stale positions over the
+        new owners' progress (zombie commit — at-least-once survives
+        but duplicates amplify), and positions for partitions lost in
+        a rebalance are dropped rather than committed."""
+        if not self._active:
+            return
+        held = set(self.assignment)
+        self._pos = {tp: pos for tp, pos in self._pos.items()
+                     if tp in held}
         for (topic, partition), pos in self._pos.items():
             self._client.offset_commit(self.group, topic, partition, pos)
 

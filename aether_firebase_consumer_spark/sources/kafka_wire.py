@@ -85,6 +85,7 @@ ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_ILLEGAL_GENERATION = 22
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
 
@@ -866,6 +867,10 @@ class KafkaWireClient:
             raise GroupRebalanceError(f"{what}: rebalance in progress")
         if err in (ERR_UNKNOWN_MEMBER_ID, ERR_ILLEGAL_GENERATION):
             raise GroupMembershipError(f"{what}: error {err}")
+        if err == ERR_INCONSISTENT_GROUP_PROTOCOL:
+            raise RuntimeError(
+                f"{what}: inconsistent group protocol — this member's "
+                "protocol list shares no entry with the group's")
         raise RuntimeError(f"{what} failed: error {err}")
 
     def find_coordinator(self, group: str) -> tuple[str, int]:
@@ -884,7 +889,9 @@ class KafkaWireClient:
 
     def join_group(self, group: str, member_id: str, topics: list[str],
                    session_timeout_ms: int = 10000,
-                   protocol: str = "range"
+                   protocol: str = "range",
+                   protocols: Optional[list[str]] = None,
+                   group_instance_id: Optional[str] = None
                    ) -> tuple[str, int, str, dict[str, list[str]]]:
         """JoinGroup v0. Blocks while the broker gathers the
         generation's members. Returns (member_id, generation,
@@ -893,24 +900,47 @@ class KafkaWireClient:
         compute the assignment and deliver it via :meth:`sync_group`;
         followers get ``{}`` and sync with no assignments.
         First-time callers pass ``member_id=""`` (the broker assigns
-        one)."""
+        one). ``protocols`` sends a multi-entry preference list (the
+        broker negotiates the first leader-preferred entry every
+        member supports, rejecting non-intersecting joiners).
+        ``group_instance_id`` (KIP-345 static membership, JoinGroup
+        v5) lets a restarting process reclaim its member id and
+        assignment without triggering a rebalance, as long as it
+        returns within the session timeout."""
+        version = 0
+        if group_instance_id is not None:
+            if self._max_version(API_JOIN_GROUP) < 5:
+                raise RuntimeError(
+                    "broker does not support JoinGroup v5 "
+                    "(group.instance.id needs KIP-345)")
+            version = 5
+        names = protocols if protocols else [protocol]
         w = _Writer()
         w.string(group)
         w.i32(session_timeout_ms)
+        if version >= 1:
+            w.i32(session_timeout_ms)   # rebalance_timeout_ms
         w.string(member_id)
+        if version >= 5:
+            w.string(group_instance_id)
         w.string("consumer")
-        w.i32(1)
-        w.string(protocol)
-        w.bytes_(encode_subscription(topics))
-        r = self._call(API_JOIN_GROUP, bytes(w.buf))
+        w.i32(len(names))
+        for name in names:
+            w.string(name)
+            w.bytes_(encode_subscription(topics))
+        r = self._call(API_JOIN_GROUP, bytes(w.buf), version=version)
+        if version >= 2:
+            r.i32()                     # throttle_time_ms
         err = r.i16()
         generation = r.i32()
-        r.string()                  # protocol
+        self.last_group_protocol = r.string()   # negotiated protocol
         leader = r.string() or ""
         me = r.string() or ""
         members = {}
         for _ in range(r.i32()):
             mid = r.string() or ""
+            if version >= 5:
+                r.string()              # group_instance_id
             meta = r.bytes_() or b""
             members[mid] = decode_subscription(meta)
         self._group_err(err, "join_group")
@@ -1104,7 +1134,7 @@ class MiniKafkaBroker:
         API_OFFSET_COMMIT: (0, 0),
         API_OFFSET_FETCH: (0, 0),
         API_FIND_COORDINATOR: (0, 0),
-        API_JOIN_GROUP: (0, 0),
+        API_JOIN_GROUP: (0, 5),   # v5 adds group.instance.id (KIP-345)
         API_HEARTBEAT: (0, 0),
         API_LEAVE_GROUP: (0, 0),
         API_SYNC_GROUP: (0, 0),
@@ -1145,7 +1175,10 @@ class MiniKafkaBroker:
         elif api_key == API_FIND_COORDINATOR:
             self._handle_find_coordinator(req, w)
         elif api_key == API_JOIN_GROUP:
-            self._handle_join_group(req, w, client_id)
+            if api_version not in (0, 5):
+                raise ValueError(
+                    f"join_group v{api_version} unimplemented")
+            self._handle_join_group(req, w, client_id, api_version)
         elif api_key == API_SYNC_GROUP:
             self._handle_sync_group(req, w)
         elif api_key == API_HEARTBEAT:
@@ -1418,24 +1451,81 @@ class MiniKafkaBroker:
         self._gcond.notify_all()
 
     def _handle_join_group(self, req: _Reader, w: _Writer,
-                           client_id: str) -> None:
+                           client_id: str, version: int = 0) -> None:
         group = req.string() or ""
         session_ms = req.i32()
+        if version >= 1:
+            req.i32()  # rebalance_timeout_ms (broker-wide here)
         member_id = req.string() or ""
+        instance_id = req.string() if version >= 5 else None
         req.string()  # protocol_type
         protos = []
         for _ in range(req.i32()):
             protos.append((req.string() or "", req.bytes_() or b""))
-        proto_name = protos[0][0] if protos else "range"
-        metadata = protos[0][1] if protos else b""
+        if not protos:
+            protos = [("range", b"")]
+
+        def respond(err, generation=-1, protocol="", leader="",
+                    me="", members=()):
+            if version >= 2:
+                w.i32(0)           # throttle_time_ms
+            w.i16(err)
+            w.i32(generation)
+            w.string(protocol)
+            w.string(leader)
+            w.string(me)
+            w.i32(len(members))
+            for mid, m in members:
+                w.string(mid)
+                if version >= 5:
+                    w.string(m.get("instance_id"))
+                w.bytes_(m["protocols"].get(protocol, b""))
+
         with self._gcond:
             g = self._group(group)
             self._expire_members(g)
+            if instance_id:
+                known = next((mid for mid, m in g["members"].items()
+                              if m.get("instance_id") == instance_id),
+                             None)
+                if known is not None and g["state"] == "Stable":
+                    # KIP-345 static rejoin: a restarting member with
+                    # the same group.instance.id reclaims its member
+                    # id, generation, and assignment WITHOUT a
+                    # rebalance — survivors never notice
+                    m = g["members"][known]
+                    m["protocols"] = dict(protos)
+                    m["proto_order"] = [n for n, _x in protos]
+                    m["session_ms"] = session_ms
+                    m["expires"] = (_time.monotonic()
+                                    + session_ms / 1000.0)
+                    members = ([(mid, mm) for mid, mm in
+                                sorted(g["members"].items())]
+                               if known == g["leader"] else [])
+                    respond(ERR_NONE, g["generation"], g["protocol"],
+                            g["leader"], known, members)
+                    return
+                if known is not None:
+                    # mid-rebalance restart: rejoin under the SAME
+                    # member id so the group doesn't grow a ghost
+                    member_id = known
+            # protocol negotiation (real-broker rule): a joiner whose
+            # protocol list doesn't intersect every current member's
+            # is rejected with INCONSISTENT_GROUP_PROTOCOL instead of
+            # the old arbitrary last-completer-wins pick
+            names = [n for n, _m in protos]
+            if any(not set(names) & set(m["proto_order"])
+                   for mid, m in g["members"].items()
+                   if mid != member_id):
+                respond(ERR_INCONSISTENT_GROUP_PROTOCOL,
+                        me=member_id)
+                return
             if not member_id:
                 self._member_seq += 1
                 member_id = f"{client_id or 'member'}-{self._member_seq}"
             g["members"][member_id] = {
-                "metadata": metadata, "session_ms": session_ms,
+                "protocols": dict(protos), "proto_order": names,
+                "session_ms": session_ms, "instance_id": instance_id,
                 "expires": _time.monotonic() + session_ms / 1000.0,
             }
             if g["state"] != "Joining":
@@ -1452,26 +1542,26 @@ class MiniKafkaBroker:
                 g["pending"] = set()
                 g["generation"] += 1
                 g["leader"] = min(g["members"])
-                g["protocol"] = proto_name
+                # the protocol is NEGOTIATED: first entry in the
+                # leader's preference order every member supports
+                # (join-time validation guarantees one exists)
+                leader_m = g["members"][g["leader"]]
+                g["protocol"] = next(
+                    n for n in leader_m["proto_order"]
+                    if all(n in m["proto_order"]
+                           for m in g["members"].values()))
                 g["state"] = "AwaitSync"
                 self._gcond.notify_all()
             generation = g["generation"]
             leader = g["leader"]
             protocol = g["protocol"]
-            members = [(mid, m["metadata"])
+            members = [(mid, m)
                        for mid, m in sorted(g["members"].items())] \
                 if member_id == leader else []
             err = ERR_NONE if member_id in g["members"] \
                 else ERR_UNKNOWN_MEMBER_ID
-        w.i16(err)
-        w.i32(generation)
-        w.string(protocol)
-        w.string(leader)
-        w.string(member_id)
-        w.i32(len(members))
-        for mid, meta in members:
-            w.string(mid)
-            w.bytes_(meta)
+            respond(err, generation, protocol, leader, member_id,
+                    members)
 
     def _handle_sync_group(self, req: _Reader, w: _Writer) -> None:
         group = req.string() or ""

