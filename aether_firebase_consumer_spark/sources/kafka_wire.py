@@ -77,6 +77,7 @@ API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
 API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
 
 EARLIEST = -2
 LATEST = -1
@@ -88,6 +89,8 @@ ERR_ILLEGAL_GENERATION = 22
 ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_DUPLICATE_SEQUENCE = 46
 
 
 class GroupRebalanceError(RuntimeError):
@@ -286,7 +289,9 @@ CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4 = 0, 1, 2, 3
 def encode_record_batch(
         entries: list[tuple[int, int, Optional[bytes], Optional[bytes]]],
         *, log_append_time: bool = False,
-        codec: Optional[str] = None) -> bytes:
+        codec: Optional[str] = None,
+        producer_id: int = -1, producer_epoch: int = -1,
+        base_sequence: int = -1) -> bytes:
     """(offset, timestamp_ms, key, value)* → one magic-2 record batch.
 
     Offsets need not be dense (log compaction leaves gaps; deltas
@@ -346,9 +351,9 @@ def encode_record_batch(
     body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
     body.i64(base_ts)
     body.i64(max_ts)
-    body.i64(-1)                           # producerId
-    body.i16(-1)                           # producerEpoch
-    body.i32(-1)                           # baseSequence
+    body.i64(producer_id)                  # KIP-98 idempotence fields
+    body.i16(producer_epoch)
+    body.i32(base_sequence)
     body.i32(len(entries))
     body.raw(payload)
     crc = crc32c(bytes(body.buf))
@@ -360,6 +365,22 @@ def encode_record_batch(
     w.buf += struct.pack(">I", crc)
     w.raw(bytes(body.buf))
     return bytes(w.buf)
+
+
+def peek_batch_producer(data: bytes) -> tuple[int, int, int, int]:
+    """(producerId, producerEpoch, baseSequence, record count) of the
+    FIRST record batch in ``data`` — the fields the broker's KIP-98
+    duplicate check reads before any decompression. Fixed offsets per
+    the magic-2 layout: body starts at 21; producerId at body+30."""
+    if len(data) < 61:
+        raise ValueError("record batch shorter than its header")
+    if data[16] != 2:
+        raise ValueError(f"unsupported record-batch magic {data[16]}")
+    pid, = struct.unpack_from(">q", data, 43)
+    epoch, = struct.unpack_from(">h", data, 51)
+    base_seq, = struct.unpack_from(">i", data, 53)
+    count, = struct.unpack_from(">i", data, 57)
+    return pid, epoch, base_seq, count
 
 
 def decode_record_batches(data: bytes, *, validate_crc: bool = True
@@ -627,11 +648,16 @@ class KafkaWireClient:
     def produce_records(
             self, topic: str, partition: int,
             messages: list[tuple[Optional[bytes], Optional[bytes], int]],
-            codec: Optional[str] = None) -> int:
+            codec: Optional[str] = None,
+            producer_id: int = -1, producer_epoch: int = -1,
+            base_sequence: int = -1) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
         base offset. ``codec="gzip"``/``"snappy"``/``"lz4"`` ships the
-        batch compressed.
+        batch compressed. ``producer_id``/``producer_epoch``/
+        ``base_sequence`` stamp the KIP-98 idempotence fields (see
+        :class:`IdempotentProducer`); the broker then discards
+        duplicate retries of the same sequence.
         Requires a broker advertising Produce ≥ v3 — raises otherwise
         rather than silently dropping timestamps."""
         if self._max_version(API_PRODUCE) < 3:
@@ -640,7 +666,8 @@ class KafkaWireClient:
                 "use produce() for the magic-0 path")
         batch = encode_record_batch(
             [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)],
-            codec=codec)
+            codec=codec, producer_id=producer_id,
+            producer_epoch=producer_epoch, base_sequence=base_sequence)
         w = _Writer()
         w.string(None)  # transactional_id
         w.i16(1)        # acks
@@ -660,9 +687,33 @@ class KafkaWireClient:
         base = r.i64()
         r.i64()         # log_append_time
         r.i32()         # throttle_time_ms
+        if err == ERR_OUT_OF_ORDER_SEQUENCE:
+            raise RuntimeError(
+                "produce rejected: out-of-order sequence number (a "
+                "prior batch from this producer was lost — KIP-98 "
+                "gap fencing)")
+        if err == ERR_DUPLICATE_SEQUENCE:
+            raise RuntimeError(
+                "produce rejected: duplicate sequence number below "
+                "the broker's deduplication window")
         if err != ERR_NONE:
             raise RuntimeError(f"produce failed: error {err}")
         return base
+
+    def init_producer_id(self) -> tuple[int, int]:
+        """InitProducerId v0 (KIP-98): a broker-assigned
+        (producer_id, epoch) for idempotent produce."""
+        w = _Writer()
+        w.string(None)   # transactional_id (idempotence-only)
+        w.i32(60000)     # transaction_timeout_ms
+        r = self._call(API_INIT_PRODUCER_ID, bytes(w.buf))
+        r.i32()          # throttle_time_ms
+        err = r.i16()
+        pid = r.i64()
+        epoch = r.i16()
+        if err != ERR_NONE:
+            raise RuntimeError(f"init_producer_id failed: error {err}")
+        return pid, epoch
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20
@@ -1005,6 +1056,49 @@ class KafkaWireClient:
         return out
 
 
+class IdempotentProducer:
+    """KIP-98 idempotent produce (the non-transactional half): an
+    InitProducerId-assigned (producer_id, epoch) plus per-partition
+    sequence numbers let the broker discard duplicate retries, so a
+    network-retried batch appends EXACTLY once per partition — the
+    upgrade over the plain producer's at-least-once, without needing
+    the downstream MERGE to absorb replays.
+
+    ``send`` advances the sequence only after the broker accepts the
+    batch; ``retry_last`` re-sends the previous batch verbatim (what a
+    real client does on a timed-out request) and is test-pinned to be
+    a broker-side no-op."""
+
+    def __init__(self, client: "KafkaWireClient") -> None:
+        self._c = client
+        self.producer_id, self.epoch = client.init_producer_id()
+        self._seq: dict[tuple[str, int], int] = {}
+        self._last: dict[tuple[str, int], tuple[int, list]] = {}
+
+    def send(self, topic: str, partition: int,
+             messages: list[tuple[Optional[bytes], Optional[bytes],
+                                  int]],
+             codec: Optional[str] = None) -> int:
+        seq = self._seq.get((topic, partition), 0)
+        base = self._c.produce_records(
+            topic, partition, messages, codec=codec,
+            producer_id=self.producer_id, producer_epoch=self.epoch,
+            base_sequence=seq)
+        self._seq[(topic, partition)] = seq + len(messages)
+        self._last[(topic, partition)] = (seq, messages)
+        return base
+
+    def retry_last(self, topic: str, partition: int,
+                   codec: Optional[str] = None) -> int:
+        """Re-send the last batch with its ORIGINAL sequence (the
+        ambiguous-outcome retry); the broker deduplicates."""
+        seq, messages = self._last[(topic, partition)]
+        return self._c.produce_records(
+            topic, partition, messages, codec=codec,
+            producer_id=self.producer_id, producer_epoch=self.epoch,
+            base_sequence=seq)
+
+
 # ---------------------------------------------------------------------------
 # broker
 # ---------------------------------------------------------------------------
@@ -1041,6 +1135,12 @@ class MiniKafkaBroker:
         self._next: dict[tuple[str, int], int] = {}
         #: (group, topic, partition) → committed consumer offset
         self._group_offsets: dict[tuple[str, str, int], int] = {}
+        #: KIP-98 idempotence: next producer id to hand out, and per
+        #: (pid, topic, partition) the last accepted batch's
+        #: (base_sequence, count, base_offset) for duplicate replies
+        self._next_pid = 1000
+        self._pid_state: dict[tuple[int, str, int],
+                              tuple[int, int, int]] = {}
         self._lock = threading.Lock()
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
@@ -1139,6 +1239,7 @@ class MiniKafkaBroker:
         API_LEAVE_GROUP: (0, 0),
         API_SYNC_GROUP: (0, 0),
         API_VERSIONS: (0, 0),
+        API_INIT_PRODUCER_ID: (0, 0),   # KIP-98 idempotent produce
     }
 
     # -- dispatch ---------------------------------------------------------
@@ -1187,9 +1288,22 @@ class MiniKafkaBroker:
             self._handle_leave_group(req, w)
         elif api_key == API_VERSIONS:
             self._handle_api_versions(w)
+        elif api_key == API_INIT_PRODUCER_ID:
+            self._handle_init_producer_id(req, w)
         else:
             raise ValueError(f"api key {api_key} unsupported")
         return bytes(w.buf)
+
+    def _handle_init_producer_id(self, req: _Reader, w: _Writer) -> None:
+        req.string()   # transactional_id (idempotence-only: null)
+        req.i32()      # transaction_timeout_ms
+        with self._lock:
+            pid = self._next_pid
+            self._next_pid += 1
+        w.i32(0)       # throttle_time_ms
+        w.i16(ERR_NONE)
+        w.i64(pid)
+        w.i16(0)       # producer_epoch
 
     def _handle_metadata(self, req: _Reader, w: _Writer) -> None:
         names = [req.string() for _ in range(req.i32())]
@@ -1229,8 +1343,11 @@ class MiniKafkaBroker:
                 partition = req.i32()
                 size = req.i32()
                 mset = req._take(size)
+                pid = -1
                 if version >= 3:
                     # magic-2 record batch with producer timestamps
+                    pid, _epoch, base_seq, count = \
+                        peek_batch_producer(mset)
                     msgs = [(ts, k, v) for _, ts, k, v
                             in decode_record_batches(mset)]
                 else:
@@ -1238,11 +1355,33 @@ class MiniKafkaBroker:
                     msgs = [(now, k, v) for _, k, v
                             in decode_message_set(mset)]
                 with self._lock:
+                    if pid >= 0:
+                        # KIP-98 idempotence: dedupe retries, fence
+                        # sequence gaps
+                        key = (pid, topic, partition)
+                        prev = self._pid_state.get(key)
+                        expected = prev[0] + prev[1] if prev else 0
+                        if prev and base_seq == prev[0]:
+                            # verbatim retry of the last batch —
+                            # answer with the ORIGINAL base offset,
+                            # append nothing
+                            results.append((topic, partition,
+                                            ERR_NONE, prev[2]))
+                            continue
+                        if base_seq != expected:
+                            err = (ERR_DUPLICATE_SEQUENCE
+                                   if base_seq < expected
+                                   else ERR_OUT_OF_ORDER_SEQUENCE)
+                            results.append((topic, partition, err, -1))
+                            continue
                     log = self._logs.setdefault((topic, partition), [])
                     base = self._next.setdefault((topic, partition), 0)
                     for i, (ts, k, v) in enumerate(msgs):
                         log.append((base + i, ts, k, v))
                     self._next[(topic, partition)] = base + len(msgs)
+                    if pid >= 0:
+                        self._pid_state[(pid, topic, partition)] = \
+                            (base_seq, count, base)
                 results.append((topic, partition, ERR_NONE, base))
         w.i32(len(results))
         for topic, partition, err, base in results:

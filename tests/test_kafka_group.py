@@ -713,3 +713,46 @@ def test_static_membership_restart_keeps_assignment(broker):
         a.stop()
         if b2 is not None:
             b2.stop()
+
+
+def test_idempotent_producer_dedupes_retries(broker):
+    """KIP-98 idempotence: a verbatim retry of the last batch (the
+    ambiguous-outcome resend after a request timeout) appends NOTHING
+    and answers with the original base offset; sequence gaps and
+    stale sequences are fenced with the spec error codes."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        IdempotentProducer,
+    )
+
+    broker.create_topic("idem.t", partitions=1)
+    with _client(broker) as c:
+        p = IdempotentProducer(c)
+        assert p.producer_id >= 1000 and p.epoch == 0
+        b0 = p.send("idem.t", 0, [(b"k1", b"v1", 10), (b"k2", b"v2", 20)])
+        assert b0 == 0
+        # network retry: same sequence, same messages → deduped
+        assert p.retry_last("idem.t", 0) == 0
+        b1 = p.send("idem.t", 0, [(b"k3", b"v3", 30)])
+        assert b1 == 2
+        assert p.retry_last("idem.t", 0) == 2
+        got = c.fetch_records("idem.t", 0, 0)
+        assert [(o, k) for o, _ts, k, _v in got] == [
+            (0, b"k1"), (1, b"k2"), (2, b"k3")]   # exactly once each
+
+        # sequence GAP (a lost batch) is rejected loudly
+        with pytest.raises(RuntimeError, match="out-of-order"):
+            c.produce_records("idem.t", 0, [(b"x", b"y", 40)],
+                              producer_id=p.producer_id,
+                              producer_epoch=p.epoch, base_sequence=99)
+        # a sequence below the window is a duplicate error, not data
+        with pytest.raises(RuntimeError, match="[Dd]uplicate"):
+            c.produce_records("idem.t", 0, [(b"x", b"y", 40)],
+                              producer_id=p.producer_id,
+                              producer_epoch=p.epoch, base_sequence=0)
+        # two producers don't fence each other; plain produces (-1)
+        # bypass idempotence entirely
+        p2 = IdempotentProducer(c)
+        assert p2.producer_id != p.producer_id
+        assert p2.send("idem.t", 0, [(b"a", b"b", 50)]) == 3
+        assert c.produce_records("idem.t", 0, [(b"c", b"d", 60)]) == 4
+        assert len(c.fetch_records("idem.t", 0, 0)) == 5
