@@ -174,13 +174,19 @@ class GroupConsumer:
                  heartbeat_interval_ms: int = 1000,
                  auto_offset_reset: str = "earliest",
                  background_heartbeat: bool = False,
-                 group_instance_id: str | None = None) -> None:
+                 group_instance_id: str | None = None,
+                 ssl_context=None,
+                 sasl_plain: tuple[str, str] | None = None) -> None:
         host, _, port = bootstrap.rpartition(":")
+        #: connection security, applied to EVERY connection this
+        #: consumer opens (bootstrap probe, coordinator, heartbeat)
+        self._conn_kw = dict(ssl_context=ssl_context,
+                             sasl_plain=sasl_plain)
         # protocol fidelity: ask where the coordinator lives and talk
         # to it (single-node broker: it's the same address)
-        with KafkaWireClient(host, int(port)) as probe:
+        with KafkaWireClient(host, int(port), **self._conn_kw) as probe:
             chost, cport = probe.find_coordinator(group)
-        self._client = KafkaWireClient(chost, cport)
+        self._client = KafkaWireClient(chost, cport, **self._conn_kw)
         self.group = group
         self.topics = list(topics)
         self._session_ms = session_timeout_ms
@@ -218,7 +224,8 @@ class GroupConsumer:
                 continue
             try:
                 if hb_client is None:
-                    hb_client = KafkaWireClient(host, port)
+                    hb_client = KafkaWireClient(host, port,
+                                                **self._conn_kw)
                 hb_client.heartbeat(self.group, self.generation,
                                     self.member_id)
                 self._last_hb = _time.monotonic()

@@ -20,7 +20,10 @@ Semantics mirror the JVM Kafka source where they overlap:
   timestamped rows — the mini broker stamps v0-produced messages
   with append time but serves every batch as CreateTime; per-topic
   LogAppendTime marking is a real-broker concern,
-* options: ``bootstrap`` (host:port), ``subscribe`` (comma-separated
+* options: ``bootstrap`` (host:port), ``securityProtocol``
+  (PLAINTEXT | SASL_PLAINTEXT | SSL | SASL_SSL, with
+  ``saslUsername``/``saslPassword`` and optional ``sslCaFile`` pinned
+  trust anchor), ``subscribe`` (comma-separated
   topics) or ``subscribePattern`` (anchored regex over broker
   metadata), ``startingOffsets`` (earliest|latest, default earliest)
   or ``startingTimestamp`` (epoch ms — each partition starts at the
@@ -92,6 +95,49 @@ def _parse_bootstrap(options: dict) -> tuple[str, int]:
     return host, int(port)
 
 
+_SEC_KEYS = ("securityprotocol", "saslusername", "saslpassword",
+             "sslcafile")
+
+
+def _security_options(options: dict) -> dict:
+    """The picklable (string-only) security subset of the options —
+    carried to executors, turned into live objects per connection by
+    :func:`_security_kwargs`."""
+    return {k.lower(): v for k, v in options.items()
+            if k.lower() in _SEC_KEYS}
+
+
+def _security_kwargs(sec: dict) -> dict:
+    """securityProtocol / saslUsername / saslPassword / sslCaFile →
+    KafkaWireClient kwargs. PLAINTEXT (default), SASL_PLAINTEXT, SSL,
+    SASL_SSL — the JVM source's four listener flavors. An SSL context
+    is built HERE (per process) because contexts don't pickle; with
+    ``sslCaFile`` the given certificate is the pinned trust anchor,
+    without it verification is disabled (test/self-signed mode)."""
+    proto = (sec.get("securityprotocol") or "PLAINTEXT").upper()
+    if proto not in ("PLAINTEXT", "SASL_PLAINTEXT", "SSL", "SASL_SSL"):
+        raise ValueError(f"kafka_py: bad securityProtocol {proto!r}")
+    kw: dict = {}
+    if proto in ("SSL", "SASL_SSL"):
+        import ssl as _ssl
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        ca = sec.get("sslcafile")
+        ctx.check_hostname = False
+        if ca:
+            ctx.load_verify_locations(ca)
+            ctx.verify_mode = _ssl.CERT_REQUIRED
+        else:
+            ctx.verify_mode = _ssl.CERT_NONE
+        kw["ssl_context"] = ctx
+    if proto in ("SASL_PLAINTEXT", "SASL_SSL"):
+        user, pwd = sec.get("saslusername"), sec.get("saslpassword")
+        if user is None or pwd is None:
+            raise ValueError("kafka_py: saslUsername and saslPassword "
+                             f"required for {proto}")
+        kw["sasl_plain"] = (user, pwd)
+    return kw
+
+
 def _tp_key(topic: str, partition: int) -> str:
     # offsets serialize through JSON → string keys; ',' cannot appear
     # in a partition number, and a ',' inside a topic name is rejected
@@ -109,17 +155,20 @@ class KafkaRangePartition(InputPartition):
     the executor, which opens its own socket."""
 
     def __init__(self, host: str, port: int, topic: str, partition: int,
-                 start: int, end: int) -> None:
+                 start: int, end: int, security: dict | None = None
+                 ) -> None:
         self.host, self.port = host, port
         self.topic, self.partition = topic, partition
         self.start, self.end = start, end
+        self.security = security or {}
 
 
 def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
     """Executor-side fetch loop: repeated bounded fetches until the
     range is drained (one fetch returns at most max_bytes; the loop is
     the poll loop of the reference consumer, minus the sleep)."""
-    with KafkaWireClient(p.host, p.port) as client:
+    with KafkaWireClient(p.host, p.port,
+                         **_security_kwargs(p.security)) as client:
         offset = p.start
         while offset < p.end:
             batch = client.fetch_records(p.topic, p.partition, offset)
@@ -142,6 +191,7 @@ class _TopicResolver:
 
     def __init__(self, options: dict) -> None:
         self.host, self.port = _parse_bootstrap(options)
+        self.security = _security_options(options)
         subscribe = options.get("subscribe")
         pattern = options.get("subscribepattern") \
             or options.get("subscribePattern")
@@ -171,7 +221,8 @@ class _TopicResolver:
         self.starting_ts = int(ts_opt) if ts_opt else None
 
     def _client(self) -> KafkaWireClient:
-        return KafkaWireClient(self.host, self.port)
+        return KafkaWireClient(self.host, self.port,
+                               **_security_kwargs(self.security))
 
     def _wanted(self, c: KafkaWireClient) -> dict[str, list[int]]:
         meta = c.metadata(self.topics)
@@ -212,7 +263,9 @@ class _TopicResolver:
 
 def _split_ranges(ranges: list[tuple[str, int, int, int]],
                   min_partitions: Optional[int],
-                  host: str, port: int) -> list[KafkaRangePartition]:
+                  host: str, port: int,
+                  security: dict | None = None
+                  ) -> list[KafkaRangePartition]:
     """(topic, partition, start, end) → InputPartitions, subdividing
     offset ranges until there are ≥ ``min_partitions`` tasks (the JVM
     source's ``minPartitions`` contract): a skewed topic whose data
@@ -230,7 +283,8 @@ def _split_ranges(ranges: list[tuple[str, int, int, int]],
         step = (e - s + n - 1) // n
         for lo in range(s, e, step):
             out.append(KafkaRangePartition(
-                host, port, topic, part, lo, min(lo + step, e)))
+                host, port, topic, part, lo, min(lo + step, e),
+                security=security))
     return out
 
 
@@ -253,7 +307,8 @@ class KafkaPyBatchReader(DataSourceReader):
                 topic, part = _split_tp(key)
                 ranges.append((topic, part, start, end))
         return _split_ranges(ranges, self._min_partitions,
-                             self._resolver.host, self._resolver.port)
+                             self._resolver.host, self._resolver.port,
+                             self._resolver.security)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -326,7 +381,8 @@ class KafkaPyStreamReader(DataSourceStreamReader):
                 topic, part = _split_tp(key)
                 ranges.append((topic, part, s, e))
         return _split_ranges(ranges, self._min_partitions,
-                             self._resolver.host, self._resolver.port)
+                             self._resolver.host, self._resolver.port,
+                             self._resolver.security)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -394,13 +450,15 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
 
     def __init__(self, options: dict) -> None:
         self.host, self.port = _parse_bootstrap(options)
+        self.security = _security_options(options)
         self.topic = options.get("topic")
         if not self.topic:
             raise ValueError("kafka_py sink: 'topic' option required")
 
     def write(self, rows) -> KafkaWriteCommit:
         counts: dict[int, int] = {}
-        with KafkaWireClient(self.host, self.port) as client:
+        with KafkaWireClient(self.host, self.port,
+                             **_security_kwargs(self.security)) as client:
             parts = client.metadata([self.topic]).get(self.topic) or [0]
             buf: dict[int, list] = {}
             rr = 0

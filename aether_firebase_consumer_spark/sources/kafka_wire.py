@@ -21,6 +21,16 @@ remains the production path (``readers.kafka_source_options``
 assembles its options) — this module is the proof-of-semantics and
 the no-jar escape hatch, exactly like ``avro_codec`` is for Avro.
 
+Beyond the v0 core, the broker/client pair speaks the later protocol
+pieces a production deployment leans on, all from the public spec:
+magic-2 record batches (Produce v3 / Fetch v4, CRC32C, per-record
+timestamps, gzip/Snappy/LZ4 codecs), consumer-group membership
+(JoinGroup/SyncGroup/Heartbeat/LeaveGroup with negotiated protocols,
+KIP-345 static membership via JoinGroup v5), KIP-98 idempotent
+produce (InitProducerId + sequence fencing), and secured listeners
+(SASL/PLAIN over the framed SaslHandshake v1 / SaslAuthenticate flow,
+TLS or SASL_SSL via stdlib ``ssl``).
+
 Wire format notes:
   request  = int32 size ++ int16 api_key ++ int16 api_version ++
              int32 correlation_id ++ STRING client_id ++ body
@@ -76,8 +86,10 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
+API_SASL_AUTHENTICATE = 36
 
 EARLIEST = -2
 LATEST = -1
@@ -89,8 +101,11 @@ ERR_ILLEGAL_GENERATION = 22
 ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_DUPLICATE_SEQUENCE = 46
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 
 class GroupRebalanceError(RuntimeError):
@@ -539,12 +554,45 @@ class KafkaWireClient:
     own, which is exactly the consumer-per-task model."""
 
     def __init__(self, host: str, port: int,
-                 client_id: str = "afcs", timeout: float = 30.0) -> None:
+                 client_id: str = "afcs", timeout: float = 30.0,
+                 ssl_context=None,
+                 sasl_plain: Optional[tuple[str, str]] = None) -> None:
         self.host, self.port = host, port
         self.client_id = client_id
         self._corr = 0
         self._vers: Optional[dict[int, tuple[int, int]]] = None
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if ssl_context is not None:
+            # TLS wraps the raw socket; every Kafka frame after this
+            # point rides the encrypted channel (SSL or SASL_SSL)
+            self._sock = ssl_context.wrap_socket(
+                self._sock, server_hostname=host)
+        if sasl_plain is not None:
+            self._sasl_plain(*sasl_plain)
+
+    def _sasl_plain(self, username: str, password: str) -> None:
+        """SASL/PLAIN (RFC 4616) over the Kafka-framed flow:
+        SaslHandshake v1 negotiates the mechanism, SaslAuthenticate v0
+        carries the NUL-delimited credentials. Until this succeeds a
+        SASL broker answers nothing but the handshake APIs."""
+        w = _Writer()
+        w.string("PLAIN")
+        r = self._call(API_SASL_HANDSHAKE, bytes(w.buf), version=1)
+        err = r.i16()
+        mechs = [r.string() for _ in range(r.i32())]
+        if err != ERR_NONE:
+            raise RuntimeError(
+                f"SASL handshake rejected (error {err}); broker "
+                f"offers {mechs}")
+        w = _Writer()
+        w.bytes_(b"\x00" + username.encode() + b"\x00"
+                 + password.encode())
+        r = self._call(API_SASL_AUTHENTICATE, bytes(w.buf))
+        err = r.i16()
+        msg = r.string()
+        if err != ERR_NONE:
+            raise RuntimeError(
+                f"SASL authentication failed: {msg or f'error {err}'}")
 
     def close(self) -> None:
         try:
@@ -1124,7 +1172,9 @@ class MiniKafkaBroker:
     rebalance_timeout: float = 5.0
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 clock=None, fetch_codec: Optional[str] = None) -> None:
+                 clock=None, fetch_codec: Optional[str] = None,
+                 sasl_users: Optional[dict[str, str]] = None,
+                 ssl_context=None) -> None:
         #: (topic, partition) → list of (offset, timestamp_ms, key,
         #: value), offsets strictly increasing (gaps after compaction).
         #: v0 produces are stamped with ``clock`` (LogAppendTime);
@@ -1152,20 +1202,41 @@ class MiniKafkaBroker:
         self._groups: dict[str, dict] = {}
         self._gcond = threading.Condition()
         self._member_seq = 0
+        #: SASL/PLAIN credentials (user → password); None = PLAINTEXT
+        #: listener. TLS: pass a server-side SSLContext.
+        self._sasl_users = sasl_users
+        self._ssl_context = ssl_context
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
+                sock = self.request
                 try:
+                    if broker._ssl_context is not None:
+                        sock = broker._ssl_context.wrap_socket(
+                            sock, server_side=True)
+                    # per-connection SASL state, like a real listener
+                    conn = {"authenticated": broker._sasl_users is None,
+                            "mechanism": None}
                     while True:
-                        raw = _recv_exact(self.request, 4)
+                        raw = _recv_exact(sock, 4)
                         (size,) = struct.unpack(">i", raw)
-                        req = _Reader(_recv_exact(self.request, size))
-                        resp = broker._dispatch(req)
-                        self.request.sendall(
+                        req = _Reader(_recv_exact(sock, size))
+                        resp = broker._dispatch(req, conn)
+                        sock.sendall(
                             struct.pack(">i", len(resp)) + resp)
                 except (ConnectionError, EOFError, OSError):
                     return
+                except ValueError:
+                    # protocol violation (incl. unauthenticated API
+                    # use): close the connection, real-broker style
+                    return
+                finally:
+                    if sock is not self.request:
+                        try:
+                            sock.close()
+                        except OSError:
+                            pass
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -1240,10 +1311,15 @@ class MiniKafkaBroker:
         API_SYNC_GROUP: (0, 0),
         API_VERSIONS: (0, 0),
         API_INIT_PRODUCER_ID: (0, 0),   # KIP-98 idempotent produce
+        API_SASL_HANDSHAKE: (1, 1),     # framed SASL/PLAIN flow
+        API_SASL_AUTHENTICATE: (0, 0),
     }
 
     # -- dispatch ---------------------------------------------------------
-    def _dispatch(self, req: _Reader) -> bytes:
+    def _dispatch(self, req: _Reader,
+                  conn: Optional[dict] = None) -> bytes:
+        conn = conn if conn is not None else {"authenticated": True,
+                                              "mechanism": None}
         api_key = req.i16()
         api_version = req.i16()
         corr = req.i32()
@@ -1254,6 +1330,31 @@ class MiniKafkaBroker:
         if not lo <= api_version <= hi:
             raise ValueError(
                 f"api {api_key} v{api_version} unsupported")
+        if (not conn["authenticated"]
+                and api_key not in (API_VERSIONS, API_SASL_HANDSHAKE,
+                                    API_SASL_AUTHENTICATE)):
+            # a SASL listener serves nothing else pre-auth; real
+            # brokers drop the connection
+            raise ValueError(
+                f"api {api_key} before SASL authentication")
+        if api_key == API_SASL_HANDSHAKE:
+            if api_version != 1:
+                # v0's follow-up tokens are raw (unframed) — only the
+                # framed v1 flow is spoken here
+                raise ValueError("SaslHandshake v0 unsupported (v1 "
+                                 "frames the authenticate tokens)")
+            mech = req.string() or ""
+            if mech != "PLAIN":
+                w.i16(ERR_UNSUPPORTED_SASL_MECHANISM)
+            else:
+                conn["mechanism"] = mech
+                w.i16(ERR_NONE)
+            w.i32(1)
+            w.string("PLAIN")
+            return bytes(w.buf)
+        if api_key == API_SASL_AUTHENTICATE:
+            self._handle_sasl_authenticate(req, w, conn)
+            return bytes(w.buf)
         # intermediate versions this broker never emitted (e.g.
         # Produce v1/v2, Fetch v1-v3) are not implemented — the
         # paired client only negotiates v0 or the advertised max
@@ -1293,6 +1394,28 @@ class MiniKafkaBroker:
         else:
             raise ValueError(f"api key {api_key} unsupported")
         return bytes(w.buf)
+
+    def _handle_sasl_authenticate(self, req: _Reader, w: _Writer,
+                                  conn: dict) -> None:
+        token = req.bytes_() or b""
+        if conn.get("mechanism") != "PLAIN":
+            w.i16(ERR_ILLEGAL_SASL_STATE)
+            w.string("SaslHandshake must precede SaslAuthenticate")
+            w.bytes_(b"")
+            return
+        parts = token.split(b"\x00")
+        users = self._sasl_users or {}
+        if (len(parts) == 3
+                and users.get(parts[1].decode("utf-8", "replace"))
+                == parts[2].decode("utf-8", "replace")):
+            conn["authenticated"] = True
+            w.i16(ERR_NONE)
+            w.string(None)
+            w.bytes_(b"")
+        else:
+            w.i16(ERR_SASL_AUTHENTICATION_FAILED)
+            w.string("invalid PLAIN credentials")
+            w.bytes_(b"")
 
     def _handle_init_producer_id(self, req: _Reader, w: _Writer) -> None:
         req.string()   # transactional_id (idempotence-only: null)
