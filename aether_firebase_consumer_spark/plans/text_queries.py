@@ -19,7 +19,7 @@ from aether_firebase_consumer_spark.functions.text import (
     token_count,
 )
 from aether_firebase_consumer_spark.plans import register
-from aether_firebase_consumer_spark.tables import load_table
+from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 
 @register(
@@ -506,3 +506,135 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_shingles", "n_unique",
                     (F.col("n_unique").cast("double")
                      / F.col("n_shingles")).alias("novelty")))
+
+
+@register(
+    "text_centroid_lang_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+    ),
+    train AS (SELECT * FROM tc WHERE doc_id % 10 < 8),
+    test  AS (SELECT * FROM tc WHERE doc_id % 10 >= 8),
+    prof AS (
+      SELECT lang AS plang, tok, SUM(c) AS clt FROM train GROUP BY 1, 2
+    ),
+    nl AS (SELECT plang, SUM(clt) AS n FROM prof GROUP BY 1),
+    s AS (
+      SELECT t.doc_id, p.plang, SUM(t.c * p.clt) AS s
+      FROM test t JOIN prof p USING (tok) GROUP BY 1, 2
+    ),
+    base AS (SELECT DISTINCT doc_id, lang AS true_lang FROM test),
+    sc AS (
+      SELECT b.doc_id, b.true_lang, nl.plang, nl.n,
+             COALESCE(s.s, 0) AS s
+      FROM base b CROSS JOIN nl
+      LEFT JOIN s ON s.doc_id = b.doc_id AND s.plang = nl.plang
+    ),
+    w AS (
+      SELECT a.doc_id, a.true_lang, a.plang,
+             SUM(CASE WHEN CAST(a.s AS HUGEINT) * b.n
+                           > CAST(b.s AS HUGEINT) * a.n
+                        OR (CAST(a.s AS HUGEINT) * b.n
+                            = CAST(b.s AS HUGEINT) * a.n
+                            AND a.plang < b.plang)
+                      THEN 1 ELSE 0 END) AS wins
+      FROM sc a JOIN sc b
+        ON a.doc_id = b.doc_id AND a.plang <> b.plang
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, plang AS pred_lang, true_lang,
+           CAST(plang = true_lang AS INT) AS correct
+    FROM w
+    WHERE wins = (SELECT COUNT(*) FROM nl) - 1
+    """,
+)
+def text_centroid_lang_classifier(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Model-based filtering, trained AND applied relationally (round
+    7): a Rocchio/centroid token-frequency classifier — the exact-
+    arithmetic cousin of the fastText-style language/quality models
+    production corpus pipelines gate on (CCNet-style). Train = the
+    80% split's per-language token-frequency profiles; classify the
+    held-out 20% by the length-normalized overlap score
+    ``S_l / N_l = Σ_t c_t·c_lt / Σ_t c_lt``; report per-doc
+    prediction + correctness against the held-out label.
+
+    The argmax is EXACT: instead of a float ratio (whose sum order
+    would drift a ulp between engines), languages are compared
+    pairwise on the cross-multiplied integers ``S_a·N_b vs S_b·N_a``
+    (decimal/HUGEINT — no overflow even at corpus scale), ties broken
+    by language name; the winner is the language beating all others.
+    Everything is joins and integer aggregations, so the DuckDB
+    oracle reproduces it bit-for-bit — no ln(), no doubles anywhere.
+
+    Scale shape: profiles are a (lang, token) aggregate with map-side
+    partial sums (vocab-bounded, NOT corpus-bounded); the 5-row mass
+    table broadcasts; scoring is one equi-join of test tokens into
+    the profile and a (doc, lang) aggregate; the pairwise argmax is a
+    5×5-per-doc self-join of a doc×lang frame — all linear in docs.
+
+    Fixture note: the synthetic documents share one vocabulary across
+    every ``lang`` label (labels are independent of tokens), so
+    measured accuracy here is chance (~0.2 over 5 classes) BY
+    CONSTRUCTION of the data — the oracle gate pins train+apply
+    exactness; ``tests/test_operators.py::
+    test_centroid_classifier_learns_real_signal`` pins that the model
+    reaches 100% on a fixture whose labels do drive the tokens."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    return centroid_classify(docs, "doc_id", "lang", "text",
+                             F.col("doc_id") % 10 < 8)
+
+
+def centroid_classify(docs: DataFrame, id_col: str, label_col: str,
+                      text_col: str, is_train) -> DataFrame:
+    """The classifier proper (see ``text_centroid_lang_classifier``):
+    per-label token-frequency centroids trained on rows where the
+    ``is_train`` Column holds, the rest classified by the exact
+    integer pairwise argmax of the length-normalized overlap score.
+    Returns (doc_id, pred_lang, true_lang, correct) using the given
+    columns."""
+    base_cols = docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(label_col).alias("lang"),
+                            F.col(text_col).alias("text"),
+                            is_train.alias("_train"))
+    toks = (base_cols.select("doc_id", "lang", "_train",
+                             F.explode(F.split("text", " "))
+                             .alias("tok"))
+            .filter(F.col("tok") != ""))
+    tc = toks.groupBy("doc_id", "lang", "_train", "tok").agg(
+        F.count("*").alias("c"))
+    train = tc.filter(F.col("_train"))
+    test = tc.filter(~F.col("_train"))
+    prof = (train.groupBy(F.col("lang").alias("plang"), "tok")
+            .agg(F.sum("c").alias("clt")))
+    nl = prof.groupBy("plang").agg(F.sum("clt").alias("n"))
+    s = (test.join(prof, "tok")
+         .groupBy("doc_id", "plang")
+         .agg(F.sum(F.col("c") * F.col("clt")).alias("s")))
+    base = test.select("doc_id", F.col("lang").alias("true_lang")) \
+        .distinct()
+    sc = (base.crossJoin(F.broadcast(nl))
+          .join(s, ["doc_id", "plang"], "left")
+          .withColumn("s", F.coalesce(F.col("s"), F.lit(0))))
+    a, b = sc.alias("a"), sc.alias("b")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    beats = ((dec("a.s") * F.col("b.n") > dec("b.s") * F.col("a.n"))
+             | ((dec("a.s") * F.col("b.n") == dec("b.s") * F.col("a.n"))
+                & (F.col("a.plang") < F.col("b.plang"))))
+    w = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.plang") != F.col("b.plang")))
+         .groupBy(F.col("a.doc_id").alias("doc_id"),
+                  F.col("a.true_lang").alias("true_lang"),
+                  F.col("a.plang").alias("pred_lang"))
+         .agg(F.sum(beats.cast("int")).alias("wins")))
+    n_langs = nl.count()   # bounded driver action (≤ #languages)
+    return (w.filter(F.col("wins") == n_langs - 1)
+            .select("doc_id", "pred_lang", "true_lang",
+                    (F.col("pred_lang") == F.col("true_lang"))
+                    .cast("int").alias("correct")))

@@ -466,3 +466,37 @@ def test_ngram_containment_asymmetric(spark):
     jac = ngram_jaccard_pairs(df, "doc_id", "text",
                               threshold=0.5).collect()
     assert jac == []                   # Jaccard never sees it
+
+
+def test_centroid_classifier_learns_real_signal(spark):
+    """The relational centroid classifier reaches 100% held-out
+    accuracy when labels actually drive the token distribution —
+    proving the train/apply machinery learns (the registered query's
+    fixture labels are token-independent by construction, so its
+    oracle gate pins exactness, not accuracy)."""
+    from pyspark.sql import functions as F
+
+    from aether_firebase_consumer_spark.plans.text_queries import (
+        centroid_classify,
+    )
+
+    vocab = {"red": "crimson scarlet ruby cherry brick",
+             "blue": "azure navy cobalt sapphire teal",
+             "green": "olive lime forest jade moss"}
+    rows = []
+    i = 0
+    for label, words in vocab.items():
+        ws = words.split()
+        for k in range(20):
+            # distinct per-doc mixtures of the label's vocabulary,
+            # plus shared filler words common to every label
+            body = " ".join(ws[(k + j) % len(ws)] for j in range(12))
+            rows.append((i, label, body + " the a of and"))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                                       "text string")
+    out = centroid_classify(docs, "doc_id", "lang", "text",
+                            F.col("doc_id") % 4 != 0).collect()
+    assert len(out) == 15                     # one quarter held out
+    assert all(r.correct == 1 for r in out)
+    assert {r.true_lang for r in out} == set(vocab)
