@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from aether_firebase_consumer_spark.plans import register
-from aether_firebase_consumer_spark.tables import load_table
+from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
 
 #: DuckDB twin of ``operators.dedup.portable_hash60`` (one md5 →
 #: 60-bit int → mod 2^31-1), parameterized over the hashed expression.
@@ -366,3 +366,100 @@ def corpus_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tok").cast("bigint").alias("tokens_kept"),
                  F.max("tok_lang").cast("bigint").alias("tokens_before"),
                  F.max("target").cast("bigint").alias("token_budget")))
+
+
+_BPE_N = 10
+_SEP = "\x1f"
+
+
+def _bpe_oracle(n: int = _BPE_N) -> str:
+    """Generate the n-iteration BPE training CTE chain (the same
+    scheme as the trained-PQ oracle: data-dependent model state is
+    re-derived INSIDE SQL, one CTE layer per merge)."""
+    parts = ["""w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>'
+               AS sym,
+             COUNT(*) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1
+    )"""]
+    for r in range(n):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT s[i] || chr(31) || s[i+1] AS pair, SUM(wc) AS c
+      FROM (SELECT string_split(sym, chr(31)) AS s, wc FROM w{r}),
+           LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+      GROUP BY 1
+    )""")
+        parts.append(f"""b{r} AS MATERIALIZED (
+      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    )""")
+        parts.append(f"""w{r + 1} AS MATERIALIZED (
+      SELECT replace(sym, (SELECT pair FROM b{r}),
+                     replace((SELECT pair FROM b{r}), chr(31), ''))
+               AS sym, wc
+      FROM w{r}
+    )""")
+    finals = "\n      UNION ALL ".join(
+        f"""SELECT {r + 1} AS rank,
+             split_part((SELECT pair FROM b{r}), chr(31), 1) AS left_sym,
+             split_part((SELECT pair FROM b{r}), chr(31), 2) AS right_sym,
+             replace((SELECT pair FROM b{r}), chr(31), '') AS merged,
+             (SELECT c FROM b{r}) AS cnt"""
+        for r in range(n))
+    return ",\n    ".join(parts) + f"\n    SELECT * FROM ({finals})"
+
+
+@register("corpus_bpe_train", oracle="WITH " + _bpe_oracle())
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER TRAINING as a relational pipeline (round 7): learn
+    the first 10 BPE merges over the corpus's word-frequency table —
+    the Sennrich et al. algorithm, Spark-first. Words reduce to a
+    vocab-bounded (symbols, count) frame (the classic BPE trick:
+    train on the word DICTIONARY, weighted by frequency, never on raw
+    running text); each iteration counts adjacent symbol pairs with a
+    map-side partial SUM, takes the (count DESC, pair ASC) argmax —
+    a bounded 1-row driver action, like the k-means centroid pulls —
+    and applies the merge as a literal string replace on the
+    separator-joined symbol form (left-to-right non-overlapping
+    replace = greedy leftmost BPE application, identical semantics in
+    both engines). All counts are integers and the tiebreak is
+    lexicographic, so the DuckDB oracle — which re-derives every
+    data-dependent merge decision inside one 10-layer CTE chain —
+    matches bit-for-bit.
+
+    Scale: the only corpus-sized pass is the word count; every
+    iteration after that touches the vocabulary (≪ corpus, Heaps'
+    law), checkpointed once so the 10 argmax actions don't re-scan
+    the corpus. Returns the merge table (rank, left_sym, right_sym,
+    merged, cnt) — the artifact a tokenizer ships."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("wc"))
+             .select(F.concat(
+                 F.regexp_replace(F.col("w"), "(.)", "$1" + _SEP),
+                 F.lit("</w>")).alias("sym"), "wc")
+             .localCheckpoint())
+    cur = words
+    merges = []
+    for r in range(_BPE_N):
+        s = F.split("sym", _SEP)
+        pair_i = F.transform(
+            F.sequence(F.lit(1), F.size(s) - 1),
+            lambda i: F.concat(F.element_at(s, i), F.lit(_SEP),
+                               F.element_at(s, i + 1)))
+        best = (cur.select("wc", F.explode(pair_i).alias("pair"))
+                .groupBy("pair").agg(F.sum("wc").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1).collect())
+        if not best:
+            break
+        pair, cnt = best[0].pair, best[0].c
+        left, right = pair.split(_SEP)
+        merges.append((r + 1, left, right, left + right, int(cnt)))
+        cur = cur.select(
+            F.replace(F.col("sym"), F.lit(pair),
+                      F.lit(left + right)).alias("sym"), "wc")
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, "
+                "merged string, cnt bigint")

