@@ -294,3 +294,64 @@ def test_long_index_backfills_onto_indexed_corpus(spark, tmp_path):
                                        (13, _mk_doc(41))]), 3)
     ids = {r.doc_id for r in corpus.read().collect()}
     assert 13 in ids and 12 not in ids
+
+
+def test_pruned_index_job_from_kafka_stream(spark, tmp_path):
+    """Full r7 composition: documents arrive as JSON over the wire
+    Kafka source; DedupIngestJob grows the corpus using the
+    bkp-partitioned long index (pruned probes) across triggers."""
+    import json
+
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    register_kafka_py(spark)
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"])
+    doc_t = ParquetUpsertTable(spark, str(tmp_path / "d"), ["doc_id"],
+                               partition_col="idp")
+    long_t = ParquetUpsertTable(spark, str(tmp_path / "l"),
+                                ["doc_id", "band_key"],
+                                partition_col="bkp")
+    job = DedupIngestJob(spark, corpus, band_index=doc_t,
+                         band_long_index=long_t, n_parts=N_PARTS,
+                         idp_parts=IDP_PARTS)
+
+    with MiniKafkaBroker() as broker:
+        def produce(rows):
+            with KafkaWireClient(broker.host, broker.port) as c:
+                c.produce("docs.pr", 0, [
+                    (str(i).encode(),
+                     json.dumps({"doc_id": i, "text": t}).encode())
+                    for i, t in rows])
+
+        stream = (spark.readStream.format("kafka_py")
+                  .option("bootstrap", broker.bootstrap)
+                  .option("subscribe", "docs.pr").load())
+        docs = (stream.select(
+            F.from_json(F.col("value").cast("string"),
+                        "doc_id bigint, text string").alias("d"))
+            .select("d.doc_id", "d.text"))
+        q = job.writer(docs, str(tmp_path / "ckpt")).start()
+        try:
+            produce([(i, _mk_doc(i)) for i in range(4)])
+            q.processAllAvailable()
+            assert {r.doc_id for r in corpus.read().collect()} \
+                == {0, 1, 2, 3}
+            # near-dup of doc 2 rejected via the PRUNED probe; fresh
+            # doc accepted; long table stays MERGE-exact
+            produce([(10, _mk_doc(2) + " x"), (11, _mk_doc(50))])
+            q.processAllAvailable()
+            assert {r.doc_id for r in corpus.read().collect()} \
+                == {0, 1, 2, 3, 11}
+        finally:
+            q.stop()
+    fresh = (lsh_index_frame(corpus.read(), "doc_id", "text")
+             .select("doc_id", F.explode("band_keys").alias("band_key")))
+    assert (sorted(map(tuple, long_t.read()
+                       .select("doc_id", "band_key").collect()))
+            == sorted(map(tuple, fresh.collect())))
