@@ -407,9 +407,15 @@ def encode_wav_ima_adpcm(rate: int, channels: int,
 def decode_audio(payload: bytes):
     """Audio decode. PCM WAV decodes with the stdlib ``wave`` module;
     µ-law and IMA ADPCM WAVs decode via the native expanders (they
-    return sample LISTS, not PCM byte frames); other compressed
-    formats need soundfile, absent from the v1 container — those
-    raise with a clear error."""
+    return sample LISTS, not PCM byte frames); FLAC decodes via the
+    native lossless codec (``operators/flac_codec.py``); other
+    compressed formats need soundfile, absent from the v1 container —
+    those raise with a clear error."""
+    if payload[:4] == b"fLaC":
+        from aether_firebase_consumer_spark.operators.flac_codec import (
+            decode_flac,
+        )
+        return decode_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # peek the fmt tag to route compressed WAV variants
         pos = 12

@@ -744,3 +744,73 @@ def multimodal_wav_adpcm_stats(spark: SparkSession,
         kernel,
         "doc_id bigint, rate int, channels int, n_frames int, "
         "v0_out int, v1_out int")
+
+
+@register(
+    "multimodal_flac_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 4))::BIGINT AS v0,
+             ('0x' || substr(md5(text), 5, 4))::BIGINT AS v1,
+             CAST(1 + doc_id % 2 AS INT) AS channels
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, channels,
+             ((v0 * i + v1) % 65536) - 32768 AS smp
+      FROM v, LATERAL (SELECT unnest(generate_series(1, 25 * channels))
+                       AS i)
+    )
+    SELECT doc_id, 8000 AS rate, channels, 25 AS n_frames,
+           CAST(MIN(smp) AS INT) AS s_min,
+           CAST(MAX(smp) AS INT) AS s_max,
+           CAST(SUM(smp) AS BIGINT) AS s_sum
+    FROM s GROUP BY doc_id, channels
+    """,
+)
+def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC encode+decode inside an oracle-gated query (round 7):
+    each document becomes a 25-frame mono-or-stereo int16 signal (an
+    md5-seeded arithmetic series — NOT constant, so the fixed
+    predictors and Rice residuals do real work), encoded with a
+    9-sample block size (multi-frame stream, coded frame numbers,
+    per-frame CRCs) and decoded back. FLAC is lossless, so the kernel
+    asserts decoded == input and the oracle predicts the stats purely
+    from the generating arithmetic — the whole codec path sits under
+    the value-hash gate, stronger than the ADPCM query's
+    constant-signal exact point. Codec: operators/flac_codec.py
+    (RFC 9639 subset: CONSTANT/VERBATIM/FIXED subframes,
+    partitioned Rice, CRC-8/CRC-16)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                v0 = int(hx[0:4], 16)
+                v1 = int(hx[4:8], 16)
+                ch = 1 + int(doc_id) % 2
+                sig = [((v0 * i + v1) % 65536) - 32768
+                       for i in range(1, 25 * ch + 1)]
+                flac = encode_flac(8000, ch, sig, block_size=9)
+                rate, ch2, n, got = decode_flac(flac)
+                assert got == sig          # lossless, bit-exact
+                out.append((int(doc_id), rate, ch2, n,
+                            min(sig), max(sig), sum(sig)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "rate", "channels", "n_frames",
+                "s_min", "s_max", "s_sum"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, rate int, channels int, n_frames int, "
+        "s_min int, s_max int, s_sum bigint")

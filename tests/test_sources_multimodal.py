@@ -708,3 +708,102 @@ def test_ima_adpcm_decodes_trailing_partial_block():
            + b"data" + len(frag).to_bytes(4, "little") + frag)
     with _pytest.raises(ValueError, match="block header"):
         decode_wav_ima_adpcm(bad)
+
+
+# ------------------------------------------------------------ FLAC (r7)
+
+def test_flac_roundtrip_lossless():
+    """Lossless: encode → decode is bit-exact for random, smooth, and
+    constant int16 signals, mono and stereo, across frame boundaries."""
+    import math
+    import random
+
+    from aether_firebase_consumer_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+    rng = random.Random(11)
+    for ch in (1, 2):
+        for n in (0, 1, 191, 192, 193, 1000):
+            sig = [rng.randint(-32768, 32767) for _ in range(n * ch)]
+            rate, c, fr, got = decode_flac(
+                encode_flac(44100, ch, sig, block_size=192))
+            assert (rate, c, fr) == (44100, ch, n)
+            assert got == sig
+    smooth = [int(9000 * math.sin(i / 25)) for i in range(3000)]
+    enc = encode_flac(8000, 1, smooth)
+    assert decode_flac(enc)[3] == smooth
+    assert len(enc) < 2 * len(smooth) * 0.6   # fixed predictors bite
+    const = [-777] * 500
+    enc_c = encode_flac(8000, 1, const)
+    assert decode_flac(enc_c)[3] == const
+    assert len(enc_c) < 100                    # CONSTANT subframes
+
+
+def test_flac_hand_built_constant_frame():
+    """Decoder anchored independently of the encoder: a one-frame
+    stream with a CONSTANT subframe built BIT BY BIT from the spec
+    (RFC 9639 frame/subframe layouts, CRC-8 poly 0x07, CRC-16 poly
+    0x8005)."""
+    from aether_firebase_consumer_spark.operators.flac_codec import (
+        _BitWriter,
+        _crc8,
+        _crc16,
+        decode_flac,
+    )
+    si = _BitWriter()
+    si.write(4, 16)        # min block size
+    si.write(4, 16)        # max block size
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)     # rate
+    si.write(0, 3)         # channels - 1
+    si.write(15, 5)        # bps - 1
+    si.write(4, 36)        # total frames
+    stream = (b"fLaC" + b"\x80" + (34).to_bytes(3, "big")
+              + bytes(si.buf) + b"\x00" * 16)
+    hdr = _BitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 1)
+    hdr.write(0, 1)        # fixed blocksize strategy
+    hdr.write(0b0110, 4)   # blocksize-1 in 8 bits follows
+    hdr.write(0b0000, 4)   # rate from STREAMINFO
+    hdr.write(0, 4)        # 1 channel
+    hdr.write(0b100, 3)    # 16-bit
+    hdr.write(0, 1)
+    head = bytes(hdr.buf) + b"\x00" + bytes([4 - 1])   # frame 0, bs 4
+    head += bytes([_crc8(head)])
+    body = _BitWriter()
+    body.write(0, 1)
+    body.write(0b000000, 6)            # CONSTANT
+    body.write(0, 1)
+    body.write((-12345) & 0xFFFF, 16)
+    body.align()
+    frame = head + bytes(body.buf)
+    frame += _crc16(frame).to_bytes(2, "big")
+    rate, ch, fr, got = decode_flac(stream + frame)
+    assert (rate, ch, fr) == (8000, 1, 4)
+    assert got == [-12345] * 4
+
+
+def test_flac_validation_and_gaps():
+    import pytest as _pytest
+
+    from aether_firebase_consumer_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+    sig = [((i * 37) % 9000) - 4500 for i in range(600)]
+    enc = bytearray(encode_flac(8000, 1, sig, block_size=256))
+    with _pytest.raises(ValueError, match="stream marker"):
+        decode_flac(b"nope" + bytes(enc[4:]))
+    # flip a bit in the last frame's audio bytes → CRC-16 catches it
+    bad = bytearray(enc)
+    bad[-3] ^= 0x10
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    # dispatch through decode_audio via the fLaC magic
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_audio,
+    )
+    assert decode_audio(bytes(enc))[3] == sig
