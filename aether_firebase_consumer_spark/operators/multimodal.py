@@ -133,16 +133,23 @@ def decode_image(payload: bytes) -> "object":
             decode_jpeg,
         )
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from aether_firebase_consumer_spark.operators.webp_codec import (
+            decode_webp_lossless,
+        )
+        w, h, rgba = decode_webp_lossless(payload)
+        return w, h, 4, rgba
     try:
         from PIL import Image  # noqa: F401
         import io
         return Image.open(io.BytesIO(payload))
     except ImportError as err:
         raise NotImplementedError(
-            "WebP decode requires PIL (not in this environment); "
-            "PPM/PNG/BMP/GIF/TIFF (none/LZW/Deflate/PackBits) and baseline "
-            "JPEG decode natively via operators.image_codecs / "
-            "operators.jpeg_codec") from err
+            "lossy-WebP/AVIF/HEIF decode requires PIL (not in this "
+            "environment); PPM/PNG/BMP/GIF/TIFF (none/LZW/Deflate/"
+            "PackBits), baseline JPEG, and LOSSLESS WebP (VP8L) decode "
+            "natively via operators.image_codecs / operators.jpeg_codec "
+            "/ operators.webp_codec") from err
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -814,3 +814,66 @@ def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, rate int, channels int, n_frames int, "
         "s_min int, s_max int, s_sum bigint")
+
+
+@register(
+    "multimodal_webp_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             ascii(substr(hx, i, 1)) AS v
+      FROM px, LATERAL (SELECT unnest(generate_series(1, 32)) AS i)
+    )
+    SELECT doc_id, 4 AS width, 2 AS height, 4 AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS subtract_green,
+           CAST(SUM(v) AS DOUBLE) / 32 AS avg_v,
+           CAST(MIN(v) AS INT) AS min_v,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) encode+decode inside an oracle-gated
+    query (round 7): each document's 4×2 RGBA pixels are the 32
+    ascii codes of md5(text); the Arrow kernel encodes with the
+    subtract-green transform on even doc_ids and without on odd ones
+    (both spec paths under one value hash), decodes through the
+    canonical-prefix-code + LZ77 pipeline, asserts the lossless round
+    trip, and reduces to stats the oracle recomputes arithmetically.
+    Codec: operators/webp_codec.py (VP8L bitstream spec: simple and
+    code-length-coded prefix codes, 2D distance mapping, color cache
+    and color-indexing on the decode side)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.webp_codec import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                rgba = hx.encode("ascii")        # 32 bytes = 4*2*4
+                sg = int(doc_id) % 2 == 0
+                webp = encode_webp_lossless(4, 2, rgba,
+                                            use_subtract_green=sg)
+                w, h, got = decode_webp_lossless(webp)
+                assert got == rgba               # lossless
+                out.append((int(doc_id), w, h, 4, int(sg),
+                            sum(rgba) / 32, min(rgba), max(rgba)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "width", "height", "channels",
+                "subtract_green", "avg_v", "min_v", "max_v"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, channels int, "
+        "subtract_green int, avg_v double, min_v int, max_v int")
