@@ -155,14 +155,20 @@ def test_decode_image_dispatch():
     raw = _pixels(12)
     assert decode_image(encode_png(2, 2, raw)) == (2, 2, 3, raw)
     assert decode_image(encode_bmp(2, 2, raw)) == (2, 2, raw)
-    # JPEG and TIFF route to the native decoders (malformed ->
-    # ValueError, not a PIL gate); WebP stays PIL-gated
+    # JPEG, TIFF and (since the VP8L codec landed) WebP all route to
+    # the native decoders: malformed -> ValueError, not a PIL gate
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(ValueError):
         decode_image(b"II*\x00 fake tiff")
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError, match="VP8L"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP fake")
+    # lossless WebP round-trips through the dispatch too
+    from aether_firebase_consumer_spark.operators.webp_codec import (
+        encode_webp_lossless,
+    )
+    rgba = bytes(range(16))
+    assert decode_image(encode_webp_lossless(2, 2, rgba)) == (2, 2, 4, rgba)
 
 
 # --- GIF: reference LZW encoder lives in the test so the decoder is
