@@ -483,17 +483,26 @@ def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, bytes]]:
 def frame_sample(payload: bytes, every_n: int = 10):
     """Video frame sampling. Concatenated-PPM streams decode with the
     engine's own parser (every ``every_n``-th frame, real pixels, no
-    dependencies); real containers (mp4 etc.) need PyAV, absent from
-    the v1 container — those raise with a clear error."""
+    dependencies); MP4/ISO-BMFF containers demux natively via
+    operators.mp4_codec (sample-table expansion, still-encoded frame
+    payloads — the shape a downstream decoder pool consumes); other
+    containers need PyAV, absent from the v1 container — those raise
+    with a clear error."""
     if payload[:2] == b"P6":
         return decode_ppm_stream(payload)[::every_n]
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from aether_firebase_consumer_spark.operators.mp4_codec import (
+            sample_video_frames,
+        )
+        return sample_video_frames(payload, every_n=every_n)
     try:
         import av  # noqa: F401
     except ImportError as err:
         raise NotImplementedError(
-            "container-format frame sampling requires PyAV (not in this "
-            "environment); concatenated-PPM streams decode natively via "
-            "decode_ppm_stream") from err
+            "non-MP4 container frame sampling requires PyAV (not in "
+            "this environment); concatenated-PPM streams and MP4 "
+            "containers decode natively via decode_ppm_stream / "
+            "operators.mp4_codec") from err
 
 
 # --------------------------------------------------------------- pipeline

@@ -877,3 +877,82 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, width int, height int, channels int, "
         "subtract_green int, avg_v double, min_v int, max_v int")
+
+
+@register(
+    "multimodal_mp4_demux_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, i, ascii(substr(hx, i, 1)) AS v
+      FROM px, LATERAL (SELECT unnest(generate_series(1, 8)) AS i)
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS n_samples,
+           CAST(SUM(v % 17 + 1) AS BIGINT) AS total_bytes,
+           CAST(SUM(v % 3 + 1) AS BIGINT) AS total_dur,
+           CAST(SUM(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_sync,
+           CAST(SUM((v % 17 + 1) * v) AS BIGINT) AS payload_weight
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_mp4_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container mux+demux inside an oracle-gated query
+    (round 7): each document becomes an 8-sample video track whose
+    sizes/durations/keyframes derive from md5(text) (size = v%17+1,
+    duration = v%3+1, sync = v even, payload = byte v repeated), muxed
+    into an ISO-BMFF file with 3-sample chunks (ragged stsc tail run)
+    and demuxed back. The kernel asserts payload bytes, durations,
+    cumulative dts and sync flags all round-trip exactly, then reduces
+    to stats the oracle predicts arithmetically — the full sample-table
+    compression/expansion path (stts/stsz/stsc/stco/stss) sits under
+    the value-hash gate. Codec: operators/mp4_codec.py (ISO/IEC
+    14496-12 subset). Reference consumed media only as opaque blobs
+    (capability-gap category, SURVEY.md §2.3 multimodal)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.mp4_codec import (
+        demux_mp4,
+        mux_mp4,
+        read_samples,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                vs = [ord(hx[i]) for i in range(8)]
+                samples = [(bytes([v]) * (v % 17 + 1), v % 3 + 1,
+                            v % 2 == 0) for v in vs]
+                blob = mux_mp4(
+                    [dict(handler="vide", timescale=30, samples=samples,
+                          width=4, height=2)],
+                    samples_per_chunk=3)
+                t = demux_mp4(blob)[0]
+                assert read_samples(blob, t) == [p for p, _d, _s in samples]
+                assert [s["duration"] for s in t["samples"]] == \
+                    [d for _p, d, _s in samples]
+                dts = 0
+                for smp, (_p, d, sy) in zip(t["samples"], samples):
+                    assert smp["dts"] == dts and smp["sync"] == sy
+                    dts += d
+                out.append((int(doc_id), 8,
+                            sum(len(p) for p, _d, _s in samples),
+                            sum(d for _p, d, _s in samples),
+                            sum(1 for _p, _d, s in samples if s),
+                            sum(len(p) * v
+                                for (p, _d, _s), v in zip(samples, vs))))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_samples", "total_bytes", "total_dur",
+                "n_sync", "payload_weight"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, n_samples int, total_bytes bigint, "
+        "total_dur bigint, n_sync int, payload_weight bigint")
