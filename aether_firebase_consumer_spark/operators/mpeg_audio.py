@@ -1,0 +1,325 @@
+"""Pure-Python MPEG-audio framing + Ogg container layer (stdlib only).
+
+Closes the compressed-audio DEMUX residue the same way
+``mp4_codec`` closed video containers: the framing/container layer —
+what a corpus pipeline needs to count, slice, deduplicate and
+duration-estimate audio blobs — is implemented for real from the
+public specs; only the psychoacoustic sample decode (out of scope,
+like H.264) stays behind the soundfile gate.
+
+- MP3 / MPEG audio (ISO/IEC 11172-3 §2.4.1.3, 13818-3): 4-byte frame
+  headers — sync, version (1/2/2.5), layer (I/II/III), the public
+  bitrate and sample-rate index tables, padding — and the spec frame
+  length formulae (Layer I: ``(12·bitrate/rate + pad)·4``; Layer
+  II/III: ``samples/8·bitrate/rate + pad``). The walker skips ID3v2
+  (synchsafe size) and ID3v1 tags, reads a Xing/Info VBR frame count
+  when present, and yields per-frame (offset, size, …) — enough to
+  re-cut a stream at frame boundaries. ``build_mp3`` emits spec-valid
+  framing around arbitrary payload bytes (a framer, not an encoder),
+  giving tests and the DuckDB oracle an independent check of the same
+  length formula.
+
+- Ogg (RFC 3533): page header parse/write incl. the 255-lacing
+  packet segmentation rule, continued-packet reassembly across pages,
+  granule positions, and the spec CRC-32 (poly 0x04C11DB7, init 0,
+  no reflection — NOT zlib's crc32), verified on read.
+
+Reference consumed media only as opaque blobs (capability-gap
+category, SURVEY.md §2.3 multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------- MP3
+
+# Public tables, ISO/IEC 11172-3 / 13818-3. Index 0 = "free", 15 = bad.
+# kbit/s, by (version-group, layer): V1 = MPEG1, V2 = MPEG2/2.5.
+_BITRATE_KBPS = {
+    ("V1", 1): [0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448],
+    ("V1", 2): [0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384],
+    ("V1", 3): [0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320],
+    ("V2", 1): [0, 32, 48, 56, 64, 80, 96, 112,
+                128, 144, 160, 176, 192, 224, 256],
+    ("V2", 2): [0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160],
+    ("V2", 3): [0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160],
+}
+# Hz by version: MPEG1, MPEG2, MPEG2.5 (index 3 reserved).
+_SAMPLE_RATE = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+# samples per frame by (version-group, layer)
+_SAMPLES = {("V1", 1): 384, ("V1", 2): 1152, ("V1", 3): 1152,
+            ("V2", 1): 384, ("V2", 2): 1152, ("V2", 3): 576}
+
+
+def _frame_length(vgroup: str, layer: int, bitrate_bps: int,
+                  rate: int, padding: int) -> int:
+    """Spec frame length in bytes (slot = 4 bytes for Layer I)."""
+    if layer == 1:
+        return (12 * bitrate_bps // rate + padding) * 4
+    samples = _SAMPLES[(vgroup, layer)]
+    return samples // 8 * bitrate_bps // rate + padding
+
+
+def parse_mp3_frames(payload: bytes) -> Dict[str, Any]:
+    """Walk an MPEG audio stream → frame table + summary.
+
+    Returns ``{"frames": [{"offset","size","version","layer",
+    "bitrate_kbps","sample_rate","samples","padding","channels"}],
+    "duration_s", "avg_bitrate_kbps", "vbr", "xing_frames",
+    "id3v2_bytes", "id3v1"}``. Raises ValueError on desync or a
+    malformed header — a walker, not a salvager.
+    """
+    pos = 0
+    id3v2 = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        # synchsafe 28-bit size, excludes the 10-byte header
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("mp3: non-synchsafe ID3v2 size")
+            sz = (sz << 7) | b
+        id3v2 = 10 + sz
+        pos = id3v2
+    end = len(payload)
+    id3v1 = False
+    if end - pos >= 128 and payload[end - 128:end - 125] == b"TAG":
+        id3v1 = True
+        end -= 128
+
+    frames = []
+    xing_frames: Optional[int] = None
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"mp3: trailing garbage at {pos}")
+        h = struct.unpack(">I", payload[pos:pos + 4])[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"mp3: lost frame sync at {pos}")
+        vbits = (h >> 19) & 3            # 0=2.5, 2=MPEG2, 3=MPEG1
+        if vbits == 1:
+            raise ValueError("mp3: reserved MPEG version")
+        version = {0: "2.5", 2: "2", 3: "1"}[vbits]
+        vgroup = "V1" if version == "1" else "V2"
+        lbits = (h >> 17) & 3            # 1=III, 2=II, 3=I
+        if lbits == 0:
+            raise ValueError("mp3: reserved layer")
+        layer = 4 - lbits
+        bidx = (h >> 12) & 0xF
+        if bidx in (0, 15):
+            raise ValueError("mp3: free/bad bitrate index")
+        ridx = (h >> 10) & 3
+        if ridx == 3:
+            raise ValueError("mp3: reserved sample-rate index")
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3              # 3 = mono
+        kbps = _BITRATE_KBPS[(vgroup, layer)][bidx]
+        rate = _SAMPLE_RATE[version][ridx]
+        size = _frame_length(vgroup, layer, kbps * 1000, rate, padding)
+        if size < 4 or pos + size > end:
+            raise ValueError(f"mp3: frame at {pos} overruns stream")
+        body = payload[pos + 4:pos + size]
+        if not frames:
+            # Xing/Info sits after the side-info block of frame 1
+            for tag in (b"Xing", b"Info"):
+                at = body.find(tag)
+                if 0 <= at and at + 12 <= len(body):
+                    flags = struct.unpack(
+                        ">I", body[at + 4:at + 8])[0]
+                    if flags & 1:
+                        xing_frames = struct.unpack(
+                            ">I", body[at + 8:at + 12])[0]
+                    break
+        frames.append({
+            "offset": pos, "size": size, "version": version,
+            "layer": layer, "bitrate_kbps": kbps, "sample_rate": rate,
+            "samples": _SAMPLES[(vgroup, layer)], "padding": padding,
+            "channels": 1 if mode == 3 else 2,
+        })
+        pos += size
+    if not frames:
+        raise ValueError("mp3: no frames")
+    dur = sum(f["samples"] / f["sample_rate"] for f in frames)
+    payload_bits = sum(f["size"] for f in frames) * 8
+    return {
+        "frames": frames, "duration_s": dur,
+        "avg_bitrate_kbps": payload_bits / dur / 1000 if dur else 0.0,
+        "vbr": len({f["bitrate_kbps"] for f in frames}) > 1,
+        "xing_frames": xing_frames, "id3v2_bytes": id3v2, "id3v1": id3v1,
+    }
+
+
+def build_mp3(specs: Sequence[Tuple[str, int, int, int, int]],
+              fill: int = 0x55, id3v2: bytes = b"",
+              id3v1: bool = False) -> bytes:
+    """Emit spec-valid MPEG-audio FRAMING around filler payloads (a
+    framer for tests/oracles, not an encoder). ``specs`` entries:
+    ``(version, layer, bitrate_index, rate_index, padding)``."""
+    out = bytearray()
+    if id3v2:
+        sz = len(id3v2)
+        if sz >= 1 << 28:
+            raise ValueError("mp3: ID3v2 body too large")
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        out += b"ID3" + b"\x04\x00\x00" + ss + id3v2
+    for version, layer, bidx, ridx, padding in specs:
+        if version not in ("1", "2", "2.5"):
+            raise ValueError(f"mp3: bad version {version!r}")
+        if not (1 <= layer <= 3 and 1 <= bidx <= 14 and 0 <= ridx <= 2
+                and padding in (0, 1)):
+            raise ValueError("mp3: index out of table range")
+        vgroup = "V1" if version == "1" else "V2"
+        kbps = _BITRATE_KBPS[(vgroup, layer)][bidx]
+        rate = _SAMPLE_RATE[version][ridx]
+        size = _frame_length(vgroup, layer, kbps * 1000, rate, padding)
+        vbits = {"2.5": 0, "2": 2, "1": 3}[version]
+        h = (0x7FF << 21) | (vbits << 19) | ((4 - layer) << 17) | \
+            (1 << 16) | (bidx << 12) | (ridx << 10) | (padding << 9) | \
+            (3 << 6)                     # CRC off, mono
+        out += struct.pack(">I", h) + bytes([fill]) * (size - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- Ogg
+
+def _ogg_crc_table() -> List[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) \
+                & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_CRC_TABLE = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """RFC 3533 §6 checksum: CRC-32, poly 0x04C11DB7, init 0, no
+    reflection, no final XOR (deliberately not zlib.crc32)."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _page(serial: int, seq: int, granule: int, htype: int,
+          segments: List[bytes]) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for seg in segments:
+        lacing.append(len(seg))
+        body += seg
+    hdr = (b"OggS\x00" + bytes([htype]) +
+           struct.pack("<qIII", granule, serial, seq, 0) +
+           bytes([len(lacing)]) + bytes(lacing))
+    crc = ogg_crc(hdr + bytes(body))
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return hdr + bytes(body)
+
+
+def mux_ogg(packets: Sequence[Tuple[bytes, int]],
+            serial: int = 1) -> bytes:
+    """One logical stream, one packet per page (pages carry the full
+    255-lacing segmentation: a packet of n bytes becomes
+    ``n // 255 + 1`` lacing values, last one < 255). ``packets``:
+    (payload, granule_position) pairs. First page gets BOS, last EOS;
+    packets over 255·255 bytes span continuation pages per the spec.
+    """
+    if not packets:
+        raise ValueError("ogg: at least one packet required")
+    out = bytearray()
+    seq = 0
+    for pi, (payload, granule) in enumerate(packets):
+        segs = [payload[i:i + 255] for i in range(0, len(payload), 255)]
+        if not segs or len(segs[-1]) == 255:
+            segs.append(b"")             # terminating short lacing
+        cont = 0
+        while segs:
+            head, segs = segs[:255], segs[255:]
+            htype = cont
+            if pi == 0 and seq == 0:
+                htype |= 2               # BOS
+            if pi == len(packets) - 1 and not segs:
+                htype |= 4               # EOS
+            # granule: -1 on pages that don't end a packet
+            g = granule if not segs else -1
+            out += _page(serial, seq, g, htype, head)
+            seq += 1
+            cont = 1                     # continuation flag
+    return bytes(out)
+
+
+def demux_ogg(payload: bytes) -> Dict[int, Dict[str, Any]]:
+    """Parse Ogg pages → logical streams.
+
+    Returns ``{serial: {"packets": [(bytes, granule)], "n_pages",
+    "bos", "eos"}}``. Verifies every page CRC and the lacing
+    continuation rules; incomplete trailing packets raise.
+    """
+    streams: Dict[int, Dict[str, Any]] = {}
+    partial: Dict[int, bytearray] = {}
+    pos = 0
+    while pos < len(payload):
+        if payload[pos:pos + 4] != b"OggS":
+            raise ValueError(f"ogg: lost capture pattern at {pos}")
+        if payload[pos + 4] != 0:
+            raise ValueError("ogg: unknown stream structure version")
+        htype = payload[pos + 5]
+        granule, serial, seq, crc = struct.unpack(
+            "<qIII", payload[pos + 6:pos + 26])
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27:pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("ogg: truncated lacing table")
+        body_start = pos + 27 + nseg
+        body_len = sum(lacing)
+        body = payload[body_start:body_start + body_len]
+        if len(body) < body_len:
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(payload[pos:body_start + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"ogg: CRC mismatch on page {seq}")
+        st = streams.setdefault(serial, {
+            "packets": [], "n_pages": 0, "bos": False, "eos": False})
+        st["n_pages"] += 1
+        if htype & 2:
+            st["bos"] = True
+        if htype & 4:
+            st["eos"] = True
+        buf = partial.setdefault(serial, bytearray())
+        if (htype & 1) and not buf:
+            raise ValueError("ogg: continuation page without partial")
+        off = 0
+        for li, lv in enumerate(lacing):
+            buf += body[off:off + lv]
+            off += lv
+            if lv < 255:                 # packet boundary
+                g = granule if li == len(lacing) - 1 else -1
+                st["packets"].append((bytes(buf), g))
+                buf.clear()
+        pos = body_start + body_len
+    for serial, buf in partial.items():
+        if buf:
+            raise ValueError(
+                f"ogg: stream {serial} ends mid-packet")
+    if not streams:
+        raise ValueError("ogg: no pages")
+    return streams

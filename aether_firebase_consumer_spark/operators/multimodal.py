@@ -12,7 +12,10 @@ PNG (all five filters + palette), 24-bit BMP, GIF87a/89a (full LZW),
 baseline JPEG gray+color with 4:2:0 and restart intervals
 (``operators/jpeg_codec.py``), PCM WAV (stdlib ``wave``) and G.711
 mu-law — so ``decode_image``/``decode_audio`` run REAL decodes with no
-PIL/soundfile. Only WebP/compressed-audio/video remain env-gated
+PIL/soundfile. Container/framing layers are native too: MP4/ISO-BMFF
+sample-table demux (``operators/mp4_codec.py``), MPEG-audio frame
+walking and Ogg paging (``operators/mpeg_audio.py``). Only the
+psychoacoustic/motion sample decodes (MP3/AAC/H.26x) remain env-gated
 (``NotImplementedError`` with a clear message). ``scan_image_files``
 ingests real files via binaryFile with corrupt-blob quarantine.
 """

@@ -956,3 +956,146 @@ def multimodal_mp4_demux_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, n_samples int, total_bytes bigint, "
         "total_dur bigint, n_sync int, payload_weight bigint")
+
+
+@register(
+    "multimodal_mp3_framing_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+                           256,320], 1 + (v % 14)) AS kbps,
+             list_extract([44100,48000,32000], 1 + (v % 3)) AS rate,
+             v % 2 AS pad
+      FROM (SELECT doc_id, ascii(substr(hx, i, 1)) AS v
+            FROM px, LATERAL (SELECT unnest(generate_series(1, 6))
+                              AS i))
+    ),
+    sz AS (
+      SELECT doc_id, pad,
+             (144 * kbps * 1000) // rate + pad AS fsize
+      FROM f
+    )
+    SELECT doc_id, CAST(6 AS INT) AS n_frames,
+           CAST(SUM(fsize) AS BIGINT) AS total_bytes,
+           CAST(SUM(pad) AS INT) AS n_pad,
+           CAST(MIN(fsize) AS INT) AS min_size,
+           CAST(MAX(fsize) AS INT) AS max_size
+    FROM sz GROUP BY doc_id
+    """,
+)
+def multimodal_mp3_framing_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio framing inside an oracle-gated query (round 7):
+    each document becomes a 6-frame MPEG1 Layer III stream whose
+    bitrate/rate indices and padding derive from md5(text); the Arrow
+    kernel emits spec-valid framing (operators/mpeg_audio.py), walks
+    it back with the independent parser, asserts every frame boundary,
+    and reduces to stats the DuckDB oracle recomputes from the SAME
+    public frame-length formula (144·bitrate/rate + padding) and
+    bitrate/sample-rate tables — two independent spellings of ISO
+    11172-3 §2.4.1.3 under one value hash."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_mp3,
+        parse_mp3_frames,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                vs = [ord(hx[i]) for i in range(6)]
+                specs = [("1", 3, 1 + v % 14, v % 3, v % 2) for v in vs]
+                info = parse_mp3_frames(build_mp3(specs))
+                sizes = [f["size"] for f in info["frames"]]
+                assert len(sizes) == 6
+                for a, b in zip(info["frames"], info["frames"][1:]):
+                    assert a["offset"] + a["size"] == b["offset"]
+                out.append((int(doc_id), 6, sum(sizes),
+                            sum(v % 2 for v in vs),
+                            min(sizes), max(sizes)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_frames", "total_bytes", "n_pad",
+                "min_size", "max_size"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, n_frames int, total_bytes bigint, n_pad int, "
+        "min_size int, max_size int")
+
+
+@register(
+    "multimodal_ogg_demux_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx FROM documents
+    ),
+    p AS (
+      SELECT doc_id, i, (ascii(substr(hx, i, 1)) * 5) % 700 AS psize
+      FROM px, LATERAL (SELECT unnest(generate_series(1, 8)) AS i)
+    )
+    SELECT doc_id, CAST(8 AS INT) AS n_packets,
+           CAST(8 AS INT) AS n_pages,
+           CAST(SUM(psize) AS BIGINT) AS total_bytes,
+           CAST(SUM(psize // 255 + 1) AS INT) AS n_lacing,
+           CAST(SUM(i * psize) AS BIGINT) AS weight
+    FROM p GROUP BY doc_id
+    """,
+)
+def multimodal_ogg_demux_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """REAL Ogg container mux+demux inside an oracle-gated query
+    (round 7): each document becomes an 8-packet logical stream with
+    md5-derived packet sizes (0–695 bytes — exercising 1-, 2- and
+    3-segment lacing and empty packets), paged with the RFC 3533
+    255-lacing rule and spec CRC-32, then demuxed back. The kernel
+    asserts the packets and granule positions round-trip exactly
+    (every page CRC re-verified on read) and reduces to stats the
+    oracle predicts arithmetically — including the lacing-value count
+    ``size // 255 + 1``, the spec segmentation law restated in SQL.
+    Codec: operators/mpeg_audio.py."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        demux_ogg,
+        mux_ogg,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                vs = [ord(hx[i]) for i in range(8)]
+                pkts = [(bytes((v + j) % 256 for j in range(v * 5 % 700)),
+                         100 + i) for i, v in enumerate(vs)]
+                streams = demux_ogg(mux_ogg(pkts, serial=3))
+                got = streams[3]
+                assert [p for p, _g in got["packets"]] == \
+                    [p for p, _g in pkts]
+                assert [g for _p, g in got["packets"]] == \
+                    [100 + i for i in range(8)]
+                assert got["bos"] and got["eos"]
+                sizes = [len(p) for p, _g in pkts]
+                out.append((int(doc_id), 8, got["n_pages"], sum(sizes),
+                            sum(s // 255 + 1 for s in sizes),
+                            sum((i + 1) * s
+                                for i, s in enumerate(sizes))))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_packets", "n_pages", "total_bytes",
+                "n_lacing", "weight"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, n_packets int, n_pages int, total_bytes bigint, "
+        "n_lacing int, weight bigint")

@@ -1,0 +1,181 @@
+"""MPEG-audio framing + Ogg container layer (operators/mpeg_audio.py).
+
+build_mp3/parse_mp3_frames and mux_ogg/demux_ogg are independent
+implementations of the same public formulae (ISO 11172-3 frame
+lengths; RFC 3533 lacing + CRC), so round trips check both sides;
+hand-built streams pin the decode-only paths (ID3 tags, Xing, CRC
+corruption, continuation pages).
+"""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aether_firebase_consumer_spark.operators.mpeg_audio import (
+    build_mp3,
+    demux_ogg,
+    mux_ogg,
+    ogg_crc,
+    parse_mp3_frames,
+)
+
+
+# ------------------------------------------------------------- MP3
+
+def test_mp3_frame_lengths_spec_vectors():
+    """Known-good frame sizes, hand-computed from the spec formula."""
+    # MPEG1 Layer III, 128 kbps @ 44100, no padding: 144000*128/44100
+    info = parse_mp3_frames(build_mp3([("1", 3, 9, 0, 0)]))
+    assert info["frames"][0]["size"] == 417
+    assert info["frames"][0]["samples"] == 1152
+    # padding adds exactly one byte for Layer III
+    info = parse_mp3_frames(build_mp3([("1", 3, 9, 0, 1)]))
+    assert info["frames"][0]["size"] == 418
+    # MPEG1 Layer I, 32 kbps @ 32000 Hz with padding: (12*32000/32000+1)*4
+    info = parse_mp3_frames(build_mp3([("1", 1, 1, 2, 1)]))
+    assert info["frames"][0]["size"] == 52
+    assert info["frames"][0]["samples"] == 384
+    # MPEG2 Layer III halves the samples per frame (576)
+    info = parse_mp3_frames(build_mp3([("2", 3, 1, 1, 0)]))
+    f = info["frames"][0]
+    assert (f["samples"], f["sample_rate"]) == (576, 24000)
+    assert f["size"] == 576 // 8 * 8000 // 24000  # 24
+
+
+def test_mp3_multi_frame_walk_and_summary():
+    specs = [("1", 3, 9, 0, i % 2) for i in range(20)]
+    blob = build_mp3(specs)
+    info = parse_mp3_frames(blob)
+    assert len(info["frames"]) == 20
+    assert not info["vbr"]
+    assert info["duration_s"] == pytest.approx(20 * 1152 / 44100)
+    assert info["avg_bitrate_kbps"] == pytest.approx(128, rel=0.01)
+    # offsets chain exactly (re-cuttable at frame boundaries)
+    for a, b in zip(info["frames"], info["frames"][1:]):
+        assert a["offset"] + a["size"] == b["offset"]
+    # mixed bitrates → VBR
+    vbr = parse_mp3_frames(build_mp3(
+        [("1", 3, 9, 0, 0), ("1", 3, 11, 0, 0)]))
+    assert vbr["vbr"] and vbr["avg_bitrate_kbps"] > 128
+
+
+def test_mp3_id3_tags_skipped():
+    blob = build_mp3([("1", 3, 9, 0, 0)], id3v2=b"x" * 1000, id3v1=True)
+    info = parse_mp3_frames(blob)
+    assert info["id3v2_bytes"] == 1010
+    assert info["id3v1"] is True
+    assert len(info["frames"]) == 1
+    assert info["frames"][0]["offset"] == 1010
+
+
+def test_mp3_xing_header_read():
+    base = build_mp3([("1", 3, 9, 0, 0)])
+    body = bytearray(base[4:])
+    # place Xing after a fake 17-byte mono side-info block
+    body[17:29] = b"Xing" + struct.pack(">II", 1, 4321)
+    info = parse_mp3_frames(base[:4] + bytes(body))
+    assert info["xing_frames"] == 4321
+
+
+def test_mp3_rejects():
+    with pytest.raises(ValueError, match="no frames"):
+        parse_mp3_frames(b"")
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3_frames(b"\x00\x00\x00\x00")
+    blob = build_mp3([("1", 3, 9, 0, 0)])
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp3_frames(blob[:-5])
+    with pytest.raises(ValueError, match="trailing garbage"):
+        parse_mp3_frames(blob + b"\xff")
+    # free-bitrate header (index 0)
+    h = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17) |
+                    (1 << 16) | (0 << 12) | (0 << 10) | (3 << 6))
+    with pytest.raises(ValueError, match="bitrate"):
+        parse_mp3_frames(h + bytes(100))
+    with pytest.raises(ValueError, match="table range"):
+        build_mp3([("1", 3, 15, 0, 0)])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["1", "2", "2.5"]),
+                          st.integers(1, 3), st.integers(1, 14),
+                          st.integers(0, 2), st.integers(0, 1)),
+                min_size=1, max_size=12))
+def test_mp3_roundtrip_property(specs):
+    info = parse_mp3_frames(build_mp3(specs))
+    assert len(info["frames"]) == len(specs)
+    for f, (v, layer, _b, _r, pad) in zip(info["frames"], specs):
+        assert (f["version"], f["layer"], f["padding"]) == (v, layer, pad)
+
+
+# ------------------------------------------------------------- Ogg
+
+def test_ogg_crc_not_zlib():
+    import zlib
+    data = b"the quick brown fox"
+    assert ogg_crc(data) != zlib.crc32(data)
+    assert ogg_crc(b"") == 0
+
+
+def _pkts(sizes):
+    return [(bytes((i * 11 + j) % 256 for j in range(n)), 1000 + i)
+            for i, n in enumerate(sizes)]
+
+
+def test_ogg_roundtrip_lacing_shapes():
+    # short, exactly-255 (needs terminating 0 lacing), multi-segment,
+    # empty, and page-spanning (> 255*255) packets
+    sizes = [10, 255, 700, 0, 255 * 255 + 10]
+    pkts = _pkts(sizes)
+    blob = mux_ogg(pkts, serial=7)
+    streams = demux_ogg(blob)
+    assert list(streams) == [7]
+    st7 = streams[7]
+    assert st7["bos"] and st7["eos"]
+    assert [p for p, _g in st7["packets"]] == [p for p, _g in pkts]
+    assert [g for _p, g in st7["packets"]] == [1000 + i
+                                               for i in range(len(sizes))]
+    # the 65035-byte packet forced a continuation page
+    assert st7["n_pages"] > len(sizes)
+
+
+def test_ogg_crc_corruption_detected():
+    blob = bytearray(mux_ogg(_pkts([40])))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        demux_ogg(bytes(blob))
+
+
+def test_ogg_rejects():
+    with pytest.raises(ValueError, match="no pages"):
+        demux_ogg(b"")
+    with pytest.raises(ValueError, match="capture pattern"):
+        demux_ogg(b"NotOggData" * 3)
+    with pytest.raises(ValueError, match="at least one packet"):
+        mux_ogg([])
+    # truncate mid-packet: drop the final page of the spanning packet
+    blob = mux_ogg(_pkts([255 * 255 + 10]))
+    last_page = blob.rfind(b"OggS")
+    with pytest.raises(ValueError, match="mid-packet|truncated"):
+        demux_ogg(blob[:last_page])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 1200), min_size=1, max_size=10))
+def test_ogg_roundtrip_property(sizes):
+    pkts = _pkts(sizes)
+    streams = demux_ogg(mux_ogg(pkts))
+    assert [p for p, _g in streams[1]["packets"]] == \
+        [p for p, _g in pkts]
+
+
+def test_decode_audio_gate_mentions_native_paths():
+    """decode_audio still gates true compressed decode, but the
+    framing layer is importable and the gate message stays honest."""
+    from aether_firebase_consumer_spark.operators.multimodal import (
+        decode_audio,
+    )
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(build_mp3([("1", 3, 9, 0, 0)]))
