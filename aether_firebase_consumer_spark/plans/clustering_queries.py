@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.functions.vectors import (
     _ivf_scores,
+    cosine,
     ivf_cell,
     ivf_centroids,
 )
@@ -405,3 +406,73 @@ def _register_triangles() -> None:
 
 
 _register_triangles()
+
+
+_SEM_THRESH = 0.35
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v,
+             CAST(list_position({{scores}},
+                                list_max({{scores}})) AS INT) AS c
+      FROM e
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM a x JOIN a b ON x.c = b.c AND x.vec_id < b.vec_id
+      WHERE list_dot_product(x.v, b.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {_SEM_THRESH}
+    )
+    SELECT a.vec_id, a.c AS cluster,
+           CAST(a.vec_id NOT IN (SELECT vec_id FROM drops) AS BOOLEAN)
+             AS kept
+    FROM a
+    """.replace("{scores}", _scores0_sql('v')),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public recipe): cluster the embedding corpus,
+    then prune within-cluster near-duplicates by exact cosine, keeping
+    the lowest-id representative of each epsilon-neighborhood (the
+    same min-id keep rule as the MinHash/embedding dedup family).
+
+    Plan shape (the published recipe's scale story): assignment is a
+    zero-shuffle per-row argmax over k literal centroids (whole-stage
+    codegen — the ``embedding_kmeans`` iteration-0 expression);
+    candidate pairs come from an EQUI-join on the cluster id, never
+    all-pairs. The within-cluster comparison is quadratic in cluster
+    size BY DESIGN — that is SemDeDup's actual cost model, and at
+    100 TB one scales k with the corpus (fixed expected cluster size,
+    e.g. k = N/5k), keeping per-cluster work bounded while the
+    equi-join shuffles only (cluster, vector) rows. The oracle
+    restates the same argmax + join + cosine in DuckDB; output carries
+    no floats, so the gate pins the threshold decision itself.
+    Reference had no embedding surface (capability-gap category,
+    SURVEY.md §2.3)."""
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        "vec_id", "embedding",
+        ivf_cell(F.col("embedding"), _KM_INIT).alias("cluster"))
+    left = a.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"), "cluster")
+    right = a.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("vb"), "cluster")
+    drops = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEM_THRESH)
+        .select(F.col("id_b").alias("vec_id")).distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        a.select("vec_id", "cluster").join(drops, "vec_id", "left")
+        .select("vec_id", "cluster",
+                F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"))
+    )
