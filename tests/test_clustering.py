@@ -299,3 +299,55 @@ def test_ann_pq_trained_beats_random_codebooks(spark):
     r_trained = recall(similarity_ann_pq_trained)
     assert r_trained >= 0.3, r_trained
     assert r_trained >= r_rand, (r_trained, r_rand)
+
+
+def test_semdedup_keep_rule_semantics(spark):
+    """SemDeDup invariants on the fixtures: (1) the keep rule is the
+    min-id rule — a vector is dropped iff some smaller-id vector in
+    the SAME cluster sits within the cosine threshold; (2) cluster 
+    assignment matches the k-means iteration-0 argmax; (3) the pruned
+    corpus keeps at least one representative per non-empty cluster."""
+    from aether_firebase_consumer_spark.plans.clustering_queries import (
+        _KM_INIT,
+        _SEM_THRESH,
+        dedup_semantic_semdedup,
+    )
+    out = dedup_semantic_semdedup(spark, SF)
+    rows = {r["vec_id"]: (r["cluster"], r["kept"]) for r in out.collect()}
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+           .collect()}
+    assert set(rows) == set(emb)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    # (2) assignment is the nearest-init-centroid argmax (score form)
+    import random
+    rng = random.Random(7)
+    for vid in rng.sample(sorted(rows), 40):
+        v = emb[vid]
+        scores = [sum(x * c for x, c in zip(v, cent)) -
+                  0.5 * sum(c * c for c in cent) for cent in _KM_INIT]
+        assert rows[vid][0] == scores.index(max(scores)) + 1
+
+    # (1) dropped iff a smaller-id same-cluster neighbor is in range
+    by_cluster = {}
+    for vid, (c, _k) in rows.items():
+        by_cluster.setdefault(c, []).append(vid)
+    n_dropped = 0
+    for c, vids in by_cluster.items():
+        vids.sort()
+        for i, b in enumerate(vids):
+            in_range = any(
+                cos(emb[a], emb[b]) >= _SEM_THRESH for a in vids[:i])
+            assert rows[b][1] == (not in_range), f"vec {b}"
+            n_dropped += (not rows[b][1])
+    assert n_dropped > 0                      # the prune does real work
+
+    # (3) every cluster keeps its minimum id (a representative)
+    for c, vids in by_cluster.items():
+        assert rows[min(vids)][1]
