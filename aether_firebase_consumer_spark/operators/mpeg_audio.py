@@ -307,12 +307,17 @@ def demux_ogg(payload: bytes) -> Dict[int, Dict[str, Any]]:
         buf = partial.setdefault(serial, bytearray())
         if (htype & 1) and not buf:
             raise ValueError("ogg: continuation page without partial")
+        # RFC 3533 §6: the page granule belongs to the LAST packet
+        # that completes on this page (later lacing values may start
+        # a packet that continues onto the next page)
+        last_complete = max((li for li, lv in enumerate(lacing)
+                             if lv < 255), default=None)
         off = 0
         for li, lv in enumerate(lacing):
             buf += body[off:off + lv]
             off += lv
             if lv < 255:                 # packet boundary
-                g = granule if li == len(lacing) - 1 else -1
+                g = granule if li == last_complete else -1
                 st["packets"].append((bytes(buf), g))
                 buf.clear()
         pos = body_start + body_len

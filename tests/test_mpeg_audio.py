@@ -179,3 +179,19 @@ def test_decode_audio_gate_mentions_native_paths():
     )
     with pytest.raises(NotImplementedError, match="soundfile"):
         decode_audio(build_mp3([("1", 3, 9, 0, 0)]))
+
+
+def test_ogg_multi_packet_page_granule_rule():
+    """Foreign-file shape our muxer never writes: several packets on
+    ONE page, the last lacing value continuing onto the next page.
+    RFC 3533 gives the page granule to the last packet COMPLETED on
+    the page — here packet 2 of 3, not the continuing tail."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import _page
+    pa, pb = b"a" * 10, b"b" * 20
+    pc = b"c" * 260                      # spans both pages
+    page1 = _page(5, 0, 111, 2, [pa, pb, pc[:255]])
+    page2 = _page(5, 1, 222, 1 | 4, [pc[255:]])
+    st5 = demux_ogg(page1 + page2)[5]
+    assert st5["packets"] == [(pa, -1), (pb, 111), (pc, 222)]
+    assert st5["bos"] and st5["eos"]
+    assert st5["n_pages"] == 2
