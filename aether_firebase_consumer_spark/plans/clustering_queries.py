@@ -409,6 +409,9 @@ _register_triangles()
 
 
 _SEM_THRESH = 0.35
+_SEM_CAP = 512
+_H60 = "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))" \
+    "::BIGINT % 2147483647)"
 
 
 @register(
@@ -423,9 +426,16 @@ _SEM_THRESH = 0.35
                                 list_max({{scores}})) AS INT) AS c
       FROM e
     ),
+    a2 AS (
+      SELECT vec_id, v, c,
+             {_H60} % ((COUNT(*) OVER (PARTITION BY c)
+                        + {_SEM_CAP - 1}) // {_SEM_CAP}) AS sub
+      FROM a
+    ),
     drops AS (
       SELECT DISTINCT b.vec_id
-      FROM a x JOIN a b ON x.c = b.c AND x.vec_id < b.vec_id
+      FROM a2 x JOIN a2 b
+        ON x.c = b.c AND x.sub = b.sub AND x.vec_id < b.vec_id
       WHERE list_dot_product(x.v, b.v)
             / (sqrt(list_dot_product(x.v, x.v))
                * sqrt(list_dot_product(b.v, b.v))) >= {_SEM_THRESH}
@@ -443,29 +453,49 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest-id representative of each epsilon-neighborhood (the
     same min-id keep rule as the MinHash/embedding dedup family).
 
-    Plan shape (the published recipe's scale story): assignment is a
-    zero-shuffle per-row argmax over k literal centroids (whole-stage
-    codegen — the ``embedding_kmeans`` iteration-0 expression);
-    candidate pairs come from an EQUI-join on the cluster id, never
-    all-pairs. The within-cluster comparison is quadratic in cluster
-    size BY DESIGN — that is SemDeDup's actual cost model, and at
-    100 TB one scales k with the corpus (fixed expected cluster size,
-    e.g. k = N/5k), keeping per-cluster work bounded while the
-    equi-join shuffles only (cluster, vector) rows. The oracle
-    restates the same argmax + join + cosine in DuckDB; output carries
+    Plan shape: assignment is a zero-shuffle per-row argmax over k
+    literal centroids (whole-stage codegen — the ``embedding_kmeans``
+    iteration-0 expression); candidate pairs come from an EQUI-join on
+    the (cluster, subcluster) key, never all-pairs. SemDeDup's cost
+    model is quadratic in cluster size, so cluster size is CAPPED: a
+    cluster of n vectors splits into ``ceil(n / 512)`` subclusters by
+    portable hash (the ``split_train_hash`` md5 idiom — deterministic
+    on any engine), and pairs are compared within a subcluster only.
+    Total comparisons are therefore ≤ N·512 — LINEAR in the corpus —
+    at the price of missing near-dups split across subclusters (the
+    standard scalable-SemDeDup engineering trade; in the paper's own
+    deployment k grows with N for the same reason — our cap gives the
+    same bounded-cluster guarantee without data-dependent centroid
+    counts, which the cross-engine oracle could not restate). At the
+    sf0.01 gate every cluster is under the cap, so the gate pins the
+    UNCAPPED recipe exactly; ``tools/scale_probe.py`` exercises the
+    capped path at sf1 (clusters ~5x the cap). The oracle restates
+    argmax + hash sub-split + join + cosine in DuckDB; output carries
     no floats, so the gate pins the threshold decision itself.
     Reference had no embedding surface (capability-gap category,
     SURVEY.md §2.3)."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        portable_hash60,
+    )
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         "vec_id", "embedding",
         ivf_cell(F.col("embedding"), _KM_INIT).alias("cluster"))
-    left = a.select(F.col("vec_id").alias("id_a"),
-                    F.col("embedding").alias("va"), "cluster")
-    right = a.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("vb"), "cluster")
+    counts = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
+    a2 = (
+        a.join(F.broadcast(counts), "cluster")   # k rows — broadcast
+        .select(
+            "vec_id", "embedding", "cluster",
+            (portable_hash60(F.col("vec_id").cast("string"))
+             % F.expr(f"CAST((cnt + {_SEM_CAP - 1}) DIV {_SEM_CAP}"
+                      " AS BIGINT)")).alias("sub"))
+    )
+    left = a2.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"), "cluster", "sub")
+    right = a2.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"), "cluster", "sub")
     drops = (
-        left.join(right, "cluster")
+        left.join(right, ["cluster", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine(F.col("va"), F.col("vb")) >= _SEM_THRESH)
         .select(F.col("id_b").alias("vec_id")).distinct()
