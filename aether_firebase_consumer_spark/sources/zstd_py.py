@@ -1,0 +1,821 @@
+"""Pure-Python Zstandard codec (stdlib only): a complete RFC 8878
+decoder and a store-only (raw/RLE-block) encoder, plus the XXH64 hash
+the frame checksum requires.
+
+Kafka record batches (magic 2) mark compression in the batch
+attributes' low bits; codec id 4 is zstd, and what brokers ship is the
+standard Zstandard FRAME (magic 0xFD2FB528). The image has no zstd
+bindings, so this module implements the format from the public
+specification — RFC 8878 (datatracker.ietf.org/doc/html/rfc8878) and
+the xxHash spec (github.com/Cyan4973/xxHash/blob/dev/doc/
+xxhash_spec.md) — completing the codec matrix `snappy_py` and
+`lz4_py` started: the jar-free Kafka stack now decodes every codec
+real brokers commonly serve (none/gzip/snappy/lz4/zstd).
+
+Decoder scope (everything a conforming encoder may emit):
+
+- frames: header descriptor (all FCS field sizes, single-segment,
+  dictionary-id fields rejected explicitly), raw / RLE / compressed
+  blocks, content checksum (low 32 bits of XXH64), skippable frames,
+  concatenated frames;
+- literals: raw, RLE, Huffman-compressed (1- and 4-stream), and
+  treeless (reusing the previous table) — with Huffman tree
+  descriptions in both direct 4-bit-weight and FSE-compressed form
+  (two interleaved states, backward bitstream);
+- sequences: predefined / RLE / FSE-compressed / repeat table modes
+  for all three of literal-length, offset, and match-length codes,
+  the three-state interleaved backward bitstream, full repeat-offset
+  semantics (including the ``litLength == 0`` shifted cases and the
+  ``rep1 - 1`` corner), and cross-block table/offset persistence.
+
+The ENCODER is deliberately store-only: raw blocks, RLE blocks where
+a chunk is one repeated byte, a 4-or-8-byte frame content size and an
+XXH64 content checksum. That output is a fully conforming Zstandard
+frame any reference decoder accepts (verified against the reference
+CLI in tests when one is present on PATH); real entropy-coded
+compression is the reference implementation's job — on a cluster the
+JVM path ships with zstd-jni, and this codec exists so the jar-free
+wire stack can READ what brokers serve.
+
+Decoding tables (FSE spread/step, Huffman canonical layout, the
+literal-length / match-length / offset code baselines and the
+predefined distributions) follow RFC 8878 §3.1.1.3.2 and §4 exactly;
+fixed spec-built vectors in tests/test_zstd_py.py pin each layer
+independently of the round-trip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["xxh64", "compress", "decompress"]
+
+MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+# ----------------------------------------------------------- XXH64
+
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 per the public xxHash specification. A zstd frame's
+    optional content checksum is the LOW 32 bits of this value."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        limit = n - 32
+        while pos <= limit:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, pos)
+            v1 = _xxh64_round(v1, l1)
+            v2 = _xxh64_round(v2, l2)
+            v3 = _xxh64_round(v3, l3)
+            v4 = _xxh64_round(v4, l4)
+            pos += 32
+        acc = (_rotl64(v1, 1) + _rotl64(v2, 7)
+               + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc ^= _xxh64_round(0, v)
+            acc = (acc * _P1 + _P4) & _M64
+    else:
+        acc = (seed + _P5) & _M64
+    acc = (acc + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        acc ^= _xxh64_round(0, lane)
+        acc = (_rotl64(acc, 27) * _P1 + _P4) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        acc ^= (lane * _P1) & _M64
+        acc = (_rotl64(acc, 23) * _P2 + _P3) & _M64
+        pos += 4
+    while pos < n:
+        acc ^= (data[pos] * _P5) & _M64
+        acc = (_rotl64(acc, 11) * _P1) & _M64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _P3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+# ------------------------------------------------- bit-level readers
+#
+# Bit index i lives in byte i//8 at in-byte position i%8 (LSB-first),
+# for both directions — that is the format's single bit-numbering.
+
+
+def _extract(data: bytes, p: int, n: int) -> int:
+    """Bits [p, p+n) of ``data`` as an integer (bit p+n-1 is the MSB)."""
+    if n == 0:
+        return 0
+    lo = p >> 3
+    hi = (p + n + 7) >> 3
+    return (int.from_bytes(data[lo:hi], "little") >> (p & 7)) \
+        & ((1 << n) - 1)
+
+
+class _FwdBits:
+    """Forward LSB-first reader — FSE table descriptions only."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = _extract(self.data, self.pos, n)
+        self.pos += n
+        return v
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def byte_align(self) -> int:
+        """Bytes consumed, rounding the bit position up."""
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward reader: starts just below the 1-bit padding marker at
+    the top of the last byte and reads downward. ``read_padded``
+    implements the spec's "extra bits are assumed 0" tail semantics
+    and lets ``pos`` go negative (the FSE termination signal);
+    ``read`` is strict and raises on underrun."""
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("zstd: empty bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ValueError("zstd: bitstream missing padding marker")
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + (last.bit_length() - 1)
+
+    def read(self, n: int) -> int:
+        self.pos -= n
+        if self.pos < 0:
+            raise ValueError("zstd: bitstream underrun")
+        return _extract(self.data, self.pos, n)
+
+    def read_padded(self, n: int) -> int:
+        self.pos -= n
+        p = self.pos
+        if p >= 0:
+            return _extract(self.data, p, n)
+        if n + p <= 0:
+            return 0
+        return _extract(self.data, 0, n + p) << (-p)
+
+    def peek(self, n: int) -> int:
+        p = self.pos
+        if p >= n:
+            return _extract(self.data, p - n, n)
+        return _extract(self.data, 0, p) << (n - p)
+
+
+# -------------------------------------------------------------- FSE
+
+#: per-stream accuracy-log ceilings from the spec
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9, "weights": 6}
+
+
+def fse_read_distribution(fwd: _FwdBits, max_al: int):
+    """FSE table description (RFC 8878 §4.1.1): 4-bit accuracy log
+    (+5), then variable-bit probabilities with the small-value
+    optimization and 2-bit zero-run repeats. Returns (accuracy_log,
+    frequencies) where -1 is the "less than one" probability."""
+    al = fwd.read(4) + 5
+    if al > max_al:
+        raise ValueError(f"zstd: accuracy log {al} exceeds max {max_al}")
+    remaining = 1 << al
+    freqs: list[int] = []
+    while remaining > 0 and len(freqs) < 256:
+        mx = remaining + 1          # encoded values span 0..remaining+1
+        bits = mx.bit_length()
+        val = fwd.read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - mx
+        if (val & lower_mask) < threshold:
+            fwd.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        prob = val - 1
+        remaining -= -prob if prob < 0 else prob
+        freqs.append(prob)
+        if prob == 0:
+            while True:
+                rep = fwd.read(2)
+                freqs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 0:
+        raise ValueError("zstd: FSE distribution does not sum to table")
+    return al, freqs
+
+
+def fse_build_table(freqs: list[int], al: int):
+    """Decoding table per §4.1.1: -1 symbols one cell each from the
+    table end; positives spread with the (size/2 + size/8 + 3) step
+    skipping the high cells; then per-cell nbBits / baseline from the
+    per-symbol state counters. Returns (symbols, nbits, base)."""
+    size = 1 << al
+    symbols = [0] * size
+    high = size - 1
+    counter = [0] * len(freqs)
+    for s, f in enumerate(freqs):
+        if f == -1:
+            symbols[high] = s
+            high -= 1
+            counter[s] = 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, f in enumerate(freqs):
+        if f <= 0:
+            continue
+        counter[s] = f
+        for _ in range(f):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE table spread did not close")
+    nbits = [0] * size
+    base = [0] * size
+    for i in range(size):
+        s = symbols[i]
+        d = counter[s]
+        counter[s] += 1
+        nb = al - (d.bit_length() - 1)
+        nbits[i] = nb
+        base[i] = (d << nb) - size
+    return symbols, nbits, base
+
+
+class _FSETable:
+    __slots__ = ("al", "symbols", "nbits", "base")
+
+    def __init__(self, freqs: list[int], al: int):
+        self.al = al
+        self.symbols, self.nbits, self.base = fse_build_table(freqs, al)
+
+    @classmethod
+    def read(cls, fwd: _FwdBits, max_al: int) -> "_FSETable":
+        al, freqs = fse_read_distribution(fwd, max_al)
+        return cls(freqs, al)
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FSETable":
+        # accuracy log 0: one state, zero update bits
+        t = cls.__new__(cls)
+        t.al = 0
+        t.symbols = [symbol]
+        t.nbits = [0]
+        t.base = [0]
+        return t
+
+
+def _fse_decode_interleaved2(table: _FSETable, data: bytes,
+                             max_out: int) -> list[int]:
+    """Two alternating states over one backward stream (the Huffman
+    weight encoding, §4.2.1.1): when a state update runs past the
+    start of the stream, the OTHER state's symbol is the last."""
+    bs = _BackBits(data)
+    s1 = bs.read(table.al)
+    s2 = bs.read(table.al)
+    out: list[int] = []
+    while len(out) < max_out:
+        out.append(table.symbols[s1])
+        s1 = table.base[s1] + bs.read_padded(table.nbits[s1])
+        if bs.pos < 0:
+            out.append(table.symbols[s2])
+            break
+        out.append(table.symbols[s2])
+        s2 = table.base[s2] + bs.read_padded(table.nbits[s2])
+        if bs.pos < 0:
+            out.append(table.symbols[s1])
+            break
+    else:
+        raise ValueError("zstd: more than 255 Huffman weights")
+    return out
+
+
+# ---------------------------------------------------------- Huffman
+
+_HUF_MAX_BITS = 11
+
+
+class _HufTable:
+    """Canonical table per §4.2.1: longest codes occupy the lowest
+    indices of a 2^max_bits lookup; decode = peek max_bits, consume
+    the entry's own length."""
+
+    __slots__ = ("max_bits", "symbols", "nbits")
+
+    def __init__(self, weights: list[int]):
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("zstd: empty Huffman weights")
+        max_bits = total.bit_length()
+        left = (1 << max_bits) - total
+        if left & (left - 1):
+            raise ValueError("zstd: Huffman weights not normalizable")
+        weights = weights + [left.bit_length()]
+        if max_bits > _HUF_MAX_BITS:
+            raise ValueError(f"zstd: Huffman code over {_HUF_MAX_BITS} bits")
+        bits = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+        rank_count = [0] * (max_bits + 1)
+        for b in bits:
+            rank_count[b] += 1
+        rank_idx = [0] * (max_bits + 1)
+        for b in range(max_bits, 1, -1):
+            rank_idx[b - 1] = rank_idx[b] \
+                + rank_count[b] * (1 << (max_bits - b))
+        size = 1 << max_bits
+        self.max_bits = max_bits
+        self.symbols = [0] * size
+        self.nbits = [0] * size
+        for sym, b in enumerate(bits):
+            if b == 0:
+                continue
+            start = rank_idx[b]
+            span = 1 << (max_bits - b)
+            for j in range(start, start + span):
+                self.symbols[j] = sym
+                self.nbits[j] = b
+            rank_idx[b] = start + span
+
+    def decode_stream(self, data: bytes, n_out: int) -> bytearray:
+        bs = _BackBits(data)
+        out = bytearray()
+        mb = self.max_bits
+        while len(out) < n_out:
+            idx = bs.peek(mb)
+            out.append(self.symbols[idx])
+            bs.pos -= self.nbits[idx]
+            if bs.pos < 0:
+                raise ValueError("zstd: Huffman stream underrun")
+        if bs.pos != 0:
+            raise ValueError("zstd: Huffman stream not fully consumed")
+        return out
+
+
+def _read_huf_tree(data: bytes) -> tuple[_HufTable, int]:
+    """Huffman_Tree_Description: header byte >= 128 → direct 4-bit
+    weights ((hb - 127) of them); < 128 → hb bytes of FSE-compressed
+    weights, two interleaved states. Returns (table, bytes consumed).
+    The LAST weight is never transmitted — it completes the sum to a
+    power of two."""
+    if not data:
+        raise ValueError("zstd: missing Huffman tree description")
+    hb = data[0]
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) >> 1
+        if len(data) < 1 + nbytes:
+            raise ValueError("zstd: truncated Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + (i >> 1)]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        return _HufTable(weights), 1 + nbytes
+    if len(data) < 1 + hb:
+        raise ValueError("zstd: truncated FSE weight stream")
+    fwd = _FwdBits(data[1:1 + hb])
+    table = _FSETable.read(fwd, _MAX_AL["weights"])
+    stream = data[1 + fwd.byte_align():1 + hb]
+    weights = _fse_decode_interleaved2(table, stream, 255)
+    return _HufTable(weights), 1 + hb
+
+
+# ------------------------------------------------ sequence code maps
+
+_LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 6, 7, 8, 9, 10, 11,
+                        12, 13, 14, 15, 16, 17]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 64, 128,
+                              256, 512, 1024, 2048, 4096, 8192, 16384,
+                              32768, 65536, 131072]
+_ML_EXTRA = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                        11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67,
+                                 83, 99, 131, 259, 515, 1027, 2051,
+                                 4099, 8195, 16387, 32771, 65539]
+
+#: predefined distributions, RFC 8878 §3.1.1.3.2.2
+_LL_DEFAULT = ([4, 3] + [2] * 11 + [1] * 3 + [2] * 9 + [3, 2]
+               + [1] * 5 + [-1] * 4)
+_ML_DEFAULT = [1, 4, 3] + [2] * 6 + [1] * 37 + [-1] * 7
+_OF_DEFAULT = [1] * 6 + [2] * 3 + [1] * 15 + [-1] * 5
+
+_LL_DEFAULT_AL = 6
+_ML_DEFAULT_AL = 6
+_OF_DEFAULT_AL = 5
+
+
+def _check_defaults() -> None:
+    for dist, al in ((_LL_DEFAULT, 6), (_ML_DEFAULT, 6), (_OF_DEFAULT, 5)):
+        assert sum(abs(p) for p in dist) == 1 << al
+    assert len(_LL_DEFAULT) == 36 and len(_LL_BASE) == 36
+    assert len(_ML_DEFAULT) == 53 and len(_ML_BASE) == 53
+    assert len(_OF_DEFAULT) == 29
+
+
+_check_defaults()
+
+_DEFAULT_TABLES: dict[str, _FSETable] = {}
+
+
+def _default_table(which: str) -> _FSETable:
+    t = _DEFAULT_TABLES.get(which)
+    if t is None:
+        dist, al = {"ll": (_LL_DEFAULT, _LL_DEFAULT_AL),
+                    "ml": (_ML_DEFAULT, _ML_DEFAULT_AL),
+                    "of": (_OF_DEFAULT, _OF_DEFAULT_AL)}[which]
+        t = _FSETable(dist, al)
+        _DEFAULT_TABLES[which] = t
+    return t
+
+
+# -------------------------------------------------- frame decoding
+
+
+class _FrameCtx:
+    """State that persists across the blocks of one frame: the output
+    window, the three repeat offsets, the last Huffman table (for
+    treeless literals) and the last FSE tables (for repeat mode)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.reps = [1, 4, 8]
+        self.huf: _HufTable | None = None
+        self.ll: _FSETable | None = None
+        self.of: _FSETable | None = None
+        self.ml: _FSETable | None = None
+
+
+def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype <= 1:                     # Raw / RLE
+        if sf & 1 == 0:
+            regen, hdr = b0 >> 3, 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
+            regen, hdr = (b0 >> 4) | (block[1] << 4), 2
+        else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr = 3
+        if ltype == 0:
+            if len(block) < hdr + regen:
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(block[hdr:hdr + regen]), hdr + regen
+        if len(block) < hdr + 1:
+            raise ValueError("zstd: truncated RLE literal")
+        return bytes([block[hdr]]) * regen, hdr + 1
+    # Compressed / Treeless
+    if sf == 0:
+        hdr, rbits, streams = 3, 10, 1
+    elif sf == 1:
+        hdr, rbits, streams = 3, 10, 4
+    elif sf == 2:
+        hdr, rbits, streams = 4, 14, 4
+    else:
+        hdr, rbits, streams = 5, 18, 4
+    if len(block) < hdr:
+        raise ValueError("zstd: truncated literals header")
+    h = int.from_bytes(block[:hdr], "little")
+    regen = (h >> 4) & ((1 << rbits) - 1)
+    csize = (h >> (4 + rbits)) & ((1 << rbits) - 1)
+    if len(block) < hdr + csize:
+        raise ValueError("zstd: truncated compressed literals")
+    payload = bytes(block[hdr:hdr + csize])
+    if ltype == 2:
+        huf, consumed = _read_huf_tree(payload)
+        ctx.huf = huf
+        payload = payload[consumed:]
+    else:
+        huf = ctx.huf
+        if huf is None:
+            raise ValueError("zstd: treeless literals with no prior table")
+    if streams == 1:
+        lits = huf.decode_stream(payload, regen)
+    else:
+        if len(payload) < 6:
+            raise ValueError("zstd: truncated 4-stream jump table")
+        s1, s2, s3 = struct.unpack_from("<HHH", payload, 0)
+        body = payload[6:]
+        if s1 + s2 + s3 > len(body):
+            raise ValueError("zstd: jump table exceeds literals payload")
+        part = (regen + 3) >> 2
+        last = regen - 3 * part
+        if last < 0:
+            raise ValueError("zstd: 4-stream regenerated size too small")
+        cuts = [0, s1, s1 + s2, s1 + s2 + s3, len(body)]
+        lits = bytearray()
+        for i in range(4):
+            seg = body[cuts[i]:cuts[i + 1]]
+            lits += huf.decode_stream(seg, part if i < 3 else last)
+    if len(lits) != regen:
+        raise ValueError("zstd: literals size mismatch")
+    return bytes(lits), hdr + csize
+
+
+def _read_seq_table(which: str, mode: int, fwd: _FwdBits,
+                    data: bytes, ctx: _FrameCtx,
+                    max_sym: int) -> _FSETable:
+    if mode == 0:                      # predefined
+        return _default_table(which)
+    if mode == 1:                      # RLE: one byte, byte-aligned
+        idx = fwd.byte_align()
+        if idx >= len(data):
+            raise ValueError("zstd: truncated RLE sequence table")
+        sym = data[idx]
+        fwd.pos = (idx + 1) * 8
+        if sym > max_sym:
+            raise ValueError(f"zstd: {which} RLE symbol {sym} out of range")
+        return _FSETable.rle(sym)
+    if mode == 2:                      # FSE-compressed
+        fwd.pos = fwd.byte_align() * 8
+        return _FSETable.read(fwd, _MAX_AL[which])
+    prev = getattr(ctx, which)         # repeat
+    if prev is None:
+        raise ValueError(f"zstd: {which} repeat mode with no prior table")
+    return prev
+
+
+def _decode_sequences(data: bytes, ctx: _FrameCtx,
+                      lits: bytes) -> None:
+    """Parse and EXECUTE the sequences section against ctx.out
+    (§3.1.1.3.2): per-sequence reads are OF extra bits, then ML, then
+    LL; state updates LL → ML → OF after every sequence but the last;
+    repeat offsets resolve against the current literal length."""
+    if not data:
+        raise ValueError("zstd: missing sequences section")
+    b0 = data[0]
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(data) < 2:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) | data[1], 2
+    else:
+        if len(data) < 3:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = data[1] | (data[2] << 8) | 0x7F00, 3
+    if nseq == 0:
+        # no sequences: the block regenerates to its literals, and
+        # tables/offsets carry over untouched
+        if pos != len(data):
+            raise ValueError("zstd: trailing bytes after empty sequences")
+        ctx.out += lits
+        return
+    if len(data) < pos + 1:
+        raise ValueError("zstd: missing compression modes byte")
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence mode bits set")
+    tbl = data[pos:]
+    fwd = _FwdBits(tbl)
+    ll_t = _read_seq_table("ll", (modes >> 6) & 3, fwd, tbl, ctx, 35)
+    of_t = _read_seq_table("of", (modes >> 4) & 3, fwd, tbl, ctx, 31)
+    ml_t = _read_seq_table("ml", (modes >> 2) & 3, fwd, tbl, ctx, 52)
+    ctx.ll, ctx.of, ctx.ml = ll_t, of_t, ml_t
+    stream = tbl[fwd.byte_align():]
+    bs = _BackBits(stream)
+    ll_s = bs.read(ll_t.al)
+    of_s = bs.read(of_t.al)
+    ml_s = bs.read(ml_t.al)
+    out = ctx.out
+    reps = ctx.reps
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t.symbols[of_s]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        ofv = (1 << of_code) + bs.read(of_code)
+        ml_code = ml_t.symbols[ml_s]
+        ml = _ML_BASE[ml_code] + bs.read(_ML_EXTRA[ml_code])
+        ll_code = ll_t.symbols[ll_s]
+        ll = _LL_BASE[ll_code] + bs.read(_LL_EXTRA[ll_code])
+        if ofv > 3:
+            offset = ofv - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = ofv - 1 if ll != 0 else ofv
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 2:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:                      # ll == 0 and ofv == 3
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if lit_pos + ll > len(lits):
+            raise ValueError("zstd: literal run past literals buffer")
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset past window start")
+        remaining = ml
+        while remaining > 0:
+            src = len(out) - offset
+            take = min(remaining, offset)
+            out += out[src:src + take]
+            remaining -= take
+        if i != nseq - 1:
+            ll_s = ll_t.base[ll_s] + bs.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.base[ml_s] + bs.read(ml_t.nbits[ml_s])
+            of_s = of_t.base[of_s] + bs.read(of_t.nbits[of_s])
+    if bs.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += lits[lit_pos:]
+
+
+def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+    if len(data) < pos + 2:
+        raise ValueError("zstd: truncated frame header")
+    fhd = data[pos]
+    pos += 1
+    fcs_code = fhd >> 6
+    single_segment = bool(fhd & 0x20)
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame header bit set")
+    has_checksum = bool(fhd & 0x04)
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    if not single_segment:
+        pos += 1                       # window descriptor: no limit here
+    if did_size:
+        raise ValueError("zstd: dictionary frames not supported")
+    fcs = None
+    if fcs_code == 0:
+        if single_segment:
+            fcs = data[pos]
+            pos += 1
+    elif fcs_code == 1:
+        (v,) = struct.unpack_from("<H", data, pos)
+        fcs = v + 256
+        pos += 2
+    elif fcs_code == 2:
+        (fcs,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+    else:
+        (fcs,) = struct.unpack_from("<Q", data, pos)
+        pos += 8
+    ctx = _FrameCtx()
+    while True:
+        if len(data) < pos + 3:
+            raise ValueError("zstd: truncated block header")
+        bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:                 # raw
+            if len(data) < pos + bsize:
+                raise ValueError("zstd: truncated raw block")
+            ctx.out += data[pos:pos + bsize]
+            pos += bsize
+        elif btype == 1:               # RLE: size = REGENERATED size
+            if len(data) < pos + 1:
+                raise ValueError("zstd: truncated RLE block")
+            ctx.out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:               # compressed
+            if len(data) < pos + bsize:
+                raise ValueError("zstd: truncated compressed block")
+            block = data[pos:pos + bsize]
+            pos += bsize
+            lits, consumed = _decode_literals(block, ctx)
+            _decode_sequences(block[consumed:], ctx, lits)
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if has_checksum:
+        if len(data) < pos + 4:
+            raise ValueError("zstd: truncated content checksum")
+        (want,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        got = xxh64(bytes(ctx.out)) & 0xFFFFFFFF
+        if got != want:
+            raise ValueError("zstd: content checksum mismatch")
+    if fcs is not None and fcs != len(ctx.out):
+        raise ValueError("zstd: frame content size mismatch "
+                         f"(declared {fcs}, got {len(ctx.out)})")
+    return bytes(ctx.out), pos
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a Zstandard payload: one or more concatenated frames,
+    skippable frames ignored, per RFC 8878."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    if n == 0:
+        raise ValueError("zstd: empty input")
+    try:
+        while pos < n:
+            if n - pos < 4:
+                raise ValueError("zstd: truncated frame magic")
+            (magic,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+                if n - pos < 4:
+                    raise ValueError("zstd: truncated skippable frame")
+                (sz,) = struct.unpack_from("<I", data, pos)
+                pos += 4 + sz
+                if pos > n:
+                    raise ValueError("zstd: skippable frame past end")
+                continue
+            if magic != MAGIC:
+                raise ValueError(f"zstd: bad frame magic 0x{magic:08X}")
+            frame, pos = _decode_frame(data, pos)
+            out += frame
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"zstd: truncated input ({exc})") from exc
+    return bytes(out)
+
+
+# -------------------------------------------------- frame encoding
+
+_BLOCK_MAX = 128 << 10
+
+
+def compress(data: bytes, *, checksum: bool = True) -> bytes:
+    """Encode a conforming Zstandard frame with raw/RLE blocks only
+    (see module docstring for why store-only is the honest scope).
+    Single-repeated-byte chunks become RLE blocks — degenerate
+    payloads (zero pages, padding) do shrink; anything else is stored.
+    Frame content size is always present (4- or 8-byte field)."""
+    n = len(data)
+    if n <= 0xFFFFFFFF:
+        fhd = (2 << 6) | ((1 << 2) if checksum else 0)
+        fcs = struct.pack("<I", n)
+    else:
+        fhd = (3 << 6) | ((1 << 2) if checksum else 0)
+        fcs = struct.pack("<Q", n)
+    # window descriptor: 128 KiB (exponent 17) — matches never occur,
+    # the window only bounds a streaming decoder's buffer
+    out = bytearray(struct.pack("<I", MAGIC))
+    out.append(fhd)
+    out.append((17 - 10) << 3)
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")        # last, raw, size 0
+    else:
+        for b0 in range(0, n, _BLOCK_MAX):
+            chunk = data[b0:b0 + _BLOCK_MAX]
+            last = 1 if b0 + _BLOCK_MAX >= n else 0
+            if len(chunk) > 1 and chunk.count(chunk[0]) == len(chunk):
+                bh = last | (1 << 1) | (len(chunk) << 3)
+                out += bh.to_bytes(3, "little")
+                out.append(chunk[0])
+            else:
+                bh = last | (len(chunk) << 3)
+                out += bh.to_bytes(3, "little")
+                out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

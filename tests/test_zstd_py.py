@@ -1,0 +1,279 @@
+"""Tests for the pure-Python Zstandard codec (RFC 8878).
+
+Anchoring scheme (the same as test_lz4_py / test_snappy_py): every
+layer is pinned by HAND-BUILT spec vectors first — FSE distribution
+bitstream, FSE decoding-table contents, canonical Huffman layout,
+Huffman stream decode, and a full hand-assembled frame exercising the
+sequence path including repeat offsets — so correctness never rests
+on round trips alone. Round trips then cover the encoder, and when a
+reference ``zstd`` CLI is on PATH the golden tests cross-check both
+directions against the real implementation across compression levels
+(which exercises FSE-compressed tables, 4-stream Huffman literals,
+treeless/repeat modes, and multi-block table persistence with
+real-encoder bit patterns no hand vector reaches).
+"""
+
+import os
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from aether_firebase_consumer_spark.sources import zstd_py
+from aether_firebase_consumer_spark.sources.zstd_py import (
+    _BackBits,
+    _FwdBits,
+    _HufTable,
+    fse_build_table,
+    fse_read_distribution,
+    xxh64,
+)
+
+ZSTD_CLI = shutil.which("zstd")
+
+
+# ------------------------------------------------------------ xxh64
+
+def test_xxh64_empty_spec_vector():
+    # the one universally published vector; the CLI goldens below pin
+    # the rest (a frame checksum is the low 32 bits of xxh64)
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+def test_xxh64_all_length_branches_distinct():
+    data = bytes(range(256)) * 2
+    seen = {xxh64(data[:n]) for n in (0, 1, 3, 4, 7, 8, 15, 16, 31,
+                                      32, 33, 63, 64, 100, 512)}
+    assert len(seen) == 15
+
+
+# ----------------------------------------------- FSE spec vectors
+
+def test_fse_distribution_hand_vector():
+    # AL=5, freqs [16, 8, 8]: hand-packed per §4.1.1 including the
+    # small-value optimization (16 → 5 bits) and the large form
+    # (the second 8 needs val+threshold = 15 in 4 bits)
+    fwd = _FwdBits(bytes([0x10, 0xF3, 0x01]))
+    al, freqs = fse_read_distribution(fwd, 6)
+    assert al == 5
+    assert freqs == [16, 8, 8]
+    assert fwd.byte_align() == 3
+
+
+def test_fse_table_hand_vector():
+    # freqs [2,1,1] at AL=2: spread step 5 places [s0,s0,s1,s2];
+    # per-cell nbBits/baseline from the state counters
+    symbols, nbits, base = fse_build_table([2, 1, 1], 2)
+    assert symbols == [0, 0, 1, 2]
+    assert nbits == [1, 1, 2, 2]
+    assert base == [0, 2, 0, 0]
+
+
+def test_fse_low_prob_symbols_at_table_end():
+    # -1 probabilities take one cell each from the END, nbBits = AL
+    symbols, nbits, base = fse_build_table([2, -1, -1], 2)
+    assert symbols[3] == 1 and symbols[2] == 2
+    assert nbits[3] == 2 and nbits[2] == 2
+
+
+# ------------------------------------------- Huffman spec vectors
+
+def test_huffman_canonical_layout_hand_vector():
+    # transmitted weights [4,3,2,0,1] → inferred last weight 1,
+    # max_bits 4; longest codes occupy the LOWEST table indices
+    t = _HufTable([4, 3, 2, 0, 1])
+    assert t.max_bits == 4
+    assert t.symbols == [4, 5, 2, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0]
+    assert t.nbits[:4] == [4, 4, 3, 3]
+    assert t.nbits[8] == 1
+
+
+def test_huffman_stream_hand_vector():
+    # codes from the table above: s0='1' (1 bit), s1='01' (2 bits);
+    # stream for decode order [s0, s1, s0] packed below a marker bit
+    t = _HufTable([4, 3, 2, 0, 1])
+    assert bytes(t.decode_stream(bytes([0b11011]), 3)) == bytes([0, 1, 0])
+
+
+def test_backward_reader_padding_semantics():
+    bs = _BackBits(bytes([0xFF, 0x01]))    # marker at bit 8 → 8 bits
+    assert bs.pos == 8
+    assert bs.read(8) == 0xFF
+    assert bs.pos == 0
+    with pytest.raises(ValueError):
+        bs.read(1)
+
+
+# ----------------------------------------- hand-assembled frames
+
+def _frame(blocks: bytes, fcs: int) -> bytes:
+    # single-segment frame, 1-byte FCS, no checksum
+    return struct.pack("<I", zstd_py.MAGIC) + bytes([0x20, fcs]) + blocks
+
+
+def test_sequence_path_hand_frame():
+    # raw literals "abcdef"; one sequence with RLE tables:
+    # ll=4, of_code=2 with extra bits 0b01 → offset_value 5 → offset 2,
+    # ml code 0 → match 3.  Execution: "abcd" + copy(2,3)="cdc" + "ef"
+    lits = bytes([6 << 3]) + b"abcdef"
+    seqs = bytes([1, 0x54, 4, 2, 0, 0b101])
+    block = lits + seqs
+    bh = 1 | (2 << 1) | (len(block) << 3)
+    frame = _frame(bh.to_bytes(3, "little") + block, 9)
+    assert zstd_py.decompress(frame) == b"abcdcdcef"
+
+
+def test_repeat_offset_hand_frame():
+    # two sequences, all-RLE tables, of_code 0 → offset_value 1 →
+    # repeat offset 1 (initial rep list [1,4,8]): each sequence
+    # repeats its last literal 3 times
+    lits = bytes([2 << 3]) + b"ab"
+    seqs = bytes([2, 0x54, 1, 0, 0, 0x01])
+    block = lits + seqs
+    bh = 1 | (2 << 1) | (len(block) << 3)
+    frame = _frame(bh.to_bytes(3, "little") + block, 8)
+    assert zstd_py.decompress(frame) == b"aaaabbbb"
+
+
+def test_rle_literals_and_rle_block():
+    # RLE literals type inside a compressed block
+    lits = bytes([(5 << 3) | 0x01]) + b"z"     # type=1, regen=5
+    seqs = bytes([0])                           # no sequences
+    block = lits + seqs
+    bh = 1 | (2 << 1) | (len(block) << 3)
+    assert zstd_py.decompress(_frame(bh.to_bytes(3, "little") + block,
+                                     5)) == b"zzzzz"
+    # RLE block type at frame level: size field is the REGENERATED size
+    bh = 1 | (1 << 1) | (7 << 3)
+    assert zstd_py.decompress(_frame(bh.to_bytes(3, "little") + b"q",
+                                     7)) == b"qqqqqqq"
+
+
+def test_frame_content_size_mismatch_raises():
+    bh = 1 | (3 << 3)                           # raw block "abc"
+    frame = _frame(bh.to_bytes(3, "little") + b"abc", 99)
+    with pytest.raises(ValueError, match="content size"):
+        zstd_py.decompress(frame)
+
+
+# ------------------------------------------------- encoder round trip
+
+PAYLOADS = [
+    b"",
+    b"a",
+    b"hello world " * 400,
+    bytes(200_000),                            # RLE blocks
+    bytes(range(256)) * 700,                   # > one 128 KiB block
+]
+
+
+@pytest.mark.parametrize("payload", PAYLOADS, ids=lambda p: str(len(p)))
+def test_round_trip(payload):
+    enc = zstd_py.compress(payload)
+    assert zstd_py.decompress(enc) == payload
+
+
+def test_round_trip_random():
+    rng = random.Random(1234)
+    for _ in range(20):
+        n = rng.randrange(0, 5000)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        assert zstd_py.decompress(zstd_py.compress(payload)) == payload
+
+
+def test_rle_chunk_shrinks():
+    z = bytes(100_000)
+    assert len(zstd_py.compress(z)) < 100
+
+
+def test_checksum_detects_corruption():
+    enc = bytearray(zstd_py.compress(b"payload under test " * 50))
+    enc[-6] ^= 0x40                            # flip a content bit
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_py.decompress(bytes(enc))
+
+
+def test_no_checksum_flag():
+    enc = zstd_py.compress(b"x" * 100, checksum=False)
+    assert zstd_py.decompress(enc) == b"x" * 100
+
+
+def test_truncation_raises():
+    enc = zstd_py.compress(os.urandom(1000))
+    for cut in (3, 5, 9, len(enc) // 2, len(enc) - 1):
+        with pytest.raises(ValueError):
+            zstd_py.decompress(enc[:cut])
+
+
+def test_concatenated_and_skippable_frames():
+    f1 = zstd_py.compress(b"hello ")
+    skip = struct.pack("<II", 0x184D2A50, 5) + b"XXXXX"
+    f2 = zstd_py.compress(b"world")
+    assert zstd_py.decompress(f1 + skip + f2) == b"hello world"
+
+
+# --------------------------------------------------- CLI goldens
+
+needs_cli = pytest.mark.skipif(ZSTD_CLI is None,
+                               reason="no reference zstd CLI on PATH")
+
+
+def _cli(args, data):
+    p = subprocess.run([ZSTD_CLI, "-c"] + args, input=data,
+                       capture_output=True)
+    assert p.returncode == 0, p.stderr.decode()
+    return p.stdout
+
+
+@needs_cli
+def test_golden_reference_decodes_our_frames():
+    for payload in (b"", b"abc", bytes(500_000), os.urandom(300_000),
+                    b"spam and eggs " * 20_000):
+        p = subprocess.run([ZSTD_CLI, "-d", "-c"],
+                           input=zstd_py.compress(payload),
+                           capture_output=True)
+        assert p.returncode == 0, p.stderr.decode()
+        assert p.stdout == payload
+
+
+@needs_cli
+@pytest.mark.parametrize("level", ["-1", "-3", "-9", "-19"])
+def test_golden_we_decode_reference_frames(level):
+    rng = random.Random(99)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon"]
+    payloads = [
+        b" ".join(rng.choice(words) for _ in range(120_000)),  # ~700KB
+        bytes(rng.randrange(256) for _ in range(80_000)),
+        bytes(300_000),
+        b"A" * 17,
+    ]
+    for payload in payloads:
+        assert zstd_py.decompress(_cli([level], payload)) == payload
+
+
+@needs_cli
+def test_golden_long_window_and_no_check():
+    rng = random.Random(5)
+    payload = b"".join(rng.choice([b"foo", b"bar", b"baz"])
+                       for _ in range(400_000))                # ~1.2MB
+    assert zstd_py.decompress(
+        _cli(["-6", "--long=20"], payload)) == payload
+    assert zstd_py.decompress(
+        _cli(["-9", "--no-check"], payload)) == payload
+
+
+@needs_cli
+def test_golden_checksum_parity_with_reference():
+    # the reference VERIFIES our xxh64-based content checksum (it
+    # errors on mismatch), pinning xxh64 beyond the "" vector
+    payload = os.urandom(100_000)
+    enc = bytearray(zstd_py.compress(payload))
+    p = subprocess.run([ZSTD_CLI, "-d", "-c"], input=bytes(enc),
+                       capture_output=True)
+    assert p.returncode == 0
+    enc[-1] ^= 0x01                            # break the checksum
+    p = subprocess.run([ZSTD_CLI, "-d", "-c"], input=bytes(enc),
+                       capture_output=True)
+    assert p.returncode != 0
