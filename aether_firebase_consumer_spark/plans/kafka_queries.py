@@ -46,7 +46,7 @@ def _orders_broker(spark: SparkSession, sf_dir: str):
             .collect())
     broker = MiniKafkaBroker().start()
     topic = "bench.orders"
-    broker.create_topic(topic, partitions=4)
+    broker.create_topic(topic, partitions=5)
     with KafkaWireClient(broker.host, broker.port) as c:
         for i in range(0, len(rows), 500):
             chunk = rows[i:i + 500]
@@ -60,7 +60,7 @@ def _orders_broker(spark: SparkSession, sf_dir: str):
                     "o_orderstatus": r.o_orderstatus,
                     "o_totalprice": r.o_totalprice,
                 }).encode()
-                by_part.setdefault(r.o_orderkey % 4, []).append(
+                by_part.setdefault(r.o_orderkey % 5, []).append(
                     (str(r.o_orderkey).encode(), payload))
             for part, msgs in by_part.items():
                 c.produce(topic, part, msgs)
@@ -107,7 +107,8 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
     """Broker holding the SAME orders subset as
     :func:`_orders_broker`, but shipped as COMPRESSED magic-2 record
     batches — one codec per partition: gzip, pure-Python Snappy,
-    pure-Python LZ4 frame, and uncompressed as the control — with
+    pure-Python LZ4 frame, pure-Python zstd frame, and uncompressed
+    as the control — with
     deterministic CreateTime timestamps (o_orderkey ms)."""
     cached = _CODEC_BROKERS.get(sf_dir)
     if cached:
@@ -124,7 +125,7 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
             .collect())
     broker = MiniKafkaBroker().start()
     topic = "bench.orders.compressed"
-    broker.create_topic(topic, partitions=4)
+    broker.create_topic(topic, partitions=5)
     with KafkaWireClient(broker.host, broker.port) as c:
         by_part: dict[int, list] = {}
         for r in rows:
@@ -134,10 +135,10 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
                 "o_orderstatus": r.o_orderstatus,
                 "o_totalprice": r.o_totalprice,
             }).encode()
-            by_part.setdefault(r.o_orderkey % 4, []).append(
+            by_part.setdefault(r.o_orderkey % 5, []).append(
                 (str(r.o_orderkey).encode(), payload,
                  int(r.o_orderkey)))
-        codecs = ("gzip", "snappy", "lz4", None)
+        codecs = ("gzip", "snappy", "lz4", "zstd", None)
         for part, msgs in by_part.items():
             for i in range(0, len(msgs), 500):
                 c.produce_records(topic, part, msgs[i:i + 500],
@@ -158,15 +159,16 @@ def _orders_codec_broker(spark: SparkSession, sf_dir: str):
 def kafka_roundtrip_orders_compressed(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     """The compressed-batch wire path under the oracle gate (round 7
-    — the gzip/Snappy codecs landed in round 6 pytest-only; LZ4
-    landed this round): the orders subset ships as magic-2 record
-    batches with one codec per partition — gzip, pure-Python Snappy,
-    pure-Python LZ4 frame, uncompressed control — with CreateTime
+    — the gzip/Snappy codecs landed in round 6 pytest-only; LZ4 and
+    zstd landed this round): the orders subset ships as magic-2
+    record batches with one codec per partition — gzip, pure-Python
+    Snappy, pure-Python LZ4 frame, pure-Python zstd frame
+    (RFC 8878), uncompressed control — with CreateTime
     timestamps, read back through ``kafka_py``'s fetch → decompress →
     record-batch decode. The oracle adds the produced timestamp
     (o_orderkey ms) so the per-record CreateTime survives compression
     bit-exactly too — one hash over payloads AND timestamps across
-    all three codecs."""
+    all four codecs."""
     from aether_firebase_consumer_spark.sources.kafka_pysource import (
         register_kafka_py,
     )
@@ -223,7 +225,7 @@ def _customer_avro_broker(spark: SparkSession, sf_dir: str):
             .collect())
     broker = MiniKafkaBroker().start()
     topic = "bench.customer.avro"
-    broker.create_topic(topic, partitions=4)
+    broker.create_topic(topic, partitions=5)
     with KafkaWireClient(broker.host, broker.port) as c:
         by_part: dict[int, list] = {}
         for r in rows:

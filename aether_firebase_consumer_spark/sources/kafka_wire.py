@@ -24,7 +24,7 @@ the no-jar escape hatch, exactly like ``avro_codec`` is for Avro.
 Beyond the v0 core, the broker/client pair speaks the later protocol
 pieces a production deployment leans on, all from the public spec:
 magic-2 record batches (Produce v3 / Fetch v4, CRC32C, per-record
-timestamps, gzip/Snappy/LZ4 codecs), consumer-group membership
+timestamps, gzip/Snappy/LZ4/zstd codecs), consumer-group membership
 (JoinGroup/SyncGroup/Heartbeat/LeaveGroup with negotiated protocols,
 KIP-345 static membership via JoinGroup v5), KIP-98 idempotent
 produce (InitProducerId + sequence fencing), and secured listeners
@@ -298,7 +298,8 @@ ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
 
 
 #: attributes bits 0-2: compression codec ids from the public spec
-CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4 = 0, 1, 2, 3
+CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = \
+    0, 1, 2, 3, 4
 
 
 def encode_record_batch(
@@ -313,16 +314,19 @@ def encode_record_batch(
     carry them). Timestamps are per-record; the batch stores base/max
     and zigzag deltas. ``log_append_time`` sets the attributes bit
     real brokers use to mark broker-stamped (vs producer CreateTime)
-    timestamps. ``codec="gzip"``/``"snappy"``/``"lz4"`` compress the
+    timestamps. ``codec="gzip"``/``"snappy"``/``"lz4"``/``"zstd"``
+    compress the
     RECORDS section (only — the header stays plain, per the spec); the
     CRC32C covers the batch body as stored, compressed bytes included.
     Snappy here is the raw block format (``sources/snappy_py``) —
-    magic-2 batches never use the legacy xerial framing — and LZ4 is
+    magic-2 batches never use the legacy xerial framing — LZ4 is
     the standard FRAME format (``sources/lz4_py``), per the magic-≥1
-    convention real brokers follow."""
-    if codec not in (None, "gzip", "snappy", "lz4"):
+    convention real brokers follow, and zstd is the standard RFC 8878
+    frame (``sources/zstd_py``; our producer emits store-only frames,
+    and the decoder accepts anything a real broker serves)."""
+    if codec not in (None, "gzip", "snappy", "lz4", "zstd"):
         raise ValueError(f"unsupported record-batch codec {codec!r} "
-                         "(this image: gzip, snappy, or lz4)")
+                         "(this image: gzip, snappy, lz4, or zstd)")
     if not entries:
         return b""
     base_off = entries[0][0]
@@ -361,6 +365,10 @@ def encode_record_batch(
         from aether_firebase_consumer_spark.sources import lz4_py
         attrs |= CODEC_LZ4
         payload = lz4_py.compress_frame(payload)
+    elif codec == "zstd":
+        from aether_firebase_consumer_spark.sources import zstd_py
+        attrs |= CODEC_ZSTD
+        payload = zstd_py.compress(payload)
     body = _Writer()                       # attributes .. records
     body.i16(attrs)
     body.i32(entries[-1][0] - base_off)    # lastOffsetDelta
@@ -422,12 +430,10 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
         attrs, _last_delta, base_ts = struct.unpack_from(">hiq", body, 0)
         comp = attrs & 0x07
         if comp not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY,
-                        CODEC_LZ4):
-            # 4=zstd: that format isn't stdlib-reproducible — name
-            # the gap instead of mis-parsing
+                        CODEC_LZ4, CODEC_ZSTD):
             raise ValueError(
                 f"compressed record batch codec {comp} unsupported "
-                "(this image decodes none/gzip/snappy/lz4)")
+                "(this image decodes none/gzip/snappy/lz4/zstd)")
         (count,) = struct.unpack_from(">i", body, 36)
         recs = body[40:]
         if comp == CODEC_GZIP:
@@ -439,6 +445,9 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
         elif comp == CODEC_LZ4:
             from aether_firebase_consumer_spark.sources import lz4_py
             recs = lz4_py.decompress_frame(bytes(recs))
+        elif comp == CODEC_ZSTD:
+            from aether_firebase_consumer_spark.sources import zstd_py
+            recs = zstd_py.decompress(bytes(recs))
         p = 0
         for _ in range(count):
             rec_len, p = _get_varint(recs, p)
@@ -701,7 +710,7 @@ class KafkaWireClient:
             base_sequence: int = -1) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
-        base offset. ``codec="gzip"``/``"snappy"``/``"lz4"`` ships the
+        base offset. ``codec="gzip"``/``"snappy"``/``"lz4"``/``"zstd"`` ships the
         batch compressed. ``producer_id``/``producer_epoch``/
         ``base_sequence`` stamp the KIP-98 idempotence fields (see
         :class:`IdempotentProducer`); the broker then discards
@@ -1194,7 +1203,7 @@ class MiniKafkaBroker:
         self._lock = threading.Lock()
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
-        #: compress v4 fetch responses ("gzip"/"snappy"/"lz4") — real brokers serve
+        #: compress v4 fetch responses ("gzip"/"snappy"/"lz4"/"zstd") — real brokers serve
         #: batches in the topic's codec; this exercises the client's
         #: compressed-decode path end-to-end
         self._fetch_codec = fetch_codec

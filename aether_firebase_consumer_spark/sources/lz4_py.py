@@ -11,10 +11,9 @@ layers from the public specifications —
 lz4.github.io/lz4/lz4_Block_format.html,
 lz4.github.io/lz4/lz4_Frame_format.html, and the xxHash spec
 (github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) — exactly
-like ``snappy_py`` implements Snappy's block format. With it the
-jar-free Kafka stack covers every codec real brokers commonly serve
-except zstd (whose format is not stdlib-reproducible in reasonable
-space).
+like ``snappy_py`` implements Snappy's block format (and
+``zstd_py`` implements RFC 8878). With it the jar-free Kafka stack
+covers every codec real brokers commonly serve.
 
 Block format recap (all public):
 
