@@ -111,7 +111,10 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=32)
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    # extension headliners are added as they land
+    # extension headliners are added as they land.
+    # CONVENTION: every new headline query joins this tuple in the SAME
+    # commit that registers it — round-over-round regression detection
+    # only covers what is benched here.
     for extra in ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
                   "dedup_incremental_lsh",
                   "dedup_incremental_lsh_pruned",
@@ -122,7 +125,12 @@ def main() -> None:
                   "text_quality_score",
                   "docs_quality_filter", "embedding_kmeans",
                   "kafka_roundtrip_orders",
-                  "similarity_embedding_neardup_hi"):
+                  "similarity_embedding_neardup_hi",
+                  # r7 headliners
+                  "dedup_semantic_semdedup", "corpus_bpe_tokenize",
+                  "text_centroid_lang_classifier",
+                  "multimodal_flac_stats", "multimodal_webp_stats",
+                  "kafka_roundtrip_orders_compressed"):
         if extra in REGISTRY:
             names.append(extra)
 

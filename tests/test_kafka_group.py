@@ -482,11 +482,17 @@ def test_gzip_record_batches_end_to_end():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC32C"):
         decode_record_batches(bytes(bad))
-    # unknown codec id (zstd=4) names the gap (snappy=2 and lz4=3 are
-    # supported since sources/snappy_py and sources/lz4_py landed)
+    # codec ids 0-4 (none/gzip/snappy/lz4/zstd) all decode; an id beyond
+    # the Kafka-assigned range names the gap instead of mis-parsing
     legit = bytearray(plain)
+    legit[21 + 1] = (legit[21 + 1] & ~0x07) | 0x05   # attrs ← codec 5
+    with pytest.raises(ValueError, match="codec 5 unsupported"):
+        decode_record_batches(bytes(legit), validate_crc=False)
+    # codec 4 IS dispatched to the zstd decoder now: flipping the attrs
+    # on an uncompressed body reaches zstd_py, which rejects the garbage
+    # by frame magic rather than silently mis-parsing
     legit[21 + 1] = (legit[21 + 1] & ~0x07) | 0x04   # attrs ← codec 4
-    with pytest.raises(ValueError, match="codec 4 unsupported"):
+    with pytest.raises(ValueError, match="magic"):
         decode_record_batches(bytes(legit), validate_crc=False)
 
     with MiniKafkaBroker(clock=lambda: 1, fetch_codec="gzip") as b:
