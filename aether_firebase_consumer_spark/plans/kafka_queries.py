@@ -433,3 +433,107 @@ def avro_py_roundtrip_supplier(spark: SparkSession,
          .option("path", d).mode("append").save())
         _AVRO_DIRS[sf_dir] = d
     return spark.read.format("avro_py").load(d)
+
+
+_TXN_BROKERS: dict[str, tuple] = {}
+
+
+def _orders_txn_broker(spark: SparkSession, sf_dir: str):
+    """Broker where the orders subset arrives through KIP-98
+    TRANSACTIONS: committed transactions carry the real rows, and
+    interleaved ABORTED transactions carry poisoned decoys (same keys,
+    totalprice shifted by 1e9). A read_committed scan must surface
+    exactly the committed rows — one leaked decoy or one lost commit
+    breaks the value hash. Markers leave offset gaps the reader has to
+    tolerate, same as compaction."""
+    cached = _TXN_BROKERS.get(sf_dir)
+    if cached:
+        return cached
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+        TransactionalProducer,
+    )
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice")
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "bench.orders.txn"
+    broker.create_topic(topic, partitions=3)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        producer = TransactionalProducer(c, "orders-txn-loader")
+        for i in range(0, len(rows), 400):
+            chunk = rows[i:i + 400]
+            good: dict[int, list] = {}
+            bad: dict[int, list] = {}
+            for r in chunk:
+                part = r.o_orderkey % 3
+                good.setdefault(part, []).append(
+                    (str(r.o_orderkey).encode(), json.dumps({
+                        "o_orderkey": r.o_orderkey,
+                        "o_custkey": r.o_custkey,
+                        "o_orderstatus": r.o_orderstatus,
+                        "o_totalprice": r.o_totalprice,
+                    }).encode(), int(r.o_orderkey)))
+                bad.setdefault(part, []).append(
+                    (str(r.o_orderkey).encode(), json.dumps({
+                        "o_orderkey": r.o_orderkey,
+                        "o_custkey": r.o_custkey,
+                        "o_orderstatus": r.o_orderstatus,
+                        "o_totalprice": r.o_totalprice + 1.0e9,
+                    }).encode(), int(r.o_orderkey)))
+            # aborted decoys FIRST, then the committed truth — the
+            # committed reader must skip the leading aborted span of
+            # every partition (the LSO fast-forward path)
+            producer.begin_transaction()
+            for part, msgs in bad.items():
+                producer.send(topic, part, msgs)
+            producer.abort_transaction()
+            producer.begin_transaction()
+            for part, msgs in good.items():
+                producer.send(topic, part, msgs)
+            producer.commit_transaction()
+    _TXN_BROKERS[sf_dir] = (broker.bootstrap, topic)
+    return _TXN_BROKERS[sf_dir]
+
+
+@register(
+    "kafka_txn_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def kafka_txn_roundtrip_orders(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exactly-once visibility under the oracle gate (round 8): the
+    orders subset is produced through KIP-98 transactions — committed
+    transactions carry the truth, interleaved aborted transactions
+    carry poisoned decoys — and read back via ``kafka_py`` with
+    ``isolation=read_committed``. The reference's consumer was
+    at-least-once with no transactional story at all
+    (/root/reference/firebase/conf/consumer/kafka.json:5); this is the
+    upgrade a Kafka→Kafka exactly-once pipeline needs. The oracle is
+    the committed subset straight from parquet: a leaked aborted
+    record or a lost committed one breaks the value hash."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    bootstrap, topic = _orders_txn_broker(spark, sf_dir)
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", bootstrap)
+           .option("subscribe", topic)
+           .option("isolation", "read_committed")
+           .load())
+    parsed = raw.select(F.from_json(
+        F.col("value").cast("string"),
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double").alias("o"))
+    return parsed.select("o.o_orderkey", "o.o_custkey",
+                         "o.o_orderstatus", "o.o_totalprice")

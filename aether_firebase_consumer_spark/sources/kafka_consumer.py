@@ -36,6 +36,7 @@ import time as _time
 from typing import Optional
 
 from aether_firebase_consumer_spark.sources.kafka_wire import (
+    API_FETCH,
     EARLIEST,
     LATEST,
     GroupMembershipError,
@@ -43,6 +44,30 @@ from aether_firebase_consumer_spark.sources.kafka_wire import (
     KafkaWireClient,
     range_assignment,
 )
+
+
+def _v4_rescue(client: KafkaWireClient,
+               pos_store: dict[tuple[str, int], int],
+               tp: tuple[str, int], pos: int
+               ) -> tuple[list[tuple[int, Optional[bytes],
+                                     Optional[bytes]]], bool]:
+    """A v0 fetch came back empty while offsets remain pending. On a
+    Fetch-v4 broker, retry at v4: record batches decode what the v0
+    message set truncated (an over-max_bytes message), and an EMPTY v4
+    response proves the remaining span holds no records at all — only
+    transaction control markers or compaction ghosts occupying
+    offsets — so the position skips to the high watermark instead of
+    stalling. Returns (records, skipped); both falsy means a genuine
+    stall (v0-only broker)."""
+    if client._max_version(API_FETCH) < 4:
+        return [], False
+    recs, hw, _lso = client.fetch_records_meta(tp[0], tp[1], pos)
+    if recs:
+        return [(off, k, v) for off, _ts, k, v in recs], False
+    if pos < hw:
+        pos_store[tp] = hw
+        return [], True
+    return [], False
 
 
 class PollLoopConsumer:
@@ -106,6 +131,19 @@ class PollLoopConsumer:
                 continue
             batch = self._client.fetch(tp[0], tp[1], pos)
             if not batch:
+                rescued, skipped = _v4_rescue(self._client, self._pos,
+                                              tp, pos)
+                if rescued:
+                    for off, key, value in rescued:
+                        if len(out) >= max_messages:
+                            break
+                        out.append((tp[0], tp[1], off, key, value))
+                        self._pos[tp] = off + 1
+                    tried = 0
+                    continue
+                if skipped:
+                    tried = 0
+                    continue
                 # pos < end but the fetch yielded nothing: a v0 broker
                 # truncates at max_bytes, so a single message larger
                 # than the fetch size decodes to zero complete messages
@@ -176,7 +214,14 @@ class GroupConsumer:
                  background_heartbeat: bool = False,
                  group_instance_id: str | None = None,
                  ssl_context=None,
-                 sasl_plain: tuple[str, str] | None = None) -> None:
+                 sasl_plain: tuple[str, str] | None = None,
+                 isolation: str = "read_uncommitted") -> None:
+        if isolation not in ("read_uncommitted", "read_committed"):
+            raise ValueError(f"unknown isolation level {isolation!r}")
+        #: KIP-98: "read_committed" hides records of aborted or
+        #: still-open transactions (fetches stop at the last stable
+        #: offset); the default sees every record as it appends
+        self._isolation = isolation
         host, _, port = bootstrap.rpartition(":")
         #: connection security, applied to EVERY connection this
         #: consumer opens (bootstrap probe, coordinator, heartbeat)
@@ -322,15 +367,49 @@ class GroupConsumer:
             self._rr += 1
             tried += 1
             pos = self._position(tp)
+            if self._isolation == "read_committed":
+                # one RTT: records + LSO together. Zero records with
+                # pos < LSO means everything in [pos, LSO) belonged to
+                # aborted transactions (the broker filtered it) — fast
+                # forward past the span instead of stalling; pos ≥ LSO
+                # means no DECIDED data yet (an open transaction may
+                # sit below the log end), which is not a stall either.
+                recs, _hw, lso = self._client.fetch_records_meta(
+                    tp[0], tp[1], pos, isolation="read_committed")
+                if not recs:
+                    if pos < lso:
+                        self._pos[tp] = lso
+                        tried = 0
+                    continue
+                for off, _ts, key, value in recs:
+                    if len(out) >= max_messages:
+                        break
+                    out.append((tp[0], tp[1], off, key, value))
+                    self._pos[tp] = off + 1
+                tried = 0
+                continue
             end = self._client.list_offsets(tp[0], tp[1], LATEST)
             if pos >= end:
                 continue
             batch = self._client.fetch(tp[0], tp[1], pos)
             if not batch:
+                rescued, skipped = _v4_rescue(self._client, self._pos,
+                                              tp, pos)
+                if rescued:
+                    for off, key, value in rescued:
+                        if len(out) >= max_messages:
+                            break
+                        out.append((tp[0], tp[1], off, key, value))
+                        self._pos[tp] = off + 1
+                    tried = 0
+                    continue
+                if skipped:
+                    tried = 0
+                    continue
                 # pos < end but zero complete messages decoded — an
-                # over-max_bytes message; same stalled-partition
-                # detection as PollLoopConsumer.poll, or the caller's
-                # poll loop spins forever on empty results
+                # over-max_bytes message on a v0-only broker; same
+                # stalled-partition detection as PollLoopConsumer.poll,
+                # or the caller's poll loop spins forever on empties
                 stalled = (tp, pos, end)
                 continue
             for off, key, value in batch:

@@ -155,12 +155,13 @@ class KafkaRangePartition(InputPartition):
     the executor, which opens its own socket."""
 
     def __init__(self, host: str, port: int, topic: str, partition: int,
-                 start: int, end: int, security: dict | None = None
-                 ) -> None:
+                 start: int, end: int, security: dict | None = None,
+                 isolation: str = "read_uncommitted") -> None:
         self.host, self.port = host, port
         self.topic, self.partition = topic, partition
         self.start, self.end = start, end
         self.security = security or {}
+        self.isolation = isolation
 
 
 def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
@@ -171,8 +172,18 @@ def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
                          **_security_kwargs(p.security)) as client:
         offset = p.start
         while offset < p.end:
-            batch = client.fetch_records(p.topic, p.partition, offset)
+            batch = client.fetch_records(
+                p.topic, p.partition, offset,
+                isolation=getattr(p, "isolation", "read_uncommitted"))
             if not batch:
+                from aether_firebase_consumer_spark.sources.kafka_wire \
+                    import API_FETCH
+                if client._max_version(API_FETCH) >= 4:
+                    # a v4 fetch returns at least the first record
+                    # when one exists (KIP-74 shape) — empty means the
+                    # remaining span holds only transaction control
+                    # markers or compaction ghosts, no records at all
+                    break
                 raise RuntimeError(
                     f"fetch at {p.topic}/{p.partition}:{offset} returned "
                     f"nothing but range end is {p.end} — log truncated?")
@@ -219,6 +230,19 @@ class _TopicResolver:
         #: timestamp >= this; partitions with no such message start at
         #: the log end (the JVM 'latest' fallback strategy)
         self.starting_ts = int(ts_opt) if ts_opt else None
+        #: KIP-98 isolation (the JVM source's kafka.isolation.level):
+        #: read_committed hides records of aborted/open transactions.
+        #: Ranges are still PLANNED to the log end (ListOffsets v1 has
+        #: no isolation field); the executor-side fetch filters, and a
+        #: span left invisible by a then-open transaction is skipped —
+        #: the batch read reflects what was committed at read time.
+        iso = (options.get("isolation")
+               or options.get("isolationlevel")
+               or options.get("isolationLevel")
+               or "read_uncommitted").lower()
+        if iso not in ("read_uncommitted", "read_committed"):
+            raise ValueError(f"kafka_py: bad isolation level {iso!r}")
+        self.isolation = iso
 
     def _client(self) -> KafkaWireClient:
         return KafkaWireClient(self.host, self.port,
@@ -264,7 +288,8 @@ class _TopicResolver:
 def _split_ranges(ranges: list[tuple[str, int, int, int]],
                   min_partitions: Optional[int],
                   host: str, port: int,
-                  security: dict | None = None
+                  security: dict | None = None,
+                  isolation: str = "read_uncommitted"
                   ) -> list[KafkaRangePartition]:
     """(topic, partition, start, end) → InputPartitions, subdividing
     offset ranges until there are ≥ ``min_partitions`` tasks (the JVM
@@ -284,7 +309,7 @@ def _split_ranges(ranges: list[tuple[str, int, int, int]],
         for lo in range(s, e, step):
             out.append(KafkaRangePartition(
                 host, port, topic, part, lo, min(lo + step, e),
-                security=security))
+                security=security, isolation=isolation))
     return out
 
 
@@ -308,7 +333,8 @@ class KafkaPyBatchReader(DataSourceReader):
                 ranges.append((topic, part, start, end))
         return _split_ranges(ranges, self._min_partitions,
                              self._resolver.host, self._resolver.port,
-                             self._resolver.security)
+                             self._resolver.security,
+                             isolation=self._resolver.isolation)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -382,7 +408,8 @@ class KafkaPyStreamReader(DataSourceStreamReader):
                 ranges.append((topic, part, s, e))
         return _split_ranges(ranges, self._min_partitions,
                              self._resolver.host, self._resolver.port,
-                             self._resolver.security)
+                             self._resolver.security,
+                             isolation=self._resolver.isolation)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)

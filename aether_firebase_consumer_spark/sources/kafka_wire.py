@@ -89,6 +89,10 @@ API_SYNC_GROUP = 14
 API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
 API_INIT_PRODUCER_ID = 22
+API_ADD_PARTITIONS_TO_TXN = 24
+API_ADD_OFFSETS_TO_TXN = 25
+API_END_TXN = 26
+API_TXN_OFFSET_COMMIT = 28
 API_SASL_AUTHENTICATE = 36
 
 EARLIEST = -2
@@ -105,6 +109,10 @@ ERR_UNSUPPORTED_SASL_MECHANISM = 33
 ERR_ILLEGAL_SASL_STATE = 34
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_DUPLICATE_SEQUENCE = 46
+ERR_INVALID_PRODUCER_EPOCH = 47        # KIP-98 zombie fencing
+ERR_INVALID_TXN_STATE = 48
+ERR_INVALID_PRODUCER_ID_MAPPING = 49
+ERR_CONCURRENT_TRANSACTIONS = 51
 ERR_SASL_AUTHENTICATION_FAILED = 58
 
 
@@ -114,6 +122,12 @@ class GroupRebalanceError(RuntimeError):
 
 class GroupMembershipError(RuntimeError):
     """Unknown member id or stale generation — rejoin from scratch."""
+
+
+class ProducerFencedError(RuntimeError):
+    """A newer producer instance claimed this transactional.id (its
+    InitProducerId bumped the epoch); this instance is a zombie and
+    must stop — its writes and EndTxn are rejected broker-side."""
 
 
 # ---------------------------------------------------------------------------
@@ -295,6 +309,15 @@ def _get_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 ATTR_TIMESTAMP_LOG_APPEND = 1 << 3
+#: magic-2 attributes bit 4 — this batch is part of an (open-until-
+#: EndTxn) transaction; read_committed fetches must not surface it
+#: before the commit marker lands
+ATTR_TRANSACTIONAL = 1 << 4
+#: bit 5 — control batch (commit/abort marker). This broker keeps
+#: markers out of the record log (they occupy an offset, leaving the
+#: same gap consumers already tolerate from compaction) so the
+#: constant documents the wire format; fetch responses never carry it
+ATTR_CONTROL = 1 << 5
 
 
 #: attributes bits 0-2: compression codec ids from the public spec
@@ -307,7 +330,7 @@ def encode_record_batch(
         *, log_append_time: bool = False,
         codec: Optional[str] = None,
         producer_id: int = -1, producer_epoch: int = -1,
-        base_sequence: int = -1) -> bytes:
+        base_sequence: int = -1, transactional: bool = False) -> bytes:
     """(offset, timestamp_ms, key, value)* → one magic-2 record batch.
 
     Offsets need not be dense (log compaction leaves gaps; deltas
@@ -352,6 +375,8 @@ def encode_record_batch(
         _put_varint(records, len(rec))
         records += rec
     attrs = ATTR_TIMESTAMP_LOG_APPEND if log_append_time else 0
+    if transactional:
+        attrs |= ATTR_TRANSACTIONAL
     payload = bytes(records)
     if codec == "gzip":
         import gzip as _gzip
@@ -390,20 +415,22 @@ def encode_record_batch(
     return bytes(w.buf)
 
 
-def peek_batch_producer(data: bytes) -> tuple[int, int, int, int]:
-    """(producerId, producerEpoch, baseSequence, record count) of the
-    FIRST record batch in ``data`` — the fields the broker's KIP-98
-    duplicate check reads before any decompression. Fixed offsets per
-    the magic-2 layout: body starts at 21; producerId at body+30."""
+def peek_batch_producer(data: bytes) -> tuple[int, int, int, int, int]:
+    """(producerId, producerEpoch, baseSequence, record count,
+    attributes) of the FIRST record batch in ``data`` — the fields the
+    broker's KIP-98 duplicate/transaction checks read before any
+    decompression. Fixed offsets per the magic-2 layout: body starts
+    at 21; attributes at body+0; producerId at body+30."""
     if len(data) < 61:
         raise ValueError("record batch shorter than its header")
     if data[16] != 2:
         raise ValueError(f"unsupported record-batch magic {data[16]}")
+    attrs, = struct.unpack_from(">h", data, 21)
     pid, = struct.unpack_from(">q", data, 43)
     epoch, = struct.unpack_from(">h", data, 51)
     base_seq, = struct.unpack_from(">i", data, 53)
     count, = struct.unpack_from(">i", data, 57)
-    return pid, epoch, base_seq, count
+    return pid, epoch, base_seq, count, attrs
 
 
 def decode_record_batches(data: bytes, *, validate_crc: bool = True
@@ -707,14 +734,19 @@ class KafkaWireClient:
             messages: list[tuple[Optional[bytes], Optional[bytes], int]],
             codec: Optional[str] = None,
             producer_id: int = -1, producer_epoch: int = -1,
-            base_sequence: int = -1) -> int:
+            base_sequence: int = -1,
+            transactional_id: Optional[str] = None) -> int:
         """Append (key, value, timestamp_ms) via Produce v3 (magic-2
         record batch, producer CreateTime timestamps); returns the
         base offset. ``codec="gzip"``/``"snappy"``/``"lz4"``/``"zstd"`` ships the
         batch compressed. ``producer_id``/``producer_epoch``/
         ``base_sequence`` stamp the KIP-98 idempotence fields (see
         :class:`IdempotentProducer`); the broker then discards
-        duplicate retries of the same sequence.
+        duplicate retries of the same sequence. A non-null
+        ``transactional_id`` marks the batch transactional (attrs bit
+        4) — it stays invisible to read_committed fetches until the
+        producer's EndTxn writes the commit marker (see
+        :class:`TransactionalProducer`).
         Requires a broker advertising Produce ≥ v3 — raises otherwise
         rather than silently dropping timestamps."""
         if self._max_version(API_PRODUCE) < 3:
@@ -724,9 +756,10 @@ class KafkaWireClient:
         batch = encode_record_batch(
             [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)],
             codec=codec, producer_id=producer_id,
-            producer_epoch=producer_epoch, base_sequence=base_sequence)
+            producer_epoch=producer_epoch, base_sequence=base_sequence,
+            transactional=transactional_id is not None)
         w = _Writer()
-        w.string(None)  # transactional_id
+        w.string(transactional_id)
         w.i16(1)        # acks
         w.i32(10000)    # timeout
         w.i32(1)
@@ -753,15 +786,32 @@ class KafkaWireClient:
             raise RuntimeError(
                 "produce rejected: duplicate sequence number below "
                 "the broker's deduplication window")
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError(
+                "produce rejected: producer epoch is stale — another "
+                "producer with the same transactional.id has since "
+                "called InitProducerId (KIP-98 zombie fencing)")
+        if err == ERR_INVALID_TXN_STATE:
+            raise RuntimeError(
+                "produce rejected: transactional batch for a "
+                "partition not added to the ongoing transaction "
+                "(AddPartitionsToTxn must precede the produce)")
         if err != ERR_NONE:
             raise RuntimeError(f"produce failed: error {err}")
         return base
 
-    def init_producer_id(self) -> tuple[int, int]:
+    def init_producer_id(self, transactional_id: Optional[str] = None
+                         ) -> tuple[int, int]:
         """InitProducerId v0 (KIP-98): a broker-assigned
-        (producer_id, epoch) for idempotent produce."""
+        (producer_id, epoch). With a ``transactional_id`` the id is
+        STABLE across calls for that id and the epoch BUMPS each call
+        — the fencing handshake: the newest caller holds the highest
+        epoch and every older producer instance's produce/EndTxn is
+        rejected with INVALID_PRODUCER_EPOCH. Any transaction the
+        previous instance left open is aborted broker-side before the
+        response returns."""
         w = _Writer()
-        w.string(None)   # transactional_id (idempotence-only)
+        w.string(transactional_id)
         w.i32(60000)     # transaction_timeout_ms
         r = self._call(API_INIT_PRODUCER_ID, bytes(w.buf))
         r.i32()          # throttle_time_ms
@@ -771,6 +821,111 @@ class KafkaWireClient:
         if err != ERR_NONE:
             raise RuntimeError(f"init_producer_id failed: error {err}")
         return pid, epoch
+
+    # -- transactions (KIP-98 part 2) ---------------------------------
+
+    def _txn_err(self, err: int, what: str) -> None:
+        if err == ERR_NONE:
+            return
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError(
+                f"{what} rejected: stale producer epoch (fenced by a "
+                "newer InitProducerId for this transactional.id)")
+        if err == ERR_INVALID_PRODUCER_ID_MAPPING:
+            raise RuntimeError(
+                f"{what} rejected: producer id does not match the "
+                "coordinator's mapping for this transactional.id")
+        if err == ERR_INVALID_TXN_STATE:
+            raise RuntimeError(
+                f"{what} rejected: no ongoing transaction in the "
+                "state this request requires")
+        raise RuntimeError(f"{what} failed: error {err}")
+
+    def add_partitions_to_txn(self, transactional_id: str, pid: int,
+                              epoch: int,
+                              parts: dict[str, list[int]]) -> None:
+        """AddPartitionsToTxn v0: register the partitions the ongoing
+        transaction will produce to — the coordinator needs the set up
+        front so EndTxn knows where to write markers."""
+        w = _Writer()
+        w.string(transactional_id)
+        w.i64(pid)
+        w.i16(epoch)
+        w.i32(len(parts))
+        for topic, plist in parts.items():
+            w.string(topic)
+            w.i32(len(plist))
+            for p in plist:
+                w.i32(p)
+        r = self._call(API_ADD_PARTITIONS_TO_TXN, bytes(w.buf))
+        r.i32()          # throttle_time_ms
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            for _ in range(r.i32()):
+                p = r.i32()
+                self._txn_err(r.i16(),
+                              f"add_partitions_to_txn {topic}/{p}")
+
+    def add_offsets_to_txn(self, transactional_id: str, pid: int,
+                           epoch: int, group: str) -> None:
+        """AddOffsetsToTxn v0: declare that this transaction will also
+        commit consumer-group offsets (the consume-transform-produce
+        loop's read position) atomically with its produced records."""
+        w = _Writer()
+        w.string(transactional_id)
+        w.i64(pid)
+        w.i16(epoch)
+        w.string(group)
+        r = self._call(API_ADD_OFFSETS_TO_TXN, bytes(w.buf))
+        r.i32()          # throttle_time_ms
+        self._txn_err(r.i16(), "add_offsets_to_txn")
+
+    def txn_offset_commit(self, transactional_id: str, group: str,
+                          pid: int, epoch: int,
+                          offsets: dict[tuple[str, int], int]) -> None:
+        """TxnOffsetCommit v0: stage consumer offsets inside the
+        ongoing transaction — they become the group's committed
+        positions only when EndTxn commits, and vanish on abort."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (topic, p), off in offsets.items():
+            by_topic.setdefault(topic, []).append((p, off))
+        w = _Writer()
+        w.string(transactional_id)
+        w.string(group)
+        w.i64(pid)
+        w.i16(epoch)
+        w.i32(len(by_topic))
+        for topic, plist in by_topic.items():
+            w.string(topic)
+            w.i32(len(plist))
+            for p, off in plist:
+                w.i32(p)
+                w.i64(off)
+                w.string(None)   # metadata
+        r = self._call(API_TXN_OFFSET_COMMIT, bytes(w.buf))
+        r.i32()          # throttle_time_ms
+        for _ in range(r.i32()):
+            topic = r.string() or ""
+            for _ in range(r.i32()):
+                p = r.i32()
+                self._txn_err(r.i16(), f"txn_offset_commit {topic}/{p}")
+
+    def end_txn(self, transactional_id: str, pid: int, epoch: int,
+                commit: bool) -> None:
+        """EndTxn v0: commit or abort the ongoing transaction. The
+        broker writes a control marker to every added partition
+        (occupying an offset — committed consumption sees the same
+        offset gaps log compaction already creates), applies or drops
+        the staged consumer offsets, and unblocks read_committed
+        fetches past the transaction's first offset."""
+        w = _Writer()
+        w.string(transactional_id)
+        w.i64(pid)
+        w.i16(epoch)
+        w.i8(1 if commit else 0)
+        r = self._call(API_END_TXN, bytes(w.buf))
+        r.i32()          # throttle_time_ms
+        self._txn_err(r.i16(), "end_txn")
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20
@@ -800,7 +955,8 @@ class KafkaWireClient:
         return decode_message_set(raw)
 
     def fetch_records(self, topic: str, partition: int, offset: int,
-                      max_bytes: int = 1 << 20
+                      max_bytes: int = 1 << 20,
+                      isolation: str = "read_uncommitted"
                       ) -> list[tuple[int, Optional[int],
                                       Optional[bytes], Optional[bytes]]]:
         """Fetch with timestamps: [(offset, timestamp_ms, key, value)].
@@ -809,17 +965,42 @@ class KafkaWireClient:
         advertises it; falls back to v0 message sets with
         ``timestamp=None`` (magic-0 carries no timestamp) — so callers
         get one shape either way and the timestamp column degrades to
-        null instead of failing against an old broker."""
+        null instead of failing against an old broker.
+        ``isolation="read_committed"`` surfaces only records of
+        COMMITTED transactions below the last stable offset (requires
+        Fetch v4)."""
         if self._max_version(API_FETCH) < 4:
+            if isolation == "read_committed":
+                raise RuntimeError(
+                    "read_committed requires Fetch v4 (isolation "
+                    "levels); this broker tops out below it")
             return [(off, None, k, v)
                     for off, k, v in self.fetch(topic, partition, offset,
                                                 max_bytes)]
+        recs, _hw, _lso = self.fetch_records_meta(
+            topic, partition, offset, max_bytes, isolation)
+        return recs
+
+    def fetch_records_meta(self, topic: str, partition: int,
+                           offset: int, max_bytes: int = 1 << 20,
+                           isolation: str = "read_uncommitted"
+                           ) -> tuple[list[tuple[int, Optional[int],
+                                                 Optional[bytes],
+                                                 Optional[bytes]]],
+                                      int, int]:
+        """Fetch v4 returning (records, high_watermark,
+        last_stable_offset). A read_committed consumer needs the LSO
+        to advance past a span whose every record belonged to aborted
+        transactions (the fetch legitimately returns zero records
+        while the position is still behind the log end)."""
+        if isolation not in ("read_uncommitted", "read_committed"):
+            raise ValueError(f"unknown isolation level {isolation!r}")
         w = _Writer()
         w.i32(-1)            # replica_id
         w.i32(0)             # max_wait_ms
         w.i32(0)             # min_bytes
         w.i32(max_bytes)     # request-level max_bytes (v3+)
-        w.i8(0)              # isolation_level: READ_UNCOMMITTED (v4+)
+        w.i8(1 if isolation == "read_committed" else 0)
         w.i32(1)
         w.string(topic)
         w.i32(1)
@@ -833,16 +1014,17 @@ class KafkaWireClient:
         r.i32()              # partition count
         r.i32()              # partition id
         err = r.i16()
-        r.i64()              # high watermark
-        r.i64()              # last_stable_offset
+        hw = r.i64()         # high watermark
+        lso = r.i64()        # last_stable_offset
         for _ in range(r.i32()):   # aborted_transactions
             r.i64(); r.i64()
         size = r.i32()
         raw = r._take(size)
         if err != ERR_NONE:
             raise RuntimeError(f"fetch failed: error {err}")
-        return [(off, ts, k, v)
-                for off, ts, k, v in decode_record_batches(raw)]
+        return ([(off, ts, k, v)
+                 for off, ts, k, v in decode_record_batches(raw)],
+                hw, lso)
 
     def list_offsets(self, topic: str, partition: int, time: int) -> int:
         """EARLIEST (-2) → log start, LATEST (-1) → log end offset."""
@@ -1156,6 +1338,99 @@ class IdempotentProducer:
             base_sequence=seq)
 
 
+class TransactionalProducer:
+    """KIP-98 transactions (the second half, on top of idempotence):
+    batches produced between ``begin_transaction`` and
+    ``commit_transaction`` become visible to read_committed consumers
+    atomically — all of them when the commit marker lands, none of
+    them after ``abort_transaction``. ``send_offsets_to_transaction``
+    stages consumer-group positions inside the same transaction, which
+    is the exactly-once consume-transform-produce loop: the output
+    records and the input offsets commit or vanish together, so a
+    crash between them can neither drop nor double-process input.
+
+    Construction claims ``transactional_id`` via InitProducerId; any
+    previous holder of the id is fenced (its epoch goes stale and the
+    broker aborts whatever it left open). Sequence numbers continue
+    across transactions per the spec — the idempotence dedupe window
+    spans commits."""
+
+    def __init__(self, client: "KafkaWireClient",
+                 transactional_id: str) -> None:
+        if transactional_id is None:
+            raise ValueError("transactional_id is required — use "
+                             "IdempotentProducer for the id-less mode")
+        self._c = client
+        self.transactional_id = transactional_id
+        self.producer_id, self.epoch = \
+            client.init_producer_id(transactional_id)
+        self._seq: dict[tuple[str, int], int] = {}
+        self._in_txn = False
+        self._txn_parts: set[tuple[str, int]] = set()
+        self._offsets_group: Optional[str] = None
+
+    def begin_transaction(self) -> None:
+        if self._in_txn:
+            raise RuntimeError("transaction already in progress")
+        self._in_txn = True
+        self._txn_parts = set()
+        self._offsets_group = None
+
+    def send(self, topic: str, partition: int,
+             messages: list[tuple[Optional[bytes], Optional[bytes],
+                                  int]],
+             codec: Optional[str] = None) -> int:
+        """Produce inside the current transaction. First touch of a
+        partition registers it with the coordinator
+        (AddPartitionsToTxn), like a real client's lazy add."""
+        if not self._in_txn:
+            raise RuntimeError("send outside a transaction — call "
+                               "begin_transaction first")
+        tp = (topic, partition)
+        if tp not in self._txn_parts:
+            self._c.add_partitions_to_txn(
+                self.transactional_id, self.producer_id, self.epoch,
+                {topic: [partition]})
+            self._txn_parts.add(tp)
+        seq = self._seq.get(tp, 0)
+        base = self._c.produce_records(
+            topic, partition, messages, codec=codec,
+            producer_id=self.producer_id, producer_epoch=self.epoch,
+            base_sequence=seq, transactional_id=self.transactional_id)
+        self._seq[tp] = seq + len(messages)
+        return base
+
+    def send_offsets_to_transaction(
+            self, offsets: dict[tuple[str, int], int],
+            group: str) -> None:
+        """Stage consumer-group offsets in the transaction (the input
+        positions of a consume-transform-produce loop)."""
+        if not self._in_txn:
+            raise RuntimeError("send_offsets_to_transaction outside a "
+                               "transaction")
+        self._c.add_offsets_to_txn(
+            self.transactional_id, self.producer_id, self.epoch, group)
+        self._c.txn_offset_commit(
+            self.transactional_id, group, self.producer_id, self.epoch,
+            offsets)
+        self._offsets_group = group
+
+    def commit_transaction(self) -> None:
+        self._end(True)
+
+    def abort_transaction(self) -> None:
+        self._end(False)
+
+    def _end(self, commit: bool) -> None:
+        if not self._in_txn:
+            raise RuntimeError("no transaction in progress")
+        self._c.end_txn(self.transactional_id, self.producer_id,
+                        self.epoch, commit)
+        self._in_txn = False
+        self._txn_parts = set()
+        self._offsets_group = None
+
+
 # ---------------------------------------------------------------------------
 # broker
 # ---------------------------------------------------------------------------
@@ -1183,7 +1458,8 @@ class MiniKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  clock=None, fetch_codec: Optional[str] = None,
                  sasl_users: Optional[dict[str, str]] = None,
-                 ssl_context=None) -> None:
+                 ssl_context=None,
+                 state: Optional[dict] = None) -> None:
         #: (topic, partition) → list of (offset, timestamp_ms, key,
         #: value), offsets strictly increasing (gaps after compaction).
         #: v0 produces are stamped with ``clock`` (LogAppendTime);
@@ -1200,7 +1476,28 @@ class MiniKafkaBroker:
         self._next_pid = 1000
         self._pid_state: dict[tuple[int, str, int],
                               tuple[int, int, int]] = {}
+        #: KIP-98 transactions. transactional_id → stable producer id
+        #: and current epoch (the fencing counter: InitProducerId for
+        #: an already-known id bumps it, staling every older holder)
+        self._txn_pids: dict[str, int] = {}
+        self._txn_epoch: dict[str, int] = {}
+        #: transactional_id → OPEN transaction: the partitions added
+        #: so far, each partition's first produced offset (the LSO
+        #: floor), the exact record offsets produced (what an abort
+        #:  must hide), and offsets staged via TxnOffsetCommit
+        self._txns: dict[str, dict] = {}
+        #: (topic, partition) → offsets of records whose transaction
+        #: ABORTED — read_committed fetches skip exactly these
+        self._aborted_recs: dict[tuple[str, int], set[int]] = {}
+        #: (topic, partition) → control markers as (offset, pid,
+        #: committed). Markers occupy a log offset without a record —
+        #: the same gap shape compaction leaves — and are durable
+        #: state (snapshot/restore keeps them across a restart)
+        self._markers: dict[tuple[str, int],
+                            list[tuple[int, int, bool]]] = {}
         self._lock = threading.Lock()
+        if state is not None:
+            self._load_state(state)
         #: injectable ms clock — tests pin deterministic timestamps
         self._clock = clock or (lambda: int(_time.time() * 1000))
         #: compress v4 fetch responses ("gzip"/"snappy"/"lz4"/"zstd") — real brokers serve
@@ -1304,6 +1601,67 @@ class MiniKafkaBroker:
                 self._logs[(t, p)] = kept
         return removed
 
+    def txn_markers(self, topic: str, partition: int
+                    ) -> list[tuple[int, int, bool]]:
+        """Control markers on a partition as (offset, producer_id,
+        committed) — inspection hook for tests; real consumers observe
+        markers only as offset gaps."""
+        with self._lock:
+            return list(self._markers.get((topic, partition), []))
+
+    def snapshot(self) -> dict:
+        """The broker's durable state — what a real broker recovers
+        from its partition logs plus the __transaction_state log on
+        restart: records, offsets, committed group positions, producer
+        id/epoch mappings, idempotence sequences, control markers and
+        aborted-record sets, and any transaction still open. Feed the
+        returned dict to ``MiniKafkaBroker(state=...)`` to restart
+        with identical visible behavior (read_committed filtering
+        included)."""
+        with self._lock:
+            return {
+                "logs": {k: list(v) for k, v in self._logs.items()},
+                "next": dict(self._next),
+                "group_offsets": dict(self._group_offsets),
+                "next_pid": self._next_pid,
+                "pid_state": dict(self._pid_state),
+                "txn_pids": dict(self._txn_pids),
+                "txn_epoch": dict(self._txn_epoch),
+                "txns": {tid: {"pid": t["pid"], "epoch": t["epoch"],
+                               "parts": set(t["parts"]),
+                               "first": dict(t["first"]),
+                               "recs": {tp: list(o) for tp, o
+                                        in t["recs"].items()},
+                               "pending": dict(t["pending"]),
+                               "groups": set(t["groups"])}
+                         for tid, t in self._txns.items()},
+                "aborted_recs": {k: set(v) for k, v
+                                 in self._aborted_recs.items()},
+                "markers": {k: list(v) for k, v
+                            in self._markers.items()},
+            }
+
+    def _load_state(self, state: dict) -> None:
+        self._logs = {k: list(v) for k, v in state["logs"].items()}
+        self._next = dict(state["next"])
+        self._group_offsets = dict(state["group_offsets"])
+        self._next_pid = state["next_pid"]
+        self._pid_state = dict(state["pid_state"])
+        self._txn_pids = dict(state["txn_pids"])
+        self._txn_epoch = dict(state["txn_epoch"])
+        self._txns = {tid: {"pid": t["pid"], "epoch": t["epoch"],
+                            "parts": set(t["parts"]),
+                            "first": dict(t["first"]),
+                            "recs": {tp: list(o) for tp, o
+                                     in t["recs"].items()},
+                            "pending": dict(t["pending"]),
+                            "groups": set(t["groups"])}
+                      for tid, t in state["txns"].items()}
+        self._aborted_recs = {k: set(v) for k, v
+                              in state["aborted_recs"].items()}
+        self._markers = {k: list(v) for k, v
+                         in state["markers"].items()}
+
     #: (api_key → (min, max)) — what ApiVersions advertises and what
     #: _dispatch accepts
     SUPPORTED: dict[int, tuple[int, int]] = {
@@ -1320,6 +1678,10 @@ class MiniKafkaBroker:
         API_SYNC_GROUP: (0, 0),
         API_VERSIONS: (0, 0),
         API_INIT_PRODUCER_ID: (0, 0),   # KIP-98 idempotent produce
+        API_ADD_PARTITIONS_TO_TXN: (0, 0),   # KIP-98 transactions
+        API_ADD_OFFSETS_TO_TXN: (0, 0),
+        API_END_TXN: (0, 0),
+        API_TXN_OFFSET_COMMIT: (0, 0),
         API_SASL_HANDSHAKE: (1, 1),     # framed SASL/PLAIN flow
         API_SASL_AUTHENTICATE: (0, 0),
     }
@@ -1400,6 +1762,14 @@ class MiniKafkaBroker:
             self._handle_api_versions(w)
         elif api_key == API_INIT_PRODUCER_ID:
             self._handle_init_producer_id(req, w)
+        elif api_key == API_ADD_PARTITIONS_TO_TXN:
+            self._handle_add_partitions_to_txn(req, w)
+        elif api_key == API_ADD_OFFSETS_TO_TXN:
+            self._handle_add_offsets_to_txn(req, w)
+        elif api_key == API_END_TXN:
+            self._handle_end_txn(req, w)
+        elif api_key == API_TXN_OFFSET_COMMIT:
+            self._handle_txn_offset_commit(req, w)
         else:
             raise ValueError(f"api key {api_key} unsupported")
         return bytes(w.buf)
@@ -1427,15 +1797,178 @@ class MiniKafkaBroker:
             w.bytes_(b"")
 
     def _handle_init_producer_id(self, req: _Reader, w: _Writer) -> None:
-        req.string()   # transactional_id (idempotence-only: null)
-        req.i32()      # transaction_timeout_ms
+        txn_id = req.string()   # null = idempotence-only
+        req.i32()               # transaction_timeout_ms
         with self._lock:
-            pid = self._next_pid
-            self._next_pid += 1
+            if txn_id is None:
+                pid = self._next_pid
+                self._next_pid += 1
+                epoch = 0
+            else:
+                # stable pid per transactional.id; every re-init bumps
+                # the epoch — the fencing handshake. A transaction the
+                # previous holder left open is aborted first, so the
+                # new instance starts from a clean slate and
+                # read_committed readers never see the zombie's writes.
+                pid = self._txn_pids.get(txn_id)
+                if pid is None:
+                    pid = self._next_pid
+                    self._next_pid += 1
+                    self._txn_pids[txn_id] = pid
+                    self._txn_epoch[txn_id] = 0
+                else:
+                    self._txn_epoch[txn_id] += 1
+                epoch = self._txn_epoch[txn_id]
+                stale = self._txns.pop(txn_id, None)
+                if stale is not None:
+                    self._finish_txn_locked(stale, committed=False)
         w.i32(0)       # throttle_time_ms
         w.i16(ERR_NONE)
         w.i64(pid)
-        w.i16(0)       # producer_epoch
+        w.i16(epoch)
+
+    # -- transaction coordination (KIP-98 part 2) ----------------------
+
+    def _txn_check_locked(self, txn_id: Optional[str], pid: int,
+                          epoch: int) -> int:
+        """Shared validation: id known, pid mapped, epoch current."""
+        if txn_id is None or txn_id not in self._txn_pids:
+            return ERR_INVALID_PRODUCER_ID_MAPPING
+        if self._txn_pids[txn_id] != pid:
+            return ERR_INVALID_PRODUCER_ID_MAPPING
+        if epoch != self._txn_epoch[txn_id]:
+            # stale epoch = fenced zombie; a FUTURE epoch is equally
+            # invalid (nobody was ever issued it)
+            return ERR_INVALID_PRODUCER_EPOCH
+        return ERR_NONE
+
+    def _open_txn_locked(self, txn_id: str, pid: int,
+                         epoch: int) -> dict:
+        return self._txns.setdefault(txn_id, {
+            "pid": pid, "epoch": epoch, "parts": set(),
+            "first": {}, "recs": {}, "pending": {}, "groups": set()})
+
+    def _finish_txn_locked(self, txn: dict, committed: bool) -> None:
+        """Write a control marker to every added partition (one offset
+        each, no record — committed consumption tolerates the gap),
+        then either expose or hide the transaction's effects: staged
+        group offsets apply on commit and vanish on abort; produced
+        record offsets join the aborted set on abort so read_committed
+        fetches skip them forever."""
+        pid = txn["pid"]
+        for tp in sorted(txn["parts"]):
+            off = self._next.setdefault(tp, 0)
+            self._next[tp] = off + 1
+            self._logs.setdefault(tp, [])
+            self._markers.setdefault(tp, []).append(
+                (off, pid, committed))
+            if not committed:
+                self._aborted_recs.setdefault(tp, set()).update(
+                    txn["recs"].get(tp, ()))
+        if committed:
+            for (group, topic, p), off in txn["pending"].items():
+                self._group_offsets[(group, topic, p)] = off
+
+    def _lso_locked(self, tp: tuple[str, int]) -> int:
+        """Last stable offset: the first offset of the OLDEST open
+        transaction touching this partition, else the high watermark —
+        read_committed fetches stop here."""
+        firsts = [t["first"][tp] for t in self._txns.values()
+                  if tp in t["first"]]
+        lso = min(firsts) if firsts else self._next.get(tp, 0)
+        return lso
+
+    def _handle_add_partitions_to_txn(self, req: _Reader,
+                                      w: _Writer) -> None:
+        txn_id = req.string()
+        pid = req.i64()
+        epoch = req.i16()
+        wanted: list[tuple[str, list[int]]] = []
+        for _ in range(req.i32()):
+            topic = req.string() or ""
+            wanted.append(
+                (topic, [req.i32() for _ in range(req.i32())]))
+        with self._lock:
+            err = self._txn_check_locked(txn_id, pid, epoch)
+            if err == ERR_NONE:
+                txn = self._open_txn_locked(txn_id, pid, epoch)
+                for topic, parts in wanted:
+                    for p in parts:
+                        txn["parts"].add((topic, p))
+        w.i32(0)   # throttle_time_ms
+        w.i32(len(wanted))
+        for topic, parts in wanted:
+            w.string(topic)
+            w.i32(len(parts))
+            for p in parts:
+                w.i32(p)
+                w.i16(err)
+
+    def _handle_add_offsets_to_txn(self, req: _Reader,
+                                   w: _Writer) -> None:
+        txn_id = req.string()
+        pid = req.i64()
+        epoch = req.i16()
+        group = req.string() or ""
+        with self._lock:
+            err = self._txn_check_locked(txn_id, pid, epoch)
+            if err == ERR_NONE:
+                txn = self._open_txn_locked(txn_id, pid, epoch)
+                txn["groups"].add(group)
+        w.i32(0)   # throttle_time_ms
+        w.i16(err)
+
+    def _handle_txn_offset_commit(self, req: _Reader,
+                                  w: _Writer) -> None:
+        txn_id = req.string()
+        group = req.string() or ""
+        pid = req.i64()
+        epoch = req.i16()
+        wanted: list[tuple[str, list[tuple[int, int]]]] = []
+        for _ in range(req.i32()):
+            topic = req.string() or ""
+            plist = []
+            for _ in range(req.i32()):
+                p = req.i32()
+                off = req.i64()
+                req.string()   # metadata
+                plist.append((p, off))
+            wanted.append((topic, plist))
+        with self._lock:
+            err = self._txn_check_locked(txn_id, pid, epoch)
+            if err == ERR_NONE:
+                txn = self._txns.get(txn_id)
+                if txn is None or group not in txn["groups"]:
+                    # protocol order: AddOffsetsToTxn first
+                    err = ERR_INVALID_TXN_STATE
+                else:
+                    for topic, plist in wanted:
+                        for p, off in plist:
+                            txn["pending"][(group, topic, p)] = off
+        w.i32(0)   # throttle_time_ms
+        w.i32(len(wanted))
+        for topic, plist in wanted:
+            w.string(topic)
+            w.i32(len(plist))
+            for p, _off in plist:
+                w.i32(p)
+                w.i16(err)
+
+    def _handle_end_txn(self, req: _Reader, w: _Writer) -> None:
+        txn_id = req.string()
+        pid = req.i64()
+        epoch = req.i16()
+        committed = req.i8() != 0
+        with self._lock:
+            err = self._txn_check_locked(txn_id, pid, epoch)
+            if err == ERR_NONE:
+                txn = self._txns.pop(txn_id, None)
+                if txn is None:
+                    err = ERR_INVALID_TXN_STATE   # nothing ongoing
+                else:
+                    self._finish_txn_locked(txn, committed)
+        w.i32(0)   # throttle_time_ms
+        w.i16(err)
 
     def _handle_metadata(self, req: _Reader, w: _Writer) -> None:
         names = [req.string() for _ in range(req.i32())]
@@ -1463,8 +1996,9 @@ class MiniKafkaBroker:
 
     def _handle_produce(self, req: _Reader, w: _Writer,
                         version: int) -> None:
+        txn_id = None
         if version >= 3:
-            req.string()   # transactional_id
+            txn_id = req.string()   # transactional_id
         req.i16()  # acks
         req.i32()  # timeout
         now = self._clock()
@@ -1476,9 +2010,11 @@ class MiniKafkaBroker:
                 size = req.i32()
                 mset = req._take(size)
                 pid = -1
+                epoch = -1
+                attrs = 0
                 if version >= 3:
                     # magic-2 record batch with producer timestamps
-                    pid, _epoch, base_seq, count = \
+                    pid, epoch, base_seq, count, attrs = \
                         peek_batch_producer(mset)
                     msgs = [(ts, k, v) for _, ts, k, v
                             in decode_record_batches(mset)]
@@ -1487,11 +2023,35 @@ class MiniKafkaBroker:
                     msgs = [(now, k, v) for _, k, v
                             in decode_message_set(mset)]
                 with self._lock:
+                    txn = None
+                    if attrs & ATTR_TRANSACTIONAL:
+                        # transactional batch: the producer must hold
+                        # the current epoch for its transactional.id
+                        # (fencing) and must have added this partition
+                        # to the ongoing transaction
+                        terr = self._txn_check_locked(txn_id, pid,
+                                                      epoch)
+                        if terr == ERR_NONE:
+                            txn = self._txns.get(txn_id)
+                            if (txn is None or (topic, partition)
+                                    not in txn["parts"]):
+                                terr = ERR_INVALID_TXN_STATE
+                        if terr != ERR_NONE:
+                            results.append((topic, partition,
+                                            terr, -1))
+                            continue
                     if pid >= 0:
                         # KIP-98 idempotence: dedupe retries, fence
                         # sequence gaps
                         key = (pid, topic, partition)
                         prev = self._pid_state.get(key)
+                        if prev is not None and len(prev) == 4 \
+                                and prev[3] != epoch:
+                            # KIP-98: an epoch bump RESETS the
+                            # sequence space — the fenced zombie's
+                            # last-batch state must not shadow the new
+                            # instance's seq-0 batch as a "retry"
+                            prev = None
                         expected = prev[0] + prev[1] if prev else 0
                         if prev and base_seq == prev[0]:
                             # verbatim retry of the last batch —
@@ -1513,7 +2073,14 @@ class MiniKafkaBroker:
                     self._next[(topic, partition)] = base + len(msgs)
                     if pid >= 0:
                         self._pid_state[(pid, topic, partition)] = \
-                            (base_seq, count, base)
+                            (base_seq, count, base, epoch)
+                    if txn is not None:
+                        tp = (topic, partition)
+                        # first produced offset floors the LSO; the
+                        # exact offsets are what an abort must hide
+                        txn["first"].setdefault(tp, base)
+                        txn["recs"].setdefault(tp, []).extend(
+                            range(base, base + len(msgs)))
                 results.append((topic, partition, ERR_NONE, base))
         w.i32(len(results))
         for topic, partition, err, base in results:
@@ -1532,9 +2099,10 @@ class MiniKafkaBroker:
         req.i32()  # replica
         req.i32()  # max_wait
         req.i32()  # min_bytes
+        isolation = 0
         if version >= 4:
             req.i32()  # request-level max_bytes
-            req.i8()   # isolation_level
+            isolation = req.i8()   # 0=read_uncommitted 1=read_committed
         out = []
         for _ in range(req.i32()):
             topic = req.string() or ""
@@ -1546,16 +2114,34 @@ class MiniKafkaBroker:
                     log = self._logs.get((topic, partition))
                     if log is None:
                         out.append((topic, partition,
-                                    ERR_UNKNOWN_TOPIC_OR_PARTITION, 0, b""))
+                                    ERR_UNKNOWN_TOPIC_OR_PARTITION,
+                                    0, 0, b""))
                         continue
                     hw = self._next.get((topic, partition), 0)
+                    lso = self._lso_locked((topic, partition))
+                    # read_committed: nothing past the LSO (an open
+                    # transaction's records are not yet decided), and
+                    # nothing an aborted transaction wrote. Filtering
+                    # happens here rather than client-side because
+                    # this broker re-encodes fetched entries into one
+                    # plain batch (per-record producer ids are gone) —
+                    # wire shape is unchanged, aborted_transactions
+                    # simply stays empty.
+                    limit = lso if isolation == 1 else hw
+                    aborted = (self._aborted_recs.get(
+                        (topic, partition), ()) if isolation == 1
+                        else ())
                     entries = []
                     size = 0
                     # first entry with offset >= requested (offsets are
-                    # sorted; gaps possible after compaction)
+                    # sorted; gaps possible after compaction/markers)
                     i = bisect.bisect_left(log, offset,
                                            key=lambda e: e[0])
                     for off, ts, k, v in log[i:]:
+                        if off >= limit:
+                            break
+                        if off in aborted:
+                            continue
                         size += (26 + len(k or b"") + len(v or b"")
                                  if version >= 4
                                  else 12 + len(encode_message(k, v)))
@@ -1568,19 +2154,19 @@ class MiniKafkaBroker:
                 else:
                     mset = encode_message_set(
                         (off, k, v) for off, _ts, k, v in entries)
-                out.append((topic, partition, ERR_NONE, hw, mset))
+                out.append((topic, partition, ERR_NONE, hw, lso, mset))
         if version >= 4:
             w.i32(0)   # throttle_time_ms
         w.i32(len(out))
-        for topic, partition, err, hw, mset in out:
+        for topic, partition, err, hw, lso, mset in out:
             w.string(topic)
             w.i32(1)
             w.i32(partition)
             w.i16(err)
             w.i64(hw)
             if version >= 4:
-                w.i64(hw)  # last_stable_offset (no transactions)
-                w.i32(0)   # aborted_transactions
+                w.i64(lso)  # last_stable_offset
+                w.i32(0)    # aborted_transactions (broker-filtered)
             w.i32(len(mset))
             w.raw(mset)
 

@@ -130,7 +130,9 @@ def main() -> None:
                   "dedup_semantic_semdedup", "corpus_bpe_tokenize",
                   "text_centroid_lang_classifier",
                   "multimodal_flac_stats", "multimodal_webp_stats",
-                  "kafka_roundtrip_orders_compressed"):
+                  "kafka_roundtrip_orders_compressed",
+                  # r8 headliners
+                  "kafka_txn_roundtrip_orders"):
         if extra in REGISTRY:
             names.append(extra)
 

@@ -636,6 +636,7 @@ def test_group_poll_raises_on_stalled_fetch(broker):
     with GroupConsumer(broker.bootstrap, "gs-grp", ["gs.t"]) as con:
         con.poll(0)                       # join, resolve assignment
         con._client.fetch = lambda *a, **kw: []   # truncated-away batch
+        con._client._max_version = lambda api: 0  # v0-only broker
         with pytest.raises(RuntimeError, match="max_bytes|truncated"):
             con.poll(max_messages=5)
 

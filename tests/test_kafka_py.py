@@ -996,9 +996,11 @@ def test_api_versions_negotiation(broker):
 
 
 def test_poll_raises_on_stalled_fetch_instead_of_spinning(broker):
-    """A pending offset whose fetch decodes to zero messages (v0
-    max_bytes truncation of an oversized message) must RAISE, not spin
-    or silently return empty forever (ADVICE r5)."""
+    """Against a v0-ONLY broker, a pending offset whose fetch decodes
+    to zero messages (v0 max_bytes truncation of an oversized message)
+    must RAISE, not spin or silently return empty forever (ADVICE r5).
+    On a Fetch-v4 broker the consumer instead retries at v4, which
+    serves whole record batches — covered by the rescue test below."""
     from aether_firebase_consumer_spark.sources.kafka_consumer import (
         PollLoopConsumer,
     )
@@ -1008,8 +1010,27 @@ def test_poll_raises_on_stalled_fetch_instead_of_spinning(broker):
     with PollLoopConsumer(broker.bootstrap, "g-stall",
                           topics=["stall.t"]) as con:
         con._client.fetch = lambda *a, **kw: []  # truncated-away batch
+        con._client._max_version = lambda api: 0   # v0-only broker
         with pytest.raises(RuntimeError, match="max_bytes|truncated"):
             con.poll(max_messages=5)
+
+
+def test_poll_v4_rescues_v0_truncation(broker):
+    """On a broker advertising Fetch v4, the same empty-v0-fetch
+    situation resolves itself: the consumer retries at v4 (record
+    batches arrive whole) and delivers the message instead of
+    raising."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        PollLoopConsumer,
+    )
+
+    with _client(broker) as c:
+        c.produce("rescue.t", 0, [(None, b"big-message")])
+    with PollLoopConsumer(broker.bootstrap, "g-rescue",
+                          topics=["rescue.t"]) as con:
+        con._client.fetch = lambda *a, **kw: []  # v0 view truncated
+        got = con.poll(max_messages=5)
+    assert [v for _t, _p, _o, _k, v in got] == [b"big-message"]
 
 
 def test_jar_fallback_only_for_source_missing_errors():
