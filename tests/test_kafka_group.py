@@ -763,3 +763,30 @@ def test_idempotent_producer_dedupes_retries(broker):
         assert p2.send("idem.t", 0, [(b"a", b"b", 50)]) == 3
         assert c.produce_records("idem.t", 0, [(b"c", b"d", 60)]) == 4
         assert len(c.fetch_records("idem.t", 0, 0)) == 5
+
+
+def test_zstd_record_batches_actually_compress():
+    """Round 8: the zstd encoder gained a Huffman-literals tier, so a
+    codec-4 produce SHRINKS text payloads instead of storing them
+    (the r7 encoder was store-only — ratio >= 1.0 on everything but
+    runs). Mirrors the gzip ratio pin above; round-trips through the
+    broker's fetch path too."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        encode_record_batch,
+    )
+
+    entries = [(i, 1000 + i, b"order-%d" % i,
+                (b'{"status": "shipped", "priority": "high", '
+                 b'"note": "order line %d"}' % i)) for i in range(200)]
+    plain = encode_record_batch(entries)
+    zst = encode_record_batch(entries, codec="zstd")
+    assert len(zst) < 0.9 * len(plain)
+    assert decode_record_batches(zst) == entries
+
+    with MiniKafkaBroker(clock=lambda: 1, fetch_codec="zstd") as b:
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce_records("zr.t", 0,
+                              [(b"k", b"the quick brown fox " * 40, 5)],
+                              codec="zstd")
+            got = c.fetch_records("zr.t", 0, 0)
+    assert got == [(0, 5, b"k", b"the quick brown fox " * 40)]

@@ -13,6 +13,7 @@ treeless/repeat modes, and multi-block table persistence with
 real-encoder bit patterns no hand vector reaches).
 """
 
+import json
 import os
 import random
 import shutil
@@ -189,9 +190,24 @@ def test_rle_chunk_shrinks():
 
 
 def test_checksum_detects_corruption():
-    enc = bytearray(zstd_py.compress(b"payload under test " * 50))
+    # store-only frame: a flipped literal bit is structurally valid,
+    # so ONLY the XXH64 content checksum can catch it (an entropy-
+    # coded frame usually dies earlier, in the Huffman stream)
+    enc = bytearray(zstd_py.compress(b"payload under test " * 50,
+                                     entropy=False))
     enc[-6] ^= 0x40                            # flip a content bit
     with pytest.raises(ValueError, match="checksum"):
+        zstd_py.decompress(bytes(enc))
+
+
+def test_entropy_frame_corruption_detected():
+    # entropy-coded frame: corruption anywhere still surfaces as a
+    # ValueError (stream structure or checksum), never wrong bytes
+    data = b"payload under test " * 50
+    enc = bytearray(zstd_py.compress(data))
+    assert len(enc) < len(data)                # it actually compressed
+    enc[-6] ^= 0x40
+    with pytest.raises(ValueError):
         zstd_py.decompress(bytes(enc))
 
 
@@ -330,3 +346,135 @@ def test_zstd_batch_payload_is_reference_decodable():
     assert p.returncode == 0, p.stderr.decode()
     plain = encode_record_batch(entries)
     assert p.stdout == plain[21 + 40:]
+
+
+# ----------------------------------------- entropy (Huffman) encoder
+
+def test_entropy_tier_compresses_text():
+    """The round-8 tier: order-0 Huffman literals (zero sequences)
+    give a real ratio on text — the store-only encoder never did."""
+    text = b"the quick brown fox jumps over the lazy dog. " * 2000
+    enc = zstd_py.compress(text)
+    assert len(enc) < 0.7 * len(text)
+    assert zstd_py.decompress(enc) == text
+
+
+def test_entropy_tier_roundtrip_matrix():
+    """Both literal stream layouts (1-stream <=1023, 4-stream above),
+    boundary sizes, skewed and uniform histograms, two-symbol
+    degenerate codes, and the fallbacks (high bytes -> raw block,
+    incompressible -> raw block) all round-trip bit-exactly."""
+    rng = random.Random(8)
+    cases = [
+        b"ab",                                  # 2 symbols, 1 bit each
+        b"ab" * 511 + b"c",                     # exactly 1023 literals
+        b"ab" * 512,                            # smallest 4-stream
+        bytes(rng.choice(b"abcdefgh") for _ in range(16384)) + b"Z",
+        bytes(rng.randrange(32, 127) for _ in range(200_000)),
+        bytes(rng.randrange(256) for _ in range(50_000)),   # raw path
+        (b"skew" + b"e" * 37) * 3000,           # deep code lengths
+        bytes([0, 128]) * 4000,                 # last symbol == 128
+        bytes([0, 129]) * 4000,                 # >128 -> raw fallback
+        json.dumps({"k": list(range(5000))}).encode(),
+    ]
+    for payload in cases:
+        enc = zstd_py.compress(payload)
+        assert zstd_py.decompress(enc) == payload
+        enc2 = zstd_py.compress(payload, entropy=False)
+        assert zstd_py.decompress(enc2) == payload
+        assert len(enc) <= len(enc2)
+
+
+def test_package_merge_lengths_complete_and_limited():
+    """The length-limited code is COMPLETE (Kraft sum exactly 1 —
+    required by the implied-last-weight encoding) and respects the
+    11-bit zstd ceiling even on maximally skewed histograms."""
+    from aether_firebase_consumer_spark.sources.zstd_py import (
+        _pm_lengths,
+    )
+
+    fib = {i: max(1, 2 ** i) for i in range(40)}    # forces deep codes
+    lengths = _pm_lengths(fib, 11)
+    assert max(lengths.values()) <= 11
+    assert sum(2 ** -l for l in lengths.values()) == 1.0
+    flat = {i: 1 for i in range(256)}
+    lengths = _pm_lengths(flat, 11)
+    assert set(lengths.values()) == {8}
+
+
+@needs_cli
+def test_golden_reference_decodes_entropy_frames():
+    """The reference CLI accepts and exactly inverts our
+    Huffman-literals blocks — the encoder emits spec frames, not just
+    frames our own decoder happens to accept."""
+    rng = random.Random(44)
+    for payload in (b"json-ish " * 50_000,
+                    bytes(rng.choice(b"aaaabbbccd") for _ in
+                          range(150_000)),
+                    json.dumps([{"k": i} for i in range(9000)]).encode()):
+        enc = zstd_py.compress(payload)
+        assert len(enc) < len(payload)
+        p = subprocess.run([ZSTD_CLI, "-d", "-c"], input=enc,
+                           capture_output=True)
+        assert p.returncode == 0, p.stderr.decode()
+        assert p.stdout == payload
+
+
+def test_fse_weight_tree_roundtrip():
+    """Payloads whose last present byte exceeds 128 force the
+    FSE-compressed Huffman tree description (direct 4-bit weights cap
+    at 128) — the Kafka production case, since record-batch varint
+    framing always contains high bytes."""
+    rng = random.Random(21)
+    for payload in (
+            bytes([200, 201]) * 3000,            # 2 weights, both high
+            bytes([255, 0, 1]) * 2000,           # last symbol 255
+            bytes(rng.choice(b"\x86\x8e\x03 etaoinshrdlu") for _ in
+                  range(50_000)),
+            bytes(rng.randrange(128, 256) for _ in range(2000))
+            + b"json tail " * 500):
+        enc = zstd_py.compress(payload)
+        assert len(enc) < len(payload)
+        assert zstd_py.decompress(enc) == payload
+
+
+def test_fse_weight_distribution_writer_inverts_reader():
+    """_fse_write_distribution is the exact inverse of
+    fse_read_distribution across normalizations with zero runs and
+    the small-value optimization."""
+    from aether_firebase_consumer_spark.sources.zstd_py import (
+        _fse_normalize,
+        _fse_write_distribution,
+    )
+
+    rng = random.Random(5)
+    for _ in range(50):
+        nsyms = rng.randrange(2, 13)
+        freq = {rng.randrange(0, 13): rng.randrange(1, 1000)
+                for _ in range(nsyms)}
+        if len(freq) < 2:
+            continue
+        probs = _fse_normalize(freq, 64)
+        assert sum(probs.values()) == 64
+        assert all(p >= 1 for p in probs.values())
+        freqs = [probs.get(v, 0) for v in range(max(freq) + 1)]
+        enc = _fse_write_distribution(freqs, 6)
+        al, got = fse_read_distribution(_FwdBits(enc), 6)
+        assert al == 6
+        # reader may stop before our trailing zeros; the positives
+        # and their positions must match exactly
+        assert got == freqs[:len(got)]
+        assert all(f == 0 for f in freqs[len(got):])
+
+
+@needs_cli
+def test_golden_reference_decodes_fse_weight_frames():
+    rng = random.Random(77)
+    for payload in (bytes([254, 1, 7]) * 40_000,
+                    bytes(rng.choice(bytes(range(120, 256))) for _ in
+                          range(80_000))):
+        enc = zstd_py.compress(payload)
+        p = subprocess.run([ZSTD_CLI, "-d", "-c"], input=enc,
+                           capture_output=True)
+        assert p.returncode == 0, p.stderr.decode()
+        assert p.stdout == payload
