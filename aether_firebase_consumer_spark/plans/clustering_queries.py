@@ -474,13 +474,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no floats, so the gate pins the threshold decision itself.
     Reference had no embedding surface (capability-gap category,
     SURVEY.md §2.3)."""
-    from aether_firebase_consumer_spark.operators.dedup import (
-        portable_hash60,
-    )
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         "vec_id", "embedding",
         ivf_cell(F.col("embedding"), _KM_INIT).alias("cluster"))
+    return _semdedup_prune(a)
+
+
+def _semdedup_prune(a: DataFrame) -> DataFrame:
+    """The cap → sub-split → equi-join → cosine → min-id keep rule
+    shared by both SemDeDup variants. ``a`` carries (vec_id,
+    embedding, cluster); comparisons stay ≤ N·{cap} via the portable-
+    hash subcluster split (see ``dedup_semantic_semdedup``)."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        portable_hash60,
+    )
     counts = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
     a2 = (
         a.join(F.broadcast(counts), "cluster")   # k rows — broadcast
@@ -506,3 +514,105 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster",
                 F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"))
     )
+
+
+def _semdedup_tail_sql(assign_cte: str) -> str:
+    """The oracle tail shared by both SemDeDup variants: ``assign_cte``
+    must expose ``a(vec_id, v, c)``; the tail restates the hash
+    sub-split, within-subcluster cosine join, and min-id keep rule."""
+    return f"""
+    {assign_cte},
+    a2 AS (
+      SELECT vec_id, v, c,
+             {_H60} % ((COUNT(*) OVER (PARTITION BY c)
+                        + {_SEM_CAP - 1}) // {_SEM_CAP}) AS sub
+      FROM a
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM a2 x JOIN a2 b
+        ON x.c = b.c AND x.sub = b.sub AND x.vec_id < b.vec_id
+      WHERE list_dot_product(x.v, b.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {_SEM_THRESH}
+    )
+    SELECT a.vec_id, a.c AS cluster,
+           CAST(a.vec_id NOT IN (SELECT vec_id FROM drops) AS BOOLEAN)
+             AS kept
+    FROM a
+    """
+
+
+@register(
+    "dedup_semantic_semdedup_trained",
+    oracle=_semdedup_tail_sql(f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    a0 AS (
+      SELECT vec_id, v,
+             CAST(list_position({{scores}},
+                                list_max({{scores}})) AS INT) AS c
+      FROM e
+    ),
+    upd AS (
+      SELECT c, j, ROUND(AVG(v[j]), 6) AS m
+      FROM a0, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS j)
+      GROUP BY c, j
+    ),
+    cent1 AS (
+      SELECT c, list(m ORDER BY j) AS cv
+      FROM upd GROUP BY c
+    ),
+    s1 AS (
+      SELECT e.vec_id, e.v, cent1.c,
+             list_dot_product(e.v, cent1.cv)
+               - 0.5 * list_dot_product(cent1.cv, cent1.cv) AS score
+      FROM e CROSS JOIN cent1
+    ),
+    a AS (
+      SELECT vec_id, v, CAST(c AS INT) AS c
+      FROM (SELECT vec_id, v, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, c) AS rn
+            FROM s1)
+      WHERE rn = 1
+    )""").replace("{scores}", _scores0_sql('v')),
+)
+def dedup_semantic_semdedup_trained(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED centroids (round 8, VERDICT r7 #5): the
+    plain variant assigns against the fixed ``_KM_INIT`` literals
+    (k-means iteration 0); this one runs a full Lloyd step first — the
+    ``embedding_kmeans`` scheme: iteration-0 argmax (zero-shuffle
+    codegen), per-(cluster, dim) mean bounded by k×{DIM} partial sums,
+    centroids back through the driver as plan literals — so clusters
+    reflect the data before the cap/sub-split/cosine prune runs. Same
+    linear comparison bound (≤ N·{_SEM_CAP}); recall vs brute force is
+    pinned ≥ the untrained variant in ``tests/test_clustering.py``.
+    The oracle re-derives the Lloyd step (ROUND(AVG,6) — the
+    ``embedding_centroids`` cross-engine determinism pattern), the
+    tie-break (score DESC, c), and the prune, all in SQL."""
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    a0 = emb.withColumn("c", ivf_cell(F.col("embedding"), _KM_INIT))
+    upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
+             .groupBy("c", "pos")
+             .agg(F.round(F.avg(F.col("val").cast("double")), 6)
+                  .alias("m")))
+    cents: dict[int, dict[int, float]] = {}
+    for r in upd.collect():  # bounded: at most k*dim rows
+        cents.setdefault(int(r["c"]), {})[int(r["pos"])] = float(r["m"])
+    cells = sorted(cents)
+    if not cells:
+        return emb.select(
+            "vec_id", F.lit(None).cast("int").alias("cluster"),
+            F.lit(True).alias("kept")).limit(0)
+    cent_list = [[cents[c][j] for j in range(DIM)] for c in cells]
+    scores = _ivf_scores(F.col("embedding"), cent_list)
+    pos = F.array_position(scores, F.array_max(scores))
+    cell_ids = F.array(*[F.lit(c) for c in cells])
+    a = emb.select(
+        "vec_id", "embedding",
+        F.element_at(cell_ids, pos.cast("int")).cast("int")
+        .alias("cluster"))
+    return _semdedup_prune(a)

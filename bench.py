@@ -132,7 +132,8 @@ def main() -> None:
                   "multimodal_flac_stats", "multimodal_webp_stats",
                   "kafka_roundtrip_orders_compressed",
                   # r8 headliners
-                  "kafka_txn_roundtrip_orders"):
+                  "kafka_txn_roundtrip_orders",
+                  "dedup_semantic_semdedup_trained"):
         if extra in REGISTRY:
             names.append(extra)
 

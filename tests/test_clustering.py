@@ -351,3 +351,42 @@ def test_semdedup_keep_rule_semantics(spark):
     # (3) every cluster keeps its minimum id (a representative)
     for c, vids in by_cluster.items():
         assert rows[min(vids)][1]
+
+
+def test_semdedup_trained_recall_at_least_untrained(spark):
+    """Round 8 (VERDICT r7 #5): SemDeDup over one-Lloyd-step-trained
+    centroids must capture at least as many true near-dup pairs as the
+    fixed-init variant — clusters that reflect the data shouldn't
+    split epsilon-neighborhoods more often than iteration-0 ones.
+    Ground truth is exact brute-force cosine over the sf0.01 corpus;
+    recall counts true pairs where at least one side was pruned."""
+    import itertools
+
+    from aether_firebase_consumer_spark.plans.clustering_queries import (
+        _SEM_THRESH,
+        dedup_semantic_semdedup,
+        dedup_semantic_semdedup_trained,
+    )
+
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+           .collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (sum(x * x for x in a) ** 0.5
+                    * sum(x * x for x in b) ** 0.5)
+
+    truth = {(a, b) for a, b in itertools.combinations(sorted(emb), 2)
+             if cos(emb[a], emb[b]) >= _SEM_THRESH}
+    assert truth, "fixture lost its near-dup pairs"
+
+    def recall(fn):
+        kept = {r["vec_id"]: r["kept"] for r in fn(spark, SF).collect()}
+        hit = sum(1 for a, b in truth if not kept[a] or not kept[b])
+        return hit / len(truth)
+
+    r_untrained = recall(dedup_semantic_semdedup)
+    r_trained = recall(dedup_semantic_semdedup_trained)
+    assert r_trained >= 0.7, r_trained                 # absolute floor
+    assert r_trained >= r_untrained, (r_trained, r_untrained)
