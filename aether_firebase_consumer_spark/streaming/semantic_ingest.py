@@ -1,0 +1,218 @@
+"""Streaming SEMANTIC dedup ingest — SemDeDup as corpus accumulation
+(round 8, VERDICT r7 #6): each micro-batch assigns vectors to a fixed
+centroid set, drops in-batch semantic near-dups within a (cluster,
+subcluster) cell (keep smallest id), probes the accumulated corpus for
+cross-batch near-dups in the SAME cell, and merges only the survivors
+— the streaming form of ``plans.clustering_queries.
+dedup_semantic_semdedup``, in the :class:`~.embedding_ingest.
+EmbeddingIngestJob` job family (same audit table, same update
+semantics, same JobManager lifecycle).
+
+Scale posture: with ``cluster_index`` set (the production shape), the
+per-vector cell assignment ``(vec_id, cluster, sub, cp)`` is an
+incrementally-maintained :class:`~..sinks.upsert.ParquetUpsertTable`
+partitioned by ``cp`` (cluster → partition): survivors merge their one
+index row at ingest time, and each batch probes ONLY the partitions
+its own clusters map to (a driver-side bounded IN-filter over ≤
+``n_parts`` values → parquet PartitionFilters), fetching embeddings
+per-candidate from the corpus — per-batch compute AND I/O stay ∝ batch
+size, never ∝ corpus. Without an index the job recomputes corpus
+assignments per batch (correct, simple); rejection semantics are
+identical across both paths and test-pinned.
+
+One deliberate divergence from the batch query: the batch SemDeDup
+derives the subcluster modulus from the CURRENT cluster size
+(``ceil(n / 512)``), which cannot be replayed incrementally — a
+growing cluster would silently re-shard history and the persisted
+index would go stale. The streaming job fixes the modulus per job
+(``n_sub``, a config), so a vector's cell is a pure function of
+(id, embedding) forever and index rows are immutable under MERGE.
+Size ``n_sub`` to the expected peak cluster population / 512 — same
+bounded-comparisons guarantee, declared up front instead of adapted
+per trigger (the standard streaming determinism trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.functions.vectors import (
+    cosine,
+    ivf_cell,
+)
+from aether_firebase_consumer_spark.operators.dedup import portable_hash60
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+
+
+class SemanticIngestJob:
+    """foreachBatch handler: semantic-dedup-gated corpus accumulation.
+
+    Same contract as the band-index twins: known ids are UPDATEs and
+    bypass the gate (they would match their own prior version — and
+    their index row is re-merged, so a re-embedded vector moves cells
+    atomically with its corpus row); in-batch groups keep their
+    smallest id; audit rows pair ``dup_of`` and ``cos_sim`` from the
+    SAME best match (max cosine, ties to the smallest winner id).
+    Attaching a ``cluster_index`` to an already-populated corpus
+    backfills it once on the next batch."""
+
+    def __init__(self, spark: SparkSession, corpus: ParquetUpsertTable,
+                 rejects: ParquetUpsertTable | None = None,
+                 cluster_index: ParquetUpsertTable | None = None,
+                 centroids: list[list[float]] | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.35,
+                 n_sub: int = 4, n_parts: int = 16) -> None:
+        if cluster_index is not None \
+                and cluster_index.partition_col != "cp":
+            raise ValueError(
+                "cluster_index must be partitioned by 'cp' — an "
+                "unpartitioned index re-scans the whole table per "
+                "trigger, the exact I/O shape it exists to avoid")
+        if centroids is None:
+            from aether_firebase_consumer_spark.plans.clustering_queries \
+                import _KM_INIT
+            centroids = _KM_INIT
+        self.spark = spark
+        self.corpus = corpus
+        self.rejects = rejects
+        self.cluster_index = cluster_index
+        self.centroids = centroids
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = threshold
+        self.n_sub, self.n_parts = n_sub, n_parts
+        #: cumulative driver-side counters
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+
+    # -- cell assignment -----------------------------------------------
+
+    def _assign(self, df: DataFrame) -> DataFrame:
+        """(id, vec) → + (cluster, sub, cp): a pure codegen function of
+        the row — zero shuffle, stable forever (see module docstring on
+        the fixed ``n_sub``)."""
+        cluster = ivf_cell(F.col(self.vec_col), self.centroids)
+        sub = (portable_hash60(F.col(self.id_col).cast("string"))
+               % F.lit(self.n_sub)).cast("bigint")
+        return (df.withColumn("cluster", cluster)
+                  .withColumn("sub", sub)
+                  .withColumn("cp", F.pmod(F.col("cluster"),
+                                           F.lit(self.n_parts))
+                              .cast("int")))
+
+    def index_rows(self, df: DataFrame) -> DataFrame:
+        """The persisted index shape: one row per vector."""
+        return self._assign(df).select(self.id_col, "cluster", "sub",
+                                       "cp")
+
+    # -- matching ------------------------------------------------------
+
+    def _log_rejects(self, matches: DataFrame, loser_col: str,
+                     winner_col: str, epoch_id: int) -> None:
+        if self.rejects is None:
+            return
+        w = W.partitionBy(loser_col).orderBy(F.desc("cos_sim"),
+                                             F.asc(winner_col))
+        best = (matches.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        self.rejects.merge(
+            best.select(F.col(loser_col).alias(self.id_col),
+                        F.col(winner_col).alias("dup_of"), "cos_sim",
+                        F.lit(epoch_id).alias("epoch")))
+
+    def _in_batch_pairs(self, assigned: DataFrame) -> DataFrame:
+        left = assigned.select(F.col(self.id_col).alias("id_a"),
+                               F.col(self.vec_col).alias("va"),
+                               "cluster", "sub")
+        right = assigned.select(F.col(self.id_col).alias("id_b"),
+                                F.col(self.vec_col).alias("vb"),
+                                "cluster", "sub")
+        return (left.join(right, ["cluster", "sub"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("cos_sim", cosine(F.col("va"),
+                                              F.col("vb")))
+                .filter(F.col("cos_sim") >= self.threshold)
+                .select("id_a", "id_b", "cos_sim"))
+
+    def _probe_pairs(self, index: DataFrame, existing: DataFrame,
+                     fresh_assigned: DataFrame) -> DataFrame:
+        """(old_id, new_id, cos_sim) of cross-batch semantic matches:
+        index rows in the batch's cells (cp IN-filter → partition
+        pruning) joined on (cluster, sub), embeddings fetched
+        per-candidate (column-pruned semi-join against the corpus)."""
+        cps = [r["cp"] for r in
+               fresh_assigned.select("cp").distinct().collect()]
+        if not cps:
+            return fresh_assigned.sparkSession.createDataFrame(
+                [], "old_id bigint, new_id bigint, cos_sim double")
+        cand = (index.filter(F.col("cp").isin(cps))
+                .select(F.col(self.id_col).alias("old_id"),
+                        "cluster", "sub")
+                .join(fresh_assigned.select(
+                    F.col(self.id_col).alias("new_id"),
+                    F.col(self.vec_col).alias("v_new"),
+                    "cluster", "sub"),
+                    ["cluster", "sub"]))
+        old_vecs = (existing
+                    .select(F.col(self.id_col).alias("old_id"),
+                            F.col(self.vec_col).alias("v_old"))
+                    .join(cand.select("old_id").distinct(), "old_id",
+                          "left_semi"))
+        return (cand.join(old_vecs, "old_id")
+                .withColumn("cos_sim", cosine(F.col("v_old"),
+                                              F.col("v_new")))
+                .filter(F.col("cos_sim") >= self.threshold)
+                .select("old_id", "new_id", "cos_sim"))
+
+    # -- the batch handler ----------------------------------------------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.dropDuplicates([self.id_col])
+        assigned = self._assign(batch)
+        in_pairs = self._in_batch_pairs(assigned).localCheckpoint()
+        self._log_rejects(in_pairs, "id_b", "id_a", epoch_id)
+        losers = in_pairs.select(F.col("id_b").alias(self.id_col)) \
+            .distinct()
+        survivors = batch.join(losers, self.id_col, "left_anti")
+
+        existing = self.corpus.read()
+        had_index = False
+        if existing is not None:
+            known = existing.select(self.id_col).distinct()
+            fresh = survivors.join(known, self.id_col, "left_anti")
+            index = self.cluster_index.read() \
+                if self.cluster_index is not None else None
+            had_index = index is not None
+            if not had_index:
+                # no persisted index: the index IS the corpus's cell
+                # assignment — recompute it for this batch (identical
+                # arithmetic, test-pinned equivalence)
+                index = self.index_rows(existing)
+            matches = self._probe_pairs(
+                index, existing, self._assign(fresh)).localCheckpoint()
+            self._log_rejects(matches, "new_id", "old_id", epoch_id)
+            dup_ids = matches.select(
+                F.col("new_id").alias(self.id_col)).distinct()
+            accepted_fresh = fresh.join(dup_ids, self.id_col,
+                                        "left_anti")
+            updates = survivors.join(known, self.id_col, "left_semi")
+            survivors = updates.unionByName(accepted_fresh)
+        # one materialization: counters + all merges read this result
+        survivors = survivors.localCheckpoint()
+        n_in = batch.count()
+        n_kept = survivors.count()
+        self.stats["batches"] += 1
+        self.stats["accepted"] += n_kept
+        self.stats["rejected"] += n_in - n_kept
+        self.corpus.merge(survivors)
+        if self.cluster_index is not None:
+            src = survivors if (had_index or existing is None) \
+                else self.corpus.read()      # one-time backfill
+            # one row per vector keyed [id_col]: MERGE alone replaces
+            # a re-embedded vector's cell exactly
+            self.cluster_index.merge(self.index_rows(src))
+
+    def writer(self, stream: DataFrame, checkpoint: str):
+        return (stream.writeStream
+                .foreachBatch(self.process_batch)
+                .option("checkpointLocation", checkpoint))
