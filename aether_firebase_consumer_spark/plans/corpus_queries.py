@@ -377,42 +377,58 @@ def _bpe_chain(n: int = _BPE_N) -> list[str]:
     data-dependent model state re-derived INSIDE SQL, one layer per
     merge; MATERIALIZED keeps the scalar-subquery references from
     inlining the chain exponentially)."""
-    parts = ["""w0 AS MATERIALIZED (
+    # ONE CTE per merge, not three: DuckDB's logical planner rejects
+    # trees deeper than 1000, and the w/p/b shape costs ~5 depth units
+    # per merge (caps out near 192 merges). State rows carry the
+    # post-merge vocab (sym, wc) PLUS the (pair, c) decision that
+    # produced it — the 1-row argmax rides along as a cross join, so
+    # the chain's critical path is one CTE per merge and 256+ merges
+    # plan comfortably. ``pair``/``c`` are constant within a state
+    # (any_value reads them back deterministically).
+    parts = ["""s0 AS MATERIALIZED (
       SELECT regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>'
                AS sym,
-             COUNT(*) AS wc
+             COUNT(*) AS wc, NULL::VARCHAR AS pair, NULL::BIGINT AS c
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY 1
     )"""]
     for r in range(n):
-        parts.append(f"""p{r} AS MATERIALIZED (
-      SELECT s[i] || chr(31) || s[i+1] AS pair, SUM(wc) AS c
-      FROM (SELECT string_split(sym, chr(31)) AS s, wc FROM w{r}),
-           LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
-      GROUP BY 1
-    )""")
-        parts.append(f"""b{r} AS MATERIALIZED (
-      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
-    )""")
-        parts.append(f"""w{r + 1} AS MATERIALIZED (
-      SELECT replace(sym, (SELECT pair FROM b{r}),
-                     replace((SELECT pair FROM b{r}), chr(31), ''))
-               AS sym, wc
-      FROM w{r}
+        parts.append(f"""s{r + 1} AS MATERIALIZED (
+      SELECT replace(sym, bp.pair, replace(bp.pair, chr(31), ''))
+               AS sym,
+             wc, bp.pair, bp.c
+      FROM s{r},
+           (SELECT s[i] || chr(31) || s[i+1] AS pair, SUM(wc) AS c
+            FROM (SELECT string_split(sym, chr(31)) AS s, wc
+                  FROM s{r}),
+                 LATERAL (SELECT unnest(generate_series(1, len(s) - 1))
+                            AS i)
+            GROUP BY 1 ORDER BY c DESC, pair LIMIT 1) bp
     )""")
     return parts
 
 
 def _bpe_oracle(n: int = _BPE_N) -> str:
-    parts = _bpe_chain(n)
-    finals = "\n      UNION ALL ".join(
-        f"""SELECT {r + 1} AS rank,
-             split_part((SELECT pair FROM b{r}), chr(31), 1) AS left_sym,
-             split_part((SELECT pair FROM b{r}), chr(31), 2) AS right_sym,
-             replace((SELECT pair FROM b{r}), chr(31), '') AS merged,
-             (SELECT c FROM b{r}) AS cnt"""
+    # the merge table assembles through one flat VALUES list (parse
+    # depth is constant in n) — a UNION ALL chain is a left-deep parse
+    # tree that blows DuckDB's 1000-expression-depth limit at the
+    # 256-merge production variant
+    rows = ",\n      ".join(
+        f"({r + 1}, (SELECT any_value(pair) FROM s{r + 1}),"
+        f" (SELECT any_value(c) FROM s{r + 1}))"
         for r in range(n))
-    return ",\n    ".join(parts) + f"\n    SELECT * FROM ({finals})"
+    # pair IS NULL marks merges past PAIR EXHAUSTION (the whole vocab
+    # reduced to single symbols — the argmax subquery goes empty and
+    # every later state is empty): drop them, exactly where the Spark
+    # loop's `if not best: break` stops
+    finals = f"""SELECT rank,
+           split_part(pair, chr(31), 1) AS left_sym,
+           split_part(pair, chr(31), 2) AS right_sym,
+           replace(pair, chr(31), '') AS merged,
+           cnt
+    FROM (VALUES {rows}) AS t(rank, pair, cnt)
+    WHERE pair IS NOT NULL"""
+    return ",\n    ".join(_bpe_chain(n)) + "\n    " + finals
 
 
 @register("corpus_bpe_train", oracle="WITH " + _bpe_oracle())
@@ -444,14 +460,22 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, cnt bigint")
 
 
-_BPE_CACHE: dict[str, list] = {}
+_BPE_CACHE: dict[tuple[str, int], list] = {}
+
+#: how many stacked literal-replace expressions accumulate on the
+#: vocab frame before the lineage is collapsed with a localCheckpoint
+#: — at production merge counts an unbounded stack makes plan analysis
+#: cost quadratic in merges (and eventually overflows codegen); the
+#: frame itself is vocab-bounded, so each checkpoint is cheap
+_BPE_CKPT_EVERY = 32
 
 
-def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+def _train_bpe(spark: SparkSession, sf_dir: str,
+               n: int = _BPE_N) -> list[tuple]:
     """The training loop behind ``corpus_bpe_train``, cached per
-    (process, sf_dir): the merge table is the persisted model artifact
-    ``corpus_bpe_tokenize`` applies."""
-    cached = _BPE_CACHE.get(sf_dir)
+    (process, sf_dir, merges): the merge table is the persisted model
+    artifact ``corpus_bpe_tokenize`` applies."""
+    cached = _BPE_CACHE.get((sf_dir, n))
     if cached is not None:
         return cached
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
@@ -464,12 +488,19 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
              .localCheckpoint())
     cur = words
     merges = []
-    for r in range(_BPE_N):
+    for r in range(n):
         s = F.split("sym", _SEP)
-        pair_i = F.transform(
-            F.sequence(F.lit(1), F.size(s) - 1),
-            lambda i: F.concat(F.element_at(s, i), F.lit(_SEP),
-                               F.element_at(s, i + 1)))
+        # guard: F.sequence(1, 0) DESCENDS ([1, 0]) — a word fully
+        # merged into ONE symbol (common past ~100 merges) would
+        # element_at(s, 0) and crash; DuckDB's generate_series(1, 0)
+        # is empty, so the empty-array branch matches the oracle
+        pair_i = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.concat(F.element_at(s, i), F.lit(_SEP),
+                                   F.element_at(s, i + 1)))
+        ).otherwise(F.array().cast("array<string>"))
         best = (cur.select("wc", F.explode(pair_i).alias("pair"))
                 .groupBy("pair").agg(F.sum("wc").alias("c"))
                 .orderBy(F.desc("c"), F.asc("pair"))
@@ -482,8 +513,38 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
         cur = cur.select(
             F.replace(F.col("sym"), F.lit(pair),
                       F.lit(left + right)).alias("sym"), "wc")
-    _BPE_CACHE[sf_dir] = merges
+        if (r + 1) % _BPE_CKPT_EVERY == 0:
+            cur = cur.localCheckpoint()
+    _BPE_CACHE[(sf_dir, n)] = merges
     return merges
+
+
+_BPE_PROD_N = 256
+
+
+@register("corpus_bpe_train_256",
+          oracle="WITH " + _bpe_oracle(_BPE_PROD_N))
+def corpus_bpe_train_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at a PRODUCTION-SHAPED merge count (round 8,
+    VERDICT r7 #8): the same loop as ``corpus_bpe_train`` with merges
+    as a parameter, run to 256 — enough that the argmax-loop cost
+    model is measured, not assumed. Two things change at this depth
+    and both are handled structurally: (1) the stacked literal-replace
+    lineage is collapsed every 32 merges (an unbounded expression
+    stack makes plan analysis quadratic in merges); (2) the oracle's
+    generated CTE chain (256×3 layers) is ``AS MATERIALIZED``
+    throughout — DuckDB re-expands non-materialized scalar-subquery
+    chains exponentially (the round-7 gotcha). Cost shape: ONE
+    corpus-sized pass (the word count), then 256 bounded argmax
+    actions over the vocab frame — per-merge cost tracks VOCABULARY,
+    not corpus, so the sf decade probe (SCALE.md) stays ~flat in
+    corpus size. Deliberately NOT in bench.py's extras: 256 sequential
+    1-row Spark actions are a training job, not a per-round latency
+    probe; the scale posture is pinned by SCALE.md instead."""
+    merges = _train_bpe(spark, sf_dir, _BPE_PROD_N)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, "
+                "merged string, cnt bigint")
 
 
 def _bpe_apply_oracle(n: int = _BPE_N) -> str:
@@ -506,8 +567,9 @@ def _bpe_apply_oracle(n: int = _BPE_N) -> str:
     for r in range(n):
         parts.append(f"""t{r + 1} AS MATERIALIZED (
       SELECT doc_id,
-             replace(sym, (SELECT pair FROM b{r}),
-                     replace((SELECT pair FROM b{r}), chr(31), ''))
+             replace(sym, (SELECT any_value(pair) FROM s{r + 1}),
+                     replace((SELECT any_value(pair) FROM s{r + 1}),
+                             chr(31), ''))
                AS sym, nc
       FROM t{r}
     )""")
