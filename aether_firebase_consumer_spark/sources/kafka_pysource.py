@@ -422,10 +422,16 @@ class KafkaPyStreamReader(DataSourceStreamReader):
 
 
 class KafkaWriteCommit(WriterCommitMessage):
-    """Per-task produce receipt (rows produced per topic-partition)."""
+    """Per-task produce receipt (rows produced per topic-partition).
+    Transactional tasks also carry their open transaction's identity
+    (txn_id, pid, epoch) — the driver finalizes it in commit()/abort()
+    (EndTxn is broker-coordinated state keyed by transactional.id, so
+    any connection may close it)."""
 
-    def __init__(self, counts: dict) -> None:
+    def __init__(self, counts: dict,
+                 txn: "tuple[str, int, int] | None" = None) -> None:
         self.counts = counts
+        self.txn = txn
 
 
 def _to_bytes(v) -> Optional[bytes]:
@@ -473,7 +479,26 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
     produce-request sizing choice (the reference's Firestore
     batch-commit size is 50 docs, MAX_SUBMIT in firebase/app/
     artifacts.py — that contract lives in sinks/upsert.py, not here)
-    — and the same producer-per-task shape the reader uses."""
+    — and the same producer-per-task shape the reader uses.
+
+    EXACTLY-ONCE TIER (round 8, on KIP-98 transactions): with
+    ``transactionalIdPrefix`` set, each task produces inside a
+    transaction whose transactional.id is ``{prefix}-{sparkPartition}``
+    — STABLE across task retries, so a zombie attempt is fenced the
+    moment its retry calls InitProducerId (the broker aborts whatever
+    the zombie left open, and its later produce/EndTxn die with
+    ProducerFencedError). Tasks leave their transactions OPEN; the
+    driver's commit() finalizes every task's EndTxn only after ALL
+    tasks succeeded, and abort() rolls them back — so a failed batch
+    is invisible to read_committed consumers IN ITS ENTIRETY (the
+    all-or-nothing upgrade over at-least-once). Honest limit: a replay
+    of an already-committed micro-batch (failure between sink commit
+    and checkpoint write) re-produces under fresh transactions — full
+    end-to-end exactly-once additionally needs consumer-side dedup or
+    offsets-in-transaction, which Spark's sink API has no hook for;
+    Kafka Streams closes that gap with TxnOffsetCommit, available on
+    this wire stack as ``TransactionalProducer.
+    send_offsets_to_transaction`` for foreachBatch pipelines."""
 
     def __init__(self, options: dict) -> None:
         self.host, self.port = _parse_bootstrap(options)
@@ -481,19 +506,45 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
         self.topic = options.get("topic")
         if not self.topic:
             raise ValueError("kafka_py sink: 'topic' option required")
+        self.txn_prefix = (options.get("transactionalidprefix")
+                           or options.get("transactionalIdPrefix"))
 
     def write(self, rows) -> KafkaWriteCommit:
         counts: dict[int, int] = {}
         with KafkaWireClient(self.host, self.port,
                              **_security_kwargs(self.security)) as client:
             parts = client.metadata([self.topic]).get(self.topic) or [0]
+            producer = None
+            txn = None
+            if self.txn_prefix is not None:
+                from pyspark import TaskContext
+                from aether_firebase_consumer_spark.sources.kafka_wire \
+                    import TransactionalProducer
+                ctx = TaskContext.get()
+                if ctx is None:   # pragma: no cover — defensive
+                    raise RuntimeError(
+                        "kafka_py sink: no TaskContext; transactional "
+                        "writes need the per-task partition id for "
+                        "zombie fencing")
+                txn_id = f"{self.txn_prefix}-{ctx.partitionId()}"
+                producer = TransactionalProducer(client, txn_id)
+                producer.begin_transaction()
+                txn = (txn_id, producer.producer_id, producer.epoch)
             buf: dict[int, list] = {}
             rr = 0
 
             def flush(p: int) -> None:
                 if not buf.get(p):
                     return
-                if any(ts is not None for _, _, ts in buf[p]):
+                if producer is not None:
+                    # transactional batches are always magic-2; rows
+                    # without a timestamp get stamped now
+                    now = int(time.time() * 1000)
+                    producer.send(
+                        self.topic, p,
+                        [(k, v, ts if ts is not None else now)
+                         for k, v, ts in buf[p]])
+                elif any(ts is not None for _, _, ts in buf[p]):
                     # rows carry producer timestamps → Produce v3
                     # (record batch); rows without one in the same
                     # chunk get stamped now
@@ -525,13 +576,44 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                     flush(p)
             for p in list(buf):
                 flush(p)
-        return KafkaWriteCommit(counts)
+        # the transaction (if any) stays OPEN — the driver finalizes
+        return KafkaWriteCommit(counts, txn=txn)
+
+    def _end_all(self, messages, commit: bool) -> None:
+        txns = [m.txn for m in messages
+                if m is not None and getattr(m, "txn", None)]
+        if not txns:
+            return
+        from aether_firebase_consumer_spark.sources.kafka_wire import (
+            ProducerFencedError,
+        )
+        with KafkaWireClient(self.host, self.port,
+                             **_security_kwargs(self.security)) as c:
+            for txn_id, pid, epoch in txns:
+                try:
+                    c.end_txn(txn_id, pid, epoch, commit)
+                except ProducerFencedError:
+                    # a task retry re-claimed this transactional.id and
+                    # its attempt superseded this one — the broker
+                    # already aborted the fenced attempt's data
+                    if commit:
+                        raise
+                except RuntimeError as e:
+                    if commit or "no ongoing transaction" not in str(e):
+                        raise
+                    # aborting a task that never produced: nothing open
 
     def commit(self, messages, batchId: int | None = None) -> None:
-        pass  # v0 produce is unconditional; nothing to finalize
+        # transactional mode: all tasks succeeded — make every task's
+        # writes visible to read_committed consumers. Plain mode: v0
+        # produce is unconditional; nothing to finalize.
+        self._end_all(messages, commit=True)
 
     def abort(self, messages, batchId: int | None = None) -> None:
-        pass  # produced rows stay (at-least-once), consumer dedups
+        # transactional mode: roll back every completed task's open
+        # transaction — the whole attempt becomes invisible. Plain
+        # mode: produced rows stay (at-least-once), consumer dedups.
+        self._end_all(messages, commit=False)
 
 
 class KafkaPyDataSource(DataSource):

@@ -327,3 +327,88 @@ def test_kafka_py_isolation_read_committed_end_to_end(spark):
                               "committed-0", "committed-1"]
         with pytest.raises(Exception, match="isolation"):
             read("read_banana")
+
+
+def test_kafka_py_transactional_sink_exactly_once(spark, tmp_path):
+    """The kafka_py sink's exactly-once tier: with
+    transactionalIdPrefix, task writes stay invisible until the
+    driver-side commit finalizes every task's transaction; a
+    read_committed scan then sees exactly the written rows, and the
+    transaction markers show one transaction per Spark task."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    with MiniKafkaBroker(clock=lambda: 9) as b:
+        b.create_topic("sink.tx", partitions=2)
+        df = spark.createDataFrame(
+            [(str(i).encode(), b"row-%d" % i, i % 2) for i in range(20)],
+            "key binary, value binary, partition int").repartition(3)
+        (df.write.format("kafka_py")
+           .option("bootstrap", b.bootstrap)
+           .option("topic", "sink.tx")
+           .option("transactionalIdPrefix", "eos-batch")
+           .mode("append").save())
+
+        committed = (spark.read.format("kafka_py")
+                     .option("bootstrap", b.bootstrap)
+                     .option("subscribe", "sink.tx")
+                     .option("isolation", "read_committed")
+                     .load()
+                     .selectExpr("cast(value as string) v").collect())
+        assert sorted(r.v for r in committed) == \
+            sorted("row-%d" % i for i in range(20))
+        # every producing task closed with a COMMIT marker
+        markers = (b.txn_markers("sink.tx", 0)
+                   + b.txn_markers("sink.tx", 1))
+        assert markers and all(committed for _o, _p, committed
+                               in markers)
+
+
+def test_kafka_py_transactional_sink_streaming_all_or_nothing(
+        spark, tmp_path):
+    """Streaming: each micro-batch commits atomically; rows of a batch
+    become visible together, and the read_committed offsets show the
+    per-batch transaction markers as gaps."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    with MiniKafkaBroker(clock=lambda: 9) as b:
+        b.create_topic("sink.tx.s", partitions=1)
+
+        def feed(name, rows):
+            spark.createDataFrame(rows, "value string") \
+                .coalesce(1).write.parquet(str(src / name))
+
+        feed("b1", [("s-0",), ("s-1",)])
+        stream = (spark.readStream.schema("value string")
+                  .parquet(str(src) + "/*"))
+        q = (stream.writeStream.format("kafka_py")
+             .option("bootstrap", b.bootstrap)
+             .option("topic", "sink.tx.s")
+             .option("transactionalIdPrefix", "eos-stream")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        feed("b2", [("s-2",)])
+        q = (stream.writeStream.format("kafka_py")
+             .option("bootstrap", b.bootstrap)
+             .option("topic", "sink.tx.s")
+             .option("transactionalIdPrefix", "eos-stream")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        with KafkaWireClient(b.host, b.port) as c:
+            got = c.fetch_records("sink.tx.s", 0, 0,
+                                  isolation="read_committed")
+        assert sorted(v.decode() for _o, _t, _k, v in got) == \
+            ["s-0", "s-1", "s-2"]
+        # commit markers occupy offsets between the batches
+        assert all(m_committed for _o, _p, m_committed
+                   in b.txn_markers("sink.tx.s", 0))
