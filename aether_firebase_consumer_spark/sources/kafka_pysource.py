@@ -29,7 +29,11 @@ Semantics mirror the JVM Kafka source where they overlap:
   or ``startingTimestamp`` (epoch ms — each partition starts at the
   first message at-or-after it via ListOffsets v1; partitions with
   nothing that late start at the log end, the JVM source's 'latest'
-  fallback strategy),
+  fallback strategy), ``isolation`` (read_uncommitted default |
+  read_committed — KIP-98: hide records of aborted/open
+  transactions), and on the sink ``transactionalIdPrefix`` (the
+  exactly-once tier: per-task transactions, driver-finalized — see
+  :class:`KafkaPyWriter`),
 * streaming offsets are per-(topic, partition) log positions,
   checkpointed by Spark — restart resumes exactly where the last
   committed micro-batch ended (exactly-once with an idempotent sink),
