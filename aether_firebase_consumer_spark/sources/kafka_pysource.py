@@ -268,6 +268,29 @@ class _TopicResolver:
             bulk = c.list_offsets_bulk(wanted, time)
         return {_tp_key(t, p): off for (t, p), off in bulk.items()}
 
+    def stable_offsets(self) -> dict[str, int]:
+        """Per-partition LAST STABLE OFFSET — the read_committed
+        visibility limit. Offset ranges (micro-batch ends, batch scan
+        ends) must stop HERE, not at the log end: a range planned past
+        an open transaction would be recorded as consumed, and its
+        records — invisible while undecided — would be skipped forever
+        once the transaction commits. One tiny fetch per partition
+        (ListOffsets carries no isolation field at the versions this
+        stack speaks; the v4 fetch response's last_stable_offset is
+        the only way to read it)."""
+        with self._client() as c:
+            wanted = self._wanted(c)
+            if not wanted:
+                return {}
+            starts = c.list_offsets_bulk(wanted, EARLIEST)
+            out = {}
+            for (t, p), lo in starts.items():
+                _recs, _hw, lso = c.fetch_records_meta(
+                    t, p, lo, max_bytes=1,
+                    isolation="read_committed")
+                out[_tp_key(t, p)] = lso
+        return out
+
     def initial_offsets(self) -> dict[str, int]:
         """Where consumption starts: startingTimestamp (ListOffsets v1
         timestamp→offset, one bulk request) when set, else
@@ -328,7 +351,9 @@ class KafkaPyBatchReader(DataSourceReader):
 
     def partitions(self):
         lo = self._resolver.initial_offsets()
-        hi = self._resolver.offsets(LATEST)
+        hi = (self._resolver.stable_offsets()
+              if self._resolver.isolation == "read_committed"
+              else self._resolver.offsets(LATEST))
         ranges = []
         for key, end in sorted(hi.items()):
             start = lo.get(key, 0)
@@ -385,7 +410,12 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         return self._resolver.initial_offsets()
 
     def latestOffset(self) -> dict:
-        latest = self._resolver.offsets(LATEST)
+        # read_committed plans to the LAST STABLE OFFSET, never the
+        # log end — a micro-batch end past an open transaction would
+        # checkpoint-skip its records once the commit marker lands
+        latest = (self._resolver.stable_offsets()
+                  if self._resolver.isolation == "read_committed"
+                  else self._resolver.offsets(LATEST))
         out = dict(latest)
         base = self._floor
         if self._max_per_trigger is not None and base:

@@ -412,3 +412,52 @@ def test_kafka_py_transactional_sink_streaming_all_or_nothing(
         # commit markers occupy offsets between the batches
         assert all(m_committed for _o, _p, m_committed
                    in b.txn_markers("sink.tx.s", 0))
+
+
+def test_streaming_read_committed_does_not_skip_open_transaction(
+        spark, tmp_path):
+    """The planner hazard this round's fix exists for: a micro-batch
+    planned to the LOG END while a transaction is open would record
+    the transaction's offsets as consumed and skip its records forever
+    once the commit lands. read_committed planning stops at the LAST
+    STABLE OFFSET instead: trigger 1 sees only pre-transaction rows,
+    and after the commit a restart from the SAME checkpoint delivers
+    the transaction's rows."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    with MiniKafkaBroker(clock=lambda: 3) as b:
+        b.create_topic("rc.s", partitions=1)
+        with KafkaWireClient(b.host, b.port) as pc:
+            pc.produce_records("rc.s", 0, [(b"k0", b"before", 1)])
+            p = TransactionalProducer(pc, "rc-s-txn")
+            p.begin_transaction()
+            p.send("rc.s", 0, [(b"k1", b"inflight", 2)])
+
+            out_dir = str(tmp_path / "out")
+
+            def run_trigger():
+                q = (spark.readStream.format("kafka_py")
+                     .option("bootstrap", b.bootstrap)
+                     .option("subscribe", "rc.s")
+                     .option("isolation", "read_committed")
+                     .load()
+                     .selectExpr("cast(value as string) v", "offset")
+                     .writeStream.format("parquet")
+                     .option("path", out_dir)
+                     .option("checkpointLocation", str(tmp_path / "ck"))
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+                return sorted((r.v, r.offset) for r in
+                              spark.read.parquet(out_dir).collect())
+
+            assert run_trigger() == [("before", 0)]
+            p.commit_transaction()
+            pc.produce_records("rc.s", 0, [(b"k2", b"after", 4)])
+            # same checkpoint: the once-open transaction's record
+            # arrives now — nothing was skipped (offset 2 is the
+            # commit marker's gap)
+            assert run_trigger() == [("after", 3), ("before", 0),
+                                     ("inflight", 1)]
