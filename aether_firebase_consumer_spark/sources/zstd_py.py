@@ -1,6 +1,7 @@
 """Pure-Python Zstandard codec (stdlib only): a complete RFC 8878
-decoder and an entropy-coding encoder (Huffman-literals blocks, no
-match search), plus the XXH64 hash the frame checksum requires.
+decoder and a compressing encoder (LZ77 match search + Huffman
+literals + predefined-FSE sequences), plus the XXH64 hash the frame
+checksum requires.
 
 Kafka record batches (magic 2) mark compression in the batch
 attributes' low bits; codec id 4 is zstd, and what brokers ship is the
@@ -28,20 +29,26 @@ Decoder scope (everything a conforming encoder may emit):
   semantics (including the ``litLength == 0`` shifted cases and the
   ``rep1 - 1`` corner), and cross-block table/offset persistence.
 
-The ENCODER (round 8) emits, per 128 KiB chunk, the smallest of three
-block shapes: RLE (one repeated byte), a Compressed_Block holding
-Huffman-coded literals with ZERO sequences (order-0 entropy coding —
-length-limited canonical codes via boundary package-merge, canonical
-layout mirrored from the decoder, tree description in the direct
-4-bit-weight form when the last present byte is ≤ 128 and the
-FSE-compressed two-state weight form otherwise), or a raw block.
-Text/JSON payloads shrink ~45-55%; LZ77 match search remains out of
-scope — on a cluster the JVM path ships with zstd-jni, and this tier
-exists so jar-free codec-4 PRODUCE gets a real ratio (the decoder
-already reads everything brokers serve). Output is a fully conforming
-frame the reference decoder accepts (verified against the reference
-CLI in tests when one is present on PATH), with a 4-or-8-byte frame
-content size and an XXH64 content checksum.
+The ENCODER (round 8) emits, per 128 KiB chunk, the smallest of four
+block shapes: RLE (one repeated byte), an LZ Compressed_Block (greedy
+hash-of-4 match search → literals + (literal_len, match_len, offset)
+sequences encoded with the spec's PREDEFINED FSE tables — mode byte
+0x00, no table descriptions on the wire — as three interleaved
+backward FSE states mirroring the decoder exactly), a literals-only
+Compressed_Block (order-0 Huffman: length-limited canonical codes via
+boundary package-merge, tree description in the direct 4-bit-weight
+form when the last present byte is ≤ 128 and the FSE-compressed
+two-state weight form otherwise), or a raw block. Repetitive payloads
+shrink 10-100×, JSON ~5×, plain text entropy-bound ~2×; a cluster's
+JVM path still ships zstd-jni for throughput — this tier exists so
+jar-free codec-4 PRODUCE gets a real ratio (the decoder already reads
+everything brokers serve). Output is a fully conforming frame the
+reference decoder accepts (golden-tested against the reference CLI
+when one is on PATH — building the sequence encoder this way exposed
+and fixed a literal-length code-table transcription bug in the
+DECODER: RFC table row 24 (baseline 48) was missing, shifting codes
+≥ 24), with a 4-or-8-byte frame content size and an XXH64 content
+checksum.
 
 Decoding tables (FSE spread/step, Huffman canonical layout, the
 literal-length / match-length / offset code baselines and the
@@ -419,11 +426,11 @@ def _read_huf_tree(data: bytes) -> tuple[_HufTable, int]:
 
 # ------------------------------------------------ sequence code maps
 
-_LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 6, 7, 8, 9, 10, 11,
-                        12, 13, 14, 15, 16, 17]
-_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 64, 128,
-                              256, 512, 1024, 2048, 4096, 8192, 16384,
-                              32768, 65536, 131072]
+_LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                        12, 13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64,
+                              128, 256, 512, 1024, 2048, 4096, 8192,
+                              16384, 32768, 65536]
 _ML_EXTRA = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
                         11, 12, 13, 14, 15, 16]
 _ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67,
@@ -990,20 +997,17 @@ def _fse_encode_weights(weights: list[int]) -> "bytes | None":
     return bytes([len(body)]) + body
 
 
-def _compressed_literals_block(chunk: bytes) -> "bytes | None":
-    """A Compressed_Block whose content is Huffman-coded literals and
-    ZERO sequences (RFC 8878 §3.1.1.2.1: with Number_of_Sequences = 0
-    the block regenerates to its literals) — order-0 entropy coding,
-    no match search. The tree description uses the direct 4-bit-weight
-    form when the last present symbol is ≤ 128 (its cap) and the
-    FSE-compressed weight form otherwise — high bytes are the NORM for
-    Kafka record batches (varint framing), so the FSE form carries the
-    production case. Returns None when the chunk can't win: a single
-    distinct byte (the RLE block already covers it), an
-    FSE-inexpressible weight distribution, or a coded form no smaller
-    than the raw block."""
+def _huffman_literals_section(lits: bytes) -> "bytes | None":
+    """Literals_Section with Huffman-compressed literals (type 2) —
+    order-0 entropy coding. The tree description uses the direct
+    4-bit-weight form when the last present symbol is ≤ 128 (its cap)
+    and the FSE-compressed weight form otherwise — high bytes are the
+    NORM for Kafka record batches (varint framing), so the FSE form
+    carries the production case. Returns None when the form can't
+    apply (single distinct byte, FSE-inexpressible weights, header
+    size fields overflowed)."""
     freq: dict[int, int] = {}
-    for b in chunk:
+    for b in lits:
         freq[b] = freq.get(b, 0) + 1
     if len(freq) < 2:
         return None
@@ -1025,49 +1029,227 @@ def _compressed_literals_block(chunk: bytes) -> "bytes | None":
         tree = _fse_encode_weights(weights)
         if tree is None:
             return None
-    regen = len(chunk)
+    regen = len(lits)
     if regen <= 1023:
-        payload = bytes(tree) + _huf_write_stream(chunk, codes, bits)
+        payload = bytes(tree) + _huf_write_stream(lits, codes, bits)
         csize = len(payload)
         if csize > 1023:
             return None
         h = 2 | (regen << 4) | (csize << 14)       # Size_Format 00
-        content = h.to_bytes(3, "little") + payload
+        return h.to_bytes(3, "little") + payload
+    part = (regen + 3) >> 2
+    streams = [_huf_write_stream(lits[i * part:(i + 1) * part],
+                                 codes, bits) for i in range(4)]
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        return None
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                       len(streams[2]))
+    payload = bytes(tree) + jump + b"".join(streams)
+    csize = len(payload)
+    if regen <= 16383 and csize <= 16383:
+        h = 2 | (2 << 2) | (regen << 4) | (csize << 18)
+        return h.to_bytes(4, "little") + payload
+    if csize <= 262143:
+        h = 2 | (3 << 2) | (regen << 4) | (csize << 22)
+        return h.to_bytes(5, "little") + payload
+    return None
+
+
+def _plain_literals_section(lits: bytes) -> bytes:
+    """Raw (type 0) or RLE (type 1) Literals_Section — always
+    expressible; the fallback the entropy forms compete against."""
+    regen = len(lits)
+    if regen > 1 and lits.count(lits[0]) == regen:
+        body, ltype = lits[:1], 1
     else:
-        part = (regen + 3) >> 2
-        streams = [_huf_write_stream(chunk[i * part:(i + 1) * part],
-                                     codes, bits) for i in range(4)]
-        if max(len(s) for s in streams[:3]) > 0xFFFF:
-            return None
-        jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
-                           len(streams[2]))
-        payload = bytes(tree) + jump + b"".join(streams)
-        csize = len(payload)
-        if regen <= 16383 and csize <= 16383:
-            h = 2 | (2 << 2) | (regen << 4) | (csize << 18)
-            content = h.to_bytes(4, "little") + payload
-        elif csize <= 262143:
-            h = 2 | (3 << 2) | (regen << 4) | (csize << 22)
-            content = h.to_bytes(5, "little") + payload
+        body, ltype = lits, 0
+    if regen <= 31:
+        hdr = bytes([ltype | (regen << 3)])
+    elif regen <= 4095:
+        h = ltype | (1 << 2) | (regen << 4)
+        hdr = h.to_bytes(2, "little")
+    else:
+        h = ltype | (3 << 2) | (regen << 4)
+        hdr = h.to_bytes(3, "little")
+    return hdr + body
+
+
+def _literals_section(lits: bytes) -> bytes:
+    huf = _huffman_literals_section(lits)
+    plain = _plain_literals_section(lits)
+    return plain if huf is None or len(plain) <= len(huf) else huf
+
+
+def _match_len(data: bytes, a: int, b: int, limit: int) -> int:
+    """Length of the common prefix of data[a:] and data[b:], ≤ limit —
+    64-byte slice strides, then bytewise tail (slice compares run in
+    C; a per-byte loop would dominate the matcher)."""
+    n = 0
+    while n + 64 <= limit and data[a + n:a + n + 64] == \
+            data[b + n:b + n + 64]:
+        n += 64
+    while n < limit and data[a + n] == data[b + n]:
+        n += 1
+    return n
+
+
+def _find_sequences(chunk: bytes
+                    ) -> "tuple[list[tuple[int, int, int]], bytes] | None":
+    """Greedy LZ77 match search: a hash-of-4 table of last positions,
+    matches ≥ 4 bytes taken greedily (no lazy evaluation — ratio left
+    on the table in exchange for one pass). Returns (sequences,
+    literals) where sequences are (literal_len, match_len, offset) and
+    literals is every unmatched byte in order (trailing run included —
+    the decoder appends ``lits[lit_pos:]`` after the last sequence)."""
+    n = len(chunk)
+    if n < 16:
+        return None
+    table: dict[bytes, int] = {}
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    lit_start = 0
+    pos = 0
+    while pos + 4 <= n:
+        key = chunk[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None:
+            mlen = 4 + _match_len(chunk, cand + 4, pos + 4,
+                                  n - pos - 4)
+            lits += chunk[lit_start:pos]
+            seqs.append((pos - lit_start, mlen, pos - cand))
+            pos += mlen
+            lit_start = pos
         else:
-            return None
-    content += b"\x00"                              # 0 sequences
-    return content if len(content) < len(chunk) else None
+            pos += 1
+    if not seqs:
+        return None
+    lits += chunk[lit_start:]
+    return seqs, bytes(lits)
+
+
+def _fse_cells(freqs: list[int], al: int
+               ) -> dict[int, list[tuple[int, int, int]]]:
+    """symbol → [(state, baseline, nbits)] from the decoding table —
+    the encoder walks these backward (see :func:`_fse_encode_weights`;
+    each symbol's cells partition the state space, so exactly one
+    covers any successor state)."""
+    symbols, nbits, base = fse_build_table(freqs, al)
+    cells: dict[int, list[tuple[int, int, int]]] = {}
+    for i, s in enumerate(symbols):
+        cells.setdefault(s, []).append((i, base[i], nbits[i]))
+    return cells
+
+
+def _fse_chain(cells: dict[int, list[tuple[int, int, int]]],
+               syms: list[int]) -> tuple[int, list[tuple[int, int]]]:
+    """Backward state walk over one symbol chain: (initial state,
+    update-bit fields in decode-read order)."""
+    x = cells[syms[-1]][0][0]
+    ups: list[tuple[int, int]] = []
+    for k in range(len(syms) - 2, -1, -1):
+        for i, b, nb in cells[syms[k]]:
+            if b <= x < b + (1 << nb):
+                ups.append((x - b, nb))
+                x = i
+                break
+        else:  # pragma: no cover — cells partition the space
+            raise AssertionError("FSE cell cover hole")
+    ups.reverse()
+    return x, ups
+
+
+def _code_of(v: int, bases: list[int]) -> int:
+    import bisect
+    return bisect.bisect_right(bases, v) - 1
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences_Section with ALL-PREDEFINED tables (mode byte 0x00 —
+    no table descriptions on the wire; both ends build the RFC
+    §3.1.1.3.2.2 default distributions): three interleaved FSE states
+    over one backward bitstream, written as the exact inverse of
+    ``_decode_sequences``'s read order — init states LL/OF/ML, then
+    per sequence OF/ML/LL extra bits and (except after the last)
+    LL/ML/OF state updates. Offsets are always emitted in the
+    offset+3 form (no repeat-offset codes — simpler, always valid)."""
+    n = len(seqs)
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras: list[tuple[int, int, int, int, int, int]] = []
+    for ll, ml, offset in seqs:
+        ofv = offset + 3
+        of_c = ofv.bit_length() - 1
+        ml_c = _code_of(ml, _ML_BASE)
+        ll_c = _code_of(ll, _LL_BASE)
+        ll_codes.append(ll_c)
+        of_codes.append(of_c)
+        ml_codes.append(ml_c)
+        extras.append((ofv - (1 << of_c), of_c,
+                       ml - _ML_BASE[ml_c], _ML_EXTRA[ml_c],
+                       ll - _LL_BASE[ll_c], _LL_EXTRA[ll_c]))
+    ll_cells = _fse_cells(_LL_DEFAULT, _LL_DEFAULT_AL)
+    of_cells = _fse_cells(_OF_DEFAULT, _OF_DEFAULT_AL)
+    ml_cells = _fse_cells(_ML_DEFAULT, _ML_DEFAULT_AL)
+    ll_x0, ll_ups = _fse_chain(ll_cells, ll_codes)
+    of_x0, of_ups = _fse_chain(of_cells, of_codes)
+    ml_x0, ml_ups = _fse_chain(ml_cells, ml_codes)
+    acc = 1                                   # sentinel bit
+    fields = [(ll_x0, _LL_DEFAULT_AL), (of_x0, _OF_DEFAULT_AL),
+              (ml_x0, _ML_DEFAULT_AL)]
+    for i in range(n):
+        of_e, of_w, ml_e, ml_w, ll_e, ll_w = extras[i]
+        fields.append((of_e, of_w))
+        fields.append((ml_e, ml_w))
+        fields.append((ll_e, ll_w))
+        if i != n - 1:
+            fields.append(ll_ups[i])
+            fields.append(ml_ups[i])
+            fields.append(of_ups[i])
+    for v, w in fields:
+        acc = (acc << w) | v
+    stream = acc.to_bytes((acc.bit_length() + 7) // 8, "little")
+    if n < 128:
+        head = bytes([n])
+    elif n < 0x7F00:
+        head = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        lo = n - 0x7F00
+        head = bytes([255, lo & 0xFF, (lo >> 8) & 0xFF])
+    return head + b"\x00" + stream            # modes byte: predefined
+
+
+def _compressed_block(chunk: bytes) -> "bytes | None":
+    """Best Compressed_Block for a chunk, or None when raw/RLE wins:
+    the LZ candidate (greedy matches + entropy-or-plain literals +
+    predefined-FSE sequences) competes against the literals-only
+    candidate (Huffman literals, zero sequences) and the winner must
+    beat the raw block."""
+    candidates: list[bytes] = []
+    huf_only = _huffman_literals_section(chunk)
+    if huf_only is not None:
+        candidates.append(huf_only + b"\x00")
+    found = _find_sequences(chunk)
+    if found is not None:
+        seqs, lits = found
+        candidates.append(_literals_section(lits)
+                          + _encode_sequences(seqs))
+    if not candidates:
+        return None
+    best = min(candidates, key=len)
+    return best if len(best) < len(chunk) else None
 
 
 def compress(data: bytes, *, checksum: bool = True,
              entropy: bool = True) -> bytes:
     """Encode a conforming Zstandard frame. Per 128 KiB chunk, the
-    best of three block shapes: RLE (single repeated byte),
-    Huffman-literals Compressed_Block (order-0 entropy coding via
-    length-limited canonical codes — shrinks text/JSON payloads
-    ~30-50% with zero match search; see
-    :func:`_compressed_literals_block` for when it bows out), or raw.
-    ``entropy=False`` restores the store-only tier. Frame content size
-    is always present (4- or 8-byte field); output is a conforming
-    frame any reference decoder accepts. LZ77 match search remains out
-    of scope — on a cluster the JVM path ships zstd-jni; this exists
-    so jar-free produce gets a real compression ratio."""
+    best of four block shapes: RLE (single repeated byte), LZ matches
+    + predefined-FSE sequences, Huffman literals only, or raw (see
+    :func:`_compressed_block` for the competition). ``entropy=False``
+    restores the store-only tier. Frame content size is always present
+    (4- or 8-byte field); output is a conforming frame any reference
+    decoder accepts (CLI golden-tested). On a cluster the JVM path
+    ships zstd-jni for throughput; this exists so jar-free produce
+    gets a real compression ratio."""
     n = len(data)
     if n <= 0xFFFFFFFF:
         fhd = (2 << 6) | ((1 << 2) if checksum else 0)
@@ -1092,7 +1274,7 @@ def compress(data: bytes, *, checksum: bool = True,
                 out += bh.to_bytes(3, "little")
                 out.append(chunk[0])
                 continue
-            coded = _compressed_literals_block(chunk) if entropy \
+            coded = _compressed_block(chunk) if entropy \
                 else None
             if coded is not None:
                 bh = last | (2 << 1) | (len(coded) << 3)
