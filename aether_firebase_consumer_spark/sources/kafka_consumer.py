@@ -460,3 +460,127 @@ class GroupConsumer:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class KafkaEosRelay:
+    """The reference's poll loop upgraded to END-TO-END EXACTLY-ONCE
+    (round 8): consume from a source topic, transform, produce to a
+    destination topic, and commit the input offsets INSIDE the same
+    KIP-98 transaction (``send_offsets_to_transaction``). A crash
+    anywhere in the cycle aborts the transaction: the produced records
+    never become visible to read_committed consumers AND the input
+    offsets roll back, so a restarted relay reprocesses the input
+    instead of dropping or doubling it. This is the consume-transform-
+    produce pattern Kafka Streams uses for EOS — the reference's
+    at-least-once loop (auto-commit config,
+    /root/reference/firebase/conf/consumer/kafka.json:5) could neither
+    express nor approximate it.
+
+    Zombie safety: construction claims ``transactional_id`` via
+    InitProducerId, fencing any previous relay instance (its open
+    transaction is aborted broker-side; its later sends raise
+    :class:`~.kafka_wire.ProducerFencedError`).
+
+    Reads are read_committed (an EOS chain composes: this relay's
+    input may itself be another relay's transactional output). The
+    driver-side loop shape is deliberate — it IS the reference's
+    consumer model, upgraded; the Spark-distributed story is the
+    ``kafka_py`` source + transactional sink + idempotent MERGE."""
+
+    def __init__(self, bootstrap: str, group: str, src_topic: str,
+                 dst_topic: str, transactional_id: str,
+                 transform=None,
+                 auto_offset_reset: str = "earliest") -> None:
+        from aether_firebase_consumer_spark.sources.kafka_wire import (
+            KafkaWireClient,
+            TransactionalProducer,
+        )
+        host, _, port = bootstrap.rpartition(":")
+        self._client = KafkaWireClient(host, int(port))
+        self.group = group
+        self.src_topic, self.dst_topic = src_topic, dst_topic
+        self._reset = auto_offset_reset
+        #: (key, value) -> (key, value) | None (None drops the record)
+        self.transform = transform or (lambda k, v: (k, v))
+        self._producer = TransactionalProducer(self._client,
+                                               transactional_id)
+        meta = self._client.metadata([src_topic])
+        self._tps = sorted((src_topic, p)
+                           for p in meta.get(src_topic, []))
+
+    def _position(self, tp: tuple[str, int]) -> int:
+        committed = self._client.offset_fetch(self.group, *tp)
+        if committed >= 0:
+            return committed
+        time = EARLIEST if self._reset == "earliest" else LATEST
+        return self._client.list_offsets(tp[0], tp[1], time)
+
+    def run_once(self, max_messages: int = 500) -> int:
+        """ONE atomic cycle: poll ≤ ``max_messages`` across the source
+        partitions (read_committed), transform, produce every
+        survivor to the destination topic (same partition index), and
+        commit the advanced input offsets — all in one transaction.
+        Returns the number of INPUT records consumed (0 = caught up;
+        no transaction is opened for an empty poll)."""
+        batch: list[tuple[int, int, Optional[bytes],
+                          Optional[bytes]]] = []
+        new_pos: dict[tuple[str, int], int] = {}
+        budget = max_messages
+        for tp in self._tps:
+            if budget <= 0:
+                break
+            pos = self._position(tp)
+            recs, _hw, lso = self._client.fetch_records_meta(
+                tp[0], tp[1], pos, isolation="read_committed")
+            if not recs:
+                if pos < lso:      # fully-aborted span: skip forward
+                    new_pos[tp] = lso
+                continue
+            recs = recs[:budget]
+            budget -= len(recs)
+            for off, ts, k, v in recs:
+                batch.append((tp[1], ts, k, v))
+            new_pos[tp] = recs[-1][0] + 1
+        if not batch and not new_pos:
+            return 0
+        self._producer.begin_transaction()
+        try:
+            by_part: dict[int, list] = {}
+            for part, ts, k, v in batch:
+                out = self.transform(k, v)
+                if out is not None:
+                    by_part.setdefault(part, []).append(
+                        (out[0], out[1], ts if ts is not None else 0))
+            for part, msgs in by_part.items():
+                self._producer.send(self.dst_topic, part, msgs)
+            self._producer.send_offsets_to_transaction(
+                {tp: off for tp, off in new_pos.items()}, self.group)
+            self._producer.commit_transaction()
+        except Exception:
+            # crash path: roll EVERYTHING back (produced records and
+            # offsets together); a fenced producer's abort is already
+            # done broker-side
+            try:
+                self._producer.abort_transaction()
+            except Exception:
+                pass
+            raise
+        return len(batch)
+
+    def run_to_end(self, max_messages: int = 500) -> int:
+        """Drain until caught up; returns total input records."""
+        total = 0
+        while True:
+            n = self.run_once(max_messages)
+            if n == 0:
+                return total
+            total += n
+
+    def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -461,3 +461,103 @@ def test_streaming_read_committed_does_not_skip_open_transaction(
             # commit marker's gap)
             assert run_trigger() == [("after", 3), ("before", 0),
                                      ("inflight", 1)]
+
+
+def test_eos_relay_end_to_end():
+    """KafkaEosRelay: consume→transform→produce with offsets in the
+    transaction. Normal operation relays every record exactly once
+    (transform applied, drops honored); a second drain is a no-op."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        KafkaEosRelay,
+    )
+    with MiniKafkaBroker(clock=lambda: 1) as b:
+        b.create_topic("eos.in", partitions=2)
+        b.create_topic("eos.out", partitions=2)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce_records("eos.in", 0,
+                              [(b"a", b"1", 10), (b"b", b"drop", 11)])
+            c.produce_records("eos.in", 1, [(b"c", b"3", 12)])
+
+        def xf(k, v):
+            return None if v == b"drop" else (k, v.upper())
+
+        with KafkaEosRelay(b.bootstrap, "eos-g", "eos.in", "eos.out",
+                           "eos-relay-1", transform=xf) as r:
+            assert r.run_to_end() == 3
+            assert r.run_to_end() == 0      # caught up, no reprocess
+        got = _drain(b.bootstrap, "eos-check", "eos.out",
+                     isolation="read_committed", expect=2)
+        assert sorted((k, v) for _o, k, v in got) == \
+            [(b"a", b"1"), (b"c", b"3")]
+
+
+def test_eos_relay_crash_before_commit_reprocesses_cleanly():
+    """The exactly-once pin: a relay that dies between produce and
+    commit leaves NOTHING behind — its output is invisible to
+    read_committed and its input offsets rolled back — so the restart
+    reprocesses the batch and the destination sees each record ONCE."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        KafkaEosRelay,
+    )
+    with MiniKafkaBroker(clock=lambda: 1) as b:
+        b.create_topic("eosc.in", partitions=1)
+        b.create_topic("eosc.out", partitions=1)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce_records("eosc.in", 0, [(b"k", b"v", 10)])
+
+        crashed = KafkaEosRelay(b.bootstrap, "eosc-g", "eosc.in",
+                                "eosc.out", "eosc-relay")
+        boom = RuntimeError("injected crash before commit")
+        orig_commit = crashed._producer.commit_transaction
+
+        def exploding_commit():
+            raise boom
+        crashed._producer.commit_transaction = exploding_commit
+        with pytest.raises(RuntimeError, match="injected crash"):
+            crashed.run_once()
+        crashed.close()
+        # nothing visible, nothing consumed
+        with KafkaWireClient(b.host, b.port) as c:
+            assert c.fetch_records("eosc.out", 0, 0,
+                                   isolation="read_committed") == []
+            assert c.offset_fetch("eosc-g", "eosc.in", 0) == -1
+
+        with KafkaEosRelay(b.bootstrap, "eosc-g", "eosc.in",
+                           "eosc.out", "eosc-relay") as r:
+            assert r.run_to_end() == 1
+        got = _drain(b.bootstrap, "eosc-check", "eosc.out",
+                     isolation="read_committed", expect=1)
+        assert [(k, v) for _o, k, v in got] == [(b"k", b"v")]
+
+
+def test_eos_relay_zombie_instance_fenced():
+    """Two relay instances with one transactional.id: the newer one
+    fences the older mid-cycle — the zombie's produce dies, its
+    half-done transaction is aborted, and the survivor relays the
+    input exactly once."""
+    from aether_firebase_consumer_spark.sources.kafka_consumer import (
+        KafkaEosRelay,
+    )
+    with MiniKafkaBroker(clock=lambda: 1) as b:
+        b.create_topic("eosz.in", partitions=1)
+        b.create_topic("eosz.out", partitions=1)
+        with KafkaWireClient(b.host, b.port) as c:
+            c.produce_records("eosz.in", 0, [(b"k", b"v", 10)])
+        old = KafkaEosRelay(b.bootstrap, "eosz-g", "eosz.in",
+                            "eosz.out", "eosz-relay")
+        # the old instance opens a transaction and stalls (simulated
+        # by beginning + sending without committing)
+        old._producer.begin_transaction()
+        old._producer.send("eosz.out", 0, [(b"zombie", b"w", 1)])
+        # a replacement instance comes up (deploy restart)
+        new = KafkaEosRelay(b.bootstrap, "eosz-g", "eosz.in",
+                            "eosz.out", "eosz-relay")
+        assert new.run_to_end() == 1
+        # the zombie's later activity is rejected
+        with pytest.raises(ProducerFencedError):
+            old._producer.send("eosz.out", 0, [(b"late", b"w", 2)])
+        old.close()
+        new.close()
+        got = _drain(b.bootstrap, "eosz-check", "eosz.out",
+                     isolation="read_committed", expect=1)
+        assert [(k, v) for _o, k, v in got] == [(b"k", b"v")]
