@@ -31,9 +31,15 @@ Semantics mirror the JVM Kafka source where they overlap:
   nothing that late start at the log end, the JVM source's 'latest'
   fallback strategy), ``isolation`` (read_uncommitted default |
   read_committed — KIP-98: hide records of aborted/open
-  transactions), and on the sink ``transactionalIdPrefix`` (the
-  exactly-once tier: per-task transactions, driver-finalized — see
-  :class:`KafkaPyWriter`),
+  transactions), ``assign`` (JSON ``{"topic": [0, 2]}`` — explicit
+  partition assignment, the JVM source's third subscription mode),
+  ``includeHeaders`` (adds the JVM source's
+  ``headers array<struct<key,value>>`` column — KIP-82 record
+  headers, read and written end to end; the sink accepts the same
+  column and forces record batches when headers are present since
+  magic-0 cannot carry them), and on the sink
+  ``transactionalIdPrefix`` (the exactly-once tier: per-task
+  transactions, driver-finalized — see :class:`KafkaPyWriter`),
 * streaming offsets are per-(topic, partition) log positions,
   checkpointed by Spark — restart resumes exactly where the last
   committed micro-batch ended (exactly-once with an idempotent sink),
@@ -70,6 +76,7 @@ from pyspark.sql.datasource import (
 )
 
 from aether_firebase_consumer_spark.sources.kafka_wire import (
+    API_FETCH,
     EARLIEST,
     LATEST,
     KafkaWireClient,
@@ -78,6 +85,16 @@ from aether_firebase_consumer_spark.sources.kafka_wire import (
 SCHEMA = ("key binary, value binary, topic string, "
           "partition int, offset bigint, timestamp timestamp, "
           "timestampType int")
+
+#: KIP-82 record headers, surfaced as the JVM source's includeHeaders
+#: column shape (array of key/value structs)
+HEADERS_FIELD = "headers array<struct<key:string,value:binary>>"
+
+
+def _include_headers(options: dict) -> bool:
+    v = (options.get("includeheaders")
+         or options.get("includeHeaders") or "false")
+    return str(v).lower() == "true"
 
 _EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
@@ -166,6 +183,7 @@ class KafkaRangePartition(InputPartition):
         self.start, self.end = start, end
         self.security = security or {}
         self.isolation = isolation
+        self.include_headers = False
 
 
 def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
@@ -176,12 +194,21 @@ def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
                          **_security_kwargs(p.security)) as client:
         offset = p.start
         while offset < p.end:
-            batch = client.fetch_records(
-                p.topic, p.partition, offset,
-                isolation=getattr(p, "isolation", "read_uncommitted"))
+            want_headers = getattr(p, "include_headers", False)
+            iso = getattr(p, "isolation", "read_uncommitted")
+            if want_headers and client._max_version(API_FETCH) >= 4:
+                batch, _hw, _lso = client.fetch_records_meta(
+                    p.topic, p.partition, offset, isolation=iso,
+                    include_headers=True)
+            else:
+                # v0-only broker: magic-0 carries no headers — the
+                # column degrades to an empty list, like timestamp
+                # degrades to null
+                batch = [rec + ((),) if want_headers else rec
+                         for rec in client.fetch_records(
+                             p.topic, p.partition, offset,
+                             isolation=iso)]
             if not batch:
-                from aether_firebase_consumer_spark.sources.kafka_wire \
-                    import API_FETCH
                 if client._max_version(API_FETCH) >= 4:
                     # a v4 fetch returns at least the first record
                     # when one exists (KIP-74 shape) — empty means the
@@ -191,13 +218,17 @@ def _read_range(p: KafkaRangePartition) -> Iterator[tuple]:
                 raise RuntimeError(
                     f"fetch at {p.topic}/{p.partition}:{offset} returned "
                     f"nothing but range end is {p.end} — log truncated?")
-            for off, ts, key, value in batch:
+            for rec in batch:
+                off, ts, key, value = rec[:4]
                 if off >= p.end:
                     break
                 if off < offset:
                     continue
-                yield (key, value, p.topic, p.partition, off,
+                row = (key, value, p.topic, p.partition, off,
                        _ms_to_dt(ts), 0 if ts is not None else -1)
+                if want_headers:
+                    row += (list(rec[4]),)
+                yield row
             offset = max(offset + 1, batch[-1][0] + 1)
 
 
@@ -210,13 +241,31 @@ class _TopicResolver:
         subscribe = options.get("subscribe")
         pattern = options.get("subscribepattern") \
             or options.get("subscribePattern")
-        if bool(subscribe) == bool(pattern):
+        assign = options.get("assign")
+        if sum(map(bool, (subscribe, pattern, assign))) != 1:
             raise ValueError(
-                "kafka_py: exactly one of 'subscribe' or "
-                "'subscribePattern' must be set")
+                "kafka_py: exactly one of 'subscribe', "
+                "'subscribePattern' or 'assign' must be set")
         self.topics = [t.strip() for t in subscribe.split(",")] \
             if subscribe else None
         self.pattern = re.compile(pattern) if pattern else None
+        #: explicit partition assignment (the JVM source's third
+        #: subscription mode): JSON {"topic": [0, 2]} — consume ONLY
+        #: those partitions, no metadata-driven discovery
+        self.assign: dict[str, list[int]] | None = None
+        if assign:
+            import json as _json
+            parsed = _json.loads(assign)
+            if (not isinstance(parsed, dict) or not parsed
+                    or not all(isinstance(v, list) and v
+                               and all(isinstance(x, int) for x in v)
+                               for v in parsed.values())):
+                raise ValueError(
+                    "kafka_py: 'assign' must be a JSON object of "
+                    "topic -> non-empty partition list")
+            self.assign = {t: sorted(ps) for t, ps in parsed.items()}
+            self.topics = sorted(self.assign)
+        self.include_headers = _include_headers(options)
         start_opt = (options.get("startingoffsets")
                      or options.get("startingOffsets"))
         ts_opt = (options.get("startingtimestamp")
@@ -253,6 +302,8 @@ class _TopicResolver:
                                **_security_kwargs(self.security))
 
     def _wanted(self, c: KafkaWireClient) -> dict[str, list[int]]:
+        if self.assign is not None:
+            return dict(self.assign)
         meta = c.metadata(self.topics)
         return {topic: parts for topic, parts in meta.items()
                 if not (self.pattern
@@ -316,7 +367,8 @@ def _split_ranges(ranges: list[tuple[str, int, int, int]],
                   min_partitions: Optional[int],
                   host: str, port: int,
                   security: dict | None = None,
-                  isolation: str = "read_uncommitted"
+                  isolation: str = "read_uncommitted",
+                  include_headers: bool = False
                   ) -> list[KafkaRangePartition]:
     """(topic, partition, start, end) → InputPartitions, subdividing
     offset ranges until there are ≥ ``min_partitions`` tasks (the JVM
@@ -334,9 +386,11 @@ def _split_ranges(ranges: list[tuple[str, int, int, int]],
         n = min(n, e - s)
         step = (e - s + n - 1) // n
         for lo in range(s, e, step):
-            out.append(KafkaRangePartition(
+            part_obj = KafkaRangePartition(
                 host, port, topic, part, lo, min(lo + step, e),
-                security=security, isolation=isolation))
+                security=security, isolation=isolation)
+            part_obj.include_headers = include_headers
+            out.append(part_obj)
     return out
 
 
@@ -363,7 +417,9 @@ class KafkaPyBatchReader(DataSourceReader):
         return _split_ranges(ranges, self._min_partitions,
                              self._resolver.host, self._resolver.port,
                              self._resolver.security,
-                             isolation=self._resolver.isolation)
+                             isolation=self._resolver.isolation,
+                             include_headers=self._resolver
+                             .include_headers)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -443,7 +499,9 @@ class KafkaPyStreamReader(DataSourceStreamReader):
         return _split_ranges(ranges, self._min_partitions,
                              self._resolver.host, self._resolver.port,
                              self._resolver.security,
-                             isolation=self._resolver.isolation)
+                             isolation=self._resolver.isolation,
+                             include_headers=self._resolver
+                             .include_headers)
 
     def read(self, partition: KafkaRangePartition):
         return _read_range(partition)
@@ -576,20 +634,22 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                     now = int(time.time() * 1000)
                     producer.send(
                         self.topic, p,
-                        [(k, v, ts if ts is not None else now)
-                         for k, v, ts in buf[p]])
-                elif any(ts is not None for _, _, ts in buf[p]):
-                    # rows carry producer timestamps → Produce v3
-                    # (record batch); rows without one in the same
+                        [(k, v, ts if ts is not None else now, h)
+                         for k, v, ts, h in buf[p]])
+                elif any(ts is not None or h for _, _, ts, h
+                         in buf[p]):
+                    # rows carry producer timestamps or headers →
+                    # Produce v3 (record batch — magic-0 can express
+                    # neither); rows without a timestamp in the same
                     # chunk get stamped now
                     now = int(time.time() * 1000)
                     client.produce_records(
                         self.topic, p,
-                        [(k, v, ts if ts is not None else now)
-                         for k, v, ts in buf[p]])
+                        [(k, v, ts if ts is not None else now, h)
+                         for k, v, ts, h in buf[p]])
                 else:
                     client.produce(self.topic, p,
-                                   [(k, v) for k, v, _ in buf[p]])
+                                   [(k, v) for k, v, _, _ in buf[p]])
                 counts[p] = counts.get(p, 0) + len(buf[p])
                 buf[p] = []
 
@@ -598,6 +658,11 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                 key = _to_bytes(d.get("key"))
                 value = _to_bytes(d.get("value"))
                 ts = _to_ts_ms(d.get("timestamp"))
+                hdrs = tuple(
+                    (h["key"] if isinstance(h, dict) else h[0],
+                     _to_bytes(h["value"] if isinstance(h, dict)
+                               else h[1]))
+                    for h in (d.get("headers") or ()))
                 if d.get("partition") is not None:
                     p = int(d["partition"]) % len(parts)
                 elif key is not None:
@@ -605,7 +670,7 @@ class KafkaPyWriter(DataSourceWriter, DataSourceStreamWriter):
                 else:
                     p = parts[rr % len(parts)]
                     rr += 1
-                buf.setdefault(p, []).append((key, value, ts))
+                buf.setdefault(p, []).append((key, value, ts, hdrs))
                 if len(buf[p]) >= 500:
                     flush(p)
             for p in list(buf):
@@ -659,6 +724,8 @@ class KafkaPyDataSource(DataSource):
         return "kafka_py"
 
     def schema(self) -> str:
+        if _include_headers(dict(self.options)):
+            return SCHEMA + ", " + HEADERS_FIELD
         return SCHEMA
 
     def reader(self, schema) -> KafkaPyBatchReader:

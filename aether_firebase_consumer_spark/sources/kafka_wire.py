@@ -356,7 +356,12 @@ def encode_record_batch(
     base_ts = entries[0][1]
     max_ts = max(e[1] for e in entries)
     records = bytearray()
-    for off, ts, key, value in entries:
+    for entry in entries:
+        # 4-tuple (off, ts, key, value) or 5-tuple + headers, where
+        # headers is a sequence of (str key, bytes|None value) — the
+        # record-level key/value pairs KIP-82 added for metadata
+        off, ts, key, value = entry[:4]
+        headers = entry[4] if len(entry) > 4 else ()
         rec = bytearray()
         rec.append(0)                      # record attributes
         _put_varint(rec, ts - base_ts)     # timestampDelta
@@ -371,7 +376,16 @@ def encode_record_batch(
         else:
             _put_varint(rec, len(value))
             rec += value
-        _put_varint(rec, 0)                # headers
+        _put_varint(rec, len(headers))
+        for hk, hv in headers:
+            hkb = hk.encode("utf-8")
+            _put_varint(rec, len(hkb))     # header keys are non-null
+            rec += hkb
+            if hv is None:
+                _put_varint(rec, -1)
+            else:
+                _put_varint(rec, len(hv))
+                rec += hv
         _put_varint(records, len(rec))
         records += rec
     attrs = ATTR_TIMESTAMP_LOG_APPEND if log_append_time else 0
@@ -433,13 +447,16 @@ def peek_batch_producer(data: bytes) -> tuple[int, int, int, int, int]:
     return pid, epoch, base_seq, count, attrs
 
 
-def decode_record_batches(data: bytes, *, validate_crc: bool = True
-                          ) -> list[tuple[int, int, Optional[bytes],
-                                          Optional[bytes]]]:
+def decode_record_batches(data: bytes, *, validate_crc: bool = True,
+                          with_headers: bool = False
+                          ) -> list[tuple]:
     """Concatenated magic-2 record batches → [(offset, timestamp_ms,
-    key, value)]. A trailing partial batch (max_bytes truncation) is
-    dropped, mirroring consumer behavior."""
-    out: list[tuple[int, int, Optional[bytes], Optional[bytes]]] = []
+    key, value)] — or 5-tuples ending in a (key, value) header tuple
+    when ``with_headers`` (KIP-82 record headers; parsed either way,
+    surfaced on request so existing 4-tuple callers stay unchanged).
+    A trailing partial batch (max_bytes truncation) is dropped,
+    mirroring consumer behavior."""
+    out: list[tuple] = []
     pos = 0
     while len(data) - pos >= 12:
         base_off, batch_len = struct.unpack_from(">qi", data, pos)
@@ -488,9 +505,23 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True
             vlen, p = _get_varint(recs, p)
             value = None if vlen < 0 else bytes(recs[p:p + vlen])
             p += max(vlen, 0)
-            out.append((base_off + off_delta, base_ts + ts_delta,
-                        key, value))
-            p = rec_end  # skip headers
+            if with_headers:
+                nh, p = _get_varint(recs, p)
+                hdrs = []
+                for _ in range(nh):
+                    hkl, p = _get_varint(recs, p)
+                    hk = bytes(recs[p:p + hkl]).decode("utf-8")
+                    p += hkl
+                    hvl, p = _get_varint(recs, p)
+                    hv = None if hvl < 0 else bytes(recs[p:p + hvl])
+                    p += max(hvl, 0)
+                    hdrs.append((hk, hv))
+                out.append((base_off + off_delta, base_ts + ts_delta,
+                            key, value, tuple(hdrs)))
+            else:
+                out.append((base_off + off_delta, base_ts + ts_delta,
+                            key, value))
+            p = rec_end  # headers skipped unless requested
         pos = end
     return out
 
@@ -754,7 +785,8 @@ class KafkaWireClient:
                 "broker does not support Produce v3 (record batches); "
                 "use produce() for the magic-0 path")
         batch = encode_record_batch(
-            [(i, ts, k, v) for i, (k, v, ts) in enumerate(messages)],
+            [(i, m[2], m[0], m[1]) + ((m[3],) if len(m) > 3 else ())
+             for i, m in enumerate(messages)],
             codec=codec, producer_id=producer_id,
             producer_epoch=producer_epoch, base_sequence=base_sequence,
             transactional=transactional_id is not None)
@@ -983,11 +1015,9 @@ class KafkaWireClient:
 
     def fetch_records_meta(self, topic: str, partition: int,
                            offset: int, max_bytes: int = 1 << 20,
-                           isolation: str = "read_uncommitted"
-                           ) -> tuple[list[tuple[int, Optional[int],
-                                                 Optional[bytes],
-                                                 Optional[bytes]]],
-                                      int, int]:
+                           isolation: str = "read_uncommitted",
+                           include_headers: bool = False
+                           ) -> tuple[list[tuple], int, int]:
         """Fetch v4 returning (records, high_watermark,
         last_stable_offset). A read_committed consumer needs the LSO
         to advance past a span whose every record belonged to aborted
@@ -1022,8 +1052,8 @@ class KafkaWireClient:
         raw = r._take(size)
         if err != ERR_NONE:
             raise RuntimeError(f"fetch failed: error {err}")
-        return ([(off, ts, k, v)
-                 for off, ts, k, v in decode_record_batches(raw)],
+        return (decode_record_batches(
+                    raw, with_headers=include_headers),
                 hw, lso)
 
     def list_offsets(self, topic: str, partition: int, time: int) -> int:
@@ -1592,11 +1622,11 @@ class MiniKafkaBroker:
                 if t != topic:
                     continue
                 last: dict[bytes, int] = {}
-                for off, _ts, k, _ in log:
+                for off, _ts, k, _v, _h in log:
                     if k is not None:
                         last[bytes(k)] = off
-                kept = [(off, ts, k, v) for off, ts, k, v in log
-                        if k is None or last[bytes(k)] == off]
+                kept = [e for e in log
+                        if e[2] is None or last[bytes(e[2])] == e[0]]
                 removed += len(log) - len(kept)
                 self._logs[(t, p)] = kept
         return removed
@@ -2016,11 +2046,13 @@ class MiniKafkaBroker:
                     # magic-2 record batch with producer timestamps
                     pid, epoch, base_seq, count, attrs = \
                         peek_batch_producer(mset)
-                    msgs = [(ts, k, v) for _, ts, k, v
-                            in decode_record_batches(mset)]
+                    msgs = [(ts, k, v, h) for _, ts, k, v, h
+                            in decode_record_batches(
+                                mset, with_headers=True)]
                 else:
-                    # magic-0: no wire timestamp → LogAppendTime
-                    msgs = [(now, k, v) for _, k, v
+                    # magic-0: no wire timestamp → LogAppendTime;
+                    # the format carries no headers
+                    msgs = [(now, k, v, ()) for _, k, v
                             in decode_message_set(mset)]
                 with self._lock:
                     txn = None
@@ -2068,8 +2100,8 @@ class MiniKafkaBroker:
                             continue
                     log = self._logs.setdefault((topic, partition), [])
                     base = self._next.setdefault((topic, partition), 0)
-                    for i, (ts, k, v) in enumerate(msgs):
-                        log.append((base + i, ts, k, v))
+                    for i, (ts, k, v, h) in enumerate(msgs):
+                        log.append((base + i, ts, k, v, h))
                     self._next[(topic, partition)] = base + len(msgs)
                     if pid >= 0:
                         self._pid_state[(pid, topic, partition)] = \
@@ -2137,7 +2169,7 @@ class MiniKafkaBroker:
                     # sorted; gaps possible after compaction/markers)
                     i = bisect.bisect_left(log, offset,
                                            key=lambda e: e[0])
-                    for off, ts, k, v in log[i:]:
+                    for off, ts, k, v, h in log[i:]:
                         if off >= limit:
                             break
                         if off in aborted:
@@ -2147,13 +2179,13 @@ class MiniKafkaBroker:
                                  else 12 + len(encode_message(k, v)))
                         if entries and size > max_bytes:
                             break
-                        entries.append((off, ts, k, v))
+                        entries.append((off, ts, k, v, h))
                 if version >= 4:
                     mset = encode_record_batch(entries,
                                                codec=self._fetch_codec)
                 else:
                     mset = encode_message_set(
-                        (off, k, v) for off, _ts, k, v in entries)
+                        (off, k, v) for off, _ts, k, v, _h in entries)
                 out.append((topic, partition, ERR_NONE, hw, lso, mset))
         if version >= 4:
             w.i32(0)   # throttle_time_ms
@@ -2194,7 +2226,7 @@ class MiniKafkaBroker:
                     out.append((topic, partition, ERR_NONE, -1, [end]))
                 elif version >= 1:
                     # v1: first message with timestamp >= target
-                    hit = next(((ts, off) for off, ts, _k, _v in log
+                    hit = next(((ts, off) for off, ts, *_ in log
                                 if ts >= time), None)
                     if hit is None:
                         out.append((topic, partition, ERR_NONE, -1, []))

@@ -1053,3 +1053,78 @@ def test_jar_fallback_only_for_source_missing_errors():
         Exception("Connection refused: broker:9092"))
     assert not _is_source_missing_error(
         Exception("SASL authentication failed"))
+
+
+def test_record_headers_roundtrip_wire_and_spark(spark, broker):
+    """KIP-82 record headers end to end: produced via the sink's
+    ``headers`` column (array<struct<key,value>> — the JVM source's
+    shape), stored by the broker, and surfaced by a read with
+    ``includeHeaders=true``; without the option the schema is
+    unchanged. Null header values survive."""
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+    )
+
+    _register(spark)
+    broker.create_topic("hdr.t", partitions=1)
+    df = spark.createDataFrame(
+        [(b"k1", b"v1", [("trace", b"abc"), ("nullv", None)]),
+         (b"k2", b"v2", [])],
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>")
+    (df.write.format("kafka_py")
+       .option("bootstrap", broker.bootstrap)
+       .option("topic", "hdr.t").mode("append").save())
+
+    # wire level: headers stored per record
+    with KafkaWireClient(broker.host, broker.port) as c:
+        recs, _hw, _lso = c.fetch_records_meta("hdr.t", 0, 0,
+                                               include_headers=True)
+    by_key = {k: h for _o, _t, k, _v, h in recs}
+    assert by_key[b"k1"] == (("trace", b"abc"), ("nullv", None))
+    assert by_key[b"k2"] == ()
+
+    got = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "hdr.t")
+           .option("includeHeaders", "true")
+           .load())
+    assert "headers" in got.columns
+    rows = {bytes(r.key): r.headers for r in got.collect()}
+    assert [(h.key, h.value and bytes(h.value))
+            for h in rows[b"k1"]] == [("trace", b"abc"),
+                                      ("nullv", None)]
+    assert rows[b"k2"] == []
+
+    plain = (spark.read.format("kafka_py")
+             .option("bootstrap", broker.bootstrap)
+             .option("subscribe", "hdr.t").load())
+    assert "headers" not in plain.columns
+
+
+def test_assign_subscription_mode(spark, broker):
+    """The JVM source's third subscription mode: assign consumes ONLY
+    the named partitions — other partitions of the same topic are
+    invisible; mixing subscription modes is rejected."""
+    _register(spark)
+    broker.create_topic("asg.t", partitions=3)
+    with _client(broker) as c:
+        for p in range(3):
+            c.produce("asg.t", p, [(None, b"p%d" % p)])
+    got = (spark.read.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("assign", '{"asg.t": [0, 2]}')
+           .load()
+           .selectExpr("cast(value as string) v", "partition")
+           .collect())
+    assert sorted((r.v, r.partition) for r in got) == \
+        [("p0", 0), ("p2", 2)]
+    with pytest.raises(Exception, match="exactly one of"):
+        (spark.read.format("kafka_py")
+         .option("bootstrap", broker.bootstrap)
+         .option("assign", '{"asg.t": [0]}')
+         .option("subscribe", "asg.t").load().collect())
+    with pytest.raises(Exception, match="non-empty partition list"):
+        (spark.read.format("kafka_py")
+         .option("bootstrap", broker.bootstrap)
+         .option("assign", '{"asg.t": []}').load().collect())
