@@ -537,3 +537,81 @@ def kafka_txn_roundtrip_orders(spark: SparkSession,
         "o_totalprice double").alias("o"))
     return parsed.select("o.o_orderkey", "o.o_custkey",
                          "o.o_orderstatus", "o.o_totalprice")
+
+
+_HDR_BROKERS: dict[str, tuple] = {}
+
+
+def _orders_header_broker(spark: SparkSession, sf_dir: str):
+    """Broker where each message carries its payload split across the
+    VALUE and a KIP-82 HEADER: the order status rides a record header
+    (plus a null-valued marker header), so the gate can catch a header
+    that is dropped, reordered, or corrupted anywhere in
+    encode → store → fetch re-encode → decode → Spark."""
+    cached = _HDR_BROKERS.get(sf_dir)
+    if cached:
+        return cached
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+            .collect())
+    broker = MiniKafkaBroker().start()
+    topic = "bench.orders.hdr"
+    broker.create_topic(topic, partitions=3)
+    with KafkaWireClient(broker.host, broker.port) as c:
+        by_part: dict[int, list] = {}
+        for r in rows:
+            by_part.setdefault(r.o_orderkey % 3, []).append((
+                str(r.o_orderkey).encode(),
+                str(r.o_custkey).encode(),
+                int(r.o_orderkey),
+                (("status", r.o_orderstatus.encode()),
+                 ("marker", None)),
+            ))
+        for part, msgs in by_part.items():
+            for i in range(0, len(msgs), 500):
+                c.produce_records(topic, part, msgs[i:i + 500])
+    _HDR_BROKERS[sf_dir] = (broker.bootstrap, topic)
+    return _HDR_BROKERS[sf_dir]
+
+
+@register(
+    "kafka_headers_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def kafka_headers_roundtrip_orders(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """KIP-82 record headers under the oracle gate (round 8): the
+    order key rides the message key, the customer key the value, and
+    the order STATUS a record header — reassembled in Spark from the
+    ``includeHeaders`` column. The header extraction is pure Catalyst
+    (filter + element_at over the struct array, JVM codegen); a
+    dropped, reordered, or corrupted header anywhere on the wire path
+    breaks the value hash against parquet."""
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+
+    register_kafka_py(spark)
+    bootstrap, topic = _orders_header_broker(spark, sf_dir)
+    raw = (spark.read.format("kafka_py")
+           .option("bootstrap", bootstrap)
+           .option("subscribe", topic)
+           .option("includeHeaders", "true")
+           .load())
+    status = F.filter(F.col("headers"),
+                      lambda h: h["key"] == F.lit("status"))
+    return raw.select(
+        F.col("key").cast("string").cast("bigint").alias("o_orderkey"),
+        F.col("value").cast("string").cast("bigint").alias("o_custkey"),
+        F.element_at(status, 1)["value"].cast("string")
+        .alias("o_orderstatus"))

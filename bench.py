@@ -133,7 +133,8 @@ def main() -> None:
                   "kafka_roundtrip_orders_compressed",
                   # r8 headliners
                   "kafka_txn_roundtrip_orders",
-                  "dedup_semantic_semdedup_trained"):
+                  "dedup_semantic_semdedup_trained",
+                  "kafka_headers_roundtrip_orders"):
         if extra in REGISTRY:
             names.append(extra)
 
