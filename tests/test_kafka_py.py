@@ -1128,3 +1128,33 @@ def test_assign_subscription_mode(spark, broker):
         (spark.read.format("kafka_py")
          .option("bootstrap", broker.bootstrap)
          .option("assign", '{"asg.t": []}').load().collect())
+
+
+def test_stream_read_with_headers(spark, broker, tmp_path):
+    """includeHeaders on the STREAMING reader: the headers column
+    rides micro-batches and checkpointed restarts identically to the
+    batch path."""
+    _register(spark)
+    broker.create_topic("hdr.s", partitions=1)
+    with _client(broker) as c:
+        c.produce_records("hdr.s", 0,
+                          [(b"k1", b"v1", 10, (("h", b"one"),))])
+    sdf = (spark.readStream.format("kafka_py")
+           .option("bootstrap", broker.bootstrap)
+           .option("subscribe", "hdr.s")
+           .option("includeHeaders", "true").load())
+    q = (sdf.writeStream.format("memory").queryName("kpy_hdr")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        with _client(broker) as c:
+            c.produce_records("hdr.s", 0,
+                              [(b"k2", b"v2", 20, (("h", b"two"),))])
+        q.processAllAvailable()
+        rows = {bytes(r.key): [(h.key, bytes(h.value))
+                               for h in r.headers]
+                for r in spark.table("kpy_hdr").collect()}
+        assert rows == {b"k1": [("h", b"one")],
+                        b"k2": [("h", b"two")]}
+    finally:
+        q.stop()
