@@ -1025,6 +1025,11 @@ class KafkaWireClient:
         while the position is still behind the log end)."""
         if isolation not in ("read_uncommitted", "read_committed"):
             raise ValueError(f"unknown isolation level {isolation!r}")
+        if self._max_version(API_FETCH) < 4:
+            raise RuntimeError(
+                "fetch_records_meta requires Fetch v4 (record batches "
+                "+ isolation levels); this broker tops out below it — "
+                "use fetch()/fetch_records() for the v0 path")
         w = _Writer()
         w.i32(-1)            # replica_id
         w.i32(0)             # max_wait_ms
