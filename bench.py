@@ -102,41 +102,50 @@ def _bench_avro_container(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# extension headliners are added as they land.
+# CONVENTION: every new headline query joins this tuple in the SAME
+# commit that registers it — round-over-round regression detection
+# only covers what is benched here. tools/plan_audit.py imports
+# headline_names() so PLANS.md always documents the full bench set.
+EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
+         "dedup_incremental_lsh",
+         "dedup_incremental_lsh_pruned",
+         "dedup_ngram_jaccard", "dedup_ngram_containment",
+         "similarity_topk_cosine",
+         "similarity_ann_ivf", "similarity_ann_pq",
+         "similarity_ann_pq_trained", "similarity_ann_ivfadc",
+         "text_quality_score",
+         "docs_quality_filter", "embedding_kmeans",
+         "kafka_roundtrip_orders",
+         "similarity_embedding_neardup_hi",
+         # r7 headliners
+         "dedup_semantic_semdedup", "corpus_bpe_tokenize",
+         "text_centroid_lang_classifier",
+         "multimodal_flac_stats", "multimodal_webp_stats",
+         "kafka_roundtrip_orders_compressed",
+         # r8 headliners
+         "kafka_txn_roundtrip_orders",
+         "dedup_semantic_semdedup_trained",
+         "kafka_headers_roundtrip_orders")
+
+
+def headline_names() -> list[str]:
+    """Every registry query bench.py times, in bench order.
+
+    (The avro_container entry is not listed: it is a source-path
+    micro-bench with untimed setup, not a registered query.)"""
+    _load_all()
+    return [n for n in (*HEADLINE, *EXTRA) if n in REGISTRY]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    _load_all()
     # fixed shuffle-partition count: bench numbers must not drift with
     # the machine's core count
     spark = get_spark("bench", shuffle_partitions=32)
 
-    names = [n for n in HEADLINE if n in REGISTRY]
-    # extension headliners are added as they land.
-    # CONVENTION: every new headline query joins this tuple in the SAME
-    # commit that registers it — round-over-round regression detection
-    # only covers what is benched here.
-    for extra in ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
-                  "dedup_incremental_lsh",
-                  "dedup_incremental_lsh_pruned",
-                  "dedup_ngram_jaccard", "dedup_ngram_containment",
-                  "similarity_topk_cosine",
-                  "similarity_ann_ivf", "similarity_ann_pq",
-                  "similarity_ann_pq_trained", "similarity_ann_ivfadc",
-                  "text_quality_score",
-                  "docs_quality_filter", "embedding_kmeans",
-                  "kafka_roundtrip_orders",
-                  "similarity_embedding_neardup_hi",
-                  # r7 headliners
-                  "dedup_semantic_semdedup", "corpus_bpe_tokenize",
-                  "text_centroid_lang_classifier",
-                  "multimodal_flac_stats", "multimodal_webp_stats",
-                  "kafka_roundtrip_orders_compressed",
-                  # r8 headliners
-                  "kafka_txn_roundtrip_orders",
-                  "dedup_semantic_semdedup_trained",
-                  "kafka_headers_roundtrip_orders"):
-        if extra in REGISTRY:
-            names.append(extra)
+    names = headline_names()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -168,12 +177,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    detail = dict(out)
     if vs_prev:
-        out["vs_prev"] = vs_prev  # <1 faster than last round, >1 slower
+        # <1 faster than last round, >1 slower. The full per-query map
+        # goes to BENCH_DETAIL.json only: round 8's single stdout line
+        # (36 queries + a 27-entry vs_prev map) outgrew the driver's
+        # ~2 KB tail-capture window and came back parsed:null
+        # (VERDICT r8 item 1). stdout stays ONE compact line.
+        detail["vs_prev"] = vs_prev
         prev_total = sum(prev[n] for n in timings if prev.get(n))
-        out["vs_prev_total"] = round(
+        out["vs_prev_total"] = detail["vs_prev_total"] = round(
             sum(timings[n] for n in timings if prev.get(n)) / prev_total, 2)
-    print(json.dumps(out))
+        regressions = {n: r for n, r in vs_prev.items() if r >= 1.2}
+        if regressions:
+            out["regressions"] = regressions
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
