@@ -211,6 +211,32 @@ class ParquetUpsertTable:
                 if os.path.isfile(sf) and not os.path.exists(df_):
                     os.link(sf, df_)
 
+    def replace(self, batch: DataFrame,
+                commit_meta: dict | None = None) -> None:
+        """Atomic full-table REPLACE: write ``batch`` as the next
+        version and swap the pointer — readers see the old table or the
+        new one, never a mix (same crash-safety as :meth:`merge`, which
+        only becomes visible at the pointer swap too). This is the
+        rebuild primitive for index-maintenance tools that change a
+        derivation parameter for EVERY row (e.g. re-sharding a semantic
+        index's subcluster modulus) — a merge would be a full rewrite
+        anyway, without replace's drop-absent-keys semantics."""
+        batch1 = batch.dropDuplicates(self.key_cols)
+        if batch1.isEmpty():
+            # an all-files-empty parquet version is unreadable ('Unable
+            # to infer schema'); an empty replace has no valid target
+            # state to write, so refuse loudly instead of bricking reads
+            raise ValueError(
+                "replace() with an empty batch would write an "
+                "unreadable version — use delete_keys() to empty a "
+                "table")
+        v = self.current_version() + 1
+        writer = batch1.write.mode("overwrite")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(self._data_dir(v))
+        self._commit(v, commit_meta)
+
     def delete_keys(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in
         ``keys``. Partition-pruned like :meth:`merge` when the deleted

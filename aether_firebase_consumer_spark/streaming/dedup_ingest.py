@@ -106,6 +106,14 @@ class DedupIngestJob:
             raise ValueError(
                 "band_index is idp-partitioned but idp_parts is unset: "
                 "index rows could not compute their partition value")
+        if corpus.partition_col not in (None, "idp"):
+            raise ValueError(
+                "corpus must be unpartitioned or partitioned by 'idp' "
+                "(id_partition of the id column): the known-id check "
+                "prunes by idp")
+        if corpus.partition_col == "idp" and idp_parts is None:
+            raise ValueError(
+                "corpus is idp-partitioned but idp_parts is unset")
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
@@ -135,6 +143,24 @@ class DedupIngestJob:
             best.select(F.col(loser_col).alias(self.id_col),
                         F.col(winner_col).alias("dup_of"), "jaccard",
                         F.lit(epoch_id).alias("epoch")))
+
+    def _known_ids(self, existing: DataFrame,
+                   batch: DataFrame) -> DataFrame:
+        """Corpus ids the batch could collide with. With an
+        idp-partitioned corpus the scan prunes to the BATCH's own id
+        partitions (a batch id can only be 'known' at
+        idp=id_partition(id), the pure function its merge stamped) —
+        per-trigger known-check I/O ∝ batch, not corpus (round 9)."""
+        src = existing
+        if self.corpus.partition_col == "idp" \
+                and "idp" in existing.columns:
+            batch_idps = [r[0] for r in batch
+                          .select(id_partition(F.col(self.id_col),
+                                               self.idp_parts)
+                                  .alias("p"))
+                          .distinct().collect()]  # ≤ idp_parts values
+            src = existing.filter(F.col("idp").isin(batch_idps))
+        return src.select(self.id_col).distinct()
 
     def _index_rows(self, docs: DataFrame) -> DataFrame:
         """Index rows for ``docs``, including empty-array tombstones
@@ -212,7 +238,7 @@ class DedupIngestJob:
             # an id the corpus already holds is a re-delivery or an
             # UPDATE of that document — it merges directly and must not
             # be near-dup-gated (it would match its own prior version)
-            known = existing.select(self.id_col).distinct()
+            known = self._known_ids(existing, batch)
             fresh = survivors.join(known, self.id_col, "left_anti")
             prev_index = self.band_index.read() \
                 if self.band_index is not None else None
@@ -243,6 +269,9 @@ class DedupIngestJob:
             accepted_fresh = fresh.join(dup_ids, self.id_col, "left_anti")
             updates = survivors.join(known, self.id_col, "left_semi")
             survivors = updates.unionByName(accepted_fresh)
+        if self.corpus.partition_col == "idp":
+            survivors = survivors.withColumn(
+                "idp", id_partition(F.col(self.id_col), self.idp_parts))
         # one materialization of the survivor plan: counters and the
         # corpus/index merges all read the checkpointed result instead
         # of re-running the LSH joins (3× in the pre-r6 shape)

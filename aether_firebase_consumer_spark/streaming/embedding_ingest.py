@@ -74,6 +74,14 @@ class EmbeddingIngestJob:
                 "band_long_index must be partitioned by 'bkp' — an "
                 "unpartitioned long index re-scans the whole table per "
                 "trigger, the exact I/O shape it exists to avoid")
+        if corpus.partition_col not in (None, "idp"):
+            raise ValueError(
+                "corpus must be unpartitioned or partitioned by 'idp' "
+                "(id_partition of the id column): the probe prunes its "
+                "embedding fetch and the known-id check by idp")
+        if corpus.partition_col == "idp" and idp_parts is None:
+            raise ValueError(
+                "corpus is idp-partitioned but idp_parts is unset")
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
@@ -98,6 +106,24 @@ class EmbeddingIngestJob:
             best.select(F.col(loser_col).alias(self.id_col),
                         F.col(winner_col).alias("dup_of"), "cos_sim",
                         F.lit(epoch_id).alias("epoch")))
+
+    def _known_ids(self, existing: DataFrame,
+                   batch: DataFrame) -> DataFrame:
+        """Corpus ids the batch could collide with. With an
+        idp-partitioned corpus the scan prunes to the BATCH's own id
+        partitions (a batch id can only be 'known' at
+        idp=id_partition(id), the pure function its merge stamped) —
+        per-trigger known-check I/O ∝ batch, not corpus (round 9)."""
+        src = existing
+        if self.corpus.partition_col == "idp" \
+                and "idp" in existing.columns:
+            batch_idps = [r[0] for r in batch
+                          .select(id_partition(F.col(self.id_col),
+                                               self.idp_parts)
+                                  .alias("p"))
+                          .distinct().collect()]  # ≤ idp_parts values
+            src = existing.filter(F.col("idp").isin(batch_idps))
+        return src.select(self.id_col).distinct()
 
     def _recompute_pairs(self, existing: DataFrame,
                          fresh: DataFrame) -> DataFrame:
@@ -126,7 +152,7 @@ class EmbeddingIngestJob:
         had_index = False
         had_long = False
         if existing is not None:
-            known = existing.select(self.id_col).distinct()
+            known = self._known_ids(existing, batch)
             fresh = survivors.join(known, self.id_col, "left_anti")
             index = self.band_index.read() \
                 if self.band_index is not None else None
@@ -161,11 +187,9 @@ class EmbeddingIngestJob:
         self.stats["rejected"] += n_in - n_kept
         merged = survivors
         if self.corpus.partition_col == "idp":
-            # idp-partitioned corpus: the probe's embedding fetch can
-            # prune to candidate partitions (pass idp_parts)
-            if self.idp_parts is None:
-                raise ValueError("corpus is idp-partitioned but "
-                                 "idp_parts is unset")
+            # idp-partitioned corpus: the probe's embedding fetch and
+            # the known-id check prune to bounded partition lists
+            # (validated in __init__: idp_parts is set)
             merged = survivors.withColumn(
                 "idp", id_partition(F.col(self.id_col), self.idp_parts))
         self.corpus.merge(merged)

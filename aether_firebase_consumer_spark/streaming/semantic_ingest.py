@@ -16,9 +16,13 @@ index row at ingest time, and each batch probes ONLY the partitions
 its own clusters map to (a driver-side bounded IN-filter over ≤
 ``n_parts`` values → parquet PartitionFilters), fetching embeddings
 per-candidate from the corpus — per-batch compute AND I/O stay ∝ batch
-size, never ∝ corpus. Without an index the job recomputes corpus
-assignments per batch (correct, simple); rejection semantics are
-identical across both paths and test-pinned.
+size, never ∝ corpus. With the corpus table itself partitioned by
+``idp`` (``id_partition`` of the id column — the full 100 TB shape,
+round 9), the embedding fetch AND the known-id check are partition-
+pruned the same way: candidates' / the batch's own id partitions only,
+both bounded driver-side lists. Without an index the job recomputes
+corpus assignments per batch (correct, simple); rejection semantics
+are identical across all paths and test-pinned.
 
 One deliberate divergence from the batch query: the batch SemDeDup
 derives the subcluster modulus from the CURRENT cluster size
@@ -29,7 +33,10 @@ index would go stale. The streaming job fixes the modulus per job
 (id, embedding) forever and index rows are immutable under MERGE.
 Size ``n_sub`` to the expected peak cluster population / 512 — same
 bounded-comparisons guarantee, declared up front instead of adapted
-per trigger (the standard streaming determinism trade).
+per trigger (the standard streaming determinism trade). A corpus that
+outgrows its declared modulus migrates via :meth:`SemanticIngestJob.
+reshard` — a batch rebuild (read corpus → recompute cells at the new
+``n_sub`` → one atomic index version swap), run between triggers.
 """
 
 from __future__ import annotations
@@ -41,7 +48,10 @@ from aether_firebase_consumer_spark.functions.vectors import (
     cosine,
     ivf_cell,
 )
-from aether_firebase_consumer_spark.operators.dedup import portable_hash60
+from aether_firebase_consumer_spark.operators.dedup import (
+    id_partition,
+    portable_hash60,
+)
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 
 
@@ -63,13 +73,19 @@ class SemanticIngestJob:
                  centroids: list[list[float]] | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  threshold: float = 0.35,
-                 n_sub: int = 4, n_parts: int = 16) -> None:
+                 n_sub: int = 4, n_parts: int = 16,
+                 idp_parts: int = 8) -> None:
         if cluster_index is not None \
                 and cluster_index.partition_col != "cp":
             raise ValueError(
                 "cluster_index must be partitioned by 'cp' — an "
                 "unpartitioned index re-scans the whole table per "
                 "trigger, the exact I/O shape it exists to avoid")
+        if corpus.partition_col not in (None, "idp"):
+            raise ValueError(
+                "corpus must be unpartitioned or partitioned by 'idp' "
+                "(id_partition of the id column): the probe prunes its "
+                "embedding fetch and the known-id check by idp")
         if centroids is None:
             from aether_firebase_consumer_spark.plans.clustering_queries \
                 import _KM_INIT
@@ -82,8 +98,17 @@ class SemanticIngestJob:
         self.id_col, self.vec_col = id_col, vec_col
         self.threshold = threshold
         self.n_sub, self.n_parts = n_sub, n_parts
+        self.idp_parts = idp_parts
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+
+    @property
+    def _corpus_pruned(self) -> bool:
+        return self.corpus.partition_col == "idp"
+
+    def _with_idp(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "idp", id_partition(F.col(self.id_col), self.idp_parts))
 
     # -- cell assignment -----------------------------------------------
 
@@ -135,11 +160,20 @@ class SemanticIngestJob:
                 .select("id_a", "id_b", "cos_sim"))
 
     def _probe_pairs(self, index: DataFrame, existing: DataFrame,
-                     fresh_assigned: DataFrame) -> DataFrame:
+                     fresh_assigned: DataFrame,
+                     materialize: bool = True) -> DataFrame:
         """(old_id, new_id, cos_sim) of cross-batch semantic matches:
         index rows in the batch's cells (cp IN-filter → partition
         pruning) joined on (cluster, sub), embeddings fetched
-        per-candidate (column-pruned semi-join against the corpus)."""
+        per-candidate (column-pruned semi-join against the corpus;
+        additionally PARTITION-pruned to the candidates' idp values
+        when the corpus table is idp-partitioned — exact, because a
+        corpus row for old_id can only live at idp=id_partition(old_id),
+        the value its merge computed from the same pure function).
+
+        ``materialize=False`` keeps the lazy lineage (pruned scans
+        visible to plan tests) at the cost of re-deriving the
+        twice-referenced candidate frame."""
         cps = [r["cp"] for r in
                fresh_assigned.select("cp").distinct().collect()]
         if not cps:
@@ -153,6 +187,18 @@ class SemanticIngestJob:
                     F.col(self.vec_col).alias("v_new"),
                     "cluster", "sub"),
                     ["cluster", "sub"]))
+        if "idp" in existing.columns:
+            if materialize:
+                # referenced twice below (idp collect + verify join)
+                cand = cand.localCheckpoint()
+            idps = [r[0] for r in cand
+                    .select(id_partition(F.col("old_id"),
+                                         self.idp_parts).alias("p"))
+                    .distinct().collect()]  # bounded by idp_parts
+            if not idps:
+                return fresh_assigned.sparkSession.createDataFrame(
+                    [], "old_id bigint, new_id bigint, cos_sim double")
+            existing = existing.filter(F.col("idp").isin(idps))
         old_vecs = (existing
                     .select(F.col(self.id_col).alias("old_id"),
                             F.col(self.vec_col).alias("v_old"))
@@ -178,7 +224,17 @@ class SemanticIngestJob:
         existing = self.corpus.read()
         had_index = False
         if existing is not None:
-            known = existing.select(self.id_col).distinct()
+            known_src = existing
+            if self._corpus_pruned:
+                # a batch id can only be "known" in its own idp
+                # partition (pure function of the id), so the known-id
+                # scan prunes to the batch's partitions — I/O ∝ batch,
+                # not corpus, like everything else in this handler
+                batch_idps = [r[0] for r in self._with_idp(batch)
+                              .select("idp").distinct().collect()]
+                known_src = existing.filter(
+                    F.col("idp").isin(batch_idps))
+            known = known_src.select(self.id_col).distinct()
             fresh = survivors.join(known, self.id_col, "left_anti")
             index = self.cluster_index.read() \
                 if self.cluster_index is not None else None
@@ -197,6 +253,8 @@ class SemanticIngestJob:
                                         "left_anti")
             updates = survivors.join(known, self.id_col, "left_semi")
             survivors = updates.unionByName(accepted_fresh)
+        if self._corpus_pruned:
+            survivors = self._with_idp(survivors)
         # one materialization: counters + all merges read this result
         survivors = survivors.localCheckpoint()
         n_in = batch.count()
@@ -211,6 +269,36 @@ class SemanticIngestJob:
             # one row per vector keyed [id_col]: MERGE alone replaces
             # a re-embedded vector's cell exactly
             self.cluster_index.merge(self.index_rows(src))
+
+    # -- maintenance ------------------------------------------------------
+
+    def reshard(self, new_n_sub: int) -> None:
+        """Migrate the job to a new subcluster modulus — the batch
+        rebuild that closes the fixed-``n_sub`` trade's only gap (a
+        corpus that outgrows its declared modulus; see the module
+        docstring): recompute every corpus vector's cell at
+        ``new_n_sub`` and swap the persisted index to it ATOMICALLY
+        (one :meth:`~..sinks.upsert.ParquetUpsertTable.replace`
+        version commit — a concurrent reader sees the old index or the
+        new one, never a mix of moduli). Subsequent batches assign and
+        probe at the new modulus.
+
+        Cost: one full corpus scan + index rewrite — a scheduled batch
+        maintenance job, not a per-trigger cost (``cp`` depends only on
+        the cluster, so even the partition LAYOUT is unchanged; only
+        the ``sub`` values move). Run it between triggers: the handler
+        reads the index once per batch, so a swap mid-stream is safe at
+        batch boundaries but the modulus used to ASSIGN a batch must
+        match the index it probes."""
+        if new_n_sub < 1:
+            raise ValueError("n_sub must be >= 1")
+        self.n_sub = new_n_sub
+        if self.cluster_index is None:
+            return  # recompute path: the new modulus simply applies
+        corpus = self.corpus.read()
+        if corpus is None or self.cluster_index.read() is None:
+            return  # nothing persisted yet — next batch builds fresh
+        self.cluster_index.replace(self.index_rows(corpus))
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

@@ -10,6 +10,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.001"  # tests use the tiny SF for speed
 
+# Heavy families auto-marked `slow` (round 9: the full suite crossed
+# 16 min; the per-commit tax needed a tier). Measured file totals from
+# the round-9 full run justify each entry — kafka e2e, codec goldens,
+# streaming/ingest choreography, the oracle + physical-plan sweeps,
+# and hypothesis property tests. Fast tier: `-m "not slow"` (~2 min);
+# the FULL suite stays the pre-commit gate for changes touching any
+# slow family (run that family's file directly while iterating).
+SLOW_MODULES = frozenset({
+    # streaming / ingest choreography
+    "test_streaming", "test_dedup_ingest", "test_dedup_pruned_index",
+    "test_embedding_ingest", "test_semantic_ingest",
+    "test_rollup_stream_joins", "test_stateful_v2",
+    # kafka e2e (wire broker round-trips, group membership, txns)
+    "test_kafka_py", "test_kafka_group", "test_kafka_transactions",
+    "test_kafka_security", "test_kafka_real_broker",
+    "test_avro_pipeline_e2e",
+    # codec goldens (spec bitstreams + CLI-golden round trips)
+    "test_zstd_py", "test_lz4_py", "test_snappy_py",
+    "test_webp_codec", "test_jpeg_codec", "test_image_codecs",
+    "test_mp4_codec", "test_mpeg_audio", "test_avro_codec",
+    "test_sources_multimodal",
+    # registry-wide sweeps + property tests
+    "test_queries_oracle", "test_physical_plans", "test_property",
+    "test_clustering",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        if mod.removesuffix(".py") in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

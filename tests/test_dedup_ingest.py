@@ -374,3 +374,84 @@ def test_dedup_ingest_under_job_manager_lifecycle(spark, tmp_path):
     got = {(r.doc_id, tuple(r.band_keys))
            for r in idx.read().collect()}
     assert got == want
+
+
+def test_idp_corpus_job_matches_plain(spark, tmp_path):
+    """Round 9: with the corpus table itself idp-partitioned, the
+    known-id check prunes to the batch's own partitions — and the job
+    still reproduces the plain-corpus recompute path exactly (corpus,
+    rejects, counters) across in-batch dups, cross-batch dups, updates,
+    and a tombstone."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+
+    (a := tmp_path / "a").mkdir()
+    (b := tmp_path / "b").mkdir()
+    corp_p = ParquetUpsertTable(spark, str(a / "corpus"), ["doc_id"],
+                                partition_col="idp")
+    rej_p = ParquetUpsertTable(spark, str(a / "rej"), ["doc_id"])
+    job_p = DedupIngestJob(spark, corp_p, rej_p, idp_parts=8)
+    corp_r = ParquetUpsertTable(spark, str(b / "corpus"), ["doc_id"])
+    rej_r = ParquetUpsertTable(spark, str(b / "rej"), ["doc_id"])
+    job_r = DedupIngestJob(spark, corp_r, rej_r)
+
+    batches = [
+        [(1, D1), (2, D2), (3, D1_NEAR)],
+        [(4, D2_NEAR), (5, D5)],
+        [(5, D5 + " rev"), (6, D5 + " extra")],
+        [(2, ""), (9, D2_NEAR)],
+    ]
+    for n, rows in enumerate(batches):
+        bdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+        job_p.process_batch(bdf, n)
+        job_r.process_batch(bdf, n)
+
+    def snap(t):
+        return sorted((r.doc_id, r.text) for r in t.read().collect())
+
+    assert snap(corp_p) == snap(corp_r)
+    assert {(r.doc_id, r.dup_of) for r in rej_p.read().collect()} \
+        == {(r.doc_id, r.dup_of) for r in rej_r.read().collect()}
+    assert job_p.stats == job_r.stats
+    # every corpus row sits in the partition its id hashes to
+    assert corp_p.read().filter(
+        F.col("idp") != id_partition(F.col("doc_id"), 8)).count() == 0
+
+
+def test_known_check_plan_prunes_corpus_partitions(spark, tmp_path):
+    """The known-id scan carries real parquet PartitionFilters on idp
+    — per-trigger known-check I/O is bounded by the batch's own id
+    partitions, not the corpus."""
+    import re
+
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"],
+                                partition_col="idp")
+    job = DedupIngestJob(spark, corpus, idp_parts=8)
+    # mutually NON-near-dup seed docs (id-salted word streams), so all
+    # 20 survive the in-batch gate and land in the corpus
+    job.process_batch(spark.createDataFrame(
+        [(i, _mk_doc(i)) for i in range(20)],
+        "doc_id bigint, text string"), 0)
+    batch = spark.createDataFrame([(3, _mk_doc(3)), (100, D5)],
+                                  "doc_id bigint, text string")
+    known = job._known_ids(corpus.read(), batch)
+    plan = known._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*idp[^\]]*)\]", plan)
+    assert pf and all(re.search(r"#\d+L? (=|IN|INSET)", f)
+                      for f in pf), plan
+    # and it still finds exactly the known ids of the batch
+    assert {r.doc_id for r in known
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .collect()} == {3}
+
+
+def test_idp_corpus_requires_idp_parts(spark, tmp_path):
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["doc_id"],
+                                partition_col="idp")
+    with pytest.raises(ValueError, match="idp_parts is unset"):
+        DedupIngestJob(spark, corpus)
+    weird = ParquetUpsertTable(spark, str(tmp_path / "w"), ["doc_id"],
+                               partition_col="other")
+    with pytest.raises(ValueError, match="unpartitioned or partitioned"):
+        DedupIngestJob(spark, weird)

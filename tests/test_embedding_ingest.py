@@ -344,3 +344,25 @@ def test_embedding_ingest_under_job_manager_lifecycle(spark, tmp_path):
                           .select("vec_id", "bi", "bk", "bkp")
                           .collect()))
     assert got_long == want_long
+
+
+def test_known_check_plan_prunes_corpus_partitions(spark, tmp_path):
+    """Round 9: with the idp-partitioned corpus, the known-id scan
+    carries real PartitionFilters on idp (batch partitions only)."""
+    import re
+
+    corpus = ParquetUpsertTable(spark, str(tmp_path / "c"), ["vec_id"],
+                                partition_col="idp")
+    job = EmbeddingIngestJob(spark, corpus, threshold=0.9,
+                             bands=BANDS16, idp_parts=IDP_PARTS)
+    job.process_batch(_df(spark, [(i, _vec(i))
+                                  for i in range(1, 20)]), 0)
+    batch = _df(spark, [(3, _vec(3)), (100, _vec(100))])
+    known = job._known_ids(corpus.read(), batch)
+    plan = known._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*idp[^\]]*)\]", plan)
+    assert pf and all(re.search(r"#\d+L? (=|IN|INSET)", f)
+                      for f in pf), plan
+    assert {r.vec_id for r in known
+            .join(batch.select("vec_id"), "vec_id", "left_semi")
+            .collect()} == {3}

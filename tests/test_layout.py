@@ -142,3 +142,36 @@ def test_upsert_table_optimize_zorder(spark, tmp_path):
         assert widths(vdir, col) < 0.7 * widths(pdir, col), col
     # pre-optimize version still readable (time travel)
     assert t.read_version(v_before).count() == ev.count()
+
+
+def test_upsert_table_replace_atomic(spark, tmp_path):
+    """replace(): full-table rebuild as ONE new version — absent keys
+    drop (merge can't do that), the previous version survives for
+    concurrent readers, and an empty replace refuses loudly instead of
+    writing an unreadable all-empty version."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           partition_col="p")
+    t.merge(spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")], "k int, v int, p string"))
+    v0 = t.current_version()
+    t.replace(spark.createDataFrame(
+        [(2, 99, "b"), (9, 90, "c")], "k int, v int, p string"))
+    assert t.current_version() == v0 + 1
+    assert os.path.isdir(t._data_dir(v0))  # old version retained
+    got = sorted(map(tuple, t.read().select("k", "v", "p").collect()))
+    assert got == [(2, 99, "b"), (9, 90, "c")]  # keys 1,3 dropped
+    # keys deduplicate like merge
+    t.replace(spark.createDataFrame(
+        [(5, 1, "x"), (5, 2, "x")], "k int, v int, p string"))
+    assert t.read().count() == 1
+    with pytest.raises(ValueError, match="empty"):
+        t.replace(t.read().filter(F.lit(False)))

@@ -40,15 +40,18 @@ def _df(spark, rows):
         rows, "vec_id bigint, embedding array<double>")
 
 
-def _mk_job(spark, root, with_index: bool, n_sub: int = 1):
+def _mk_job(spark, root, with_index: bool, n_sub: int = 1,
+            corpus_idp: bool = False):
     root.mkdir()
-    corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"])
+    corpus = ParquetUpsertTable(
+        spark, str(root / "c"), ["vec_id"],
+        partition_col="idp" if corpus_idp else None)
     rejects = ParquetUpsertTable(spark, str(root / "r"), ["vec_id"])
     idx = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"],
                              partition_col="cp") if with_index else None
     return SemanticIngestJob(spark, corpus, rejects, cluster_index=idx,
                              centroids=CENTS, threshold=0.9,
-                             n_sub=n_sub, n_parts=4)
+                             n_sub=n_sub, n_parts=4, idp_parts=8)
 
 
 def test_index_requires_cp_partitioning(spark, tmp_path):
@@ -207,6 +210,137 @@ def test_semantic_ingest_under_job_manager_lifecycle(spark, tmp_path):
     assert got == want
 
 
+def _corpus_snap(table):
+    return sorted((r.vec_id, tuple(r.embedding))
+                  for r in table.read().collect())
+
+
+def test_corpus_idp_partitioned_matches_plain(spark, tmp_path):
+    """The idp-partitioned corpus (round 9: partition-pruned embedding
+    fetch + known-id check) accepts/rejects identically to the plain
+    corpus across in-batch dups, cross-batch dups, and updates."""
+    jp = _mk_job(spark, tmp_path / "jp", with_index=True,
+                 corpus_idp=True)
+    jr = _mk_job(spark, tmp_path / "jr", with_index=False)
+    v1, v2, v5 = _vec(1), _vec(2), _vec(5)
+    batches = [
+        [(1, v1), (2, v2), (3, _near(v1, "n3"))],
+        [(4, _near(v2, "n4")), (5, v5), (6, _vec(6))],
+        [(5, _vec(55)), (7, _near(_vec(55), "n7"))],
+        [(8, _near(v5, "n8"))],
+    ]
+    for n, rows in enumerate(batches):
+        jp.process_batch(_df(spark, rows), n)
+        jr.process_batch(_df(spark, rows), n)
+    assert _corpus_snap(jp.corpus) == _corpus_snap(jr.corpus)
+    assert {(r.vec_id, r.dup_of) for r in jp.rejects.read().collect()} \
+        == {(r.vec_id, r.dup_of) for r in jr.rejects.read().collect()}
+    assert jp.stats == jr.stats
+    # every corpus row sits in the partition its id hashes to
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+    bad = jp.corpus.read().filter(
+        F.col("idp") != id_partition(F.col("vec_id"), 8))
+    assert bad.count() == 0
+
+
+def test_probe_prunes_corpus_partitions(spark, tmp_path):
+    """With an idp-partitioned corpus, the probe's embedding-fetch scan
+    carries real PartitionFilters on idp — candidate partitions only."""
+    import re
+    job = _mk_job(spark, tmp_path / "j", with_index=True,
+                  corpus_idp=True)
+    job.process_batch(_df(spark, [(i, _vec(i))
+                                  for i in range(1, 9)]), 0)
+    index = job.cluster_index.read()
+    existing = job.corpus.read()
+    # probe a near-dup so a candidate (hence an idp filter) exists
+    fresh = job._assign(_df(spark, [(100, _near(_vec(3), "p"))]))
+    pairs = job._probe_pairs(index, existing, fresh, materialize=False)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    idp_f = re.findall(r"PartitionFilters: \[([^\]]*idp[^\]]*)\]", plan)
+    assert idp_f and all(re.search(r"#\d+L? (=|IN|INSET)", f)
+                         for f in idp_f), plan
+
+
+def test_reshard_matches_recompute_path(spark, tmp_path):
+    """VERDICT r9 #5 done-criterion: after reshard(new_n_sub), the
+    indexed job's probe decisions equal the recompute path's at the
+    same modulus — across batches before AND after the migration."""
+    ji = _mk_job(spark, tmp_path / "ji", with_index=True, n_sub=1)
+    jr = _mk_job(spark, tmp_path / "jr", with_index=False, n_sub=1)
+    v = _vec(1)
+    pre = [
+        [(i, _vec(i)) for i in range(1, 8)],
+        [(8, _near(v, "n8")), (9, _vec(9))],
+    ]
+    for n, rows in enumerate(pre):
+        ji.process_batch(_df(spark, rows), n)
+        jr.process_batch(_df(spark, rows), n)
+    ji.reshard(3)
+    # the recompute twin has no persisted state: its "reshard" is just
+    # the new modulus taking effect
+    jr.n_sub = 3
+    # post-reshard batches include identical vectors that now split
+    # across subclusters (accepted) or share a cell (rejected) — the
+    # exact behavior that diverges if index and assignment moduli
+    # disagree
+    post = [
+        [(i, v) for i in range(20, 40)],
+        [(50, _near(_vec(9), "n50")), (51, _vec(51))],
+    ]
+    for n, rows in enumerate(post, start=len(pre)):
+        ji.process_batch(_df(spark, rows), n)
+        jr.process_batch(_df(spark, rows), n)
+    assert _corpus_snap(ji.corpus) == _corpus_snap(jr.corpus)
+    assert {(r.vec_id, r.dup_of) for r in ji.rejects.read().collect()} \
+        == {(r.vec_id, r.dup_of) for r in jr.rejects.read().collect()}
+    assert ji.stats == jr.stats
+
+
+def test_reshard_is_one_atomic_swap_and_exact(spark, tmp_path):
+    """reshard = exactly ONE new index version (the atomic pointer
+    swap), bit-identical to a from-scratch assignment of the corpus at
+    the new modulus, with the previous version retained on disk for
+    concurrent readers; the partition LAYOUT is unchanged (cp doesn't
+    depend on n_sub)."""
+    import os
+    job = _mk_job(spark, tmp_path / "j", with_index=True, n_sub=1)
+    job.process_batch(_df(spark, [(i, _vec(i))
+                                  for i in range(1, 12)]), 0)
+    idx = job.cluster_index
+    v0 = idx.current_version()
+    before_dirs = sorted(d for d in os.listdir(idx._data_dir(v0))
+                         if d.startswith("cp="))
+    job.reshard(4)
+    assert job.n_sub == 4
+    assert idx.current_version() == v0 + 1
+    assert os.path.isdir(idx._data_dir(v0))  # old version retained
+    after_dirs = sorted(d for d in os.listdir(idx._data_dir(v0 + 1))
+                        if d.startswith("cp="))
+    assert after_dirs == before_dirs
+    got = {(r.vec_id, r.cluster, r.sub, r.cp)
+           for r in idx.read().collect()}
+    want = {(r.vec_id, r.cluster, r.sub, r.cp)
+            for r in job.index_rows(job.corpus.read()).collect()}
+    assert got == want
+    # the rebuilt index really is at the new modulus: with 11 vectors
+    # and n_sub=4, at least one sub value outside {0} exists
+    assert {r.sub for r in idx.read().collect()} - {0}
+
+
+def test_reshard_without_persisted_state_is_modulus_only(spark,
+                                                         tmp_path):
+    job = _mk_job(spark, tmp_path / "j", with_index=True, n_sub=1)
+    job.reshard(2)          # empty corpus + empty index: no version
+    assert job.n_sub == 2
+    assert job.cluster_index.current_version() == -1
+    jr = _mk_job(spark, tmp_path / "jr", with_index=False, n_sub=1)
+    jr.reshard(5)
+    assert jr.n_sub == 5
+
+
 def test_fixed_subcluster_modulus_bounds_comparisons(spark, tmp_path):
     """The declared streaming trade: with n_sub > 1, vectors compare
     ONLY within their (cluster, sub) cell — an identical vector in a
@@ -225,3 +359,88 @@ def test_fixed_subcluster_modulus_bounds_comparisons(spark, tmp_path):
     job.process_batch(_df(spark, [(same[0], v), (diff[0], v)]), 1)
     ids = {r.vec_id for r in job.corpus.read().collect()}
     assert diff[0] in ids and same[0] not in ids
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def test_semantic_probe_io_flat_while_corpus_grows(spark, tmp_path):
+    """The measured 100 TB claim for the semantic job (VERDICT r9 #4,
+    mirroring the band-index twin's choreography): grow the corpus over
+    5 batches whose vectors land OUTSIDE the probe's partitions — other
+    clusters (index cp dirs) and other id hashes (corpus idp dirs) —
+    then assert the bytes held by the partitions a probe actually reads
+    (its cp dirs on the index; the candidate's and its own idp dirs on
+    the corpus) stay CONSTANT while both tables grow."""
+    import os
+
+    job = _mk_job(spark, tmp_path / "j", with_index=True,
+                  corpus_idp=True)
+    probe_vec = _vec(9999)
+    probe_id = 1000
+    probe = _df(spark, [(probe_id, probe_vec)])
+    pa = job._with_idp(job._assign(probe)).collect()[0]
+    probe_cp, probe_idp = pa["cp"], pa["idp"]
+
+    # seed a planted near-dup so every probe has a real match to find
+    seed_id = 7
+    seed = _df(spark, [(seed_id, _near(probe_vec, "seed"))])
+    sa = job._with_idp(job._assign(seed)).collect()[0]
+    assert sa["cp"] == probe_cp  # near-dup shares the cluster
+    job.process_batch(seed, 0)
+
+    # filler pool: vectors in OTHER clusters whose ids hash to OTHER
+    # idp partitions — rejected driver-side by the same pure functions
+    # the job partitions with, so growth lands elsewhere by construction
+    pool = _df(spark, [(3000 + i, _vec(3000 + i)) for i in range(400)])
+    ok = [(r["vec_id"], r[job.vec_col])
+          for r in job._with_idp(job._assign(pool)).collect()
+          if r["cp"] != probe_cp
+          and r["idp"] not in (probe_idp, sa["idp"])]
+    assert len(ok) >= 200, f"pool too selective: {len(ok)}"
+
+    def probed_bytes() -> int:
+        cdir = job.corpus._data_dir(job.corpus.current_version())
+        idir = job.cluster_index._data_dir(
+            job.cluster_index.current_version())
+        total = 0
+        for d in (os.path.join(idir, f"cp={probe_cp}"),
+                  os.path.join(cdir, f"idp={probe_idp}"),
+                  os.path.join(cdir, f"idp={sa['idp']}")):
+            if os.path.isdir(d):
+                total += _dir_bytes(d)
+        return total
+
+    def table_bytes() -> int:
+        return (_dir_bytes(job.corpus._data_dir(
+                    job.corpus.current_version()))
+                + _dir_bytes(job.cluster_index._data_dir(
+                    job.cluster_index.current_version())))
+
+    base = probed_bytes()
+    sizes, totals = [], []
+    for b in range(5):
+        fillers = _df(spark, ok[b * 40:(b + 1) * 40])
+        job.process_batch(fillers, 1 + 2 * b)
+        # the probe: same id, same vector, every round — rejected
+        # against the seed via the pruned index + pruned fetch
+        job.process_batch(probe, 2 + 2 * b)
+        rej = {(r.vec_id, r.dup_of)
+               for r in job.rejects.read().collect()}
+        assert (probe_id, seed_id) in rej
+        assert probe_id not in {
+            r.vec_id for r in job.corpus.read().collect()}
+        sizes.append(probed_bytes())
+        totals.append(table_bytes())
+
+    # probed-partition bytes: FLAT across all 5 growth rounds
+    assert set(sizes) == {base}, (base, sizes)
+    # while the tables themselves genuinely grew every round
+    assert all(b > a for a, b in zip(totals, totals[1:])), totals
+    assert totals[0] > base
