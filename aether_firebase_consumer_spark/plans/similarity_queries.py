@@ -882,9 +882,95 @@ _IVFADC_ADC_SQL = " + ".join(
     for s in range(_PQ_M))
 
 
-@register(
-    "similarity_ann_ivfadc",
-    oracle=f"""
+# -- IVFADC decomposed: the three reusable stages ------------------------
+#
+# The batch query below, the persisted-index variant after it, and the
+# streaming AnnIndexJob (streaming/ann_ingest.py) all run EXACTLY these
+# frames — same fold arithmetic, same tie-breaks — which is what lets
+# all three carry the same DuckDB oracle / equivalence tests.
+
+def ivfadc_code_rows(df: DataFrame, cents: list[list[float]],
+                     books: list[list[list[float]]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_parts: int | None = None) -> DataFrame:
+    """Inverted-file rows ``(id_col, cell, codes[, cp])``: coarse IVF
+    cell + PQ codes of the residual v − c_cell. With ``n_parts``, adds
+    the hash-partition column ``cp = cell % n_parts`` for a persisted,
+    partition-prunable codes table."""
+    cents64 = lit_double_matrix([[float(v) for v in c] for c in cents])
+    assigned = df.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+    res = F.zip_with(F.col(vec_col),
+                     F.element_at(cents64, F.col("cell")),
+                     lambda x, c: x.cast("double") - c)
+    out = assigned.select(F.col(id_col), "cell",
+                          pq_codes(res, books).alias("codes"))
+    if n_parts is not None:
+        out = out.withColumn("cp", F.pmod(F.col("cell"),
+                                          F.lit(n_parts)).cast("int"))
+    return out
+
+
+def ivfadc_query_frame(queries: DataFrame, cents: list[list[float]],
+                       books: list[list[list[float]]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Query-side frame ``(query_id, cell, qcs, lut)``, one row per
+    probed cell (nprobe=2 via :func:`ivf_cells_top2`): the q·cᵢ array
+    and the flattened ADC LUT are computed ONCE per query."""
+    return (queries
+            .withColumn("cell", F.explode(
+                ivf_cells_top2(F.col(vec_col), cents)))
+            .select(F.col(id_col).alias("query_id"), "cell",
+                    _dot_all(F.col(vec_col), cents).alias("qcs"),
+                    pq_lut(F.col(vec_col), books).alias("lut")))
+
+
+def ivfadc_shortlist(inv: DataFrame, q: DataFrame,
+                     books: list[list[list[float]]],
+                     shortlist: int = 50,
+                     id_col: str = "vec_id") -> DataFrame:
+    """ADC-scored candidate shortlist ``(query_id, neighbor_id)``:
+    equi-join on cell (query side broadcast), score
+    q·c_cell + Σ_s lut[s][code_s], keep the top ``shortlist`` per
+    query (ties to the smaller neighbor id). Self-matches drop."""
+    from pyspark.sql import Window as W
+
+    m, k = len(books), len(books[0])
+    adc = (inv.select(F.col(id_col).alias("neighbor_id"), "cell",
+                      "codes")
+           .join(F.broadcast(q), "cell")
+           .filter(F.col("neighbor_id") != F.col("query_id"))
+           .select("query_id", "neighbor_id",
+                   (F.element_at(F.col("qcs"), F.col("cell"))
+                    + pq_adc_score(F.col("lut"), F.col("codes"),
+                                   m, k)).alias("qscore")))
+    w_s = W.partitionBy("query_id").orderBy(F.desc("qscore"),
+                                            "neighbor_id")
+    return (adc.withColumn("qrn", F.row_number().over(w_s))
+            .filter(F.col("qrn") <= shortlist).drop("qscore", "qrn"))
+
+
+def ivfadc_rerank(shortlist: DataFrame, q_emb: DataFrame,
+                  n_emb: DataFrame, topk: int = 5) -> DataFrame:
+    """Exact-cosine re-rank of the shortlist, top-k per query.
+    ``q_emb``: (query_id, q_emb) — broadcast (queries are few);
+    ``n_emb``: (neighbor_id, n_emb) — only shortlisted rows are read,
+    so a partition-pruned corpus fetch slots in here unchanged."""
+    from pyspark.sql import Window as W
+
+    w_r = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                            "neighbor_id")
+    return (shortlist.join(F.broadcast(q_emb), "query_id")
+            .join(n_emb, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    .alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w_r))
+            .filter(F.col("rn") <= topk).drop("rn"))
+
+
+_IVFADC_ORACLE = f"""
     WITH scored AS (
       SELECT vec_id, embedding, {_scores_sql('embeddings')} AS s
       FROM embeddings
@@ -934,8 +1020,10 @@ _IVFADC_ADC_SQL = " + ".join(
       WHERE s.qrn <= 50
     )
     SELECT query_id, neighbor_id, cos_sim FROM rerank WHERE rn <= 5
-    """,
-)
+    """
+
+
+@register("similarity_ann_ivfadc", oracle=_IVFADC_ORACLE)
 def similarity_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the composed production ANN recipe (public structure
     from Jégou/Douze/Schmid's PQ paper): coarse IVF assigns each
@@ -952,47 +1040,64 @@ def similarity_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 8 bytes + cell id; the query side (LUT + q·c array, 5 rows)
     broadcasts. Residual encoding is what makes shared codebooks
     accurate across cells — the same reason production FAISS-style
-    deployments encode residuals."""
-    from pyspark.sql import Window as W
-
+    deployments encode residuals. Composed from the shared stage
+    helpers above (round 9), so this, the persisted-index variant,
+    and the streaming AnnIndexJob are the same arithmetic."""
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
-    cents64 = lit_double_matrix([[float(v) for v in c] for c in _CENTS])
-    assigned = emb.withColumn("cell", ivf_cell(F.col("embedding"), _CENTS))
-    res = F.zip_with(F.col("embedding"),
-                     F.element_at(cents64, F.col("cell")),
-                     lambda x, c: x.cast("double") - c)
-    inv = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), "cell",
-        pq_codes(res, _PQ_BOOKS).alias("codes"))
-    q = (emb.filter(F.col("vec_id") < 5)
-         .withColumn("cell", F.explode(
-             ivf_cells_top2(F.col("embedding"), _CENTS)))
-         .select(F.col("vec_id").alias("query_id"), "cell",
-                 _dot_all(F.col("embedding"), _CENTS).alias("qcs"),
-                 pq_lut(F.col("embedding"), _PQ_BOOKS).alias("lut")))
-    adc = (inv.join(F.broadcast(q), "cell")
-           .filter(F.col("neighbor_id") != F.col("query_id"))
-           .select("query_id", "neighbor_id",
-                   (F.element_at(F.col("qcs"), F.col("cell"))
-                    + pq_adc_score(F.col("lut"), F.col("codes"),
-                                   _PQ_M, _PQ_K)).alias("qscore")))
-    w_s = W.partitionBy("query_id").orderBy(F.desc("qscore"),
-                                            "neighbor_id")
-    shortlist = (adc.withColumn("qrn", F.row_number().over(w_s))
-                 .filter(F.col("qrn") <= 50).drop("qscore", "qrn"))
+    inv = ivfadc_code_rows(emb, _CENTS, _PQ_BOOKS)
+    q = ivfadc_query_frame(emb.filter(F.col("vec_id") < 5),
+                           _CENTS, _PQ_BOOKS)
+    shortlist = ivfadc_shortlist(inv, q, _PQ_BOOKS, shortlist=50)
     emb_q = emb.select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"))
     emb_n = emb.select(F.col("vec_id").alias("neighbor_id"),
                        F.col("embedding").alias("n_emb"))
-    w_r = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                            "neighbor_id")
-    return (shortlist.join(F.broadcast(emb_q), "query_id")
-            .join(emb_n, "neighbor_id")
-            .select("query_id", "neighbor_id",
-                    cosine(F.col("q_emb"), F.col("n_emb"))
-                    .alias("cos_sim"))
-            .withColumn("rn", F.row_number().over(w_r))
-            .filter(F.col("rn") <= 5).drop("rn"))
+    return ivfadc_rerank(shortlist, emb_q, emb_n, topk=5)
+
+
+_ANN_IDX: dict[str, object] = {}
+
+
+@register("similarity_ann_ivfadc_pruned", oracle=_IVFADC_ORACLE)
+def similarity_ann_ivfadc_pruned(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``similarity_ann_ivfadc`` through the PERSISTED, partition-
+    pruned index path (round 9): the inverted file lives in a
+    cp-partitioned :class:`~..sinks.upsert.ParquetUpsertTable`
+    maintained by :class:`~..streaming.ann_ingest.AnnIndexJob`, the
+    exact embeddings in an idp-partitioned corpus table; the probe
+    pushes the query cells' cp prefixes as PartitionFilters on the
+    codes scan and the shortlisted candidates' idp prefixes on the
+    re-rank fetch — per-query I/O ∝ the query set, never ∝ the index.
+    Bit-identical to the recompute form (same stage helpers, same
+    fold arithmetic), so both carry the same oracle."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.ann_ingest import (
+        AnnIndexJob,
+    )
+
+    emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    # the index tables PERSIST in production (that is their point);
+    # build them once per (process, sf_dir) — same convention as the
+    # dedup/embedding pruned twins — so repeated runs measure the probe
+    job = _ANN_IDX.get(sf_dir)
+    if job is None:
+        root = tempfile.mkdtemp(prefix="ann_idx_")
+        corpus = ParquetUpsertTable(spark, root + "/corp", ["vec_id"],
+                                    partition_col="idp")
+        codes = ParquetUpsertTable(spark, root + "/codes", ["vec_id"],
+                                   partition_col="cp")
+        job = AnnIndexJob(spark, corpus, codes, _CENTS, _PQ_BOOKS,
+                          n_parts=16, idp_parts=8)
+        job.process_batch(emb.select("vec_id", "embedding"), 0)
+        _ANN_IDX[sf_dir] = job
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select("vec_id", "embedding")
+    return job.topk(queries, k=5, shortlist=50)
 
 
 @register(

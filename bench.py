@@ -126,7 +126,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          # r8 headliners
          "kafka_txn_roundtrip_orders",
          "dedup_semantic_semdedup_trained",
-         "kafka_headers_roundtrip_orders")
+         "kafka_headers_roundtrip_orders",
+         # r9 headliners
+         "similarity_ann_ivfadc_pruned")
 
 
 def headline_names() -> list[str]:
