@@ -221,3 +221,117 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type",
                     F.round(z, 6).alias("z"),
                     (F.abs(z) > 3.0).alias("is_anomaly")))
+
+
+_LINPROBE_DET = ("n*(s11*s22-s12*s12) - s1*(s1*s22-s12*s2) "
+                 "+ s2*(s1*s12-s11*s2)")
+
+
+@register(
+    "quality_linear_probe_trained",
+    oracle=f"""
+    WITH f AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS HUGEINT) AS f1,
+             CAST(len(list_distinct(string_split(text, ' ')))
+                  AS HUGEINT) AS f2,
+             CAST(length(text) AS HUGEINT) AS y
+      FROM documents
+    ),
+    s AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(f1) AS s1, SUM(f2) AS s2,
+             SUM(f1*f1) AS s11, SUM(f1*f2) AS s12, SUM(f2*f2) AS s22,
+             SUM(y) AS sy, SUM(f1*y) AS s1y, SUM(f2*y) AS s2y
+      FROM f
+    ),
+    w AS MATERIALIZED (
+      SELECT
+        CAST(sy*(s11*s22-s12*s12) - s1*(s1y*s22-s12*s2y)
+             + s2*(s1y*s12-s11*s2y) AS DOUBLE)
+          / CAST({_LINPROBE_DET} AS DOUBLE) AS w0,
+        CAST(n*(s1y*s22-s12*s2y) - sy*(s1*s22-s12*s2)
+             + s2*(s1*s2y-s1y*s2) AS DOUBLE)
+          / CAST({_LINPROBE_DET} AS DOUBLE) AS w1,
+        CAST(n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2)
+             + sy*(s1*s12-s11*s2) AS DOUBLE)
+          / CAST({_LINPROBE_DET} AS DOUBLE) AS w2
+      FROM s
+    )
+    SELECT doc_id,
+           w.w0 + w.w1*CAST(f1 AS DOUBLE) + w.w2*CAST(f2 AS DOUBLE)
+             AS pred_chars,
+           CAST(y AS DOUBLE) AS actual_chars
+    FROM f CROSS JOIN w
+    ORDER BY pred_chars DESC, doc_id
+    LIMIT 100
+    """,
+)
+def quality_linear_probe_trained(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TRAINED linear quality probe (round 9, the regression member of
+    the trained-model family: Lloyd-step SemDeDup, trained-PQ, BPE):
+    fit ``n_chars ~ w0 + w1*n_tokens + w2*n_unique_tokens`` by least
+    squares over the whole corpus, then score every document and
+    return the top-100 by predicted quality.
+
+    The normal-equation solve is EXACT integer arithmetic end to end —
+    the cross-engine trick that avoids every float-summation-order
+    trap: the nine sufficient statistics (Σf, Σff', Σfy) are integer
+    SUMs (one map-side-combined aggregate, a 1-row collect), the 3×3
+    solve is Cramer's rule on Python arbitrary-precision ints
+    (DuckDB re-derives it in HUGEINT — identical values), and floats
+    appear only at the very end: each weight is ONE double division of
+    two exact integers, and each score is the same 5-literal double
+    expression in both engines. No ROUND(), no tolerance — the hash
+    gate compares raw doubles.
+
+    100 TB posture: training is one partial-aggregated scan to 1 row;
+    scoring is a map-only second scan with the model as plan literals
+    (the broadcast-model idiom); top-100 compiles to
+    TakeOrderedAndProject. The 1-row collect is the bounded
+    driver-side model state the trained family always pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("f1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("f2"),
+        F.length("text").cast("bigint").alias("y"))
+    row = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("f1").alias("s1"), F.sum("f2").alias("s2"),
+        F.sum(F.col("f1") * F.col("f1")).alias("s11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("s12"),
+        F.sum(F.col("f2") * F.col("f2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("f1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("f2") * F.col("y")).alias("s2y"),
+    ).collect()[0]  # bounded: the 9 sufficient statistics, one row
+    n, s1, s2 = int(row["n"]), int(row["s1"]), int(row["s2"])
+    s11, s12, s22 = int(row["s11"]), int(row["s12"]), int(row["s22"])
+    sy, s1y, s2y = int(row["sy"]), int(row["s1y"]), int(row["s2y"])
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    if det == 0:
+        raise ValueError(
+            "degenerate design matrix: token-count features are "
+            "collinear on this corpus — the least-squares system has "
+            "no unique solution")
+    num0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    num1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    num2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    # the ONLY rounding points: int -> nearest double (same rule as
+    # DuckDB's HUGEINT -> DOUBLE cast), then one double division each
+    w0 = float(num0) / float(det)
+    w1 = float(num1) / float(det)
+    w2 = float(num2) / float(det)
+    pred = (F.lit(w0) + F.lit(w1) * F.col("f1").cast("double")
+            + F.lit(w2) * F.col("f2").cast("double"))
+    return (feats.select("doc_id", pred.alias("pred_chars"),
+                         F.col("y").cast("double")
+                         .alias("actual_chars"))
+            .orderBy(F.desc("pred_chars"), "doc_id").limit(100))

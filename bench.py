@@ -128,7 +128,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "dedup_semantic_semdedup_trained",
          "kafka_headers_roundtrip_orders",
          # r9 headliners
-         "similarity_ann_ivfadc_pruned")
+         "similarity_ann_ivfadc_pruned",
+         "quality_linear_probe_trained")
 
 
 def headline_names() -> list[str]:

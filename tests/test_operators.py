@@ -500,3 +500,33 @@ def test_centroid_classifier_learns_real_signal(spark):
     assert len(out) == 15                     # one quarter held out
     assert all(r.correct == 1 for r in out)
     assert {r.true_lang for r in out} == set(vocab)
+
+
+def test_quality_linear_probe_recovers_planted_relation(spark, tmp_path):
+    """The trained linear probe is an EXACT least-squares solve: on a
+    corpus where n_chars is an exact linear function of the features
+    (every 1-char word + single spaces => length = 2*tokens - 1,
+    uniqueness varying independently), the fitted weights reproduce
+    the relation and every prediction equals the actual value."""
+    from aether_firebase_consumer_spark.plans.quality_queries import (
+        quality_linear_probe_trained,
+    )
+
+    rows = []
+    for i in range(40):
+        tok = 3 + (i % 7)
+        if i % 2:
+            words = [chr(ord("a") + (j % 3)) for j in range(tok)]
+        else:
+            words = [chr(ord("a") + (j % min(tok, 9)))
+                     for j in range(tok)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    got = quality_linear_probe_trained(spark, str(sf)).collect()
+    assert len(got) == 40  # top-100 of 40 docs = all of them
+    for r in got:
+        assert r.pred_chars == r.actual_chars, r
