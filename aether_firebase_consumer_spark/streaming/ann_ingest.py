@@ -46,6 +46,10 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     ivfadc_shortlist,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.recipe import (
+    model_fingerprint,
+    recipe_guard,
+)
 
 
 class AnnIndexJob:
@@ -80,8 +84,18 @@ class AnnIndexJob:
         self.books = books
         self.id_col, self.vec_col = id_col, vec_col
         self.n_parts, self.idp_parts = n_parts, idp_parts
+        # fail loudly if this job's derivation parameters differ from
+        # what the table was built with — a silent mismatch (different
+        # n_parts, retrained centroids) would MISS candidates, not err
+        recipe_guard(codes.path, self._recipe())
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "indexed": 0}
+
+    def _recipe(self) -> dict:
+        return {"kind": "ivfadc", "n_parts": self.n_parts,
+                "idp_parts": self.idp_parts,
+                "model_fp": model_fingerprint(self.centroids,
+                                              self.books)}
 
     # -- maintenance -----------------------------------------------------
 
@@ -108,6 +122,31 @@ class AnnIndexJob:
         return (stream.writeStream
                 .foreachBatch(self.process_batch)
                 .option("checkpointLocation", checkpoint))
+
+    def rebuild(self, centroids: list[list[float]] | None = None,
+                books: list[list[list[float]]] | None = None,
+                n_parts: int | None = None) -> None:
+        """Migrate the index to a refreshed model (retrained
+        centroids/codebooks) or a new partition modulus: re-encode the
+        whole corpus and swap the codes table in ONE atomic version
+        commit, updating the recorded recipe in the same step — the
+        scheduled-maintenance path for 'the embedding model changed'
+        or 'the index outgrew its partition count'. Run between
+        triggers: a batch must be assigned with the same model the
+        index it probes was built with."""
+        if centroids is not None:
+            self.centroids = centroids
+        if books is not None:
+            self.books = books
+        if n_parts is not None:
+            if n_parts < 1:
+                raise ValueError("n_parts must be >= 1")
+            self.n_parts = n_parts
+        recipe_guard(self.codes.path, self._recipe(), update=True)
+        corpus = self.corpus.read()
+        if corpus is None or self.codes.read() is None:
+            return  # nothing persisted yet — next batch builds fresh
+        self.codes.replace(self.code_rows(corpus))
 
     # -- queries ---------------------------------------------------------
 

@@ -54,6 +54,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     lsh_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.recipe import recipe_guard
 
 
 class DedupIngestJob:
@@ -122,6 +123,17 @@ class DedupIngestJob:
         self.id_col, self.text_col = id_col, text_col
         self.threshold, self.k, self.bands = threshold, k, bands
         self.n_parts, self.idp_parts = n_parts, idp_parts
+        if band_long_index is not None:
+            # fail loudly on derivation drift: a probe at different
+            # (k, bands, n_parts) computes different band keys /
+            # prefixes and silently misses candidates (round 9,
+            # streaming/recipe.py). The threshold is NOT part of the
+            # recipe — it is a query-time choice the index contents
+            # don't depend on.
+            recipe_guard(band_long_index.path,
+                         {"kind": "minhash-band", "k": k,
+                          "bands": bands, "n_parts": n_parts,
+                          "idp_parts": idp_parts})
         #: cumulative counters (driver-side, tiny): batches processed,
         #: docs accepted into the corpus, docs rejected as near-dups —
         #: the processed/suppressed tallies the reference's report

@@ -47,6 +47,10 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     embedding_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.recipe import (
+    model_fingerprint,
+    recipe_guard,
+)
 
 
 class EmbeddingIngestJob:
@@ -91,6 +95,15 @@ class EmbeddingIngestJob:
         self.threshold = threshold
         self.bands = bands if bands is not None else _NEARDUP_BANDS
         self.n_parts, self.idp_parts = n_parts, idp_parts
+        if band_long_index is not None:
+            # fail loudly on derivation drift: different hyperplanes or
+            # a different n_parts silently miss candidates (round 9,
+            # streaming/recipe.py)
+            recipe_guard(band_long_index.path,
+                         {"kind": "sign-lsh-band",
+                          "model_fp": model_fingerprint(self.bands),
+                          "n_parts": n_parts,
+                          "idp_parts": idp_parts})
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
 

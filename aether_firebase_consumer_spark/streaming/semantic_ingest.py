@@ -53,6 +53,10 @@ from aether_firebase_consumer_spark.operators.dedup import (
     portable_hash60,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.recipe import (
+    model_fingerprint,
+    recipe_guard,
+)
 
 
 class SemanticIngestJob:
@@ -99,8 +103,18 @@ class SemanticIngestJob:
         self.threshold = threshold
         self.n_sub, self.n_parts = n_sub, n_parts
         self.idp_parts = idp_parts
+        if cluster_index is not None:
+            # fail loudly on derivation drift: a probe at a different
+            # n_sub / n_parts or against different centroids silently
+            # misses near-dups (round 9, streaming/recipe.py)
+            recipe_guard(cluster_index.path, self._recipe())
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+
+    def _recipe(self) -> dict:
+        return {"kind": "semdedup-cells", "n_sub": self.n_sub,
+                "n_parts": self.n_parts,
+                "model_fp": model_fingerprint(self.centroids)}
 
     @property
     def _corpus_pruned(self) -> bool:
@@ -295,6 +309,9 @@ class SemanticIngestJob:
         self.n_sub = new_n_sub
         if self.cluster_index is None:
             return  # recompute path: the new modulus simply applies
+        # the recorded recipe migrates WITH the table, in the same step
+        recipe_guard(self.cluster_index.path, self._recipe(),
+                     update=True)
         corpus = self.corpus.read()
         if corpus is None or self.cluster_index.read() is None:
             return  # nothing persisted yet — next batch builds fresh

@@ -277,3 +277,74 @@ def test_ann_ingest_streaming_writer(spark, tmp_path):
     assert _snap(job.topk(queries, k=3, shortlist=10)) == \
         _snap(_recompute_topk(spark, state, queries, k=3,
                               shortlist=10))
+
+
+def test_recipe_guard_rejects_mismatched_job(spark, tmp_path):
+    """Attaching a job whose derivation parameters differ from what
+    the index was written with must FAIL LOUDLY — a silent mismatch
+    (different n_parts, retrained centroids) misses candidates without
+    any error."""
+    root = tmp_path / "j"
+    job = _mk_job(spark, root)
+    job.process_batch(_df(spark, [(1, _vec(1))]), 0)
+
+    def attach(n_parts=N_PARTS, cents=CENTS, books=BOOKS):
+        corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"],
+                                    partition_col="idp")
+        codes = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"],
+                                   partition_col="cp")
+        return AnnIndexJob(spark, corpus, codes, cents, books,
+                           n_parts=n_parts, idp_parts=IDP_PARTS)
+
+    attach()  # identical recipe re-attaches fine
+    with pytest.raises(ValueError, match="recipe mismatch.*n_parts"):
+        attach(n_parts=8)
+    other_cents = ivf_centroids("other-model", 4, DIM)
+    with pytest.raises(ValueError, match="recipe mismatch.*model_fp"):
+        attach(cents=other_cents)
+
+
+def test_rebuild_migrates_model_and_modulus(spark, tmp_path):
+    """rebuild(): re-encode the corpus under a refreshed model and a
+    new partition modulus in one atomic swap — afterwards topk equals
+    a from-scratch recompute under the NEW model, re-attach under the
+    new recipe succeeds, and the old recipe is rejected."""
+    root = tmp_path / "j"
+    job = _mk_job(spark, root)
+    state = [(i, _vec(i)) for i in range(1, 20)]
+    job.process_batch(_df(spark, state), 0)
+    v0 = job.codes.current_version()
+
+    new_cents = ivf_centroids("retrained", 4, DIM)
+    new_books = pq_codebooks("retrained-pq", m=4, k=8, dim=DIM)
+    job.rebuild(centroids=new_cents, books=new_books, n_parts=2)
+    assert job.codes.current_version() == v0 + 1  # ONE version commit
+
+    got = {(r.vec_id, r.cell, tuple(r.codes), r.cp)
+           for r in job.codes.read().collect()}
+    want = {(r.vec_id, r.cell, tuple(r.codes), r.cp)
+            for r in job.code_rows(_df(spark, state)).collect()}
+    assert got == want
+
+    queries = _df(spark, [(100, _vec(100))])
+    inv = ivfadc_code_rows(_df(spark, state), new_cents, new_books)
+    q = ivfadc_query_frame(queries, new_cents, new_books)
+    sl = ivfadc_shortlist(inv, q, new_books, 10)
+    q_emb = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("q_emb"))
+    n_emb = _df(spark, state).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"))
+    want_topk = _snap(ivfadc_rerank(sl, q_emb, n_emb, topk=3))
+    assert _snap(job.topk(queries, k=3, shortlist=10)) == want_topk
+
+    # the recipe migrated with the table: new params attach, old fail
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"],
+                                partition_col="idp")
+    codes = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"],
+                               partition_col="cp")
+    AnnIndexJob(spark, corpus, codes, new_cents, new_books,
+                n_parts=2, idp_parts=IDP_PARTS)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        AnnIndexJob(spark, corpus, codes, CENTS, BOOKS,
+                    n_parts=N_PARTS, idp_parts=IDP_PARTS)

@@ -444,3 +444,29 @@ def test_semantic_probe_io_flat_while_corpus_grows(spark, tmp_path):
     # while the tables themselves genuinely grew every round
     assert all(b > a for a, b in zip(totals, totals[1:])), totals
     assert totals[0] > base
+
+
+def test_recipe_guard_on_cluster_index(spark, tmp_path):
+    """Round 9: the persisted cell index records its derivation
+    recipe; attaching a job at a different n_sub (or with different
+    centroids) fails loudly, and reshard migrates the recipe with the
+    table."""
+    root = tmp_path / "j"
+    job = _mk_job(spark, root, with_index=True, n_sub=1)
+    job.process_batch(_df(spark, [(1, _vec(1))]), 0)
+
+    def attach(n_sub):
+        idx = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"],
+                                 partition_col="cp")
+        corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"])
+        return SemanticIngestJob(spark, corpus, cluster_index=idx,
+                                 centroids=CENTS, threshold=0.9,
+                                 n_sub=n_sub, n_parts=4)
+
+    attach(1)  # identical recipe re-attaches fine
+    with pytest.raises(ValueError, match="recipe mismatch.*n_sub"):
+        attach(3)
+    job.reshard(3)
+    attach(3)  # recipe migrated with the rebuild
+    with pytest.raises(ValueError, match="recipe mismatch.*n_sub"):
+        attach(1)
