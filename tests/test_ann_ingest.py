@@ -348,3 +348,58 @@ def test_rebuild_migrates_model_and_modulus(spark, tmp_path):
     with pytest.raises(ValueError, match="recipe mismatch"):
         AnnIndexJob(spark, corpus, codes, CENTS, BOOKS,
                     n_parts=N_PARTS, idp_parts=IDP_PARTS)
+
+
+def test_ann_ingest_from_kafka_stream(spark, tmp_path):
+    """Family-pattern composition: vectors arrive as JSON over the
+    wire Kafka source; AnnIndexJob maintains the persisted index
+    across triggers and topk answers from it — bit-equal to the batch
+    recompute over everything produced."""
+    import json
+
+    from aether_firebase_consumer_spark.sources.kafka_pysource import (
+        register_kafka_py,
+    )
+    from aether_firebase_consumer_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    register_kafka_py(spark)
+    job = _mk_job(spark, tmp_path / "t")
+
+    with MiniKafkaBroker() as broker:
+        def produce(rows):
+            with KafkaWireClient(broker.host, broker.port) as c:
+                c.produce("vecs.ann", 0, [
+                    (str(i).encode(),
+                     json.dumps({"vec_id": i, "embedding": v}).encode())
+                    for i, v in rows])
+
+        stream = (spark.readStream.format("kafka_py")
+                  .option("bootstrap", broker.bootstrap)
+                  .option("subscribe", "vecs.ann").load())
+        vecs = (stream.select(
+            F.from_json(F.col("value").cast("string"),
+                        "vec_id bigint, embedding array<double>")
+            .alias("d")).select("d.vec_id", "d.embedding"))
+        q = (job.writer(vecs, str(tmp_path / "ckpt")).start())
+        try:
+            state = [(i, _vec(i)) for i in range(1, 9)]
+            produce(state[:5])
+            q.processAllAvailable()
+            assert job.codes.read().count() == 5
+            produce(state[5:])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    got = {(r.vec_id, r.cell, tuple(r.codes))
+           for r in job.codes.read().collect()}
+    want = {(r.vec_id, r.cell, tuple(r.codes))
+            for r in job.code_rows(_df(spark, state)).collect()}
+    assert got == want
+    queries = _df(spark, [(0, _vec(50))])
+    assert _snap(job.topk(queries, k=3, shortlist=10)) == \
+        _snap(_recompute_topk(spark, state, queries, k=3,
+                              shortlist=10))
