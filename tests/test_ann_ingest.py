@@ -403,3 +403,35 @@ def test_ann_ingest_from_kafka_stream(spark, tmp_path):
     assert _snap(job.topk(queries, k=3, shortlist=10)) == \
         _snap(_recompute_topk(spark, state, queries, k=3,
                               shortlist=10))
+
+
+def test_optimize_compacts_codes_without_changing_answers(spark,
+                                                          tmp_path):
+    """Streaming maintenance composition: micro-batches accumulate
+    small files per cp partition; OPTIMIZE compacts them as a new
+    version — probe answers identical, PartitionFilters still prune,
+    and the recipe file is untouched (optimize changes layout, never
+    derivation)."""
+    import glob
+    import json
+
+    job = _mk_job(spark, tmp_path / "j")
+    state = [(i, _vec(i)) for i in range(1, 25)]
+    for b in range(4):  # 4 merges -> several files per partition
+        job.process_batch(_df(spark, state[b * 6:(b + 1) * 6]), b)
+    queries = _df(spark, [(100, _vec(100))])
+    before = _snap(job.topk(queries, k=3, shortlist=10))
+    vdir = job.codes._data_dir(job.codes.current_version())
+    files_before = len(glob.glob(vdir + "/cp=*/*.parquet"))
+
+    job.codes.optimize(num_files=1)
+
+    vdir2 = job.codes._data_dir(job.codes.current_version())
+    files_after = len(glob.glob(vdir2 + "/cp=*/*.parquet"))
+    assert files_after < files_before
+    assert _snap(job.topk(queries, k=3, shortlist=10)) == before
+    got = job.topk(queries, k=3, shortlist=10, materialize=False)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*\bcp\b", plan)
+    with open(str(tmp_path / "j" / "i" / "_RECIPE.json")) as fh:
+        assert json.load(fh)["kind"] == "ivfadc"
