@@ -130,10 +130,7 @@ class DedupIngestJob:
             # streaming/recipe.py). The threshold is NOT part of the
             # recipe — it is a query-time choice the index contents
             # don't depend on.
-            recipe_guard(band_long_index.path,
-                         {"kind": "minhash-band", "k": k,
-                          "bands": bands, "n_parts": n_parts,
-                          "idp_parts": idp_parts})
+            recipe_guard(band_long_index.path, self._long_recipe())
         #: cumulative counters (driver-side, tiny): batches processed,
         #: docs accepted into the corpus, docs rejected as near-dups —
         #: the processed/suppressed tallies the reference's report
@@ -314,6 +311,56 @@ class DedupIngestJob:
                     # the just-merged per-doc table — no re-shingling
                     self.band_long_index.merge(
                         self._explode_long(self.band_index.read()))
+
+    def _long_recipe(self) -> dict:
+        return {"kind": "minhash-band", "k": self.k,
+                "bands": self.bands, "n_parts": self.n_parts,
+                "idp_parts": self.idp_parts}
+
+    def reshard_index(self, n_parts: int | None = None,
+                      idp_parts: int | None = None) -> None:
+        """Migrate the persisted index tables to new partition moduli
+        (round 9 — the band-family twin of ``SemanticIngestJob.
+        reshard``): a table that outgrew its declared ``n_parts`` /
+        ``idp_parts`` is rebuilt at the new modulus, one atomic
+        version swap per table, the recorded recipe updated in the
+        same step. No re-shingling: the long table re-explodes the
+        per-doc index; idp migration re-stamps the partition column
+        from the id. Run between triggers — a probe's moduli must
+        match the tables it prunes."""
+        if n_parts is None and idp_parts is None:
+            return
+        if n_parts is not None:
+            if n_parts < 1:
+                raise ValueError("n_parts must be >= 1")
+            self.n_parts = n_parts
+        if idp_parts is not None:
+            if idp_parts < 1:
+                raise ValueError("idp_parts must be >= 1")
+            self.idp_parts = idp_parts
+        if self.band_long_index is not None:
+            recipe_guard(self.band_long_index.path, self._long_recipe(),
+                         update=True)
+
+        def restamp(table) -> None:
+            df = table.read()
+            if df is not None and not df.isEmpty():
+                table.replace(df.drop("idp").withColumn(
+                    "idp", id_partition(F.col(self.id_col),
+                                        self.idp_parts)))
+
+        if idp_parts is not None:
+            if (self.band_index is not None
+                    and self.band_index.partition_col == "idp"):
+                restamp(self.band_index)
+            if self.corpus.partition_col == "idp":
+                restamp(self.corpus)
+        if (n_parts is not None and self.band_long_index is not None
+                and self.band_index is not None):
+            doc_rows = self.band_index.read()
+            if doc_rows is not None and not doc_rows.isEmpty():
+                self.band_long_index.replace(
+                    self._explode_long(doc_rows))
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

@@ -99,13 +99,49 @@ class EmbeddingIngestJob:
             # fail loudly on derivation drift: different hyperplanes or
             # a different n_parts silently miss candidates (round 9,
             # streaming/recipe.py)
-            recipe_guard(band_long_index.path,
-                         {"kind": "sign-lsh-band",
-                          "model_fp": model_fingerprint(self.bands),
-                          "n_parts": n_parts,
-                          "idp_parts": idp_parts})
+            recipe_guard(band_long_index.path, self._long_recipe())
         #: cumulative driver-side counters
         self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+
+    def _long_recipe(self) -> dict:
+        return {"kind": "sign-lsh-band",
+                "model_fp": model_fingerprint(self.bands),
+                "n_parts": self.n_parts, "idp_parts": self.idp_parts}
+
+    def reshard_index(self, n_parts: int | None = None,
+                      idp_parts: int | None = None) -> None:
+        """Migrate the persisted tables to new partition moduli
+        (round 9 — see ``DedupIngestJob.reshard_index``): the long
+        band index rebuilds from the corpus vectors at the new
+        ``n_parts``; ``idp_parts`` re-stamps the corpus's partition
+        column. One atomic version swap per table, recipe updated in
+        the same step; run between triggers."""
+        if n_parts is None and idp_parts is None:
+            return
+        if n_parts is not None:
+            if n_parts < 1:
+                raise ValueError("n_parts must be >= 1")
+            self.n_parts = n_parts
+        if idp_parts is not None:
+            if idp_parts < 1:
+                raise ValueError("idp_parts must be >= 1")
+            self.idp_parts = idp_parts
+        if self.band_long_index is not None:
+            recipe_guard(self.band_long_index.path, self._long_recipe(),
+                         update=True)
+        corpus = self.corpus.read()
+        if corpus is None or corpus.isEmpty():
+            return
+        if idp_parts is not None and self.corpus.partition_col == "idp":
+            self.corpus.replace(corpus.drop("idp").withColumn(
+                "idp", id_partition(F.col(self.id_col),
+                                    self.idp_parts)))
+            corpus = self.corpus.read()
+        if n_parts is not None and self.band_long_index is not None \
+                and self.band_long_index.read() is not None:
+            self.band_long_index.replace(embedding_band_index_rows(
+                corpus, self.id_col, self.vec_col, self.bands,
+                self.n_parts))
 
     def _log_rejects(self, matches: DataFrame, loser_col: str,
                      winner_col: str, epoch_id: int) -> None:

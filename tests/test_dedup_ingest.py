@@ -455,3 +455,67 @@ def test_idp_corpus_requires_idp_parts(spark, tmp_path):
                                partition_col="other")
     with pytest.raises(ValueError, match="unpartitioned or partitioned"):
         DedupIngestJob(spark, weird)
+
+
+def test_reshard_index_migrates_moduli(spark, tmp_path):
+    """reshard_index(): the long table rebuilds at the new bkp modulus
+    (one atomic swap, no re-shingling — re-exploded from the per-doc
+    index), idp re-stamps, the recipe migrates, and probes afterwards
+    still reproduce the recompute path exactly."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        band_partition,
+        id_partition,
+    )
+
+    def mk(root, kind, n_parts=16, idp_parts=8):
+        root.mkdir()
+        corpus = ParquetUpsertTable(spark, str(root / "c"), ["doc_id"])
+        rejects = ParquetUpsertTable(spark, str(root / "r"), ["doc_id"])
+        if kind == "recompute":
+            return DedupIngestJob(spark, corpus, rejects)
+        doc_t = ParquetUpsertTable(spark, str(root / "d"), ["doc_id"],
+                                   partition_col="idp")
+        long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                    ["doc_id", "band_key"],
+                                    partition_col="bkp")
+        return DedupIngestJob(spark, corpus, rejects, band_index=doc_t,
+                              band_long_index=long_t, n_parts=n_parts,
+                              idp_parts=idp_parts)
+
+    jp = mk(tmp_path / "a", "pruned")
+    jr = mk(tmp_path / "b", "recompute")
+    b0 = [(i, _mk_doc(i)) for i in range(8)]
+    for j in (jp, jr):
+        j.process_batch(spark.createDataFrame(
+            b0, "doc_id bigint, text string"), 0)
+
+    jp.reshard_index(n_parts=32, idp_parts=4)
+
+    # long table == re-explode at the NEW modulus; per-doc idp
+    # re-stamped at the new parts
+    long_rows = jp.band_long_index.read()
+    assert long_rows.filter(
+        F.col("bkp") != band_partition(F.col("band_key"), 32)) \
+        .count() == 0
+    assert jp.band_index.read().filter(
+        F.col("idp") != id_partition(F.col("doc_id"), 4)).count() == 0
+    # recipe migrated: same params attach, old params rejected
+    mk(tmp_path / "a2", "pruned")  # unrelated fresh root still fine
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="recipe mismatch"):
+        DedupIngestJob(
+            spark, jp.corpus, band_index=jp.band_index,
+            band_long_index=jp.band_long_index, n_parts=16, idp_parts=8)
+    DedupIngestJob(spark, jp.corpus, band_index=jp.band_index,
+                   band_long_index=jp.band_long_index, n_parts=32,
+                   idp_parts=4)
+
+    # post-migration probes still match the recompute job
+    b1 = [(100, _mk_doc(3) + " t"), (101, _mk_doc(50))]
+    for j in (jp, jr):
+        j.process_batch(spark.createDataFrame(
+            b1, "doc_id bigint, text string"), 1)
+    assert sorted((r.doc_id, r.text)
+                  for r in jp.corpus.read().collect()) == \
+        sorted((r.doc_id, r.text) for r in jr.corpus.read().collect())
+    assert jp.stats == jr.stats

@@ -366,3 +366,58 @@ def test_known_check_plan_prunes_corpus_partitions(spark, tmp_path):
     assert {r.vec_id for r in known
             .join(batch.select("vec_id"), "vec_id", "left_semi")
             .collect()} == {3}
+
+
+def test_reshard_index_migrates_moduli(spark, tmp_path):
+    """reshard_index(): long band index rebuilds from corpus vectors
+    at the new bkp modulus, corpus idp re-stamps, recipe migrates,
+    and post-migration probes match the recompute path."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        band_partition,
+        id_partition,
+    )
+    from aether_firebase_consumer_spark.plans.similarity_queries import (
+        embedding_band_index_rows,
+    )
+
+    (a := tmp_path / "a").mkdir()
+    corpus = ParquetUpsertTable(spark, str(a / "c"), ["vec_id"],
+                                partition_col="idp")
+    long_t = ParquetUpsertTable(spark, str(a / "l"), ["vec_id", "bi"],
+                                partition_col="bkp")
+    jp = EmbeddingIngestJob(spark, corpus, band_long_index=long_t,
+                            threshold=0.9, bands=BANDS16,
+                            n_parts=N_PARTS, idp_parts=IDP_PARTS)
+    (b := tmp_path / "b").mkdir()
+    jr = EmbeddingIngestJob(
+        spark, ParquetUpsertTable(spark, str(b / "c"), ["vec_id"]),
+        threshold=0.9, bands=BANDS16)
+
+    b0 = [(i, _vec(i)) for i in range(1, 9)]
+    for j in (jp, jr):
+        j.process_batch(_df(spark, b0), 0)
+
+    jp.reshard_index(n_parts=32, idp_parts=4)
+    stored = jp.band_long_index.read()
+    assert stored.filter(
+        F.col("bkp") != band_partition(F.col("bk"), 32)).count() == 0
+    assert jp.corpus.read().filter(
+        F.col("idp") != id_partition(F.col("vec_id"), 4)).count() == 0
+    fresh = embedding_band_index_rows(jp.corpus.read(), "vec_id",
+                                      "embedding", BANDS16, 32)
+    cols = ["vec_id", "bi", "bk", "bkp"]
+    assert (sorted(map(tuple, stored.select(*cols).collect()))
+            == sorted(map(tuple, fresh.select(*cols).collect())))
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        EmbeddingIngestJob(spark, corpus, band_long_index=long_t,
+                           threshold=0.9, bands=BANDS16,
+                           n_parts=N_PARTS, idp_parts=IDP_PARTS)
+
+    b1 = [(20, _near(_vec(3), "n20")), (21, _vec(21))]
+    for j in (jp, jr):
+        j.process_batch(_df(spark, b1), 1)
+    assert sorted((r.vec_id, tuple(r.embedding))
+                  for r in jp.corpus.read().collect()) == \
+        sorted((r.vec_id, tuple(r.embedding))
+               for r in jr.corpus.read().collect())
+    assert jp.stats == jr.stats
