@@ -277,8 +277,11 @@ def quality_linear_probe_trained(spark: SparkSession,
 
     The normal-equation solve is EXACT integer arithmetic end to end —
     the cross-engine trick that avoids every float-summation-order
-    trap: the nine sufficient statistics (Σf, Σff', Σfy) are integer
-    SUMs (one map-side-combined aggregate, a 1-row collect), the 3×3
+    trap: the nine sufficient statistics (Σf, Σff', Σfy) are exact
+    integer sums accumulated in DECIMAL(38,0) — the same headroom
+    as the oracle's HUGEINT, so no corpus size can silently wrap a
+    non-ANSI long sum (one map-side-combined aggregate, a 1-row
+    collect), the 3×3
     solve is Cramer's rule on Python arbitrary-precision ints
     (DuckDB re-derives it in HUGEINT — identical values), and floats
     appear only at the very end: each weight is ONE double division of
@@ -298,15 +301,22 @@ def quality_linear_probe_trained(spark: SparkSession,
         F.size(toks).cast("bigint").alias("f1"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("f2"),
         F.length("text").cast("bigint").alias("y"))
+    # per-row products fit bigint (features are per-document counts,
+    # far below 3e9); the SUMS accumulate in DECIMAL(38,0) so a
+    # 100 TB corpus cannot silently wrap a non-ANSI long sum — the
+    # same headroom as the oracle's HUGEINT
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,0)"))
+
     row = feats.agg(
         F.count("*").alias("n"),
-        F.sum("f1").alias("s1"), F.sum("f2").alias("s2"),
-        F.sum(F.col("f1") * F.col("f1")).alias("s11"),
-        F.sum(F.col("f1") * F.col("f2")).alias("s12"),
-        F.sum(F.col("f2") * F.col("f2")).alias("s22"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("f1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("f2") * F.col("y")).alias("s2y"),
+        dsum(F.col("f1")).alias("s1"), dsum(F.col("f2")).alias("s2"),
+        dsum(F.col("f1") * F.col("f1")).alias("s11"),
+        dsum(F.col("f1") * F.col("f2")).alias("s12"),
+        dsum(F.col("f2") * F.col("f2")).alias("s22"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("f1") * F.col("y")).alias("s1y"),
+        dsum(F.col("f2") * F.col("y")).alias("s2y"),
     ).collect()[0]  # bounded: the 9 sufficient statistics, one row
     n, s1, s2 = int(row["n"]), int(row["s1"]), int(row["s2"])
     s11, s12, s22 = int(row["s11"]), int(row["s12"]), int(row["s22"])

@@ -241,6 +241,8 @@ class ParquetUpsertTable:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in
         ``keys``. Partition-pruned like :meth:`merge` when the deleted
         keys' partitions are identifiable (keys carry partition_col)."""
+        from urllib.parse import unquote
+
         current = self.read()
         if current is None or keys.isEmpty():
             return
@@ -252,6 +254,21 @@ class ParquetUpsertTable:
             remaining = (current.filter(_touched_filter(pc, touched))
                          .join(keys.select(*self.key_cols),
                                self.key_cols, "left_anti"))
+            if remaining.isEmpty() and not any(
+                    os.path.isdir(os.path.join(self._data_dir(v - 1), d))
+                    and "=" in d and unquote(d.split("=", 1)[1])
+                    not in {hive_partition_value(t) for t in touched}
+                    for d in os.listdir(self._data_dir(v - 1))):
+                # the delete empties every touched partition AND no
+                # untouched partition survives to be hardlinked: a
+                # partitionBy write of zero rows leaves a file-less,
+                # unreadable version — write one schema-ful empty file
+                # (pc becomes a plain column; the next merge rewrites
+                # hive-style as usual)
+                remaining.repartition(1).write.mode("overwrite") \
+                    .parquet(target)
+                self._commit(v)
+                return
             remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
             self._link_untouched_partitions(
                 self._data_dir(v - 1), target,

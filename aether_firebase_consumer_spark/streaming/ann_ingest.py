@@ -48,6 +48,8 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
+    recipe_begin,
+    recipe_commit,
     recipe_guard,
 )
 
@@ -142,11 +144,14 @@ class AnnIndexJob:
             if n_parts < 1:
                 raise ValueError("n_parts must be >= 1")
             self.n_parts = n_parts
-        recipe_guard(self.codes.path, self._recipe(), update=True)
+        # crash-safe choreography: stage the new recipe, rebuild,
+        # commit — a crash in either window leaves the .next marker
+        # and every later attach fails loudly (recipe.py)
+        recipe_begin(self.codes.path, self._recipe())
         corpus = self.corpus.read()
-        if corpus is None or self.codes.read() is None:
-            return  # nothing persisted yet — next batch builds fresh
-        self.codes.replace(self.code_rows(corpus))
+        if corpus is not None and self.codes.read() is not None:
+            self.codes.replace(self.code_rows(corpus))
+        recipe_commit(self.codes.path)
 
     # -- queries ---------------------------------------------------------
 

@@ -54,7 +54,16 @@ from aether_firebase_consumer_spark.operators.dedup import (
     lsh_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
-from aether_firebase_consumer_spark.streaming.recipe import recipe_guard
+from aether_firebase_consumer_spark.streaming.pruning import (
+    corpus_recipe,
+    guard_idp_corpus,
+    known_ids,
+)
+from aether_firebase_consumer_spark.streaming.recipe import (
+    recipe_begin,
+    recipe_commit,
+    recipe_guard,
+)
 
 
 class DedupIngestJob:
@@ -107,14 +116,9 @@ class DedupIngestJob:
             raise ValueError(
                 "band_index is idp-partitioned but idp_parts is unset: "
                 "index rows could not compute their partition value")
-        if corpus.partition_col not in (None, "idp"):
-            raise ValueError(
-                "corpus must be unpartitioned or partitioned by 'idp' "
-                "(id_partition of the id column): the known-id check "
-                "prunes by idp")
-        if corpus.partition_col == "idp" and idp_parts is None:
-            raise ValueError(
-                "corpus is idp-partitioned but idp_parts is unset")
+        # corpus-level guard: an idp-modulus drift across restarts
+        # would silently gate UPDATEs against their own prior version
+        guard_idp_corpus(corpus, idp_parts)
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
@@ -155,21 +159,10 @@ class DedupIngestJob:
 
     def _known_ids(self, existing: DataFrame,
                    batch: DataFrame) -> DataFrame:
-        """Corpus ids the batch could collide with. With an
-        idp-partitioned corpus the scan prunes to the BATCH's own id
-        partitions (a batch id can only be 'known' at
-        idp=id_partition(id), the pure function its merge stamped) —
-        per-trigger known-check I/O ∝ batch, not corpus (round 9)."""
-        src = existing
-        if self.corpus.partition_col == "idp" \
-                and "idp" in existing.columns:
-            batch_idps = [r[0] for r in batch
-                          .select(id_partition(F.col(self.id_col),
-                                               self.idp_parts)
-                                  .alias("p"))
-                          .distinct().collect()]  # ≤ idp_parts values
-            src = existing.filter(F.col("idp").isin(batch_idps))
-        return src.select(self.id_col).distinct()
+        """Batch-idp-pruned known-id check — shared family logic,
+        :func:`~.pruning.known_ids`."""
+        return known_ids(self.corpus, existing, batch, self.id_col,
+                         self.idp_parts)
 
     def _index_rows(self, docs: DataFrame) -> DataFrame:
         """Index rows for ``docs``, including empty-array tombstones
@@ -338,9 +331,18 @@ class DedupIngestJob:
             if idp_parts < 1:
                 raise ValueError("idp_parts must be >= 1")
             self.idp_parts = idp_parts
+        # crash-safe choreography: stage the new recipes FIRST (a
+        # leftover .next marker fails every later attach loudly), then
+        # rebuild, then commit — neither crash window can leave a
+        # recipe silently validating a table of the other generation
+        staged = []
         if self.band_long_index is not None:
-            recipe_guard(self.band_long_index.path, self._long_recipe(),
-                         update=True)
+            recipe_begin(self.band_long_index.path, self._long_recipe())
+            staged.append(self.band_long_index.path)
+        if idp_parts is not None and self.corpus.partition_col == "idp":
+            recipe_begin(self.corpus.path,
+                         corpus_recipe(self.idp_parts))
+            staged.append(self.corpus.path)
 
         def restamp(table) -> None:
             df = table.read()
@@ -359,8 +361,18 @@ class DedupIngestJob:
                 and self.band_index is not None):
             doc_rows = self.band_index.read()
             if doc_rows is not None and not doc_rows.isEmpty():
-                self.band_long_index.replace(
-                    self._explode_long(doc_rows))
+                new_rows = self._explode_long(doc_rows)
+                if new_rows.isEmpty():
+                    # all-tombstone per-doc index (every doc emptied):
+                    # the correct long table is EMPTY — replace() would
+                    # refuse, so delete every surviving row instead
+                    if self.band_long_index.read() is not None:
+                        self.band_long_index.delete_keys(
+                            self.band_long_index.read())
+                else:
+                    self.band_long_index.replace(new_rows)
+        for path in staged:
+            recipe_commit(path)
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

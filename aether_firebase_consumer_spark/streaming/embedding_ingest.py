@@ -47,8 +47,15 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     embedding_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.pruning import (
+    corpus_recipe,
+    guard_idp_corpus,
+    known_ids,
+)
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
+    recipe_begin,
+    recipe_commit,
     recipe_guard,
 )
 
@@ -78,14 +85,9 @@ class EmbeddingIngestJob:
                 "band_long_index must be partitioned by 'bkp' — an "
                 "unpartitioned long index re-scans the whole table per "
                 "trigger, the exact I/O shape it exists to avoid")
-        if corpus.partition_col not in (None, "idp"):
-            raise ValueError(
-                "corpus must be unpartitioned or partitioned by 'idp' "
-                "(id_partition of the id column): the probe prunes its "
-                "embedding fetch and the known-id check by idp")
-        if corpus.partition_col == "idp" and idp_parts is None:
-            raise ValueError(
-                "corpus is idp-partitioned but idp_parts is unset")
+        # corpus-level guard: an idp-modulus drift across restarts
+        # would silently gate UPDATEs against their own prior version
+        guard_idp_corpus(corpus, idp_parts)
         self.spark = spark
         self.corpus = corpus
         self.rejects = rejects
@@ -126,22 +128,30 @@ class EmbeddingIngestJob:
             if idp_parts < 1:
                 raise ValueError("idp_parts must be >= 1")
             self.idp_parts = idp_parts
+        # crash-safe choreography — see DedupIngestJob.reshard_index
+        staged = []
         if self.band_long_index is not None:
-            recipe_guard(self.band_long_index.path, self._long_recipe(),
-                         update=True)
-        corpus = self.corpus.read()
-        if corpus is None or corpus.isEmpty():
-            return
+            recipe_begin(self.band_long_index.path, self._long_recipe())
+            staged.append(self.band_long_index.path)
         if idp_parts is not None and self.corpus.partition_col == "idp":
-            self.corpus.replace(corpus.drop("idp").withColumn(
-                "idp", id_partition(F.col(self.id_col),
-                                    self.idp_parts)))
-            corpus = self.corpus.read()
-        if n_parts is not None and self.band_long_index is not None \
-                and self.band_long_index.read() is not None:
-            self.band_long_index.replace(embedding_band_index_rows(
-                corpus, self.id_col, self.vec_col, self.bands,
-                self.n_parts))
+            recipe_begin(self.corpus.path,
+                         corpus_recipe(self.idp_parts))
+            staged.append(self.corpus.path)
+        corpus = self.corpus.read()
+        if corpus is not None and not corpus.isEmpty():
+            if idp_parts is not None \
+                    and self.corpus.partition_col == "idp":
+                self.corpus.replace(corpus.drop("idp").withColumn(
+                    "idp", id_partition(F.col(self.id_col),
+                                        self.idp_parts)))
+                corpus = self.corpus.read()
+            if n_parts is not None and self.band_long_index is not None \
+                    and self.band_long_index.read() is not None:
+                self.band_long_index.replace(embedding_band_index_rows(
+                    corpus, self.id_col, self.vec_col, self.bands,
+                    self.n_parts))
+        for path in staged:
+            recipe_commit(path)
 
     def _log_rejects(self, matches: DataFrame, loser_col: str,
                      winner_col: str, epoch_id: int) -> None:
@@ -158,21 +168,10 @@ class EmbeddingIngestJob:
 
     def _known_ids(self, existing: DataFrame,
                    batch: DataFrame) -> DataFrame:
-        """Corpus ids the batch could collide with. With an
-        idp-partitioned corpus the scan prunes to the BATCH's own id
-        partitions (a batch id can only be 'known' at
-        idp=id_partition(id), the pure function its merge stamped) —
-        per-trigger known-check I/O ∝ batch, not corpus (round 9)."""
-        src = existing
-        if self.corpus.partition_col == "idp" \
-                and "idp" in existing.columns:
-            batch_idps = [r[0] for r in batch
-                          .select(id_partition(F.col(self.id_col),
-                                               self.idp_parts)
-                                  .alias("p"))
-                          .distinct().collect()]  # ≤ idp_parts values
-            src = existing.filter(F.col("idp").isin(batch_idps))
-        return src.select(self.id_col).distinct()
+        """Batch-idp-pruned known-id check — shared family logic,
+        :func:`~.pruning.known_ids`."""
+        return known_ids(self.corpus, existing, batch, self.id_col,
+                         self.idp_parts)
 
     def _recompute_pairs(self, existing: DataFrame,
                          fresh: DataFrame) -> DataFrame:

@@ -53,8 +53,14 @@ from aether_firebase_consumer_spark.operators.dedup import (
     portable_hash60,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.pruning import (
+    guard_idp_corpus,
+    known_ids,
+)
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
+    recipe_begin,
+    recipe_commit,
     recipe_guard,
 )
 
@@ -85,11 +91,9 @@ class SemanticIngestJob:
                 "cluster_index must be partitioned by 'cp' — an "
                 "unpartitioned index re-scans the whole table per "
                 "trigger, the exact I/O shape it exists to avoid")
-        if corpus.partition_col not in (None, "idp"):
-            raise ValueError(
-                "corpus must be unpartitioned or partitioned by 'idp' "
-                "(id_partition of the id column): the probe prunes its "
-                "embedding fetch and the known-id check by idp")
+        # corpus-level guard: an idp-modulus drift across restarts
+        # would silently gate UPDATEs against their own prior version
+        guard_idp_corpus(corpus, idp_parts)
         if centroids is None:
             from aether_firebase_consumer_spark.plans.clustering_queries \
                 import _KM_INIT
@@ -238,17 +242,10 @@ class SemanticIngestJob:
         existing = self.corpus.read()
         had_index = False
         if existing is not None:
-            known_src = existing
-            if self._corpus_pruned:
-                # a batch id can only be "known" in its own idp
-                # partition (pure function of the id), so the known-id
-                # scan prunes to the batch's partitions — I/O ∝ batch,
-                # not corpus, like everything else in this handler
-                batch_idps = [r[0] for r in self._with_idp(batch)
-                              .select("idp").distinct().collect()]
-                known_src = existing.filter(
-                    F.col("idp").isin(batch_idps))
-            known = known_src.select(self.id_col).distinct()
+            # batch-idp-pruned known-id check (shared family logic,
+            # streaming/pruning.py): I/O ∝ batch, not corpus
+            known = known_ids(self.corpus, existing, batch,
+                              self.id_col, self.idp_parts)
             fresh = survivors.join(known, self.id_col, "left_anti")
             index = self.cluster_index.read() \
                 if self.cluster_index is not None else None
@@ -309,13 +306,14 @@ class SemanticIngestJob:
         self.n_sub = new_n_sub
         if self.cluster_index is None:
             return  # recompute path: the new modulus simply applies
-        # the recorded recipe migrates WITH the table, in the same step
-        recipe_guard(self.cluster_index.path, self._recipe(),
-                     update=True)
+        # crash-safe choreography: stage the new recipe, rebuild,
+        # commit — a crash in either window leaves the .next marker
+        # and every later attach fails loudly (recipe.py)
+        recipe_begin(self.cluster_index.path, self._recipe())
         corpus = self.corpus.read()
-        if corpus is None or self.cluster_index.read() is None:
-            return  # nothing persisted yet — next batch builds fresh
-        self.cluster_index.replace(self.index_rows(corpus))
+        if corpus is not None and self.cluster_index.read() is not None:
+            self.cluster_index.replace(self.index_rows(corpus))
+        recipe_commit(self.cluster_index.path)
 
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream

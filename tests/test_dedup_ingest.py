@@ -519,3 +519,36 @@ def test_reshard_index_migrates_moduli(spark, tmp_path):
                   for r in jp.corpus.read().collect()) == \
         sorted((r.doc_id, r.text) for r in jr.corpus.read().collect())
     assert jp.stats == jr.stats
+
+
+def test_reshard_index_with_all_tombstones(spark, tmp_path):
+    """Edge: every corpus doc UPDATEd to empty text leaves an
+    all-tombstone per-doc index (long table empty); reshard_index must
+    still complete — new recipe committed, long table stays empty —
+    instead of aborting half-migrated on an empty replace."""
+    root = tmp_path / "a"
+    root.mkdir()
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["doc_id"])
+    doc_t = ParquetUpsertTable(spark, str(root / "d"), ["doc_id"])
+    long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                ["doc_id", "band_key"],
+                                partition_col="bkp")
+    job = DedupIngestJob(spark, corpus, band_index=doc_t,
+                         band_long_index=long_t, n_parts=16)
+    job.process_batch(spark.createDataFrame(
+        [(1, _mk_doc(1)), (2, _mk_doc(2))],
+        "doc_id bigint, text string"), 0)
+    job.process_batch(spark.createDataFrame(
+        [(1, ""), (2, "")], "doc_id bigint, text string"), 1)
+    assert long_t.read().count() == 0  # stale keys deleted
+
+    job.reshard_index(n_parts=32)
+    assert long_t.read().count() == 0
+    # recipe committed at the new modulus, no marker left behind
+    import os
+    assert not os.path.exists(str(root / "l" / "_RECIPE.json.next"))
+    DedupIngestJob(spark, corpus, band_index=doc_t,
+                   band_long_index=long_t, n_parts=32)
+    with pytest.raises(ValueError, match="recipe mismatch"):
+        DedupIngestJob(spark, corpus, band_index=doc_t,
+                       band_long_index=long_t, n_parts=16)
