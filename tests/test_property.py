@@ -304,3 +304,54 @@ def test_zigzag_varint_roundtrip(values):
         v, pos = _get_varint(bytes(buf), pos)
         out.append(v)
     assert out == values and pos == len(buf)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=12),   # token count
+              st.booleans()),                           # repeated words?
+    min_size=8, max_size=25))
+def test_linear_probe_matches_numpy_lstsq(spark, tmp_path_factory,
+                                          shapes):
+    """Independent-implementation property for the exact-integer
+    Cramer least squares (quality_linear_probe_trained): on random
+    corpora, every prediction matches numpy.linalg.lstsq to float
+    tolerance — a wrong cofactor sign or a feature-definition mismatch
+    (Spark split vs str.split) fails immediately."""
+    import numpy as np
+    from hypothesis import assume
+
+    from aether_firebase_consumer_spark.plans.quality_queries import (
+        quality_linear_probe_trained,
+    )
+
+    rows = []
+    for i, (tok, repeat) in enumerate(shapes):
+        if repeat:
+            words = ["ab"] * tok
+        else:
+            words = [chr(ord("a") + (j % 26)) * (1 + j % 3)
+                     for j in range(tok)]
+        rows.append((i, " ".join(words)))
+    sf = tmp_path_factory.mktemp("lp")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    try:
+        got = {r.doc_id: r.pred_chars
+               for r in quality_linear_probe_trained(
+                   spark, str(sf)).collect()}
+    except ValueError:
+        assume(False)  # degenerate design matrix: not this property
+        return
+
+    feats = {i: (len(t.split(" ")), len(set(t.split(" "))), len(t))
+             for i, t in rows}
+    X = np.array([[1.0, feats[i][0], feats[i][1]] for i, _ in rows])
+    y = np.array([float(feats[i][2]) for i, _ in rows])
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+    for i, _ in rows:
+        if i not in got:       # top-100 keeps all (n<=25) — always in
+            continue
+        want = w[0] + w[1] * feats[i][0] + w[2] * feats[i][1]
+        assert abs(got[i] - want) <= 1e-6 * max(1.0, abs(want)), \
+            (i, got[i], want)
