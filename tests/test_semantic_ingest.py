@@ -470,3 +470,64 @@ def test_recipe_guard_on_cluster_index(spark, tmp_path):
     attach(3)  # recipe migrated with the rebuild
     with pytest.raises(ValueError, match="recipe mismatch.*n_sub"):
         attach(1)
+
+
+def test_reshard_between_triggers_under_lifecycle(spark, tmp_path):
+    """The documented operational flow: pause the managed stream,
+    reshard the index, resume — the checkpoint continues, the gate
+    semantics hold at the new modulus, and the index stays consistent
+    with the corpus."""
+    from aether_firebase_consumer_spark.control.jobs import JobManager
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = tmp_path / "t"
+    root.mkdir()
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"])
+    rejects = ParquetUpsertTable(spark, str(root / "r"), ["vec_id"])
+    idx = ParquetUpsertTable(spark, str(root / "i"), ["vec_id"],
+                             partition_col="cp")
+    ingest = SemanticIngestJob(spark, corpus, rejects,
+                               cluster_index=idx, centroids=CENTS,
+                               threshold=0.9, n_sub=1, n_parts=4)
+
+    def feed(name, rows):
+        _df(spark, rows).coalesce(1).write.parquet(str(src / name))
+
+    def start_fn(checkpoint):
+        stream = (spark.readStream
+                  .schema("vec_id bigint, embedding array<double>")
+                  .parquet(str(src) + "/*"))
+        return (ingest.writer(stream, checkpoint)
+                .trigger(availableNow=True).start())
+
+    mgr = JobManager(str(tmp_path / "ckpt"))
+    job = mgr.add_job("tenant-a", "sem-reshard", start_fn)
+
+    v = _vec(1)
+    feed("b1", [(1, v), (2, _vec(2))])
+    job.start()
+    job.query.awaitTermination()
+    job.pause()
+
+    ingest.reshard(2)  # migration between triggers
+
+    # post-reshard: an identical vector in the SAME (cluster, sub)
+    # cell as vector 1 must still be rejected; a different-sub twin
+    # accepted — the n_sub=2 semantics, against the REBUILT index
+    subs = {r.vec_id: r.sub for r in ingest._assign(
+        _df(spark, [(i, v) for i in range(1, 40)])).collect()}
+    # start at 3: ids 1 and 2 are already in the corpus (a known id
+    # is an UPDATE and bypasses the gate)
+    same = next(i for i in range(3, 40) if subs[i] == subs[1])
+    diff = next(i for i in range(3, 40) if subs[i] != subs[1])
+    feed("b2", [(same, v), (diff, v)])
+    job.resume()
+    job.query.awaitTermination()
+    ids = {r.vec_id for r in corpus.read().collect()}
+    assert diff in ids and same not in ids
+    got = {(r.vec_id, r.cluster, r.sub, r.cp)
+           for r in idx.read().collect()}
+    want = {(r.vec_id, r.cluster, r.sub, r.cp)
+            for r in ingest.index_rows(corpus.read()).collect()}
+    assert got == want
