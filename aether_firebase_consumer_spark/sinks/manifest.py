@@ -1,0 +1,122 @@
+"""Dataset snapshot manifests (round 9) — the reproducibility piece a
+training pipeline needs on top of a versioned table: "this training
+run read EXACTLY these bytes", checkable later.
+
+A manifest freezes one version of a :class:`~.upsert.
+ParquetUpsertTable` as a JSON document: the relative path, byte size,
+and md5 of every data file. ``verify_manifest`` re-checks it (bit-rot,
+accidental rewrite, a vacuumed version); ``export_snapshot`` material-
+izes the version into a frozen directory via hardlinks (metadata-only,
+like the table's own version carry-over) with the manifest beside the
+data, so later merges/GC on the live table can never disturb what a
+training run consumed.
+
+Scale note: hashing is per-file, driver-side streaming I/O — manifest
+creation is an export-time maintenance cost, not a query-path cost.
+On an object store the md5/etag comes free from the store's metadata;
+this local-FS implementation computes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _data_files(root: str) -> list[str]:
+    out = []
+    for base, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(base, fn),
+                                           root))
+    return sorted(out)
+
+
+def table_manifest(table: ParquetUpsertTable,
+                   version: int | None = None) -> dict:
+    """Freeze one table version as a manifest dict: every data file's
+    relative path, size, and md5, plus the commit metadata visible at
+    that version. Raises if the version does not exist (e.g. GC'd)."""
+    v = table.current_version() if version is None else version
+    root = table._data_dir(v)
+    if v < 0 or not os.path.isdir(root):
+        raise ValueError(f"no such version {v} at {table.path}")
+    files = [{"path": rel,
+              "bytes": os.path.getsize(os.path.join(root, rel)),
+              "md5": _file_md5(os.path.join(root, rel))}
+             for rel in _data_files(root)]
+    return {"table": os.path.abspath(table.path), "version": v,
+            "partition_col": table.partition_col,
+            "n_files": len(files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "files": files}
+
+
+def verify_manifest(root_dir: str, manifest: dict) -> list[str]:
+    """Re-check a manifest against a directory (a live version dir or
+    an exported snapshot). Returns a list of human-readable
+    discrepancies — empty means every byte the manifest names is still
+    there and identical; extra files are reported too (a snapshot must
+    be exactly its manifest, nothing more)."""
+    problems = []
+    named = set()
+    for f in manifest["files"]:
+        named.add(f["path"])
+        p = os.path.join(root_dir, f["path"])
+        if not os.path.isfile(p):
+            problems.append(f"missing: {f['path']}")
+            continue
+        size = os.path.getsize(p)
+        if size != f["bytes"]:
+            problems.append(
+                f"size drift: {f['path']} ({size} vs {f['bytes']})")
+            continue
+        if _file_md5(p) != f["md5"]:
+            problems.append(f"content drift: {f['path']}")
+    for rel in _data_files(root_dir):
+        if rel not in named:
+            problems.append(f"unmanifested file: {rel}")
+    return problems
+
+
+def export_snapshot(table: ParquetUpsertTable, dest: str,
+                    version: int | None = None) -> dict:
+    """Materialize one table version into ``dest`` as a FROZEN
+    dataset: hardlinks of every data file (metadata-only; an object
+    store would server-side copy) plus ``_MANIFEST.json``. The live
+    table can merge, optimize, and vacuum freely afterwards — the
+    snapshot's bytes are pinned by their link count. ``dest`` must not
+    already exist (a snapshot is immutable; there is no overwrite)."""
+    if os.path.exists(dest):
+        raise ValueError(
+            f"snapshot destination already exists: {dest} — snapshots "
+            "are immutable, export to a fresh path")
+    man = table_manifest(table, version)
+    root = table._data_dir(man["version"])
+    for f in man["files"]:
+        src = os.path.join(root, f["path"])
+        dst = os.path.join(dest, f["path"])
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(src, dst)
+    with open(os.path.join(dest, MANIFEST_NAME), "w") as fh:
+        json.dump(man, fh, indent=1, sort_keys=True)
+    return man
+
+
+def read_snapshot_manifest(dest: str) -> dict:
+    with open(os.path.join(dest, MANIFEST_NAME)) as fh:
+        return json.load(fh)

@@ -175,3 +175,68 @@ def test_upsert_table_replace_atomic(spark, tmp_path):
     assert t.read().count() == 1
     with pytest.raises(ValueError, match="empty"):
         t.replace(t.read().filter(F.lit(False)))
+
+
+def test_snapshot_manifest_and_export(spark, tmp_path):
+    """Dataset snapshot manifests: a training run can freeze EXACTLY
+    the bytes it read (hardlinked snapshot + per-file md5 manifest),
+    verify them later, and the live table's merges/GC never disturb
+    the snapshot."""
+    import os
+
+    import pytest
+
+    from aether_firebase_consumer_spark.sinks.manifest import (
+        export_snapshot,
+        read_snapshot_manifest,
+        table_manifest,
+        verify_manifest,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           partition_col="p")
+    t.merge(spark.createDataFrame(
+        [(i, i * 10, f"p{i % 3}") for i in range(20)],
+        "k int, v int, p string"))
+    man = table_manifest(t)
+    assert man["n_files"] > 0 and man["total_bytes"] > 0
+    assert verify_manifest(t._data_dir(man["version"]), man) == []
+
+    snap = str(tmp_path / "snap")
+    export_snapshot(t, snap)
+    assert read_snapshot_manifest(snap)["version"] == man["version"]
+    snap_rows = sorted(map(tuple, spark.read.parquet(snap)
+                           .select("k", "v").collect()))
+
+    # live table moves on: merge + vacuum churn versions and GC the
+    # snapshotted one — the snapshot is unaffected (hardlink pinning)
+    for i in range(3):
+        t.merge(spark.createDataFrame(
+            [(100 + i, 1, "p0")], "k int, v int, p string"))
+    t.vacuum(keep_last_n=2)
+    assert not os.path.isdir(t._data_dir(man["version"]))
+    assert verify_manifest(snap, read_snapshot_manifest(snap)) == []
+    assert sorted(map(tuple, spark.read.parquet(snap)
+                      .select("k", "v").collect())) == snap_rows
+
+    # verification catches drift: truncate one file, add another
+    f0 = os.path.join(snap, man["files"][0]["path"])
+    os.remove(f0)  # remove, don't truncate: it is hardlink-shared
+    with open(f0, "wb") as fh:
+        fh.write(b"tampered")
+    extra = os.path.join(snap, "rogue.parquet")
+    with open(extra, "wb") as fh:
+        fh.write(b"x")
+    problems = verify_manifest(snap, read_snapshot_manifest(snap))
+    assert any("drift" in p or "missing" in p for p in problems)
+    assert any("unmanifested" in p for p in problems)
+
+    # snapshots are immutable: re-export to the same path refuses
+    with pytest.raises(ValueError, match="already exists"):
+        export_snapshot(t, snap)
+    # and a GC'd version cannot be manifested
+    with pytest.raises(ValueError, match="no such version"):
+        table_manifest(t, version=man["version"])
