@@ -435,3 +435,45 @@ def test_optimize_compacts_codes_without_changing_answers(spark,
     assert re.search(r"PartitionFilters: \[[^\]]*\bcp\b", plan)
     with open(str(tmp_path / "j" / "i" / "_RECIPE.json")) as fh:
         assert json.load(fh)["kind"] == "ivfadc"
+
+
+def test_snapshot_pinned_index_serves_identical_topk(spark, tmp_path):
+    """Composition with sinks/manifest.py: export the index tables as
+    immutable snapshots (the 'this model release was evaluated against
+    THESE bytes' pin); a probe served from the snapshots equals the
+    live topk, and stays byte-verified after the live tables move on."""
+    from aether_firebase_consumer_spark.sinks.manifest import (
+        export_snapshot,
+        read_snapshot_manifest,
+        verify_manifest,
+    )
+
+    job = _mk_job(spark, tmp_path / "j")
+    state = [(i, _vec(i)) for i in range(1, 20)]
+    job.process_batch(_df(spark, state), 0)
+    queries = _df(spark, [(100, _vec(100))])
+    live = _snap(job.topk(queries, k=3, shortlist=10))
+
+    snap_codes = str(tmp_path / "snap_codes")
+    snap_corpus = str(tmp_path / "snap_corpus")
+    export_snapshot(job.codes, snap_codes)
+    export_snapshot(job.corpus, snap_corpus)
+
+    # the live index moves on (new vectors, compaction)
+    job.process_batch(_df(spark, [(50, _vec(50))]), 1)
+    job.codes.optimize(num_files=1)
+
+    # serve from the frozen snapshot: same stage helpers over the
+    # snapshot scans — identical answer to the pre-move live probe
+    inv = spark.read.parquet(snap_codes)
+    corpus = spark.read.parquet(snap_corpus)
+    q = ivfadc_query_frame(queries, CENTS, BOOKS)
+    sl = ivfadc_shortlist(inv, q, BOOKS, 10)
+    q_emb = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("q_emb"))
+    n_emb = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("n_emb"))
+    assert _snap(ivfadc_rerank(sl, q_emb, n_emb, topk=3)) == live
+    # and the pinned bytes still verify
+    assert verify_manifest(snap_codes,
+                           read_snapshot_manifest(snap_codes)) == []
