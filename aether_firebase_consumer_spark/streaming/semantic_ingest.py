@@ -315,6 +315,27 @@ class SemanticIngestJob:
             self.cluster_index.replace(self.index_rows(corpus))
         recipe_commit(self.cluster_index.path)
 
+    def reshard_corpus(self, new_idp_parts: int) -> None:
+        """Migrate the idp-partitioned corpus to a new partition
+        modulus (round 9 — the semantic twin of the band jobs'
+        ``reshard_index(idp_parts=...)``): re-stamp every row's idp
+        from its id, one atomic version swap, corpus recipe migrated
+        crash-safely. Run between triggers."""
+        from aether_firebase_consumer_spark.streaming.pruning import (
+            corpus_recipe,
+        )
+
+        if new_idp_parts < 1:
+            raise ValueError("idp_parts must be >= 1")
+        self.idp_parts = new_idp_parts
+        if not self._corpus_pruned:
+            return  # unpartitioned corpus: nothing persisted to move
+        recipe_begin(self.corpus.path, corpus_recipe(new_idp_parts))
+        corpus = self.corpus.read()
+        if corpus is not None and not corpus.isEmpty():
+            self.corpus.replace(self._with_idp(corpus.drop("idp")))
+        recipe_commit(self.corpus.path)
+
     def writer(self, stream: DataFrame, checkpoint: str):
         return (stream.writeStream
                 .foreachBatch(self.process_batch)

@@ -531,3 +531,42 @@ def test_reshard_between_triggers_under_lifecycle(spark, tmp_path):
     want = {(r.vec_id, r.cluster, r.sub, r.cp)
             for r in ingest.index_rows(corpus.read()).collect()}
     assert got == want
+
+
+def test_reshard_corpus_idp_migration(spark, tmp_path):
+    """reshard_corpus: the idp-partitioned corpus migrates to a new
+    modulus (rows re-stamped, recipe migrated crash-safely) and the
+    gate semantics afterwards still match the plain-corpus recompute
+    path exactly."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+
+    jp = _mk_job(spark, tmp_path / "jp", with_index=True,
+                 corpus_idp=True)
+    jr = _mk_job(spark, tmp_path / "jr", with_index=False)
+    v1 = _vec(1)
+    b0 = [(1, v1), (2, _vec(2)), (3, _vec(3))]
+    jp.process_batch(_df(spark, b0), 0)
+    jr.process_batch(_df(spark, b0), 0)
+
+    jp.reshard_corpus(4)
+    # rows re-stamped at the new modulus, recipe migrated
+    assert jp.corpus.read().filter(
+        F.col("idp") != id_partition(F.col("vec_id"), 4)).count() == 0
+    with pytest.raises(ValueError, match="recipe mismatch.*idp_parts"):
+        SemanticIngestJob(
+            spark, jp.corpus, cluster_index=jp.cluster_index,
+            centroids=CENTS, threshold=0.9, n_sub=1, n_parts=4,
+            idp_parts=8)
+
+    # post-migration: update bypass and near-dup gate behave exactly
+    # like the recompute twin (a missed known-id would reject id 1
+    # as a dup of itself)
+    b1 = [(1, v1), (4, _near(v1, "n4")), (5, _vec(5))]
+    jp.process_batch(_df(spark, b1), 1)
+    jr.process_batch(_df(spark, b1), 1)
+    assert _corpus_snap(jp.corpus) == _corpus_snap(jr.corpus)
+    assert {(r.vec_id, r.dup_of) for r in jp.rejects.read().collect()} \
+        == {(r.vec_id, r.dup_of) for r in jr.rejects.read().collect()}
+    assert jp.stats == jr.stats
