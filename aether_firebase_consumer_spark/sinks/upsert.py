@@ -28,13 +28,49 @@ is a drop-in upgrade of this class.
 from __future__ import annotations
 
 import datetime
+import functools
+import json
 import os
+import random
 import shutil
+import time
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this write was derived
+    against (optimistic-concurrency conflict). RETRYABLE: re-read the
+    table and re-derive the write — the table methods do this
+    themselves up to ``commit_retries`` times before letting the
+    error escape."""
+
+
+def _retrying(fn):
+    """Re-run a whole write method on commit conflict: each attempt
+    re-reads the current version, so the re-derived MERGE/DELETE is
+    correct against the other writer's committed result — the classic
+    optimistic-concurrency loop (what Delta's commit protocol does for
+    concurrent blind appends, generalized to re-derivation because our
+    writes read the table)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        last = None
+        for attempt in range(self.commit_retries + 1):
+            try:
+                return fn(self, *args, **kwargs)
+            except ConcurrentCommitError as e:
+                last = e
+                # full-jitter backoff, capped at 2 s: the cap must
+                # exceed a typical opponent commit's wall time or two
+                # sustained writers re-collide on every attempt
+                time.sleep(random.random() * min(0.1 * 2 ** attempt, 2.0))
+        raise last
+    return wrapper
 
 
 def hive_partition_value(v) -> str:
@@ -70,7 +106,8 @@ class ParquetUpsertTable:
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
                  partition_col: str | None = None,
-                 retain_versions: int = 2):
+                 retain_versions: int = 2,
+                 commit_retries: int = 8):
         if retain_versions < 2:
             raise ValueError("retain_versions must be >= 2 (current + "
                              "previous for concurrent readers)")
@@ -79,35 +116,110 @@ class ParquetUpsertTable:
         self.key_cols = key_cols
         self.partition_col = partition_col
         self.retain_versions = retain_versions
+        self.commit_retries = commit_retries
         os.makedirs(path, exist_ok=True)
 
-    # -- version pointer ------------------------------------------------
+    # -- version pointer / commit protocol ------------------------------
+    #
+    # Round 10: commits are OPTIMISTIC-CONCURRENCY safe. The version-
+    # file swap alone assumed a single writer — two jobs that both read
+    # v5 would both write the v6 directory (clobbering each other's
+    # files mid-write) and both repoint, silently dropping one commit.
+    # The protocol now is the local-FS form of Delta's LogStore
+    # put-if-absent:
+    #
+    #   1. stage the new version's data into a UNIQUE scratch dir
+    #      (`_staged-<token>`) — concurrent writers never share a
+    #      directory, so there is no data-file race at all;
+    #   2. CAS: hardlink a fully-written marker file into
+    #      `_COMMIT_v{n}` — os.link is atomic put-if-absent WITH
+    #      content (an O_EXCL create + write would expose an empty
+    #      marker to readers). Exactly ONE writer per version number
+    #      wins; the loser raises ConcurrentCommitError, cleans its
+    #      scratch, and the @_retrying wrapper re-derives against the
+    #      winner's result;
+    #   3. rename the scratch dir to `v{n}` and swap `_VERSION`.
+    #
+    # The marker is the durable commit point: it is created only after
+    # the data is fully staged, so a crash after step 2 is ROLLED
+    # FORWARD by the next current_version() call (finish the rename +
+    # pointer swap on the crashed writer's behalf); a crash before it
+    # leaves only an orphan scratch dir (reclaimed by vacuum). Readers
+    # are unaffected throughout: they see `v{n}` dirs and the pointer,
+    # exactly as before.
     def _version_file(self) -> str:
         return os.path.join(self.path, "_VERSION")
+
+    def _marker(self, version: int) -> str:
+        return os.path.join(self.path, f"_COMMIT_v{version}")
+
+    def _stage_dir(self) -> str:
+        return os.path.join(self.path, f"_staged-{uuid.uuid4().hex[:12]}")
 
     def current_version(self) -> int:
         try:
             with open(self._version_file()) as fh:
-                return int(fh.read().strip())
+                v = int(fh.read().strip())
         except FileNotFoundError:
-            return -1
+            v = -1
+        # roll forward a commit that crashed between its marker link
+        # and the pointer swap: the marker names the staged dir and is
+        # only ever written after the data is complete
+        while os.path.exists(self._marker(v + 1)):
+            with open(self._marker(v + 1)) as fh:
+                staged = json.load(fh)["staged"]
+            self._finish_commit(v + 1, staged)
+            v += 1
+        return v
+
+    def _finish_commit(self, v: int, staged_name: str) -> None:
+        """Steps 3 of the commit protocol — idempotent and safe to run
+        concurrently (a reader rolling forward can race the committing
+        writer: one rename wins, the other sees the destination already
+        in place; the pointer write is a same-content replace)."""
+        dst = self._data_dir(v)
+        src = os.path.join(self.path, staged_name)
+        if not os.path.isdir(dst):
+            try:
+                os.rename(src, dst)
+            except OSError:
+                if not os.path.isdir(dst):
+                    raise
+        tmp = f"{self._version_file()}.tmp{v}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        # never move the pointer backwards: a v6 roll-forward racing a
+        # v7 committer must not replace 7 with 6 (self-healing via the
+        # marker loop, but avoidable here at the cost of one read)
+        try:
+            with open(self._version_file()) as fh:
+                newer = int(fh.read().strip()) > v
+        except (FileNotFoundError, ValueError):
+            newer = False
+        if newer:
+            os.unlink(tmp)
+        else:
+            os.replace(tmp, self._version_file())
 
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
 
+    def _read_at(self, version: int) -> DataFrame | None:
+        if version < 0:
+            return None
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(self._data_dir(version)))
+
     # -- read -----------------------------------------------------------
     def read(self) -> DataFrame | None:
-        v = self.current_version()
-        if v < 0:
-            return None
         # mergeSchema: partition-pruned merges under schema evolution
         # leave hardlinked partitions with old-schema footers; without
         # merging, Spark may sample one of those and silently drop the
         # newly added columns from the whole read
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(self._data_dir(v)))
+        return self._read_at(self.current_version())
 
     # -- merge ----------------------------------------------------------
+    @_retrying
     def merge(self, batch: DataFrame,
               commit_meta: dict | None = None) -> None:
         """Upsert ``batch`` by key: one row per key (dropDuplicates on
@@ -126,7 +238,8 @@ class ParquetUpsertTable:
         that lets foreachBatch sinks fence replayed epochs (see
         ``IncrementalRollup``)."""
         batch1 = batch.dropDuplicates(self.key_cols)
-        current = self.read()
+        parent = self.current_version()
+        current = self._read_at(parent)
         # an empty merge is a NO-OP whether or not the table exists:
         # onto an existing table the rewrite would copy EVERYTHING for
         # nothing, and onto a fresh table Spark would write a version
@@ -134,21 +247,20 @@ class ParquetUpsertTable:
         # later read with 'Unable to infer schema'
         if batch1.isEmpty():
             return
-        v = self.current_version() + 1
-        target = self._data_dir(v)
+        target = self._stage_dir()
         if current is None:
             writer = batch1.write.mode("overwrite")
             if self.partition_col:
                 writer = writer.partitionBy(self.partition_col)
             writer.parquet(target)
-            self._commit(v, commit_meta)
+            self._publish(target, parent, commit_meta)
             return
         if not self.partition_col:
             keep = current.join(batch1.select(*self.key_cols),
                                 self.key_cols, "left_anti")
             keep.unionByName(batch1, allowMissingColumns=True) \
                 .write.mode("overwrite").parquet(target)
-            self._commit(v, commit_meta)
+            self._publish(target, parent, commit_meta)
             return
         pc = self.partition_col
         touched = [r[0] for r in batch1.select(pc).distinct().collect()]
@@ -182,9 +294,9 @@ class ParquetUpsertTable:
         (keep.unionByName(batch1, allowMissingColumns=True)
          .write.mode("overwrite").partitionBy(pc).parquet(target))
         self._link_untouched_partitions(
-            self._data_dir(v - 1), target,
+            self._data_dir(parent), target,
             {hive_partition_value(t) for t in touched})
-        self._commit(v, commit_meta)
+        self._publish(target, parent, commit_meta)
 
     @staticmethod
     def _link_untouched_partitions(prev_dir: str, target: str,
@@ -211,6 +323,7 @@ class ParquetUpsertTable:
                 if os.path.isfile(sf) and not os.path.exists(df_):
                     os.link(sf, df_)
 
+    @_retrying
     def replace(self, batch: DataFrame,
                 commit_meta: dict | None = None) -> None:
         """Atomic full-table REPLACE: write ``batch`` as the next
@@ -230,24 +343,26 @@ class ParquetUpsertTable:
                 "replace() with an empty batch would write an "
                 "unreadable version — use delete_keys() to empty a "
                 "table")
-        v = self.current_version() + 1
+        parent = self.current_version()
+        target = self._stage_dir()
         writer = batch1.write.mode("overwrite")
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
-        writer.parquet(self._data_dir(v))
-        self._commit(v, commit_meta)
+        writer.parquet(target)
+        self._publish(target, parent, commit_meta)
 
+    @_retrying
     def delete_keys(self, keys: DataFrame) -> None:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in
         ``keys``. Partition-pruned like :meth:`merge` when the deleted
         keys' partitions are identifiable (keys carry partition_col)."""
         from urllib.parse import unquote
 
-        current = self.read()
+        parent = self.current_version()
+        current = self._read_at(parent)
         if current is None or keys.isEmpty():
             return
-        v = self.current_version() + 1
-        target = self._data_dir(v)
+        target = self._stage_dir()
         pc = self.partition_col
         if pc and pc in keys.columns:
             touched = [r[0] for r in keys.select(pc).distinct().collect()]
@@ -255,10 +370,10 @@ class ParquetUpsertTable:
                          .join(keys.select(*self.key_cols),
                                self.key_cols, "left_anti"))
             if remaining.isEmpty() and not any(
-                    os.path.isdir(os.path.join(self._data_dir(v - 1), d))
+                    os.path.isdir(os.path.join(self._data_dir(parent), d))
                     and "=" in d and unquote(d.split("=", 1)[1])
                     not in {hive_partition_value(t) for t in touched}
-                    for d in os.listdir(self._data_dir(v - 1))):
+                    for d in os.listdir(self._data_dir(parent))):
                 # the delete empties every touched partition AND no
                 # untouched partition survives to be hardlinked: a
                 # partitionBy write of zero rows leaves a file-less,
@@ -267,11 +382,11 @@ class ParquetUpsertTable:
                 # hive-style as usual)
                 remaining.repartition(1).write.mode("overwrite") \
                     .parquet(target)
-                self._commit(v)
+                self._publish(target, parent)
                 return
             remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
             self._link_untouched_partitions(
-                self._data_dir(v - 1), target,
+                self._data_dir(parent), target,
                 {hive_partition_value(t) for t in touched})
         else:
             remaining = current.join(keys.select(*self.key_cols),
@@ -284,7 +399,7 @@ class ParquetUpsertTable:
             if pc:
                 writer = writer.partitionBy(pc)
             writer.parquet(target)
-        self._commit(v)
+        self._publish(target, parent)
 
     def commit_meta(self) -> dict | None:
         """The ``commit_meta`` of the CURRENT version, or None — read
@@ -302,28 +417,78 @@ class ParquetUpsertTable:
         except OSError:
             return None
 
-    def _commit(self, v: int, commit_meta: dict | None = None) -> None:
-        if commit_meta is None:
-            # carry the previous version's tag forward: a meta-less
+    def _publish(self, staged: str, parent: int,
+                 commit_meta: dict | None = None) -> None:
+        """Commit the fully-staged directory ``staged`` as version
+        ``parent + 1`` — the CAS step of the commit protocol (see the
+        version-pointer comment block). Raises
+        :class:`ConcurrentCommitError` (and removes the staged data)
+        if any other writer got there first."""
+        v = parent + 1
+        if commit_meta is None and parent >= 0:
+            # carry the parent version's tag forward: a meta-less
             # maintenance commit (optimize, delete_keys, backfill
             # merge) must not silently erase the epoch fence a
             # streaming sink relies on for replay safety
-            commit_meta = self.commit_meta()
+            try:
+                with open(os.path.join(self._data_dir(parent),
+                                       "_COMMIT_META.json")) as fh:
+                    commit_meta = json.load(fh)
+            except OSError:
+                pass
         if commit_meta is not None:
-            import json as _json
-
-            with open(os.path.join(self._data_dir(v),
-                                   "_COMMIT_META.json"), "w") as fh:
-                _json.dump(commit_meta, fh)
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, self._version_file())  # atomic pointer swap
+            with open(os.path.join(staged, "_COMMIT_META.json"),
+                      "w") as fh:
+                json.dump(commit_meta, fh)
+        # CAS: atomically link a fully-written marker into place —
+        # exactly one writer can own version v
+        marker_tmp = staged + ".marker"
+        with open(marker_tmp, "w") as fh:
+            json.dump({"staged": os.path.basename(staged)}, fh)
+        try:
+            os.link(marker_tmp, self._marker(v))
+        except FileExistsError:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"{self.path}: version {v} was committed by another "
+                f"writer while this write (derived against v{parent}) "
+                "was in flight — re-read and re-derive (the table "
+                "methods retry this automatically)") from None
+        finally:
+            os.unlink(marker_tmp)
+        # guard the one case the marker CAS cannot see: a writer SO
+        # stale that version v was already committed AND its marker
+        # GC'd past the retention window — the link above then
+        # "succeeds" for a version number that will never be looked at
+        # again, silently hiding this commit. Detect via the pointer:
+        # it can only exceed `parent` legitimately here if a concurrent
+        # reader already rolled THIS commit forward (then v's dir
+        # exists and our staged dir was consumed by the rename).
+        try:
+            with open(self._version_file()) as fh:
+                raw = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            raw = -1
+        if raw > parent and not (os.path.isdir(self._data_dir(v))
+                                 and not os.path.isdir(staged)):
+            os.unlink(self._marker(v))
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"{self.path}: table is at v{raw} but this write was "
+                f"derived against v{parent} (beyond the marker "
+                "retention window) — re-read and re-derive")
+        if raw <= parent:
+            self._finish_commit(v, os.path.basename(staged))
         # GC old versions outside the retention window (always keep the
         # previous one for concurrent readers; more for time travel)
         for old in range(v - self.retain_versions + 1):
             shutil.rmtree(self._data_dir(old), ignore_errors=True)
+            try:
+                os.unlink(self._marker(old))
+            except OSError:
+                pass
 
+    @_retrying
     def optimize(self, zorder_cols: list[str] | None = None,
                  num_files: int | None = None) -> None:
         """Rewrite the CURRENT version into a new, better-laid-out
@@ -335,11 +500,11 @@ class ParquetUpsertTable:
         the rewrite lands as a NEW version behind the atomic pointer
         swap, and time travel still reaches the pre-optimize
         snapshots. Row content is identical by construction."""
-        current = self.read()
+        parent = self.current_version()
+        current = self._read_at(parent)
         if current is None:
             return
-        v = self.current_version() + 1
-        target = self._data_dir(v)
+        target = self._stage_dir()
         parts = num_files or self.spark.sparkContext.defaultParallelism
         if zorder_cols:
             from aether_firebase_consumer_spark.sinks.layout import (
@@ -356,7 +521,7 @@ class ParquetUpsertTable:
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
-        self._commit(v)
+        self._publish(target, parent)
 
     def vacuum(self, keep_last_n: int) -> list[int]:
         """Explicitly drop all but the newest ``keep_last_n`` retained
@@ -377,6 +542,25 @@ class ParquetUpsertTable:
         removed = [v for v in self.versions() if v <= cutoff]
         for v in removed:
             shutil.rmtree(self._data_dir(v), ignore_errors=True)
+            try:
+                os.unlink(self._marker(v))
+            except OSError:
+                pass
+        # reclaim orphan scratch dirs from crashed writers (a LIVE
+        # writer's scratch is at most seconds old — only touch stale
+        # ones) — the local-FS analogue of VACUUM'ing uncommitted files
+        pending = set()
+        nxt = self._marker(self.current_version() + 1)
+        if os.path.exists(nxt):  # mid-commit: its staged dir is live
+            with open(nxt) as fh:
+                pending.add(json.load(fh)["staged"])
+        for name in os.listdir(self.path):
+            if (name.startswith("_staged-") and name not in pending
+                    and os.path.isdir(os.path.join(self.path, name))
+                    and time.time() - os.path.getmtime(
+                        os.path.join(self.path, name)) > 3600):
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
         return removed
 
     # -- time travel / change data feed ---------------------------------
