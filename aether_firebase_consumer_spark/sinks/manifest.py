@@ -22,8 +22,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import random
+import time
 
-from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.sinks.upsert import (
+    ConcurrentCommitError,
+    ParquetUpsertTable,
+)
 
 MANIFEST_NAME = "_MANIFEST.json"
 
@@ -120,3 +125,58 @@ def export_snapshot(table: ParquetUpsertTable, dest: str,
 def read_snapshot_manifest(dest: str) -> dict:
     with open(os.path.join(dest, MANIFEST_NAME)) as fh:
         return json.load(fh)
+
+
+def import_snapshot(snapshot_dir: str, table: ParquetUpsertTable) -> dict:
+    """The inverse of :func:`export_snapshot` (round 10, VERDICT r9
+    item 3): re-attach a frozen snapshot as the NEXT version of
+    ``table``, closing the reproducibility loop — a pinned training
+    set becomes a queryable :class:`~.upsert.ParquetUpsertTable` again
+    (time travel, change feed, further merges all work from there).
+
+    Semantics are REPLACE: the imported version contains exactly the
+    snapshot's rows (absent keys from the previous version drop out),
+    which is what "restore this dataset" means. The snapshot is
+    verified byte-for-byte against its manifest BEFORE publishing —
+    a bit-rotted or tampered snapshot refuses to import rather than
+    silently becoming the new truth. Files are hardlinked (metadata-
+    only, like export); the commit goes through the table's
+    optimistic-concurrency protocol and records the snapshot's
+    provenance as commit metadata. Returns the manifest."""
+    man = read_snapshot_manifest(snapshot_dir)
+    problems = verify_manifest(snapshot_dir, man)
+    if problems:
+        raise ValueError(
+            f"snapshot at {snapshot_dir} fails verification — refusing "
+            f"to import: {'; '.join(problems[:5])}"
+            + (f" (+{len(problems) - 5} more)" if len(problems) > 5
+               else ""))
+    if man.get("partition_col") != table.partition_col:
+        raise ValueError(
+            f"partition layout mismatch: snapshot was exported from a "
+            f"table partitioned by {man.get('partition_col')!r} but the "
+            f"target table declares {table.partition_col!r} — importing "
+            "would break the target's partition-pruned merge/probe "
+            "contract")
+    meta = {"imported_snapshot": {"source_table": man.get("table"),
+                                  "source_version": man["version"],
+                                  "n_files": man["n_files"],
+                                  "total_bytes": man["total_bytes"]}}
+    # same optimistic-concurrency loop as the table's own writers:
+    # re-deriving an import is just re-linking against the new parent
+    for attempt in range(table.commit_retries + 1):
+        parent = table.current_version()
+        staged = table._stage_dir()
+        for f in man["files"]:
+            src = os.path.join(snapshot_dir, f["path"])
+            dst = os.path.join(staged, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        try:
+            table._publish(staged, parent, commit_meta=meta)
+            return man
+        except ConcurrentCommitError:
+            if attempt == table.commit_retries:
+                raise
+            time.sleep(random.random() * min(0.1 * 2 ** attempt, 2.0))
+    raise AssertionError("unreachable")

@@ -240,3 +240,101 @@ def test_snapshot_manifest_and_export(spark, tmp_path):
     # and a GC'd version cannot be manifested
     with pytest.raises(ValueError, match="no such version"):
         table_manifest(t, version=man["version"])
+
+
+def test_snapshot_import_restores_table(spark, tmp_path):
+    """import_snapshot (round 10): export → import → read() equals the
+    snapshotted version exactly; the imported version verifies against
+    the manifest; provenance lands in commit metadata; REPLACE
+    semantics drop keys added after the export."""
+    import os
+
+    import pytest
+
+    from aether_firebase_consumer_spark.sinks.manifest import (
+        export_snapshot,
+        import_snapshot,
+        table_manifest,
+        verify_manifest,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "src"), ["k"],
+                           partition_col="p")
+    t.merge(spark.createDataFrame(
+        [(i, i * 10, f"p{i % 3}") for i in range(20)],
+        "k int, v int, p string"))
+    snap = str(tmp_path / "snap")
+    man = export_snapshot(t, snap)
+    pinned = sorted(map(tuple, spark.read.parquet(snap)
+                        .select("k", "v", "p").collect()))
+
+    # restore into a FRESH table
+    fresh = ParquetUpsertTable(spark, str(tmp_path / "restored"), ["k"],
+                               partition_col="p")
+    got = import_snapshot(snap, fresh)
+    assert got["version"] == man["version"]
+    assert sorted(map(tuple, fresh.read()
+                      .select("k", "v", "p").collect())) == pinned
+    # the imported version dir verifies against the manifest
+    # (ignoring the commit-meta sidecar, which is not a data file)
+    assert verify_manifest(fresh._data_dir(fresh.current_version()),
+                           man) == []
+    assert fresh.commit_meta()["imported_snapshot"]["source_version"] \
+        == man["version"]
+    # and the restored table is a live table again
+    fresh.merge(spark.createDataFrame([(100, 1, "p0")],
+                                      "k int, v int, p string"))
+    assert fresh.read().count() == 21
+
+    # restore ONTO the drifted source table: REPLACE semantics — the
+    # post-export merge's key drops out, the snapshot rows return
+    t.merge(spark.createDataFrame([(999, 5, "p1")],
+                                  "k int, v int, p string"))
+    import_snapshot(snap, t)
+    assert sorted(map(tuple, t.read()
+                      .select("k", "v", "p").collect())) == pinned
+    # time travel still reaches the pre-restore state
+    assert t.read_version(t.current_version() - 1) \
+        .where("k = 999").count() == 1
+
+    # a tampered snapshot refuses to import
+    f0 = os.path.join(snap, man["files"][0]["path"])
+    os.remove(f0)
+    with open(f0, "wb") as fh:
+        fh.write(b"tampered")
+    with pytest.raises(ValueError, match="fails verification"):
+        import_snapshot(snap, fresh)
+
+    # partition-layout mismatch refuses to import
+    flat = ParquetUpsertTable(spark, str(tmp_path / "flat"), ["k"])
+    snap2 = str(tmp_path / "snap2")
+    export_snapshot(t, snap2)
+    with pytest.raises(ValueError, match="partition layout mismatch"):
+        import_snapshot(snap2, flat)
+
+
+def test_snapshot_import_fresh_partitioned_manifest(spark, tmp_path):
+    """Manifesting and re-importing the IMPORTED version again is
+    byte-stable (hardlinks share inodes, but the manifest is content-
+    addressed, not inode-addressed)."""
+    from aether_firebase_consumer_spark.sinks.manifest import (
+        export_snapshot,
+        import_snapshot,
+        table_manifest,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "a"), ["k"])
+    t.merge(spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"))
+    snap = str(tmp_path / "s")
+    man = export_snapshot(t, snap)
+    b = ParquetUpsertTable(spark, str(tmp_path / "b"), ["k"])
+    import_snapshot(snap, b)
+    man_b = table_manifest(b)
+    assert {f["md5"] for f in man_b["files"]} \
+        == {f["md5"] for f in man["files"]}
