@@ -46,6 +46,10 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     ivfadc_shortlist,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.pruning import (
+    doomed_rows,
+    normalize_ids,
+)
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
     recipe_begin,
@@ -91,7 +95,7 @@ class AnnIndexJob:
         # n_parts, retrained centroids) would MISS candidates, not err
         recipe_guard(codes.path, self._recipe())
         #: cumulative driver-side counters
-        self.stats = {"batches": 0, "indexed": 0}
+        self.stats = {"batches": 0, "indexed": 0, "deleted": 0}
 
     def _recipe(self) -> dict:
         return {"kind": "ivfadc", "n_parts": self.n_parts,
@@ -124,6 +128,38 @@ class AnnIndexJob:
         return (stream.writeStream
                 .foreachBatch(self.process_batch)
                 .option("checkpointLocation", checkpoint))
+
+    def delete(self, ids) -> int:
+        """Delete vectors by id from BOTH persisted tables (round 10,
+        VERDICT r9 item 1) — the takedown/retention dual of the MERGE
+        ingest: a removed vector must stop serving as a neighbor, not
+        linger as a ghost in the codes table. ``ids`` is a DataFrame
+        carrying ``id_col`` or a plain list of ids. Returns the number
+        of vectors actually removed.
+
+        Both deletes are partition-pruned: the doomed rows' embeddings
+        are fetched from the corpus (idp IN-list) to recompute their
+        cells, locating the codes rows' cp partitions — the same pure
+        function the ingest stamped, so the prune is exact. Order is
+        codes FIRST: once those rows are gone the vector can never be
+        shortlisted, so a crash between the two ``delete_keys`` calls
+        leaves only an invisible corpus ghost (never a served
+        neighbor); re-running the delete clears it."""
+        ids1 = normalize_ids(self.spark, ids, self.id_col)
+        doomed = doomed_rows(self.corpus, ids1, self.id_col,
+                             self.idp_parts)
+        if doomed is None:
+            return 0
+        # referenced three times: count, codes keys, corpus keys
+        doomed = doomed.localCheckpoint()
+        n = doomed.count()
+        if n == 0:
+            return 0
+        self.codes.delete_keys(
+            self.code_rows(doomed).select(self.id_col, "cp"))
+        self.corpus.delete_keys(doomed.select(self.id_col, "idp"))
+        self.stats["deleted"] += n
+        return n
 
     def rebuild(self, centroids: list[list[float]] | None = None,
                 books: list[list[list[float]]] | None = None,

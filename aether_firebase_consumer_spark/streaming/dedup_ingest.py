@@ -58,6 +58,7 @@ from aether_firebase_consumer_spark.streaming.pruning import (
     corpus_recipe,
     guard_idp_corpus,
     known_ids,
+    normalize_ids,
 )
 from aether_firebase_consumer_spark.streaming.recipe import (
     recipe_begin,
@@ -139,7 +140,8 @@ class DedupIngestJob:
         #: docs accepted into the corpus, docs rejected as near-dups —
         #: the processed/suppressed tallies the reference's report
         #: counter hand-maintains, fed from the batch plans' own counts
-        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0,
+                      "deleted": 0}
 
     def _log_rejects(self, matches: DataFrame, loser_col: str,
                      winner_col: str, epoch_id: int) -> None:
@@ -304,6 +306,70 @@ class DedupIngestJob:
                     # the just-merged per-doc table — no re-shingling
                     self.band_long_index.merge(
                         self._explode_long(self.band_index.read()))
+
+    def delete(self, ids) -> int:
+        """Delete documents by id from the corpus and every persisted
+        index table (round 10, VERDICT r9 item 1) — the takedown dual
+        of the gated MERGE ingest. ``ids`` is a DataFrame carrying
+        ``id_col`` or a plain list. Returns the number of documents
+        actually removed.
+
+        No re-shingling: the long-index rows to delete are re-exploded
+        from the PER-DOC index's stored band keys (the same frame
+        ``_maintain_long_index`` prunes stale keys from), so the
+        delete is pruned to the doomed keys' bkp partitions. Index
+        tables go first, corpus last: leftover band rows only cost
+        candidate I/O (the verify reads current shingles), while a
+        corpus row without index rows would silently stop gating — the
+        crash-safe order avoids matched ghosts, and re-running the
+        delete clears any partial state."""
+        ids1 = normalize_ids(self.spark, ids, self.id_col)
+        existing = self.corpus.read()
+        if existing is None:
+            return 0
+        # prune the membership check to the ids' own partitions (same
+        # rule as known_ids: a doc can only live at its id's idp)
+        doomed_ids = known_ids(self.corpus, existing, ids1,
+                               self.id_col, self.idp_parts) \
+            .join(ids1, self.id_col, "left_semi").localCheckpoint()
+        n = doomed_ids.count()
+        if n == 0:
+            return 0
+        if self.band_index is not None:
+            doc_index = self.band_index.read()
+            if doc_index is not None:
+                if self.band_index.partition_col == "idp" \
+                        and "idp" in doc_index.columns:
+                    # prune the stored-band-key fetch to the ids' own
+                    # partitions (same exactness rule as known_ids)
+                    idps = [r[0] for r in doomed_ids
+                            .select(id_partition(F.col(self.id_col),
+                                                 self.idp_parts)
+                                    .alias("p")).distinct().collect()]
+                    doc_index = doc_index.filter(
+                        F.col("idp").isin(idps))
+                if self.band_long_index is not None \
+                        and self.band_long_index.read() is not None:
+                    doomed_rows_ = doc_index.join(
+                        doomed_ids, self.id_col, "left_semi")
+                    self.band_long_index.delete_keys(
+                        self._explode_long(doomed_rows_)
+                        .select(self.id_col, "band_key", "bkp"))
+                keys = doomed_ids
+                if self.band_index.partition_col == "idp":
+                    keys = keys.withColumn(
+                        "idp", id_partition(F.col(self.id_col),
+                                            self.idp_parts))
+                self.band_index.delete_keys(keys)
+        cols = [self.id_col] \
+            + (["idp"] if self.corpus.partition_col == "idp" else [])
+        doomed_keyed = doomed_ids
+        if "idp" in cols:
+            doomed_keyed = doomed_ids.withColumn(
+                "idp", id_partition(F.col(self.id_col), self.idp_parts))
+        self.corpus.delete_keys(doomed_keyed.select(*cols))
+        self.stats["deleted"] += n
+        return n
 
     def _long_recipe(self) -> dict:
         return {"kind": "minhash-band", "k": self.k,

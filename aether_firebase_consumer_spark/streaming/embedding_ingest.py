@@ -49,8 +49,10 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 from aether_firebase_consumer_spark.streaming.pruning import (
     corpus_recipe,
+    doomed_rows,
     guard_idp_corpus,
     known_ids,
+    normalize_ids,
 )
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
@@ -103,7 +105,44 @@ class EmbeddingIngestJob:
             # streaming/recipe.py)
             recipe_guard(band_long_index.path, self._long_recipe())
         #: cumulative driver-side counters
-        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0,
+                      "deleted": 0}
+
+    def delete(self, ids) -> int:
+        """Delete vectors by id from the corpus and every persisted
+        index table (round 10, VERDICT r9 item 1). ``ids`` is a
+        DataFrame carrying ``id_col`` or a plain list. Returns the
+        number of vectors actually removed.
+
+        Index tables first, corpus last: band rows without a corpus
+        row can still surface as CANDIDATES, but the exact-cosine
+        verify fetches embeddings from the corpus, so a crash between
+        deletes leaves wasted candidate I/O at worst, never a matched
+        ghost — re-running the delete clears it. The long-index rows'
+        bkp partitions are recomputed from the doomed rows' embeddings
+        (pruned corpus fetch), the same pure function ingest stamped."""
+        ids1 = normalize_ids(self.spark, ids, self.id_col)
+        doomed = doomed_rows(self.corpus, ids1, self.id_col,
+                             self.idp_parts)
+        if doomed is None:
+            return 0
+        doomed = doomed.localCheckpoint()
+        n = doomed.count()
+        if n == 0:
+            return 0
+        if self.band_long_index is not None \
+                and self.band_long_index.read() is not None:
+            self.band_long_index.delete_keys(embedding_band_index_rows(
+                doomed, self.id_col, self.vec_col, self.bands,
+                self.n_parts).select(self.id_col, "bi", "bkp"))
+        if self.band_index is not None \
+                and self.band_index.read() is not None:
+            self.band_index.delete_keys(doomed.select(self.id_col))
+        cols = [self.id_col] \
+            + (["idp"] if self.corpus.partition_col == "idp" else [])
+        self.corpus.delete_keys(doomed.select(*cols))
+        self.stats["deleted"] += n
+        return n
 
     def _long_recipe(self) -> dict:
         return {"kind": "sign-lsh-band",

@@ -39,6 +39,38 @@ def guard_idp_corpus(corpus: ParquetUpsertTable,
         recipe_guard(corpus.path, corpus_recipe(idp_parts))
 
 
+def normalize_ids(spark, ids, id_col: str) -> DataFrame:
+    """Accept a delete set as a DataFrame (any schema containing
+    ``id_col``) or a plain Python list/tuple of ids; return a
+    one-column distinct frame named ``id_col``."""
+    if isinstance(ids, (list, tuple, set)):
+        ids = spark.createDataFrame([(i,) for i in sorted(ids)]) \
+            .toDF(id_col)
+    return ids.select(id_col).distinct()
+
+
+def doomed_rows(corpus: ParquetUpsertTable, ids: DataFrame,
+                id_col: str, idp_parts: int | None) -> DataFrame | None:
+    """Corpus rows whose id appears in ``ids`` — the fetch every
+    ``delete(ids)`` needs (embeddings/shingles locate the index rows'
+    partitions). Pruned to the ids' OWN idp partitions when the corpus
+    is idp-partitioned: a row for id can only live at
+    idp=id_partition(id), the pure function its merge stamped, so the
+    prune is exact and the scan is ∝ delete set, not corpus. Returns
+    None when the corpus doesn't exist yet."""
+    existing = corpus.read()
+    if existing is None:
+        return None
+    src = existing
+    if corpus.partition_col == "idp" and "idp" in existing.columns:
+        idps = [r[0] for r in ids
+                .select(id_partition(F.col(id_col), idp_parts)
+                        .alias("p"))
+                .distinct().collect()]  # ≤ idp_parts values
+        src = existing.filter(F.col("idp").isin(idps))
+    return src.join(ids, id_col, "left_semi")
+
+
 def known_ids(corpus: ParquetUpsertTable, existing: DataFrame,
               batch: DataFrame, id_col: str,
               idp_parts: int | None) -> DataFrame:

@@ -54,8 +54,10 @@ from aether_firebase_consumer_spark.operators.dedup import (
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
 from aether_firebase_consumer_spark.streaming.pruning import (
+    doomed_rows,
     guard_idp_corpus,
     known_ids,
+    normalize_ids,
 )
 from aether_firebase_consumer_spark.streaming.recipe import (
     model_fingerprint,
@@ -113,7 +115,8 @@ class SemanticIngestJob:
             # misses near-dups (round 9, streaming/recipe.py)
             recipe_guard(cluster_index.path, self._recipe())
         #: cumulative driver-side counters
-        self.stats = {"batches": 0, "accepted": 0, "rejected": 0}
+        self.stats = {"batches": 0, "accepted": 0, "rejected": 0,
+                      "deleted": 0}
 
     def _recipe(self) -> dict:
         return {"kind": "semdedup-cells", "n_sub": self.n_sub,
@@ -282,6 +285,39 @@ class SemanticIngestJob:
             self.cluster_index.merge(self.index_rows(src))
 
     # -- maintenance ------------------------------------------------------
+
+    def delete(self, ids) -> int:
+        """Delete vectors by id from the corpus AND the persisted cell
+        index (round 10, VERDICT r9 item 1): a removed vector must
+        stop gating future near-dups, not linger as a ghost cell row.
+        ``ids`` is a DataFrame carrying ``id_col`` or a plain list.
+        Returns the number of vectors actually removed.
+
+        Index rows first (their cp comes from re-assigning the doomed
+        rows' embeddings — the same pure function ingest stamped, so
+        both deletes are partition-pruned); a crash between the two
+        ``delete_keys`` calls leaves a corpus row with no index row,
+        which can never match a probe — re-running the delete clears
+        it. A later re-delivery of a deleted id is a fresh document
+        again (it is no longer 'known'), which is the takedown
+        semantics a retention pipeline wants."""
+        ids1 = normalize_ids(self.spark, ids, self.id_col)
+        doomed = doomed_rows(self.corpus, ids1, self.id_col,
+                             self.idp_parts)
+        if doomed is None:
+            return 0
+        doomed = doomed.localCheckpoint()
+        n = doomed.count()
+        if n == 0:
+            return 0
+        if self.cluster_index is not None \
+                and self.cluster_index.read() is not None:
+            self.cluster_index.delete_keys(
+                self.index_rows(doomed).select(self.id_col, "cp"))
+        cols = [self.id_col] + (["idp"] if self._corpus_pruned else [])
+        self.corpus.delete_keys(doomed.select(*cols))
+        self.stats["deleted"] += n
+        return n
 
     def reshard(self, new_n_sub: int) -> None:
         """Migrate the job to a new subcluster modulus — the batch

@@ -110,7 +110,7 @@ def test_codes_table_matches_recompute_across_updates(spark, tmp_path):
     snap = sorted((r.vec_id, tuple(r.embedding))
                   for r in job.corpus.read().collect())
     assert snap == sorted((i, tuple(v)) for i, v in state.items())
-    assert job.stats == {"batches": 3, "indexed": 13}
+    assert job.stats == {"batches": 3, "indexed": 13, "deleted": 0}
 
 
 def test_topk_matches_batch_recompute(spark, tmp_path):

@@ -69,7 +69,8 @@ def test_dedup_ingest_in_batch_and_cross_batch(spark, tmp_path):
     rej3 = {r.doc_id: r.dup_of for r in rejects.read().collect()}
     assert rej3 == {3: 1, 4: 2, 6: 5}
     # counters: 7 docs in (3+2+2), 4 accepted (1,2,5,5-update), 3 rejected
-    assert job.stats == {"batches": 3, "accepted": 4, "rejected": 3}
+    assert job.stats == {"batches": 3, "accepted": 4, "rejected": 3,
+                         "deleted": 0}
 
 
 def test_dedup_ingest_from_kafka_stream(spark, tmp_path):

@@ -97,7 +97,8 @@ def test_embedding_ingest_index_matches_recompute(spark, tmp_path, jobs):
     assert ri == {(3, 1), (4, 2), (7, 1)}
     assert job_i.stats == job_r.stats
     # 8 rows in: 3 rejected (3, 4, 7), 5 accepted (1, 2, 5, 5', 6)
-    assert job_i.stats == {"batches": 4, "accepted": 5, "rejected": 3}
+    assert job_i.stats == {"batches": 4, "accepted": 5, "rejected": 3,
+                           "deleted": 0}
 
     want = {(r.vec_id, tuple(r.band_keys))
             for r in embedding_index_frame(

@@ -78,7 +78,8 @@ def test_semantic_gate_and_audit(spark, tmp_path):
     assert got == {1, 2, 5}
     rej = {(r.vec_id, r.dup_of) for r in job.rejects.read().collect()}
     assert rej == {(3, 1), (4, 2)}
-    assert job.stats == {"batches": 2, "accepted": 3, "rejected": 2}
+    assert job.stats == {"batches": 2, "accepted": 3, "rejected": 2,
+                         "deleted": 0}
     # index rows mirror the corpus exactly (one row per vector)
     idx = {(r.vec_id, r.cluster, r.sub, r.cp)
            for r in job.cluster_index.read().collect()}
