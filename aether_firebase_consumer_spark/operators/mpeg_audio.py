@@ -194,7 +194,289 @@ def build_mp3(specs: Sequence[Tuple[str, int, int, int, int]],
     return bytes(out)
 
 
-# ---------------------------------------------------------------- Ogg
+# ------------------------------------------- Layer III coded layer
+#
+# Round 10: one level PAST framing — the Layer III side-information
+# and bit-reservoir layer (ISO/IEC 11172-3 §2.4.1.7 / 13818-3 for the
+# LSF variant). This is the part of the coded stream a corpus pipeline
+# needs to slice, validate, and fingerprint audio at scale:
+#
+# - side-info parse: main_data_begin, scfsi, and per-granule
+#   (part2_3_length, big_values, global_gain, scalefac_compress,
+#   block type, table selects, region counts, ...) for MPEG1 (two
+#   granules, 17/32-byte side info) and MPEG2/2.5 LSF (one granule,
+#   9/17-byte);
+# - bit-reservoir accounting: each frame's coded bits may begin up to
+#   main_data_begin bytes BEFORE its own slot; the parser reconstructs
+#   the reservoir layout and validates the spec invariants (start ≥ 0,
+#   no read past the slot end, sequential non-overlap) — invariants a
+#   mis-parse violates almost immediately on real encoder output;
+# - reservoir-safe slicing: a stream may only be cut at frames with
+#   main_data_begin == 0 (the frame depends on no earlier bytes);
+#   cut_safe marks them.
+#
+# Full sample synthesis (Huffman spectrum decode → IMDCT → polyphase)
+# is deliberately NOT implemented: it requires the ISO Huffman code
+# tables and the synthesis-window coefficient table, which are spec
+# DATA, not derivable structure — no copy exists in this image and
+# reproducing them from memory would risk a silently-wrong decoder
+# (worse than a declared edge). The structural layer below is instead
+# fully self-validating against real encoder output.
+
+_SIDEINFO_BYTES = {("V1", 1): 17, ("V1", 2): 32,
+                   ("V2", 1): 9, ("V2", 2): 17}
+
+
+class _Bits:
+    """MSB-first bit reader (same shape as flac_codec's)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data, self.byte, self.bit = data, pos, 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            if self.byte >= len(self.data):
+                raise ValueError("mp3: side info truncated")
+            out = (out << 1) | ((self.data[self.byte]
+                                 >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit, self.byte = 0, self.byte + 1
+        return out
+
+
+def _parse_granule(br: _Bits, lsf: bool) -> Dict[str, Any]:
+    g: Dict[str, Any] = {
+        "part2_3_length": br.read(12),
+        "big_values": br.read(9),
+        "global_gain": br.read(8),
+        "scalefac_compress": br.read(9 if lsf else 4),
+    }
+    if br.read(1):                       # window switching
+        g["block_type"] = br.read(2)
+        g["mixed_block"] = br.read(1)
+        g["table_select"] = [br.read(5) for _ in range(2)]
+        g["subblock_gain"] = [br.read(3) for _ in range(3)]
+        if g["block_type"] == 0:
+            raise ValueError(
+                "mp3: window switching with block_type 0 is reserved")
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [br.read(5) for _ in range(3)]
+        g["region0_count"] = br.read(4)
+        g["region1_count"] = br.read(3)
+    if not lsf:
+        g["preflag"] = br.read(1)
+    g["scalefac_scale"] = br.read(1)
+    g["count1table_select"] = br.read(1)
+    return g
+
+
+def parse_mp3_sideinfo(payload: bytes) -> Dict[str, Any]:
+    """Parse a Layer III stream one level past framing: per-frame side
+    information plus a validated bit-reservoir layout.
+
+    Returns ``{"frames": [...], "total_main_bytes", "total_main_bits",
+    "n_cut_safe", "reservoir_max_bytes"}``; each frame entry extends
+    the :func:`parse_mp3_frames` row with ``crc_protected``,
+    ``main_data_begin``, ``granules`` (list over granules of lists
+    over channels of side-info dicts), ``main_avail_bytes`` (this
+    frame's slot size), ``main_start_byte`` / ``main_bits_used``
+    (position/extent of this frame's coded bits in the reassembled
+    reservoir stream), ``ancillary_bits`` (slack between this frame's
+    coded bits and the next frame's start) and ``cut_safe``.
+
+    Raises ValueError on any reservoir-invariant violation — the
+    checks that make this layer self-validating: a frame reaching
+    before byte 0 of the reservoir, past the end of its own slot, or
+    overlapping the previous frame's coded bits."""
+    info = parse_mp3_frames(payload)
+    frames = []
+    cum = 0                              # main-data bytes before slot
+    prev_end_bits = 0
+    for f in info["frames"]:
+        if f["layer"] != 3:
+            raise ValueError(
+                "mp3: side-info parse is Layer III only (Layer "
+                f"{f['layer']} frame at {f['offset']})")
+        h = struct.unpack(
+            ">I", payload[f["offset"]:f["offset"] + 4])[0]
+        crc = (h >> 16) & 1 == 0         # protection bit 0 = CRC on
+        lsf = f["version"] != "1"
+        nch = f["channels"]
+        si_len = _SIDEINFO_BYTES[("V2" if lsf else "V1", nch)]
+        si_start = f["offset"] + 4 + (2 if crc else 0)
+        br = _Bits(payload[si_start:si_start + si_len])
+        mdb = br.read(8 if lsf else 9)
+        br.read({(False, 1): 5, (False, 2): 3,
+                 (True, 1): 1, (True, 2): 2}[(lsf, nch)])
+        scfsi = None
+        if not lsf:
+            scfsi = [[br.read(1) for _ in range(4)]
+                     for _ in range(nch)]
+        ngr = 1 if lsf else 2
+        granules = [[_parse_granule(br, lsf) for _ in range(nch)]
+                    for _ in range(ngr)]
+        avail = f["size"] - 4 - (2 if crc else 0) - si_len
+        if avail < 0:
+            raise ValueError(
+                f"mp3: frame at {f['offset']} smaller than its own "
+                "header + side info")
+        used = sum(g["part2_3_length"]
+                   for chs in granules for g in chs)
+        # reservoir invariants (ISO 11172-3 §2.4.2.7): the coded bits
+        # start main_data_begin bytes back, never before byte 0 ...
+        if mdb > cum:
+            raise ValueError(
+                f"mp3: frame at {f['offset']} reaches {mdb} bytes "
+                f"into the reservoir but only {cum} exist")
+        start_bits = (cum - mdb) * 8
+        end_bits = start_bits + used
+        # ... never past the end of the frame's own slot ...
+        if end_bits > (cum + avail) * 8:
+            raise ValueError(
+                f"mp3: frame at {f['offset']} consumes {used} bits "
+                "past the end of its main-data slot")
+        # ... and never overlapping the previous frame's coded bits
+        # (encoders write main data sequentially; ancillary slack is
+        # allowed, overlap is not)
+        if start_bits < prev_end_bits:
+            raise ValueError(
+                f"mp3: frame at {f['offset']} overlaps the previous "
+                "frame's coded bits in the reservoir")
+        if frames:
+            frames[-1]["ancillary_bits"] = start_bits - prev_end_bits
+        frames.append({
+            **f, "crc_protected": crc, "main_data_begin": mdb,
+            "scfsi": scfsi, "granules": granules,
+            "main_avail_bytes": avail,
+            "main_start_byte": start_bits // 8,
+            "main_bits_used": used,
+            "cut_safe": mdb == 0,
+            "ancillary_bits": None,      # filled by the NEXT frame
+        })
+        prev_end_bits = end_bits
+        cum += avail
+    if frames:
+        frames[-1]["ancillary_bits"] = cum * 8 - prev_end_bits
+    return {
+        "frames": frames,
+        "total_main_bytes": cum,
+        "total_main_bits": sum(fr["main_bits_used"] for fr in frames),
+        "n_cut_safe": sum(fr["cut_safe"] for fr in frames),
+        "reservoir_max_bytes": max(
+            (fr["main_data_begin"] for fr in frames), default=0),
+    }
+
+
+def mp3_cut_points(payload: bytes) -> List[int]:
+    """Byte offsets where the stream can be cut so the RIGHT side is
+    decodable on its own: frames whose main_data_begin is 0 depend on
+    no earlier reservoir bytes. (The left side is always safe — coded
+    bits never reach forward.) Offset 0 is included iff the first
+    frame is cut-safe, which a conforming stream's must be."""
+    return [f["offset"] for f in parse_mp3_sideinfo(payload)["frames"]
+            if f["cut_safe"]]
+
+
+class _BitsW:
+    """MSB-first bit writer (same shape as flac_codec's)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc, self._n = 0, 0
+
+    def write(self, value: int, bits: int) -> None:
+        self._acc = (self._acc << bits) | (value & ((1 << bits) - 1))
+        self._n += bits
+        while self._n >= 8:
+            self._n -= 8
+            self.buf.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+
+def _write_granule(bw: _BitsW, g: Dict[str, Any], lsf: bool) -> None:
+    bw.write(g["part2_3_length"], 12)
+    bw.write(g.get("big_values", 0), 9)
+    bw.write(g.get("global_gain", 0), 8)
+    bw.write(g.get("scalefac_compress", 0), 9 if lsf else 4)
+    bw.write(0, 1)                       # no window switching
+    for t in g.get("table_select", [0, 0, 0]):
+        bw.write(t, 5)
+    bw.write(g.get("region0_count", 0), 4)
+    bw.write(g.get("region1_count", 0), 3)
+    if not lsf:
+        bw.write(g.get("preflag", 0), 1)
+    bw.write(g.get("scalefac_scale", 0), 1)
+    bw.write(g.get("count1table_select", 0), 1)
+
+
+def build_mp3_l3(frames: Sequence[Dict[str, Any]],
+                 fill: int = 0xA5) -> bytes:
+    """Emit a Layer III stream with REAL side info and a consistent
+    bit-reservoir layout (normal-window granules; coded bits are
+    deterministic filler — a side-info/reservoir builder for tests and
+    oracles, not an encoder, the same split as :func:`build_mp3`).
+
+    Each entry: ``{"version", "bitrate_index", "rate_index",
+    "padding", "channels", "main_data_begin", "granules": [[granule
+    dict per channel] per granule]}`` with granule dicts as in
+    :func:`parse_mp3_sideinfo`. The builder validates the same
+    reservoir invariants the parser enforces, so a spec-violating
+    choreography fails at build time, not parse time."""
+    out = bytearray()
+    cum = 0
+    prev_end_bits = 0
+    for spec in frames:
+        version = spec["version"]
+        lsf = version != "1"
+        nch = spec.get("channels", 1)
+        ngr = 1 if lsf else 2
+        vgroup = "V2" if lsf else "V1"
+        bidx, ridx = spec["bitrate_index"], spec["rate_index"]
+        padding = spec.get("padding", 0)
+        kbps = _BITRATE_KBPS[(vgroup, 3)][bidx]
+        rate = _SAMPLE_RATE[version][ridx]
+        size = _frame_length(vgroup, 3, kbps * 1000, rate, padding)
+        si_len = _SIDEINFO_BYTES[(vgroup, nch)]
+        avail = size - 4 - si_len
+        mdb = spec.get("main_data_begin", 0)
+        used = sum(g["part2_3_length"]
+                   for chs in spec["granules"] for g in chs)
+        if mdb > min(cum, 255 if lsf else 511):
+            raise ValueError("mp3: main_data_begin exceeds reservoir")
+        start_bits = (cum - mdb) * 8
+        if start_bits + used > (cum + avail) * 8:
+            raise ValueError("mp3: coded bits overrun main-data slot")
+        if start_bits < prev_end_bits:
+            raise ValueError("mp3: coded bits overlap previous frame")
+        vbits = {"2.5": 0, "2": 2, "1": 3}[version]
+        h = (0x7FF << 21) | (vbits << 19) | (1 << 17) | (1 << 16) \
+            | (bidx << 12) | (ridx << 10) | (padding << 9) \
+            | ((3 if nch == 1 else 0) << 6)
+        out += struct.pack(">I", h)
+        bw = _BitsW()
+        bw.write(mdb, 8 if lsf else 9)
+        bw.write(0, {(False, 1): 5, (False, 2): 3,
+                     (True, 1): 1, (True, 2): 2}[(lsf, nch)])
+        if not lsf:
+            bw.write(0, 4 * nch)         # scfsi
+        if len(spec["granules"]) != ngr \
+                or any(len(chs) != nch for chs in spec["granules"]):
+            raise ValueError(
+                f"mp3: need {ngr} granules x {nch} channels")
+        for chs in spec["granules"]:
+            for g in chs:
+                _write_granule(bw, g, lsf)
+        if len(bw.buf) != si_len or bw._n:
+            raise AssertionError("mp3: side-info length drift")
+        out += bw.buf
+        out += bytes([(fill + i) & 0xFF for i in range(avail)])
+        prev_end_bits = start_bits + used
+        cum += avail
+    return bytes(out)
 
 def _ogg_crc_table() -> List[int]:
     table = []

@@ -195,3 +195,147 @@ def test_ogg_multi_packet_page_granule_rule():
     assert st5["packets"] == [(pa, -1), (pb, 111), (pc, 222)]
     assert st5["bos"] and st5["eos"]
     assert st5["n_pages"] == 2
+
+
+# ------------------------- Layer III side info + bit reservoir (r10)
+
+REAL_MP3 = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+            "test_data/test.mp3")
+
+
+def _g(p23=96, gg=100, bv=5, scf=3, **kw):
+    return {"part2_3_length": p23, "global_gain": gg,
+            "big_values": bv, "scalefac_compress": scf, **kw}
+
+
+def _frame(version="1", mdb=0, grans=None, channels=1, bidx=5):
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        _SIDEINFO_BYTES,  # noqa: F401 - documents the layout source
+    )
+    ngr = 1 if version != "1" else 2
+    if grans is None:
+        grans = [[_g() for _ in range(channels)] for _ in range(ngr)]
+    return {"version": version, "bitrate_index": bidx, "rate_index": 0,
+            "channels": channels, "main_data_begin": mdb,
+            "granules": grans}
+
+
+def test_sideinfo_roundtrip_mpeg1_and_lsf():
+    """build_mp3_l3 → parse_mp3_sideinfo recovers every side-info
+    field for both layouts (MPEG1 two-granule stereo 32-byte, LSF
+    one-granule mono 9-byte), including the 9-bit LSF
+    scalefac_compress."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_mp3_l3,
+        parse_mp3_sideinfo,
+    )
+    g = _g(p23=160, gg=201, bv=288 - 1, scf=15, table_select=[7, 8, 9],
+           region0_count=11, region1_count=5, preflag=1,
+           scalefac_scale=1, count1table_select=1)
+    st = build_mp3_l3([_frame(
+        "1", 0, [[g, _g(p23=80)], [_g(p23=64), _g(p23=72)]],
+        channels=2)])
+    f = parse_mp3_sideinfo(st)["frames"][0]
+    got = f["granules"][0][0]
+    assert got["table_select"] == [7, 8, 9]
+    assert (got["region0_count"], got["region1_count"]) == (11, 5)
+    assert (got["preflag"], got["scalefac_scale"],
+            got["count1table_select"]) == (1, 1, 1)
+    assert got["global_gain"] == 201 and got["big_values"] == 287
+    assert f["main_bits_used"] == 160 + 80 + 64 + 72
+
+    lsf = build_mp3_l3([_frame(
+        "2", 0, [[_g(p23=96, scf=400)]])])
+    f2 = parse_mp3_sideinfo(lsf)["frames"][0]
+    assert f2["granules"][0][0]["scalefac_compress"] == 400
+    assert "preflag" not in f2["granules"][0][0]  # LSF: no preflag
+
+
+def test_sideinfo_reservoir_choreography_and_cuts():
+    """A 3-frame stream whose middle frame reaches back into frame 1's
+    slot: reservoir offsets, ancillary slack, and cut-safe flags all
+    line up; mp3_cut_points returns exactly the mdb==0 offsets."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_mp3_l3,
+        mp3_cut_points,
+        parse_mp3_sideinfo,
+    )
+    st = build_mp3_l3([
+        _frame("1", 0),
+        _frame("1", 40),
+        _frame("1", 0),
+    ])
+    info = parse_mp3_sideinfo(st)
+    f0, f1, f2 = info["frames"]
+    # MPEG1 mono @64kbps/44.1k: 208-byte frame, 187-byte slot
+    assert f0["main_avail_bytes"] == 187
+    assert (f0["cut_safe"], f1["cut_safe"], f2["cut_safe"]) \
+        == (True, False, True)
+    assert f1["main_start_byte"] == 187 - 40
+    # frame 0 used 2 granules x 96 bits = 24 bytes; slack to frame
+    # 1's start
+    assert f0["ancillary_bits"] == (187 - 40 - 24) * 8
+    assert info["reservoir_max_bytes"] == 40
+    assert info["n_cut_safe"] == 2
+    assert mp3_cut_points(st) == [f0["offset"], f2["offset"]]
+
+
+def test_sideinfo_invariant_violations_raise():
+    """Each spec invariant fails loudly: reaching before reservoir
+    byte 0, overrunning the slot, overlapping the previous frame's
+    coded bits — at build time AND at parse time (via a hand-corrupted
+    stream)."""
+    import pytest
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_mp3_l3,
+        parse_mp3_sideinfo,
+    )
+    with pytest.raises(ValueError, match="exceeds reservoir"):
+        build_mp3_l3([_frame("1", 10)])     # nothing accumulated yet
+    big = [[_g(p23=4000), _g(p23=4000)], [_g(p23=4000), _g(p23=4000)]]
+    with pytest.raises(ValueError, match="overrun"):
+        build_mp3_l3([_frame("1", 0, big)])
+    with pytest.raises(ValueError, match="overlap"):
+        # frame 0 consumes 48 bytes; frame 1 reaches 187 bytes back
+        # into bytes frame 0 already used
+        build_mp3_l3([_frame("1", 0), _frame("1", 187)])
+
+    # parse-side: corrupt a valid stream's mdb field (first 9 bits
+    # after the 4-byte header) to reach before byte 0
+    st = bytearray(build_mp3_l3([_frame("1", 0)]))
+    st[4] = 0xFF                            # mdb high bits
+    with pytest.raises(ValueError, match="reservoir"):
+        parse_mp3_sideinfo(bytes(st))
+
+
+def test_sideinfo_real_lame_file_golden():
+    """The parser against REAL encoder output (gsutil's test.mp3 —
+    LAME, MPEG2-LSF mono 64 kbps, digital silence): every frame's
+    side info parses, every reservoir invariant holds, and the
+    file-level shape is pinned. Manually-verified bits: frame 5's
+    side info bytes ff0000034800000000 decode to mdb=255,
+    part2_3_length=0, global_gain=210 — matching this parse."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(REAL_MP3):
+        pytest.skip("gsutil test.mp3 not in this image")
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        parse_mp3_sideinfo,
+    )
+    with open(REAL_MP3, "rb") as fh:
+        info = parse_mp3_sideinfo(fh.read())
+    assert len(info["frames"]) == 45
+    # LAME silence: zero coded bits everywhere, reservoir pointer
+    # pinned at the LSF cap
+    assert info["total_main_bits"] == 0
+    assert info["reservoir_max_bytes"] == 255
+    assert all(g["global_gain"] == 210
+               for f in info["frames"]
+               for chs in f["granules"] for g in chs)
+    assert info["frames"][5]["main_data_begin"] == 255
+    # 195-byte slots, 196 on padded frames
+    assert all(f["main_avail_bytes"] - 195 == f["padding"]
+               for f in info["frames"])
