@@ -45,11 +45,29 @@ HEADLINE = [
 ]
 
 
-def _prev_bench(sf) -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r{N}.json beside this
-    script (the driver's per-round record, bench output under "parsed"),
-    or {} when none exists. Only rounds at the SAME sf are comparable —
-    a different scale factor would make every ratio meaningless."""
+def _tail_queries(tail: str) -> dict[str, float]:
+    """Per-query timings regex-extracted from a TRUNCATED bench stdout
+    tail. Round 8's single output line outgrew the driver's ~2 KB
+    capture window, so its artifact recorded ``parsed: null`` — but the
+    per-query map survives in ``tail``; anchoring to it instead of
+    silently falling back to an older round keeps vs_prev meaning
+    "vs LAST round" (VERDICT r9 item 1). Pairs after '"sf":' belong to
+    the vs_prev ratio maps, not the timings. A name cut mid-token by
+    the truncation cannot regex-match (the cut cannot fabricate the
+    opening quote), so partial leading pairs drop out on their own."""
+    seg = tail.split('"sf":')[0]
+    pairs = [(m.group(1), float(m.group(2))) for m in
+             re.finditer(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', seg)]
+    return {k: v for k, v in pairs if k != "value"}
+
+
+def _prev_bench(sf) -> tuple[int, dict[str, float]]:
+    """(round, per-query timings) from the newest BENCH_r{N}.json
+    beside this script (the driver's per-round record, bench output
+    under "parsed"; truncated rounds recovered from "tail"), or
+    (-1, {}) when none exists. Only rounds at the SAME sf are
+    comparable — a different scale factor would make every ratio
+    meaningless."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_n, prev = -1, {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -61,13 +79,20 @@ def _prev_bench(sf) -> dict[str, float]:
                 data = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        parsed = data.get("parsed") if isinstance(data.get("parsed"), dict) \
-            else data
-        if data.get("sf", parsed.get("sf")) != sf:
+        if isinstance(data.get("parsed"), dict):
+            queries = data["parsed"].get("queries")
+            sf_val = data.get("sf", data["parsed"].get("sf"))
+        elif "tail" in data:  # driver artifact, stdout line truncated
+            queries = _tail_queries(data.get("tail") or "")
+            sf_val = data.get("sf")
+        else:  # a bare bench.py output line saved as-is
+            queries = data.get("queries")
+            sf_val = data.get("sf")
+        if sf_val != sf or not queries:
             continue
-        if int(m.group(1)) > best_n and isinstance(parsed.get("queries"), dict):
-            best_n, prev = int(m.group(1)), parsed["queries"]
-    return prev
+        if int(m.group(1)) > best_n:
+            best_n, prev = int(m.group(1)), queries
+    return best_n, prev
 
 
 def _bench_avro_container(spark, sf_dir: str) -> float:
@@ -129,7 +154,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "kafka_headers_roundtrip_orders",
          # r9 headliners
          "similarity_ann_ivfadc_pruned",
-         "quality_linear_probe_trained")
+         "quality_linear_probe_trained",
+         # r10 headliners
+         "multimodal_mp3_sideinfo_stats")
 
 
 def headline_names() -> list[str]:
@@ -169,7 +196,7 @@ def main() -> None:
     timings["avro_container"] = round(_bench_avro_container(spark, sf_dir), 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev = _prev_bench(sf_val)
+    prev_round, prev = _prev_bench(sf_val)
     vs_prev = {n: round(t / prev[n], 2) for n, t in timings.items()
                if prev.get(n)}
     total = round(sum(timings.values()), 3)
@@ -182,6 +209,9 @@ def main() -> None:
     }
     detail = dict(out)
     if vs_prev:
+        # stamp WHICH round the ratios anchor to — r9's 0.81 silently
+        # compared against r7 because r8's line was unparseable
+        out["vs_prev_round"] = detail["vs_prev_round"] = prev_round
         # <1 faster than last round, >1 slower. The full per-query map
         # goes to BENCH_DETAIL.json only: round 8's single stdout line
         # (36 queries + a 27-entry vs_prev map) outgrew the driver's
