@@ -202,3 +202,56 @@ def test_retry_backoff_exhaustion(spark, tmp_path, monkeypatch):
         t.merge(_df(spark, [2], "y"))
     assert len(calls) == 3  # initial + 2 retries
     monkeypatch.setattr(ParquetUpsertTable, "_publish", orig)
+
+
+def test_ingest_triggers_race_optimize(spark, tmp_path):
+    """The scenario the commit guard exists for (VERDICT r9 item 2
+    verbatim): an ingest job's triggers racing a maintenance
+    optimize() on the SAME table. Every merged document must survive
+    into the final table — no commit silently dropped on either side —
+    and the table must still be readable and mergeable afterwards."""
+    import random
+
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "shared")
+    ingest_t = ParquetUpsertTable(spark, path, ["id"],
+                                  partition_col="idp",
+                                  retain_versions=60, commit_retries=30)
+    maint_t = ParquetUpsertTable(spark, path, ["id"],
+                                 partition_col="idp",
+                                 retain_versions=60, commit_retries=30)
+    errs = []
+
+    def with_idp(df):
+        return df.withColumn("idp", id_partition(F.col("id"), 4))
+
+    def ingest():
+        try:
+            for i in range(6):
+                ingest_t.merge(with_idp(_df(spark, [i * 2, i * 2 + 1],
+                                             f"batch{i}")))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def maintain():
+        try:
+            for _ in range(3):
+                maint_t.optimize(num_files=2)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    random.seed(7)
+    t1 = threading.Thread(target=ingest)
+    t2 = threading.Thread(target=maintain)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    rows = {r["id"]: r["v"] for r in ingest_t.read().collect()}
+    assert set(rows) == set(range(12))   # every merge landed
+    assert all(rows[i * 2] == f"batch{i}" for i in range(6))
+    # table still fully operational
+    ingest_t.merge(with_idp(_df(spark, [99], "after")))
+    assert ingest_t.read().where("id = 99").count() == 1
