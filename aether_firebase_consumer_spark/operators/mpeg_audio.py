@@ -478,6 +478,240 @@ def build_mp3_l3(frames: Sequence[Dict[str, Any]],
         cum += avail
     return bytes(out)
 
+
+# ------------------------------------------------------- ID3v2 frames
+#
+# Round 10 (metadata-extraction layer, same story as the side-info
+# parse): the framing walker SKIPS ID3v2 tags; a corpus pipeline wants
+# what is IN them — title/artist/album text frames, comments — as
+# queryable columns. id3.org's informal standards (id3v2.3.0,
+# id3v2.4.0) specify everything needed: synchsafe sizes, frame
+# headers, text encodings (Latin-1, UTF-16 w/ BOM, UTF-16BE, UTF-8),
+# and the v2.4 per-frame synchsafe size change.
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be",
+                  3: "utf-8"}
+
+
+def _decode_id3_text(enc: int, data: bytes) -> str:
+    codec = _ID3_ENCODINGS.get(enc)
+    if codec is None:
+        raise ValueError(f"id3: unknown text encoding {enc}")
+    # text frames are null-terminated per spec; terminator optional
+    # in practice — strip it in the right width
+    if enc in (1, 2):
+        data = data.split(b"\x00\x00", 1)[0]
+        if len(data) % 2:                # split landed mid-codepoint
+            data += b"\x00"
+    else:
+        data = data.split(b"\x00", 1)[0]
+    return data.decode(codec)
+
+
+def _synchsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def parse_id3v2(payload: bytes) -> Dict[str, Any]:
+    """Parse an ID3v2.3/2.4 tag at the start of ``payload`` into
+    ``{"version", "tag_bytes", "frames": [{"id", "size", "text"}]}``
+    — ``text`` decoded for T??? text frames and COMM comments (None
+    for binary frames like APIC). Raises on malformed headers; a
+    stream with no tag returns ``{"version": None, "tag_bytes": 0,
+    "frames": []}``."""
+    if payload[:3] != b"ID3":
+        return {"version": None, "tag_bytes": 0, "frames": []}
+    if len(payload) < 10:
+        raise ValueError("id3: truncated tag header")
+    major, flags = payload[3], payload[5]
+    if major not in (3, 4):
+        raise ValueError(f"id3: unsupported version 2.{major}")
+    if flags & 0x80:
+        raise ValueError("id3: unsynchronised tags not supported")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: non-synchsafe tag size")
+        size = (size << 7) | b
+    end = 10 + size
+    pos = 10
+    if flags & 0x40:                     # extended header: skip it
+        if major == 4:
+            ext = (payload[pos] << 21) | (payload[pos + 1] << 14) \
+                | (payload[pos + 2] << 7) | payload[pos + 3]
+        else:
+            ext = struct.unpack(">I", payload[pos:pos + 4])[0] + 4
+        pos += ext
+    frames = []
+    while pos + 10 <= end:
+        fid = payload[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break                        # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"id3: bad frame id at {pos}")
+        raw = payload[pos + 4:pos + 8]
+        if major == 4:                   # v2.4: synchsafe frame size
+            fsize = 0
+            for b in raw:
+                if b & 0x80:
+                    raise ValueError("id3v2.4: non-synchsafe "
+                                     "frame size")
+                fsize = (fsize << 7) | b
+        else:
+            fsize = struct.unpack(">I", raw)[0]
+        pos += 10
+        if pos + fsize > end:
+            raise ValueError("id3: frame overruns tag")
+        body = payload[pos:pos + fsize]
+        text = None
+        if fid[:1] == b"T" and fsize >= 1:
+            text = _decode_id3_text(body[0], body[1:])
+        elif fid == b"COMM" and fsize >= 4:
+            # enc byte + 3-char language + short desc \0 + text
+            enc = body[0]
+            rest = body[4:]
+            term = b"\x00\x00" if enc in (1, 2) else b"\x00"
+            parts = rest.split(term, 1)
+            text = _decode_id3_text(enc, parts[1]) \
+                if len(parts) == 2 else _decode_id3_text(enc, rest)
+        frames.append({"id": fid.decode("ascii"), "size": fsize,
+                       "text": text})
+        pos += fsize
+    return {"version": f"2.{major}", "tag_bytes": end,
+            "frames": frames}
+
+
+def build_id3v2(frames: Sequence[Tuple[str, str]], major: int = 3,
+                encoding: int = 3, padding: int = 16) -> bytes:
+    """Emit an ID3v2.3/2.4 tag holding text frames — the test/oracle
+    twin of :func:`parse_id3v2` (same split as build_mp3 / the frame
+    walker). ``frames``: (frame_id, text) pairs; ``encoding`` is the
+    spec text-encoding byte (3 = UTF-8; v2.3 strictly allows only
+    0/1, but parsers — including ours — accept all four)."""
+    body = bytearray()
+    for fid, text in frames:
+        if len(fid) != 4:
+            raise ValueError(f"id3: frame id must be 4 chars: {fid!r}")
+        codec = _ID3_ENCODINGS[encoding]
+        data = bytes([encoding]) + text.encode(codec)
+        if fid == "COMM":
+            data = bytes([encoding]) + b"eng" \
+                + (b"\x00\x00" if encoding in (1, 2) else b"\x00") \
+                + text.encode(codec)
+        size = _synchsafe(len(data)) if major == 4 \
+            else struct.pack(">I", len(data))
+        body += fid.encode("ascii") + size + b"\x00\x00" + data
+    body += bytes(padding)
+    return b"ID3" + bytes([major, 0, 0]) + _synchsafe(len(body)) \
+        + bytes(body)
+
+
+# ------------------------------------------------- Vorbis headers
+#
+# Round 10: the Vorbis I identification and comment headers (Xiph
+# spec §4.2) — the metadata layer of an Ogg/Vorbis stream, and the
+# VorbisComment tagging standard (ARTIST=..., TITLE=...) that FLAC
+# and Opus reuse. Entirely procedural little-endian parsing — none of
+# the codebook/floor table data that keeps sample decode env-gated.
+
+
+def parse_vorbis_headers(packets: Sequence[bytes]) -> Dict[str, Any]:
+    """Parse a Vorbis stream's first packets: the identification
+    header (type 1) and comment header (type 3). Returns
+    ``{"channels", "sample_rate", "bitrate_nominal", "blocksize_0",
+    "blocksize_1", "vendor", "comments": [(key, value)]}``. Raises on
+    malformed headers (bad magic, zero channels/rate, blocksizes out
+    of the spec's 64..8192 power-of-two range, missing framing bit,
+    comment lengths overrunning the packet)."""
+    if len(packets) < 2:
+        raise ValueError("vorbis: need identification + comment "
+                         "packets")
+    ident, comment = packets[0], packets[1]
+    if len(ident) < 30 or ident[0] != 1 or ident[1:7] != b"vorbis":
+        raise ValueError("vorbis: bad identification header")
+    version, = struct.unpack("<I", ident[7:11])
+    if version != 0:
+        raise ValueError(f"vorbis: unknown version {version}")
+    channels = ident[11]
+    rate, = struct.unpack("<I", ident[12:16])
+    br_max, br_nom, br_min = struct.unpack("<iii", ident[16:28])
+    bs = ident[28]
+    bs0, bs1 = 1 << (bs & 0xF), 1 << (bs >> 4)
+    if channels == 0 or rate == 0:
+        raise ValueError("vorbis: zero channels or sample rate")
+    for b in (bs0, bs1):
+        if not 64 <= b <= 8192:
+            raise ValueError(f"vorbis: blocksize {b} out of range")
+    if bs0 > bs1:
+        raise ValueError("vorbis: blocksize_0 > blocksize_1")
+    if not ident[29] & 1:
+        raise ValueError("vorbis: identification framing bit unset")
+
+    if len(comment) < 7 or comment[0] != 3 \
+            or comment[1:7] != b"vorbis":
+        raise ValueError("vorbis: bad comment header")
+    pos = 7
+    vlen, = struct.unpack("<I", comment[pos:pos + 4])
+    pos += 4
+    vendor = comment[pos:pos + vlen].decode("utf-8")
+    pos += vlen
+    count, = struct.unpack("<I", comment[pos:pos + 4])
+    pos += 4
+    comments: List[Tuple[str, str]] = []
+    for _ in range(count):
+        if pos + 4 > len(comment):
+            raise ValueError("vorbis: comment count overruns packet")
+        clen, = struct.unpack("<I", comment[pos:pos + 4])
+        pos += 4
+        if pos + clen > len(comment):
+            raise ValueError("vorbis: comment length overruns packet")
+        entry = comment[pos:pos + clen].decode("utf-8")
+        pos += clen
+        if "=" not in entry:
+            raise ValueError(f"vorbis: comment without '=': {entry!r}")
+        k, v = entry.split("=", 1)
+        comments.append((k.upper(), v))  # field names case-insensitive
+    if pos >= len(comment) or not comment[pos] & 1:
+        raise ValueError("vorbis: comment framing bit unset")
+    return {"channels": channels, "sample_rate": rate,
+            "bitrate_nominal": br_nom, "bitrate_max": br_max,
+            "bitrate_min": br_min, "blocksize_0": bs0,
+            "blocksize_1": bs1, "vendor": vendor,
+            "comments": comments}
+
+
+def build_vorbis_headers(channels: int, sample_rate: int,
+                         comments: Sequence[Tuple[str, str]],
+                         vendor: str = "spark-graft",
+                         bitrate_nominal: int = 0,
+                         blocksize_0: int = 256,
+                         blocksize_1: int = 2048) -> List[bytes]:
+    """The identification + comment packets — the test/oracle twin of
+    :func:`parse_vorbis_headers` (mux with :func:`mux_ogg` for a
+    container-level round trip)."""
+    for b in (blocksize_0, blocksize_1):
+        if b & (b - 1) or not 64 <= b <= 8192:
+            raise ValueError(f"vorbis: blocksize {b} invalid")
+    bs = (blocksize_1.bit_length() - 1) << 4 \
+        | (blocksize_0.bit_length() - 1)
+    ident = (bytes([1]) + b"vorbis" + struct.pack("<I", 0)
+             + bytes([channels]) + struct.pack("<I", sample_rate)
+             + struct.pack("<iii", 0, bitrate_nominal, 0)
+             + bytes([bs, 1]))
+    vb = vendor.encode("utf-8")
+    body = bytearray(bytes([3]) + b"vorbis"
+                     + struct.pack("<I", len(vb)) + vb
+                     + struct.pack("<I", len(comments)))
+    for k, v in comments:
+        entry = f"{k}={v}".encode("utf-8")
+        body += struct.pack("<I", len(entry)) + entry
+    body += bytes([1])
+    return [ident, bytes(body)]
+
+
+# ---------------------------------------------------------------- Ogg
+
 def _ogg_crc_table() -> List[int]:
     table = []
     for i in range(256):

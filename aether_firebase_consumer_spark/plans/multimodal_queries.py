@@ -1182,6 +1182,158 @@ def multimodal_mp3_sideinfo_stats(spark: SparkSession,
 
 
 @register(
+    "multimodal_id3_tags",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '2.3' ELSE '2.4' END
+             AS id3_version,
+           CAST(91 AS INT) AS tag_bytes,
+           CAST(3 AS INT) AS n_tag_frames,
+           substr(md5(text), 1, 8) AS title,
+           substr(md5(text), 9, 8) AS artist,
+           substr(md5(text), 17, 12) AS comment,
+           CAST(2 AS INT) AS n_mp3_frames
+    FROM documents
+    """,
+)
+def multimodal_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2 tag metadata extraction inside an oracle-gated query
+    (round 10): each document becomes an MP3 stream opening with an
+    ID3v2 tag — v2.3 (u32 frame sizes) for even doc_ids, v2.4
+    (synchsafe frame sizes) for odd — holding TIT2/TPE1 text frames
+    and a COMM comment whose strings derive from md5(text). The Arrow
+    kernel BUILDS the tag + framing (build_id3v2 / build_mp3), parses
+    the tag back with the independent frame walker (parse_id3v2) and
+    the audio framing with parse_mp3_frames (whose synchsafe tag-skip
+    must agree with the tag's own declared size), and emits the PARSED
+    strings; the DuckDB oracle re-derives them arithmetically — the
+    metadata-extraction column a 100 TB audio corpus queries without
+    touching payloads. Codec: operators/mpeg_audio.py (id3v2.3.0 /
+    id3v2.4.0 informal standards)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_id3v2,
+        build_mp3,
+        parse_id3v2,
+        parse_mp3_frames,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                major = 3 if int(doc_id) % 2 == 0 else 4
+                tag = build_id3v2(
+                    [("TIT2", hx[0:8]), ("TPE1", hx[8:16]),
+                     ("COMM", hx[16:28])], major=major)
+                audio = build_mp3([("1", 3, 5, 0, 0)] * 2)
+                stream = tag + audio
+                parsed = parse_id3v2(stream)
+                framing = parse_mp3_frames(stream)
+                assert framing["id3v2_bytes"] == parsed["tag_bytes"]
+                texts = {f["id"]: f["text"]
+                         for f in parsed["frames"]}
+                out.append((
+                    int(doc_id), parsed["version"],
+                    parsed["tag_bytes"], len(parsed["frames"]),
+                    texts["TIT2"], texts["TPE1"], texts["COMM"],
+                    len(framing["frames"])))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "id3_version", "tag_bytes", "n_tag_frames",
+                "title", "artist", "comment", "n_mp3_frames"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, id3_version string, tag_bytes int, "
+        "n_tag_frames int, title string, artist string, "
+        "comment string, n_mp3_frames int")
+
+
+@register(
+    "multimodal_vorbis_comment_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) AS hx,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0,
+             ('0x' || substr(md5(text), 3, 2))::BIGINT AS b1
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + 100 * b0 AS INT) AS sample_rate,
+           CAST(2 + b1 % 3 AS INT) AS n_comments,
+           substr(hx, 5, 10) AS artist,
+           substr(hx, 15, 10) AS title,
+           CAST(CASE WHEN 1 + doc_id % 2 = 1 THEN 256 ELSE 512 END
+                AS INT) AS blocksize_0,
+           CAST(2048 AS INT) AS blocksize_1
+    FROM px
+    """,
+)
+def multimodal_vorbis_comment_stats(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """REAL Ogg/Vorbis header + VorbisComment extraction inside an
+    oracle-gated query (round 10): each document becomes the first two
+    packets of a Vorbis stream — identification header (channels,
+    rate, blocksizes) and comment header (ARTIST/TITLE plus a
+    variable number of extra fields), all md5-derived — MUXED through
+    real Ogg pages (mux_ogg: lacing, CRC, BOS) and read back through
+    demux_ogg (CRCs verified) + parse_vorbis_headers. The kernel
+    emits the PARSED values; the oracle re-derives them. This is the
+    Vorbis metadata layer (the tagging standard FLAC/Opus reuse);
+    sample decode stays env-gated as documented. Codec:
+    operators/mpeg_audio.py (Vorbis I spec §4.2, RFC 3533)."""
+    import pandas as pd
+    from typing import Iterator
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_vorbis_headers,
+        demux_ogg,
+        mux_ogg,
+        parse_vorbis_headers,
+    )
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    with_hex = docs.select("doc_id", F.md5("text").alias("hx"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                b0, b1 = int(hx[0:2], 16), int(hx[2:4], 16)
+                ch = 1 + int(doc_id) % 2
+                rate = 8000 + 100 * b0
+                comments = [("ARTIST", hx[4:14]), ("TITLE", hx[14:24])]
+                for i in range(b1 % 3):
+                    comments.append((f"KEY{i}", hx[24 + i:28 + i]))
+                pkts = build_vorbis_headers(
+                    ch, rate, comments,
+                    blocksize_0=256 if ch == 1 else 512)
+                ogg = mux_ogg([(p, -1) for p in pkts], serial=7)
+                stream = demux_ogg(ogg)[7]
+                assert stream["bos"] and stream["eos"]
+                hdr = parse_vorbis_headers(
+                    [p for p, _g in stream["packets"]])
+                cm = dict(hdr["comments"])
+                out.append((
+                    int(doc_id), hdr["channels"], hdr["sample_rate"],
+                    len(hdr["comments"]), cm["ARTIST"], cm["TITLE"],
+                    hdr["blocksize_0"], hdr["blocksize_1"]))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "channels", "sample_rate", "n_comments",
+                "artist", "title", "blocksize_0", "blocksize_1"])
+
+    return with_hex.mapInPandas(
+        kernel,
+        "doc_id bigint, channels int, sample_rate int, "
+        "n_comments int, artist string, title string, "
+        "blocksize_0 int, blocksize_1 int")
+
+
+@register(
     "multimodal_ogg_demux_stats",
     oracle="""
     WITH px AS (

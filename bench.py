@@ -156,7 +156,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "similarity_ann_ivfadc_pruned",
          "quality_linear_probe_trained",
          # r10 headliners
-         "multimodal_mp3_sideinfo_stats")
+         "multimodal_mp3_sideinfo_stats",
+         "multimodal_id3_tags",
+         "multimodal_vorbis_comment_stats")
 
 
 def headline_names() -> list[str]:

@@ -339,3 +339,139 @@ def test_sideinfo_real_lame_file_golden():
     # 195-byte slots, 196 on padded frames
     assert all(f["main_avail_bytes"] - 195 == f["padding"]
                for f in info["frames"])
+
+
+# ------------------------------- ID3v2 frames + Vorbis headers (r10)
+
+def test_id3v2_roundtrip_versions_and_encodings():
+    """build_id3v2 → parse_id3v2 recovers text frames and comments in
+    both tag versions (v2.3 u32 sizes, v2.4 synchsafe sizes) and all
+    four spec text encodings, including non-Latin text through the
+    UTF-16 BOM path."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_id3v2,
+        parse_id3v2,
+    )
+    frames = [("TIT2", "Grüße — überall"), ("TPE1", "spark"),
+              ("COMM", "a comment"), ("TALB", "日本語タイトル")]
+    for major in (3, 4):
+        for enc in (0, 1, 2, 3):
+            use = frames if enc != 0 else [("TIT2", "plain"),
+                                           ("COMM", "latin only")]
+            tag = build_id3v2(use, major=major, encoding=enc)
+            got = parse_id3v2(tag)
+            assert got["version"] == f"2.{major}"
+            texts = {f["id"]: f["text"] for f in got["frames"]}
+            for fid, txt in use:
+                assert texts[fid] == txt, (major, enc, fid)
+
+
+def test_id3v2_prepended_to_frames_walks_consistently():
+    """A tag ahead of audio frames: the framing walker's synchsafe
+    skip and the tag parser's declared size agree, and the audio
+    frame count is unaffected."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_id3v2,
+        build_mp3,
+        parse_id3v2,
+        parse_mp3_frames,
+    )
+    stream = build_id3v2([("TIT2", "t")]) + build_mp3(
+        [("1", 3, 5, 0, 0)] * 3)
+    info = parse_mp3_frames(stream)
+    assert info["id3v2_bytes"] == parse_id3v2(stream)["tag_bytes"]
+    assert len(info["frames"]) == 3
+
+
+def test_id3v2_rejects_malformed():
+    import pytest
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_id3v2,
+        parse_id3v2,
+    )
+    assert parse_id3v2(b"no tag here") == {
+        "version": None, "tag_bytes": 0, "frames": []}
+    tag = bytearray(build_id3v2([("TIT2", "x")]))
+    tag[3] = 2                            # ID3v2.2: unsupported
+    with pytest.raises(ValueError, match="unsupported version"):
+        parse_id3v2(bytes(tag))
+    tag = bytearray(build_id3v2([("TIT2", "x")]))
+    tag[10] = 0x7E                        # '~': not A-Z0-9
+    with pytest.raises(ValueError, match="bad frame id"):
+        parse_id3v2(bytes(tag))
+    tag = bytearray(build_id3v2([("TIT2", "x")], padding=0))
+    tag[17] = 0xFF                        # frame size overruns tag
+    with pytest.raises(ValueError, match="overruns|non-synchsafe"):
+        parse_id3v2(bytes(tag))
+
+
+def test_id3v2_real_lavf_tag_golden():
+    """The real file's tag (written by libavformat): ID3v2.4 with a
+    TSSE encoder-settings frame — parsed text pinned."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(REAL_MP3):
+        pytest.skip("gsutil test.mp3 not in this image")
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        parse_id3v2,
+    )
+    with open(REAL_MP3, "rb") as fh:
+        got = parse_id3v2(fh.read())
+    assert got["version"] == "2.4"
+    assert got["tag_bytes"] == 32
+    assert got["frames"] == [
+        {"id": "TSSE", "size": 12, "text": "Lavf53.5.0"}]
+
+
+def test_vorbis_headers_roundtrip_through_ogg():
+    """build_vorbis_headers → mux_ogg → demux_ogg →
+    parse_vorbis_headers recovers the identification fields and every
+    comment, including non-ASCII UTF-8 values and key case folding."""
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_vorbis_headers,
+        demux_ogg,
+        mux_ogg,
+        parse_vorbis_headers,
+    )
+    pkts = build_vorbis_headers(
+        2, 48000, [("artist", "Ärzte — 日本"), ("TITLE", "x=y=z"),
+                   ("TRACKNUMBER", "7")],
+        bitrate_nominal=128000, blocksize_0=256, blocksize_1=2048)
+    stream = demux_ogg(mux_ogg([(p, -1) for p in pkts], serial=3))[3]
+    hdr = parse_vorbis_headers([p for p, _g in stream["packets"]])
+    assert (hdr["channels"], hdr["sample_rate"]) == (2, 48000)
+    assert hdr["bitrate_nominal"] == 128000
+    assert (hdr["blocksize_0"], hdr["blocksize_1"]) == (256, 2048)
+    assert hdr["vendor"] == "spark-graft"
+    # keys fold to upper case; '=' splits on the FIRST occurrence
+    assert ("ARTIST", "Ärzte — 日本") in hdr["comments"]
+    assert ("TITLE", "x=y=z") in hdr["comments"]
+
+
+def test_vorbis_headers_reject_malformed():
+    import struct
+
+    import pytest
+
+    from aether_firebase_consumer_spark.operators.mpeg_audio import (
+        build_vorbis_headers,
+        parse_vorbis_headers,
+    )
+    good = build_vorbis_headers(1, 8000, [("A", "b")])
+    with pytest.raises(ValueError, match="identification"):
+        parse_vorbis_headers([b"\x02vorbis" + good[0][7:], good[1]])
+    bad0 = bytearray(good[0]); bad0[11] = 0     # zero channels
+    with pytest.raises(ValueError, match="zero channels"):
+        parse_vorbis_headers([bytes(bad0), good[1]])
+    bad1 = bytearray(good[1])
+    # inflate a comment length so it overruns the packet
+    vlen = struct.unpack("<I", good[1][7:11])[0]
+    clen_at = 7 + 4 + vlen + 4
+    bad1[clen_at:clen_at + 4] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_vorbis_headers([good[0], bytes(bad1)])
+    with pytest.raises(ValueError, match="blocksize"):
+        build_vorbis_headers(1, 8000, [], blocksize_0=100)
