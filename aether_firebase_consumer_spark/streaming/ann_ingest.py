@@ -46,6 +46,7 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     ivfadc_shortlist,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.cdc import CdcIngest
 from aether_firebase_consumer_spark.streaming.pruning import (
     doomed_rows,
     normalize_ids,
@@ -58,7 +59,7 @@ from aether_firebase_consumer_spark.streaming.recipe import (
 )
 
 
-class AnnIndexJob:
+class AnnIndexJob(CdcIngest):
     """foreachBatch handler + query API for a persisted IVFADC index.
 
     Unlike the dedup-family jobs this one GATES nothing: an ANN index
@@ -160,6 +161,48 @@ class AnnIndexJob:
         self.corpus.delete_keys(doomed.select(self.id_col, "idp"))
         self.stats["deleted"] += n
         return n
+
+    def reconcile(self) -> dict:
+        """Repair corpus/codes divergence after a crash between the
+        two MERGEs (ingest) or the two deletes (round 10) — the
+        explicit form of "re-running clears it": vectors present in
+        the corpus but missing from the codes table are re-encoded and
+        merged (they were invisible to probes); codes rows whose
+        vector left the corpus are deleted (they burned shortlist
+        slots for nothing). Idempotent; run between triggers. Returns
+        ``{"re_encoded": n, "orphans_dropped": n}``.
+
+        Cost: one column-pruned id anti-join in each direction — a
+        scheduled maintenance scan, not a per-trigger cost (the jobs'
+        write ORDER makes divergence a crash-only state)."""
+        corpus = self.corpus.read()
+        codes = self.codes.read()
+        out = {"re_encoded": 0, "orphans_dropped": 0}
+        if corpus is None and codes is None:
+            return out
+        if corpus is None:
+            n = codes.count()
+            if n:
+                self.codes.delete_keys(codes.select(self.id_col, "cp"))
+                out["orphans_dropped"] = n
+            return out
+        missing = corpus if codes is None else corpus.join(
+            codes.select(self.id_col), self.id_col, "left_anti")
+        missing = missing.localCheckpoint()
+        n_miss = missing.count()
+        if n_miss:
+            self.codes.merge(self.code_rows(missing))
+            out["re_encoded"] = n_miss
+        if codes is not None:
+            orphans = (codes.select(self.id_col, "cp")
+                       .join(corpus.select(self.id_col),
+                             self.id_col, "left_anti")
+                       .localCheckpoint())
+            n_orp = orphans.count()
+            if n_orp:
+                self.codes.delete_keys(orphans)
+                out["orphans_dropped"] = n_orp
+        return out
 
     def rebuild(self, centroids: list[list[float]] | None = None,
                 books: list[list[list[float]]] | None = None,

@@ -54,6 +54,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     lsh_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.cdc import CdcIngest
 from aether_firebase_consumer_spark.streaming.pruning import (
     corpus_recipe,
     guard_idp_corpus,
@@ -67,7 +68,7 @@ from aether_firebase_consumer_spark.streaming.recipe import (
 )
 
 
-class DedupIngestJob:
+class DedupIngestJob(CdcIngest):
     """foreachBatch handler: near-dup-gated corpus accumulation.
 
     ``band_index`` (optional but recommended): a second upsert table

@@ -47,6 +47,7 @@ from aether_firebase_consumer_spark.plans.similarity_queries import (
     embedding_probe_partitioned_pairs,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.cdc import CdcIngest
 from aether_firebase_consumer_spark.streaming.pruning import (
     corpus_recipe,
     doomed_rows,
@@ -62,7 +63,7 @@ from aether_firebase_consumer_spark.streaming.recipe import (
 )
 
 
-class EmbeddingIngestJob:
+class EmbeddingIngestJob(CdcIngest):
     """foreachBatch handler: near-dup-gated vector-corpus accumulation.
 
     Same contract as :class:`~.dedup_ingest.DedupIngestJob`: known ids

@@ -53,6 +53,7 @@ from aether_firebase_consumer_spark.operators.dedup import (
     portable_hash60,
 )
 from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.cdc import CdcIngest
 from aether_firebase_consumer_spark.streaming.pruning import (
     doomed_rows,
     guard_idp_corpus,
@@ -67,7 +68,7 @@ from aether_firebase_consumer_spark.streaming.recipe import (
 )
 
 
-class SemanticIngestJob:
+class SemanticIngestJob(CdcIngest):
     """foreachBatch handler: semantic-dedup-gated corpus accumulation.
 
     Same contract as the band-index twins: known ids are UPDATEs and
@@ -318,6 +319,47 @@ class SemanticIngestJob:
         self.corpus.delete_keys(doomed.select(*cols))
         self.stats["deleted"] += n
         return n
+
+    def reconcile(self) -> dict:
+        """Repair corpus/cluster-index divergence after a crash
+        between the two MERGEs or the two deletes (round 10 — the
+        semantic twin of :meth:`AnnIndexJob.reconcile`): corpus
+        vectors missing their cell row are re-assigned and merged
+        (they were not gating near-dups); cell rows whose vector left
+        the corpus are deleted (ghost gates). Idempotent; run between
+        triggers; no-op without a persisted index. Returns
+        ``{"re_assigned": n, "orphans_dropped": n}``."""
+        out = {"re_assigned": 0, "orphans_dropped": 0}
+        if self.cluster_index is None:
+            return out  # recompute path derives cells from the corpus
+        corpus = self.corpus.read()
+        index = self.cluster_index.read()
+        if corpus is None and index is None:
+            return out
+        if corpus is None:
+            n = index.count()
+            if n:
+                self.cluster_index.delete_keys(
+                    index.select(self.id_col, "cp"))
+                out["orphans_dropped"] = n
+            return out
+        missing = corpus if index is None else corpus.join(
+            index.select(self.id_col), self.id_col, "left_anti")
+        missing = missing.localCheckpoint()
+        n_miss = missing.count()
+        if n_miss:
+            self.cluster_index.merge(self.index_rows(missing))
+            out["re_assigned"] = n_miss
+        if index is not None:
+            orphans = (index.select(self.id_col, "cp")
+                       .join(corpus.select(self.id_col),
+                             self.id_col, "left_anti")
+                       .localCheckpoint())
+            n_orp = orphans.count()
+            if n_orp:
+                self.cluster_index.delete_keys(orphans)
+                out["orphans_dropped"] = n_orp
+        return out
 
     def reshard(self, new_n_sub: int) -> None:
         """Migrate the job to a new subcluster modulus — the batch

@@ -293,3 +293,133 @@ def test_dedup_delete_recompute_path(spark, tmp_path):
     assert {r.doc_id for r in corpus.read().collect()} == {1, 3}
     assert job.delete(_ddf(spark, [(1, "ignored")])) == 1
     assert {r.doc_id for r in corpus.read().collect()} == {3}
+
+
+def test_delete_appears_in_change_feed(spark, tmp_path):
+    """The CDC story for takedowns: a delete(ids) produces ordinary
+    table versions, so a downstream change-feed consumer sees explicit
+    `delete` rows for the removed ids (corpus AND index tables) and
+    can propagate the takedown — no side channel needed."""
+    job = _mk_ann(spark, tmp_path / "a")
+    job.process_batch(_vdf(spark, [(i, _vec(i)) for i in (1, 2, 3)]), 0)
+    v_before = job.corpus.current_version()
+    assert job.delete([2]) == 1
+    corpus_changes = {(r.vec_id, r.change_type)
+                      for r in job.corpus.change_feed(
+                          v_before + 1).collect()}
+    codes_changes = {(r.vec_id, r.change_type)
+                     for r in job.codes.change_feed(
+                         job.codes.current_version()).collect()}
+    assert corpus_changes == {(2, "delete")}
+    assert codes_changes == {(2, "delete")}
+
+
+def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    """I/O evidence for the pruned delete: removing ids from one idp
+    partition carries every OTHER partition's data files into the new
+    version as hardlinks (same inodes — zero bytes rewritten), the
+    on-disk form of 'delete cost ∝ delete set, not table'."""
+    import os
+
+    from aether_firebase_consumer_spark.operators.dedup import (
+        id_partition,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["vec_id"],
+                           partition_col="idp")
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(64)],
+                                 "vec_id bigint, v string") \
+        .withColumn("idp", id_partition(F.col("vec_id"), 8))
+    t.merge(rows)
+    v0 = t.current_version()
+
+    def inodes(version):
+        out = {}
+        root = t._data_dir(version)
+        for base, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(base, fn)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    before = inodes(v0)
+    # delete two ids that live in ONE partition
+    doomed = [r.vec_id for r in rows.where("idp = 3")
+              .limit(2).collect()]
+    keys = spark.createDataFrame([(i,) for i in doomed],
+                                 "vec_id bigint") \
+        .withColumn("idp", id_partition(F.col("vec_id"), 8))
+    t.delete_keys(keys)
+    after = inodes(t.current_version())
+    touched = {p for p in after if p.startswith("idp=3/")}
+    untouched = set(after) - touched
+    assert touched                        # partition was rewritten
+    # every other partition's files are the SAME inodes as before
+    assert untouched
+    for p in untouched:
+        assert after[p] == before[p], p
+    # and the deleted ids are gone while all others survive
+    got = {r.vec_id for r in t.read().collect()}
+    assert got == set(range(64)) - set(doomed)
+
+
+# ---------------------------------------------------- reconcile (r10)
+
+def test_ann_reconcile_repairs_crash_divergence(spark, tmp_path):
+    """reconcile(): both crash-divergence states repaired — a corpus
+    vector missing its codes row (invisible to probes) is re-encoded;
+    a codes row whose vector left the corpus (wasted shortlist slots)
+    is dropped. After repair, topk equals a from-scratch job; a second
+    reconcile is a no-op."""
+    state = {i: _vec(i) for i in range(1, 9)}
+    job = _mk_ann(spark, tmp_path / "a")
+    job.process_batch(_vdf(spark, list(state.items())), 0)
+
+    # simulate crash A: codes row for id 2 never landed
+    row2 = job.code_rows(_vdf(spark, [(2, state[2])])) \
+        .select("vec_id", "cp")
+    job.codes.delete_keys(row2)
+    # simulate crash B: corpus row for id 5 deleted, codes row left
+    job.corpus.delete_keys(
+        spark.createDataFrame([(5,)], "vec_id bigint")
+        .withColumn("idp", F.lit(None).cast("int"))
+        .select("vec_id"))
+    out = job.reconcile()
+    assert out == {"re_encoded": 1, "orphans_dropped": 1}
+    assert job.reconcile() == {"re_encoded": 0, "orphans_dropped": 0}
+
+    del state[5]
+    fresh = _mk_ann(spark, tmp_path / "b")
+    fresh.process_batch(_vdf(spark, list(state.items())), 0)
+    queries = _vdf(spark, [(900, _near(state[2], "q"))])
+    assert _topk_snap(job.topk(queries, k=8, shortlist=50)) \
+        == _topk_snap(fresh.topk(queries, k=8, shortlist=50))
+
+
+def test_semantic_reconcile_restores_gating(spark, tmp_path):
+    """reconcile() on the semantic job: a vector whose cell row went
+    missing stops gating its near-dups — after reconcile it gates
+    again; an orphan cell row (ghost gate) is dropped so near-dups of
+    the DELETED vector are accepted."""
+    job = _mk_sem(spark, tmp_path / "s")
+    v1, v2 = _vec(1), _vec(2)
+    job.process_batch(_vdf(spark, [(1, v1), (2, v2)]), 0)
+
+    # crash A: drop vector 1's cell row — its near-dup would slip in
+    idx_row1 = job.index_rows(_vdf(spark, [(1, v1)])) \
+        .select("vec_id", "cp")
+    job.cluster_index.delete_keys(idx_row1)
+    out = job.reconcile()
+    assert out == {"re_assigned": 1, "orphans_dropped": 0}
+    job.process_batch(_vdf(spark, [(3, _near(v1, "n3"))]), 1)
+    assert {r.vec_id for r in job.corpus.read().collect()} == {1, 2}
+
+    # crash B: vector 2 deleted from the corpus only — ghost cell row
+    job.corpus.delete_keys(
+        spark.createDataFrame([(2,)], "vec_id bigint").withColumn(
+            "idp", (F.lit(None)).cast("int")).select("vec_id"))
+    out = job.reconcile()
+    assert out["orphans_dropped"] == 1
+    job.process_batch(_vdf(spark, [(4, _near(v2, "n4"))]), 2)
+    assert 4 in {r.vec_id for r in job.corpus.read().collect()}
