@@ -39,6 +39,12 @@ def get_spark(app_name: str = "aether_firebase_consumer_spark",
         # fixture events.parquet carries TIMESTAMP(NANOS); read as long ns
         # (converted to TimestampType in tables.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96:
+        # INT96 carries NO footer min/max statistics, which would
+        # blind both row-group pruning and the stats-manifest file
+        # skipping (sinks/stats.py) on every timestamp column
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,220 @@
+"""Per-file column-statistics manifest — Delta-style data skipping
+for :class:`~aether_firebase_consumer_spark.sinks.upsert.ParquetUpsertTable`
+(round 10).
+
+At 100 TB three layers of pruning matter, and the table already had
+two: partition pruning (the ``partition_col`` IN-lists every probe
+pushes) and parquet row-group pruning (footer min/max, applied AFTER
+a file is opened). The missing layer is the one between them — *file*
+skipping from a manifest, so a selective scan never LISTS-OPENS the
+files that can't match. That is exactly what Delta/Iceberg keep
+add-file stats in the commit log for; here the manifest is a
+``_STATS.json`` inside each version directory (underscore-prefixed,
+so data readers ignore it), committed atomically with the data by the
+existing staged-dir + CAS protocol.
+
+Incremental by construction: only files NEW in a commit pay a
+driver-side footer read (cost ∝ batch, the same shape as the
+hardlink carry-forward itself); files carried from the parent version
+keep their relpath and inherit the parent's entry verbatim. Spark's
+part-file names embed a per-job UUID, so a relpath collision between
+a carried file and a rewritten one cannot happen.
+
+Safety: skipping must never DROP a matching row, so every uncertain
+case keeps the file — a column absent from a file's footer (schema
+evolution), a NaN bound (parquet NaN stats are unreliable), a
+non-scalar stat type, or a string bound long enough that a writer may
+have truncated it (``_MAX_STR`` — parquet writers truncate long
+binary stats; a truncated max is not a true max). The reader
+re-applies the predicate as a real filter regardless, so pruning is
+purely an I/O optimization and results stay exact even if the
+manifest is missing entirely.
+
+The reference has no storage layer at all (1-by-1 Firestore writes,
+``/root/reference/firebase/app/helpers.py:93-114``); this is the
+lake-native replacement's scan-cost story.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+_MANIFEST = "_STATS.json"
+#: string bounds at least this long may have been truncated by the
+#: writer — keep the file rather than trust an inexact max
+_MAX_STR = 64
+
+_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+_EPOCH_DT = None  # initialized lazily to keep the import cheap
+
+
+def _to_epoch(v):
+    """datetime → epoch microseconds, date → epoch days — exact
+    integer math (float total_seconds loses sub-µs precision at 2026
+    epochs), order-preserving, so interval pruning works unchanged.
+    The engine pins the Spark session timezone to UTC
+    (session.py:38), matching parquet's UTC-adjusted timestamps; an
+    aware datetime is normalized to UTC first."""
+    import datetime as dt
+    global _EPOCH_DT
+    if _EPOCH_DT is None:
+        _EPOCH_DT = (dt.datetime(1970, 1, 1), dt.date(1970, 1, 1))
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        d = v - _EPOCH_DT[0]
+        return ((d.days * 86400 + d.seconds) * 1_000_000
+                + d.microseconds)
+    if isinstance(v, dt.date):
+        return (v - _EPOCH_DT[1]).days
+    return v
+
+
+def _scalar(v):
+    """Footer stat → JSON-safe scalar, or None when it can't be
+    trusted for pruning (conservative keep). Timestamps/dates are
+    stored as epoch micros/days so retention predicates
+    (``("ts", "<", cutoff)``) prune like any numeric interval."""
+    import datetime as dt
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (dt.datetime, dt.date)):
+        if getattr(v, "nanosecond", 0):
+            # sub-µs precision (pd.Timestamp from a TIMESTAMP(NANOS)
+            # footer) would truncate — a truncated MAX understates the
+            # bound, which could skip wrongly; don't trust it
+            return None
+        return _to_epoch(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, str):
+        return None if len(v) >= _MAX_STR else v
+    if isinstance(v, bytes):
+        try:
+            s = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        return None if len(s) >= _MAX_STR else s
+    return None
+
+
+def file_column_stats(file_path: str, cols: list[str]) -> dict:
+    """``{col: [min, max]}`` for ``cols`` from one parquet file's
+    footer — metadata only, no data pages. Columns whose bounds can't
+    be trusted are omitted (the file is then never skipped on them)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    want = set(cols)
+    lo: dict = {}
+    hi: dict = {}
+    seen_all = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in want or name in seen_all:
+                continue
+            s = col.statistics
+            mn = _scalar(s.min) if s is not None and s.has_min_max \
+                else None
+            mx = _scalar(s.max) if s is not None and s.has_min_max \
+                else None
+            if mn is None or mx is None:
+                # one untrusted row group poisons the whole file's
+                # entry for this column — partial bounds would skip
+                # rows living in the untrusted group
+                seen_all.add(name)
+                lo.pop(name, None)
+                hi.pop(name, None)
+                continue
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {c: [lo[c], hi[c]] for c in lo if c in hi}
+
+
+def build_manifest(staged_dir: str, cols: list[str],
+                   parent_manifest: dict | None) -> dict:
+    """Walk the staged version directory and assemble its manifest:
+    carried files (relpath present in the parent manifest) inherit
+    their entry; new files pay one footer read each. Every parquet
+    file gets a key, even with an empty stats dict, so the manifest
+    doubles as the version's authoritative file list."""
+    parent_files = (parent_manifest or {}).get("files", {})
+    files: dict = {}
+    for root, _dirs, names in os.walk(staged_dir):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, staged_dir)
+            if rel in parent_files:
+                files[rel] = parent_files[rel]
+            else:
+                files[rel] = file_column_stats(full, cols)
+    return {"cols": list(cols), "files": files}
+
+
+def write_manifest(staged_dir: str, cols: list[str],
+                   parent_dir: str | None) -> None:
+    parent = load_manifest(parent_dir) if parent_dir else None
+    manifest = build_manifest(staged_dir, cols, parent)
+    with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+
+
+def load_manifest(version_dir: str | None) -> dict | None:
+    if not version_dir:
+        return None
+    try:
+        with open(os.path.join(version_dir, _MANIFEST)) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
+def _comparable(bound, value) -> bool:
+    num = (int, float)
+    if isinstance(bound, num) and isinstance(value, num):
+        return True
+    return isinstance(bound, str) and isinstance(value, str)
+
+
+def keeps(stats: dict, col: str, op: str, value) -> bool:
+    """Can a file with these bounds contain a row satisfying
+    ``col op value``? Missing/incomparable bounds → True (keep)."""
+    if op not in _OPS:
+        raise ValueError(f"unsupported skip operator {op!r} "
+                         f"(supported: {_OPS})")
+    bounds = stats.get(col)
+    if not bounds:
+        return True
+    mn, mx = bounds
+    value = _to_epoch(value)  # datetime/date literal → stored unit
+    if not (_comparable(mn, value) and _comparable(mx, value)):
+        return True
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    return mn <= value <= mx  # "=" / "=="
+
+
+def prune_files(manifest: dict,
+                predicates: list[tuple]) -> tuple[list[str], int]:
+    """Relpaths whose stats admit the conjunction of
+    ``(col, op, value)`` predicates, plus the version's total file
+    count."""
+    files = manifest.get("files", {})
+    kept = [rel for rel, stats in files.items()
+            if all(keeps(stats, c, op, v) for c, op, v in predicates)]
+    return sorted(kept), len(files)

@@ -107,7 +107,8 @@ class ParquetUpsertTable:
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
                  partition_col: str | None = None,
                  retain_versions: int = 2,
-                 commit_retries: int = 8):
+                 commit_retries: int = 8,
+                 stats_cols: list[str] | None = None):
         if retain_versions < 2:
             raise ValueError("retain_versions must be >= 2 (current + "
                              "previous for concurrent readers)")
@@ -117,6 +118,14 @@ class ParquetUpsertTable:
         self.partition_col = partition_col
         self.retain_versions = retain_versions
         self.commit_retries = commit_retries
+        #: columns tracked in the per-version file-stats manifest
+        #: (Delta-style data skipping — see sinks/stats.py). Every
+        #: commit writes `_STATS.json` into the new version dir; only
+        #: files NEW in that commit pay a footer read. Attaching
+        #: stats_cols to an already-populated table bootstraps the
+        #: manifest on the next commit (one full footer sweep, then
+        #: incremental).
+        self.stats_cols = stats_cols
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer / commit protocol ------------------------------
@@ -217,6 +226,69 @@ class ParquetUpsertTable:
         # merging, Spark may sample one of those and silently drop the
         # newly added columns from the whole read
         return self._read_at(self.current_version())
+
+    @staticmethod
+    def _pred_cond(predicates) -> Column | None:
+        """Conjunction Column for ``(col, op, literal)`` tuples —
+        shared by read_where / delete_where so the filter applied is
+        BY CONSTRUCTION the predicate the manifest pruned on."""
+        cond = None
+        for c, op, val in predicates:
+            col = F.col(c)
+            e = {"<": col < val, "<=": col <= val, ">": col > val,
+                 ">=": col >= val, "=": col == val,
+                 "==": col == val}[op]
+            cond = e if cond is None else cond & e
+        return cond
+
+    def files_for(self, predicates: list[tuple]) -> tuple | None:
+        """Data-skipping plan for a conjunction of ``(col, op,
+        literal)`` predicates: ``(version, kept_relpaths,
+        total_files)`` from the current version's stats manifest, or
+        None when no manifest exists (older versions, or a table
+        without ``stats_cols``). Driver-side manifest lookup only —
+        no file is listed or opened."""
+        from aether_firebase_consumer_spark.sinks.stats import (
+            load_manifest,
+            prune_files,
+        )
+
+        v = self.current_version()
+        if v < 0:
+            return None
+        manifest = load_manifest(self._data_dir(v))
+        if manifest is None:
+            return None
+        kept, total = prune_files(manifest, list(predicates))
+        return v, kept, total
+
+    def read_where(self, *predicates: tuple) -> DataFrame | None:
+        """Read with manifest-level file skipping: only files whose
+        stats intervals admit the conjunction of ``(col, op,
+        literal)`` predicates are handed to the scan, and the
+        predicates are re-applied as real filters — so results are
+        EXACT regardless of manifest coverage (skipping is purely an
+        I/O optimization; row-group pruning inside the kept files
+        still applies on top). Falls back to a full filtered read when
+        the current version predates ``stats_cols``."""
+        cond = self._pred_cond(predicates)
+        plan = self.files_for(predicates)
+        if plan is None:
+            df = self.read()
+            if df is None:
+                return None
+            return df.filter(cond) if cond is not None else df
+        v, kept, _total = plan
+        base = self._data_dir(v)
+        if not kept:
+            # constant-false filter folds to an empty scan (no files
+            # touched) while preserving the version's schema
+            df = self._read_at(v)
+            return df.filter(F.lit(False))
+        df = (self.spark.read.option("mergeSchema", "true")
+              .option("basePath", base)
+              .parquet(*[os.path.join(base, r) for r in kept]))
+        return df.filter(cond) if cond is not None else df
 
     # -- merge ----------------------------------------------------------
     @_retrying
@@ -401,6 +473,89 @@ class ParquetUpsertTable:
             writer.parquet(target)
         self._publish(target, parent)
 
+    @_retrying
+    def delete_where(self, *predicates: tuple) -> int:
+        """Predicate retention delete — ``DELETE WHERE col op literal
+        [AND ...]`` (round 10), the age/size/range dual of the by-key
+        takedown: a 100 TB deployment expires data by predicate
+        (``("ts", "<", cutoff)``), not by enumerating doomed keys.
+
+        FILE-PRUNED via the stats manifest: only files whose [min,
+        max] intervals admit the predicate are scanned and rewritten
+        (SQL null semantics — rows where the predicate is NULL are
+        kept); every other file carries into the new version as a
+        hardlink, so the rewrite cost is proportional to the data the
+        predicate touches, not the table. Files with uncertain stats
+        are rewritten unnecessarily but never skipped wrongly — the
+        same conservative direction as read_where. Without a manifest
+        the delete degrades to a full filtered rewrite (correct,
+        unpruned). Returns the number of rows deleted; a predicate
+        matching nothing commits nothing."""
+        parent = self.current_version()
+        current = self._read_at(parent)
+        if current is None or not predicates:
+            return 0
+        cond = self._pred_cond(predicates)
+        hit = F.coalesce(cond, F.lit(False))
+        plan = self.files_for(list(predicates))
+        base = self._data_dir(parent)
+        if plan is not None:
+            _v, kept, total = plan
+            if not kept:
+                return 0
+            affected = (self.spark.read
+                        .option("mergeSchema", "true")
+                        .option("basePath", base)
+                        .parquet(*[os.path.join(base, r) for r in kept]))
+            n_del = affected.filter(hit).count()
+            if n_del == 0:
+                return 0
+            remaining = affected.filter(~hit)
+            carried = total - len(kept)
+        else:
+            n_del = current.filter(hit).count()
+            if n_del == 0:
+                return 0
+            remaining = current.filter(~hit)
+            kept, carried = None, 0
+        target = self._stage_dir()
+        if remaining.isEmpty() and carried == 0:
+            # a file-less partitionBy write is unreadable — keep one
+            # schema-ful empty file (same guard as delete_keys)
+            remaining.repartition(1).write.mode("overwrite") \
+                .parquet(target)
+            self._publish(target, parent)
+            return n_del
+        writer = remaining.write.mode("overwrite")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(target)
+        if kept is not None:
+            self._link_files_except(base, target, set(kept))
+        self._publish(target, parent)
+        return n_del
+
+    @staticmethod
+    def _link_files_except(prev_dir: str, target: str,
+                           skip_rels: set[str]) -> None:
+        """Carry every parquet file of the parent version EXCEPT
+        ``skip_rels`` into the staged dir as hardlinks — the FILE-level
+        sibling of :meth:`_link_untouched_partitions` (works for
+        partitioned and flat layouts alike; Spark part-file names embed
+        a per-job UUID, so a fresh-write collision cannot happen)."""
+        for root, _dirs, names in os.walk(prev_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel = os.path.relpath(src, prev_dir)
+                if rel in skip_rels:
+                    continue
+                dst = os.path.join(target, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.exists(dst):
+                    os.link(src, dst)
+
     def commit_meta(self) -> dict | None:
         """The ``commit_meta`` of the CURRENT version, or None — read
         from the version directory the pointer names, so it can never
@@ -440,6 +595,17 @@ class ParquetUpsertTable:
             with open(os.path.join(staged, "_COMMIT_META.json"),
                       "w") as fh:
                 json.dump(commit_meta, fh)
+        if self.stats_cols:
+            # data-skipping manifest, committed atomically with the
+            # data (it lives inside the staged dir the CAS publishes);
+            # carried hardlinked files inherit the parent's entries,
+            # only new files pay a footer read
+            from aether_firebase_consumer_spark.sinks.stats import (
+                write_manifest,
+            )
+            write_manifest(
+                staged, self.stats_cols,
+                self._data_dir(parent) if parent >= 0 else None)
         # CAS: atomically link a fully-written marker into place —
         # exactly one writer can own version v
         marker_tmp = staged + ".marker"

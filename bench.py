@@ -158,7 +158,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          # r10 headliners
          "multimodal_mp3_sideinfo_stats",
          "multimodal_id3_tags",
-         "multimodal_vorbis_comment_stats")
+         "multimodal_vorbis_comment_stats",
+         "docs_stats_skipped_scan")
 
 
 def headline_names() -> list[str]:
@@ -223,7 +224,11 @@ def main() -> None:
         prev_total = sum(prev[n] for n in timings if prev.get(n))
         out["vs_prev_total"] = detail["vs_prev_total"] = round(
             sum(timings[n] for n in timings if prev.get(n)) / prev_total, 2)
-        regressions = {n: r for n, r in vs_prev.items() if r >= 1.2}
+        # bounded: a contended run can push half the pool past 1.2x,
+        # and an unbounded map blows the driver's ~2KB tail window —
+        # keep the worst 5 (the full map is in BENCH_DETAIL.json)
+        regressions = {n: r for n, r in sorted(
+            vs_prev.items(), key=lambda kv: -kv[1])[:5] if r >= 1.2}
         if regressions:
             out["regressions"] = regressions
     here = os.path.dirname(os.path.abspath(__file__))
