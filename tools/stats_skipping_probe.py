@@ -75,6 +75,13 @@ def probe(spark, sf_dir: str) -> dict:
         read_full_s = time.monotonic() - t0
         assert n_skip == n_full, (n_skip, n_full)
 
+        base = t._data_dir(t.current_version())
+        bytes_kept = sum(os.path.getsize(os.path.join(base, r))
+                         for r in kept)
+        man0 = load_manifest(base)
+        bytes_total = sum(os.path.getsize(os.path.join(base, r))
+                          for r in man0["files"])
+
         man_before = load_manifest(t._data_dir(t.current_version()))
         t0 = time.monotonic()
         n_del = t.delete_where(*PRED_EXPIRE)
@@ -85,6 +92,7 @@ def probe(spark, sf_dir: str) -> dict:
         return {"rows": docs.count(), "build_s": round(build_s, 3),
                 "skip_plan_s": round(plan_s, 4),
                 "files_kept": len(kept), "files_total": total,
+                "bytes_kept": bytes_kept, "bytes_total": bytes_total,
                 "read_where_s": round(read_skip_s, 3),
                 "read_full_s": round(read_full_s, 3),
                 "rows_read": n_skip,
