@@ -1,0 +1,132 @@
+"""Change-feed follower: incremental, crash-safe consumption of a
+:class:`~aether_firebase_consumer_spark.sinks.upsert.ParquetUpsertTable`
+change feed — the OUTBOUND half of the CDC story (round 10).
+
+The inbound half (``streaming/cdc.py``) lets tombstones flow INTO the
+ingest jobs; this module lets changes flow OUT of a table and into
+downstream consumers — most importantly takedown propagation: a
+delete applied to a corpus table (by key or by
+:meth:`~.upsert.ParquetUpsertTable.delete_where` retention predicate)
+must reach every derived index that serves those ids, without a side
+channel and without replaying the whole table.
+
+Design — versions ARE the offsets. The table's commit protocol makes
+version numbers a total order of atomic commits, so the follower's
+cursor is a single integer in a checkpoint file:
+
+- :meth:`poll` computes the change feed ``(cursor, current]`` with
+  the table's existing Spark-side diff (distributed; nothing here
+  collects data to the driver) and does NOT advance the cursor;
+- :meth:`commit` advances it (atomic tmp+rename), AFTER the consumer
+  has durably applied the batch — at-least-once delivery, which
+  composes exactly with the downstream operations this engine offers
+  (MERGE and delete are both idempotent, so replays converge);
+- :meth:`process` is the poll→handle→commit loop step.
+
+Falling behind further than the table's ``retain_versions`` raises
+(via ``change_feed``) instead of silently skipping history — the same
+contract a Kafka consumer has with topic retention.
+
+The reference pushes every change 1-by-1 to its sink as it polls
+(``/root/reference/firebase/app/artifacts.py:302-327``) and has no
+way to re-derive what changed after the fact; the versioned table
+plus this follower is the lake-native replacement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+
+
+class ChangeFeedFollower:
+    """Cursor over a table's change feed.
+
+    ``from_version=None`` (default) starts AFTER the version current
+    at construction — only future changes are delivered, the
+    tail-the-log mode a newly attached consumer wants. Pass ``0`` to
+    replay all retained history first.
+    """
+
+    def __init__(self, table: ParquetUpsertTable, checkpoint_path: str,
+                 from_version: int | None = None):
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        if self._read_cursor() is None:
+            start = (table.current_version() if from_version is None
+                     else from_version - 1)
+            self._write_cursor(start)
+
+    # -- cursor ---------------------------------------------------------
+    def _read_cursor(self) -> int | None:
+        try:
+            with open(self.checkpoint_path) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_cursor(self, v: int) -> None:
+        tmp = f"{self.checkpoint_path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self.checkpoint_path)
+
+    # -- consumption ----------------------------------------------------
+    def poll(self) -> tuple[DataFrame, int] | None:
+        """``(changes, up_to_version)`` for everything committed since
+        the cursor, or None when caught up. Does NOT advance the
+        cursor — re-polling before :meth:`commit` re-delivers the same
+        batch (at-least-once). ``changes`` has the table's change-feed
+        schema: key columns + ``change_type`` (insert/update/delete)
+        + ``version``."""
+        cursor = self._read_cursor()
+        current = self.table.current_version()
+        if current <= cursor:
+            return None
+        return self.table.change_feed(cursor + 1), current
+
+    def commit(self, version: int) -> None:
+        """Durably advance the cursor past ``version`` — call only
+        after the polled batch is applied downstream."""
+        self._write_cursor(version)
+
+    def process(self, handler) -> int | None:
+        """One loop step: poll; if there are changes, run
+        ``handler(changes_df, up_to_version)`` and commit. Returns the
+        version processed up to, or None when caught up. A handler
+        crash leaves the cursor untouched, so the batch re-delivers."""
+        got = self.poll()
+        if got is None:
+            return None
+        changes, up_to = got
+        handler(changes, up_to)
+        self.commit(up_to)
+        return up_to
+
+
+def propagate_deletes(follower: ChangeFeedFollower, job) -> int:
+    """Takedown propagation: apply the delete rows of one change-feed
+    batch to a downstream ingest job (`AnnIndexJob`,
+    `SemanticIngestJob`, `EmbeddingIngestJob`, `DedupIngestJob`) via
+    its partition-pruned ``delete(ids)``, then commit the cursor.
+    Returns the number of ids deleted downstream (0 when caught up or
+    when the batch held no deletes). Idempotent end to end: replaying
+    the batch after a crash re-deletes already-absent ids, a no-op.
+
+    This is the e2e arc the takedown story needs: retention
+    `delete_where` (or a tombstone) lands on the CORPUS table →
+    change feed records explicit deletes → every derived index
+    follows and stops serving those ids — no side channel, no full
+    rebuild."""
+    state = {"n": 0}
+
+    def handler(changes: DataFrame, _up_to: int) -> None:
+        dead = (changes.filter(F.col("change_type") == "delete")
+                .select(job.id_col).distinct())
+        state["n"] = job.delete(dead)
+
+    return 0 if follower.process(handler) is None else state["n"]
