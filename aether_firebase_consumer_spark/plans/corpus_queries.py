@@ -673,3 +673,54 @@ def docs_stats_skipped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("bigint").alias("sum_chars"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+_BLOOM_TABLE: dict[str, object] = {}
+
+#: fixed probe ids for the point-lookup query: spread across the id
+#: domain at every sf (documents doc_ids are dense from 0)
+_PROBE_IDS = (7, 123, 456)
+
+
+@register(
+    "docs_point_lookup_bloom",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id IN (7, 123, 456)
+    """,
+)
+def docs_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups through the BLOOM-SKIPPING read path (round 10):
+    the documents corpus lives in a ParquetUpsertTable whose manifest
+    carries per-file bloom filters on ``doc_id`` (``bloom_cols`` —
+    see ``sinks/stats.py``); each probe id is answered by
+    ``read_where(("doc_id", "=", id))``, which skips every file whose
+    bloom proves the id absent — the takedown-by-id I/O shape, where
+    interval stats can't prune an unsorted id column. The per-id
+    results union to match the oracle's IN-list scan bit-exactly
+    (absent ids contribute zero rows, never a false negative). Table
+    builds once per (process, sf_dir), the persisted-index-query
+    convention."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    table = _BLOOM_TABLE.get(sf_dir)
+    if table is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_bloom_idx_")
+        table = ParquetUpsertTable(spark, root, ["doc_id"],
+                                   partition_col="lang",
+                                   stats_cols=["n_chars"],
+                                   bloom_cols=["doc_id"])
+        table.merge(docs)
+        _BLOOM_TABLE[sf_dir] = table
+    out = None
+    for pid in _PROBE_IDS:
+        part = table.read_where(("doc_id", "=", pid))
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "lang", "n_chars")

@@ -103,6 +103,71 @@ def _scalar(v):
     return None
 
 
+# -- bloom filters (equality skipping) -------------------------------
+#
+# Interval stats prune RANGE predicates; a point lookup on a
+# high-cardinality column (the takedown-by-id case) needs set
+# membership. Per-file bloom filters live in the same manifest under
+# the reserved "__bloom__" key: ~9.6 bits/row for a 1% false-positive
+# rate, k=7 double-hashed probes derived from one md5 (portable and
+# seed-stable — python's hash() is seed-randomized and must never
+# feed a persisted structure). False positives only cost a wasted
+# file read; false negatives are impossible for the serialized types
+# (int/str), and any other type refuses to answer (keep the file).
+
+_BLOOM_BITS_PER_ROW = 10   # ~0.9% fp at k=7
+_BLOOM_K = 7
+
+
+def _bloom_key(v) -> bytes | None:
+    """Type-tagged serialization so int 5 and str "5" can't alias a
+    stored value into a false negative. None → not bloomable."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    return None
+
+
+def _bloom_probes(key: bytes, m: int):
+    import hashlib
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return ((h1 + i * h2) % m for i in range(_BLOOM_K))
+
+
+def build_bloom(values) -> dict | None:
+    """``{"m": bits, "b64": bitset}`` over the values, or None if any
+    value isn't bloomable (conservative: no bloom → file kept)."""
+    import base64
+    vals = list(values)
+    m = max(64, len(vals) * _BLOOM_BITS_PER_ROW)
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        key = _bloom_key(v)
+        if key is None:
+            if v is None:   # null rows never match an equality
+                continue
+            return None
+        for p in _bloom_probes(key, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_might_contain(bloom: dict, value) -> bool:
+    """False ONLY when the value is provably absent from the file."""
+    import base64
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    return all(bits[p >> 3] & (1 << (p & 7))
+               for p in _bloom_probes(key, bloom["m"]))
+
+
 def file_column_stats(file_path: str, cols: list[str]) -> dict:
     """``{col: [min, max]}`` for ``cols`` from one parquet file's
     footer — metadata only, no data pages. Columns whose bounds can't
@@ -138,8 +203,30 @@ def file_column_stats(file_path: str, cols: list[str]) -> dict:
     return {c: [lo[c], hi[c]] for c in lo if c in hi}
 
 
+def file_blooms(file_path: str, bloom_cols: list[str]) -> dict:
+    """Per-column bloom filters over one file's values — a
+    column-pruned data read (unlike interval stats this must see the
+    values; cost ∝ new-file rows, still ∝ batch per commit). Columns
+    absent from the file or with un-bloomable types are omitted."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(file_path)
+    present = [c for c in bloom_cols
+               if c in pf.schema_arrow.names]
+    out = {}
+    if not present:
+        return out
+    tb = pf.read(columns=present)
+    for c in present:
+        bloom = build_bloom(tb.column(c).to_pylist())
+        if bloom is not None:
+            out[c] = bloom
+    return out
+
+
 def build_manifest(staged_dir: str, cols: list[str],
-                   parent_manifest: dict | None) -> dict:
+                   parent_manifest: dict | None,
+                   bloom_cols: list[str] | None = None) -> dict:
     """Walk the staged version directory and assemble its manifest:
     carried files (relpath present in the parent manifest) inherit
     their entry; new files pay one footer read each. Every parquet
@@ -156,14 +243,21 @@ def build_manifest(staged_dir: str, cols: list[str],
             if rel in parent_files:
                 files[rel] = parent_files[rel]
             else:
-                files[rel] = file_column_stats(full, cols)
-    return {"cols": list(cols), "files": files}
+                entry = file_column_stats(full, cols)
+                if bloom_cols:
+                    bl = file_blooms(full, bloom_cols)
+                    if bl:
+                        entry["__bloom__"] = bl
+                files[rel] = entry
+    return {"cols": list(cols), "files": files,
+            "bloom_cols": list(bloom_cols or [])}
 
 
 def write_manifest(staged_dir: str, cols: list[str],
-                   parent_dir: str | None) -> None:
+                   parent_dir: str | None,
+                   bloom_cols: list[str] | None = None) -> None:
     parent = load_manifest(parent_dir) if parent_dir else None
-    manifest = build_manifest(staged_dir, cols, parent)
+    manifest = build_manifest(staged_dir, cols, parent, bloom_cols)
     with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
         json.dump(manifest, fh)
 
@@ -191,6 +285,10 @@ def keeps(stats: dict, col: str, op: str, value) -> bool:
     if op not in _OPS:
         raise ValueError(f"unsupported skip operator {op!r} "
                          f"(supported: {_OPS})")
+    if op in ("=", "=="):
+        bloom = stats.get("__bloom__", {}).get(col)
+        if bloom is not None and not bloom_might_contain(bloom, value):
+            return False  # provably absent, regardless of intervals
     bounds = stats.get(col)
     if not bounds:
         return True

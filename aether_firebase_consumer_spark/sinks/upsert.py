@@ -108,7 +108,8 @@ class ParquetUpsertTable:
                  partition_col: str | None = None,
                  retain_versions: int = 2,
                  commit_retries: int = 8,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None):
         if retain_versions < 2:
             raise ValueError("retain_versions must be >= 2 (current + "
                              "previous for concurrent readers)")
@@ -126,6 +127,18 @@ class ParquetUpsertTable:
         #: manifest on the next commit (one full footer sweep, then
         #: incremental).
         self.stats_cols = stats_cols
+        #: columns additionally tracked with per-file BLOOM filters in
+        #: the manifest — equality/point-lookup skipping (the
+        #: takedown-by-id case interval stats can't serve on an
+        #: unsorted column). Costs a column-pruned data read per NEW
+        #: file at commit time. Requires stats_cols (shares the
+        #: manifest).
+        self.bloom_cols = bloom_cols
+        if bloom_cols and not stats_cols:
+            raise ValueError(
+                "bloom_cols requires stats_cols (the bloom filters "
+                "live in the stats manifest; pass stats_cols=[...] — "
+                "they may be different columns)")
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer / commit protocol ------------------------------
@@ -605,7 +618,8 @@ class ParquetUpsertTable:
             )
             write_manifest(
                 staged, self.stats_cols,
-                self._data_dir(parent) if parent >= 0 else None)
+                self._data_dir(parent) if parent >= 0 else None,
+                self.bloom_cols)
         # CAS: atomically link a fully-written marker into place —
         # exactly one writer can own version v
         marker_tmp = staged + ".marker"

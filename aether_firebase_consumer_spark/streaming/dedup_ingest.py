@@ -372,6 +372,107 @@ class DedupIngestJob(CdcIngest):
         self.stats["deleted"] += n
         return n
 
+    def _doc_index_keys(self, rows: DataFrame) -> DataFrame:
+        keys = rows.select(self.id_col)
+        if self.band_index.partition_col == "idp":
+            keys = keys.withColumn(
+                "idp", id_partition(F.col(self.id_col), self.idp_parts))
+        return keys
+
+    def reconcile(self) -> dict:
+        """Repair corpus/band-index divergence after a crash between
+        the family's table writes (round 10 — the band twin of
+        :meth:`AnnIndexJob.reconcile`): corpus docs missing their
+        per-doc index row are re-shingled and merged into BOTH index
+        tables (they had silently stopped gating); per-doc rows whose
+        doc left the corpus are deleted from both (ghost candidates,
+        via their STORED band keys — no re-shingling); finally the
+        long index is synced row-level against the repaired per-doc
+        table (a crash between the two index merges can leave it
+        missing keys, which MISSES candidates). Idempotent; run
+        between triggers; no-op on the recompute path. Returns
+        ``{"re_indexed": n, "orphans_dropped": n,
+        "long_repaired": n}``.
+
+        Cost: id anti-joins for the corpus/per-doc directions plus one
+        explode of the per-doc table for the long sync — a scheduled
+        maintenance scan, not a per-trigger cost (the write ORDER
+        makes divergence a crash-only state)."""
+        out = {"re_indexed": 0, "orphans_dropped": 0,
+               "long_repaired": 0}
+        if self.band_index is None:
+            return out  # recompute path derives candidates per batch
+        corpus = self.corpus.read()
+        doc_idx = self.band_index.read()
+        has_long = (self.band_long_index is not None
+                    and self.band_long_index.read() is not None)
+        if corpus is None:
+            if doc_idx is not None:
+                n = doc_idx.count()
+                if n:
+                    if has_long:
+                        self.band_long_index.delete_keys(
+                            self._explode_long(doc_idx)
+                            .select(self.id_col, "band_key", "bkp"))
+                    self.band_index.delete_keys(
+                        self._doc_index_keys(doc_idx))
+                    out["orphans_dropped"] = n
+            return out
+        missing = corpus if doc_idx is None else corpus.join(
+            doc_idx.select(self.id_col), self.id_col, "left_anti")
+        missing = missing.localCheckpoint()
+        n_miss = missing.count()
+        if n_miss:
+            rows = self._index_rows(missing).localCheckpoint()
+            self.band_index.merge(rows)
+            if self.band_long_index is not None:
+                self.band_long_index.merge(self._explode_long(rows))
+                has_long = True
+            out["re_indexed"] = n_miss
+        if doc_idx is not None:
+            orphans = (doc_idx.join(corpus.select(self.id_col),
+                                    self.id_col, "left_anti")
+                       .localCheckpoint())
+            n_orp = orphans.count()
+            if n_orp:
+                if has_long:
+                    self.band_long_index.delete_keys(
+                        self._explode_long(orphans)
+                        .select(self.id_col, "band_key", "bkp"))
+                self.band_index.delete_keys(
+                    self._doc_index_keys(orphans))
+                out["orphans_dropped"] = n_orp
+        if self.band_long_index is not None:
+            doc_now = self.band_index.read()
+            long_now = self.band_long_index.read()
+            want = None if doc_now is None else \
+                self._explode_long(doc_now).localCheckpoint()
+            keys = [self.id_col, "band_key"]
+            if want is None:
+                if long_now is not None:
+                    n = long_now.count()
+                    if n:
+                        self.band_long_index.delete_keys(
+                            long_now.select(self.id_col, "band_key",
+                                            "bkp"))
+                        out["long_repaired"] = n
+            else:
+                miss_l = want if long_now is None else want.join(
+                    long_now.select(*keys), keys, "left_anti")
+                miss_l = miss_l.localCheckpoint()
+                n_ml = miss_l.count()
+                if n_ml:
+                    self.band_long_index.merge(miss_l)
+                stale_l = None if long_now is None else (
+                    long_now.join(want.select(*keys), keys,
+                                  "left_anti").localCheckpoint())
+                n_sl = 0 if stale_l is None else stale_l.count()
+                if n_sl:
+                    self.band_long_index.delete_keys(
+                        stale_l.select(self.id_col, "band_key", "bkp"))
+                out["long_repaired"] = n_ml + n_sl
+        return out
+
     def _long_recipe(self) -> dict:
         return {"kind": "minhash-band", "k": self.k,
                 "bands": self.bands, "n_parts": self.n_parts,

@@ -145,6 +145,71 @@ class EmbeddingIngestJob(CdcIngest):
         self.stats["deleted"] += n
         return n
 
+    def reconcile(self) -> dict:
+        """Repair corpus/band-index divergence after a crash between
+        the family's table writes (round 10 — the sign-LSH twin of
+        :meth:`DedupIngestJob.reconcile`): both index tables are
+        diffed key-level against a recompute from the corpus (sign-LSH
+        banding is a pure map-side function of the vector, so the
+        recompute is one linear pass, no shuffle beyond the
+        anti-joins) — missing rows merged (they had stopped gating /
+        missed candidates), orphan rows deleted (ghost candidates).
+        Idempotent; run between triggers; no-op on the recompute path.
+        Returns ``{"re_indexed": n, "orphans_dropped": n}``."""
+        out = {"re_indexed": 0, "orphans_dropped": 0}
+        if self.band_index is None and self.band_long_index is None:
+            return out
+        corpus = self.corpus.read()
+        if self.band_index is not None:
+            idx = self.band_index.read()
+            want = None if corpus is None else embedding_index_frame(
+                corpus, self.id_col, self.vec_col, self.bands)
+            n_miss = n_orp = 0
+            if want is not None:
+                miss = want if idx is None else want.join(
+                    idx.select(self.id_col), self.id_col, "left_anti")
+                miss = miss.localCheckpoint()
+                n_miss = miss.count()
+                if n_miss:
+                    self.band_index.merge(miss)
+            if idx is not None:
+                orp = idx if corpus is None else idx.join(
+                    corpus.select(self.id_col), self.id_col,
+                    "left_anti")
+                orp = orp.localCheckpoint()
+                n_orp = orp.count()
+                if n_orp:
+                    self.band_index.delete_keys(
+                        orp.select(self.id_col))
+            out["re_indexed"] += n_miss
+            out["orphans_dropped"] += n_orp
+        if self.band_long_index is not None:
+            longi = self.band_long_index.read()
+            want = None if corpus is None else \
+                embedding_band_index_rows(
+                    corpus, self.id_col, self.vec_col, self.bands,
+                    self.n_parts).localCheckpoint()
+            keys = [self.id_col, "bi"]
+            n_miss = n_orp = 0
+            if want is not None:
+                miss = want if longi is None else want.join(
+                    longi.select(*keys), keys, "left_anti")
+                miss = miss.localCheckpoint()
+                n_miss = miss.count()
+                if n_miss:
+                    self.band_long_index.merge(miss)
+            if longi is not None:
+                orp = longi if want is None else longi.join(
+                    want.select(*keys), keys, "left_anti")
+                orp = orp.localCheckpoint()
+                n_orp = orp.count()
+                if n_orp:
+                    self.band_long_index.delete_keys(
+                        orp.select(self.id_col, "bi", "bkp"))
+            out["re_indexed"] += n_miss
+            out["orphans_dropped"] += n_orp
+        return out
+
     def _long_recipe(self) -> dict:
         return {"kind": "sign-lsh-band",
                 "model_fp": model_fingerprint(self.bands),

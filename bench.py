@@ -159,7 +159,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "multimodal_mp3_sideinfo_stats",
          "multimodal_id3_tags",
          "multimodal_vorbis_comment_stats",
-         "docs_stats_skipped_scan")
+         "docs_stats_skipped_scan",
+         "docs_point_lookup_bloom")
 
 
 def headline_names() -> list[str]:

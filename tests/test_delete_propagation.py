@@ -423,3 +423,99 @@ def test_semantic_reconcile_restores_gating(spark, tmp_path):
     assert out["orphans_dropped"] == 1
     job.process_batch(_vdf(spark, [(4, _near(v2, "n4"))]), 2)
     assert 4 in {r.vec_id for r in job.corpus.read().collect()}
+
+
+def test_dedup_reconcile_full_index_shape(spark, tmp_path):
+    """reconcile() on the band family: a corpus doc whose per-doc row
+    vanished is re-shingled into BOTH index tables and gates again;
+    per-doc orphans purge via stored band keys; a long index missing
+    keys (crash between the two index merges) is re-synced row-level
+    from the per-doc table."""
+    root = tmp_path / "d"
+    root.mkdir()
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["doc_id"])
+    doc_t = ParquetUpsertTable(spark, str(root / "dx"), ["doc_id"],
+                               partition_col="idp")
+    long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                ["doc_id", "band_key"],
+                                partition_col="bkp")
+    job = DedupIngestJob(spark, corpus, band_index=doc_t,
+                         band_long_index=long_t, n_parts=64,
+                         idp_parts=8)
+    job.process_batch(_ddf(spark, [(1, _mk_doc(1)), (2, _mk_doc(2))]), 0)
+    assert job.reconcile() == {"re_indexed": 0, "orphans_dropped": 0,
+                               "long_repaired": 0}
+
+    # crash A: doc 1's per-doc row vanished (its long rows too) — a
+    # near-dup of doc 1 would slip past the gate
+    keys1 = (doc_t.read().filter(F.col("doc_id") == 1)
+             .select("doc_id", "idp"))
+    long1 = (long_t.read().filter(F.col("doc_id") == 1)
+             .select("doc_id", "band_key", "bkp"))
+    long_t.delete_keys(long1)
+    doc_t.delete_keys(keys1)
+    out = job.reconcile()
+    assert out["re_indexed"] == 1 and out["orphans_dropped"] == 0
+    job.process_batch(_ddf(spark, [(3, _mk_doc(1) + " y")]), 1)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 2}
+
+    # crash B: long index lost doc 2's keys only — candidates missed
+    long2 = (long_t.read().filter(F.col("doc_id") == 2)
+             .select("doc_id", "band_key", "bkp"))
+    n_keys2 = long2.count()
+    long_t.delete_keys(long2)
+    out = job.reconcile()
+    assert out == {"re_indexed": 0, "orphans_dropped": 0,
+                   "long_repaired": n_keys2}
+    # long table is again exactly the explode of the per-doc table
+    want = {(r.doc_id, r.band_key) for r in
+            job._explode_long(doc_t.read()).collect()}
+    got = {(r.doc_id, r.band_key) for r in long_t.read().collect()}
+    assert got == want
+
+    # crash C: doc 2 left the corpus, index rows remained (ghosts)
+    corpus.delete_keys(spark.createDataFrame([(2,)], "doc_id bigint"))
+    out = job.reconcile()
+    assert out["orphans_dropped"] == 1
+    assert {r.doc_id for r in doc_t.read().collect()} == {1}
+    assert {r.doc_id for r in long_t.read().collect()} == {1}
+    job.process_batch(_ddf(spark, [(4, _mk_doc(2) + " z")]), 2)
+    assert 4 in {r.doc_id for r in corpus.read().collect()}
+
+
+def test_embedding_reconcile_full_index_shape(spark, tmp_path):
+    """reconcile() on the sign-LSH family: both index tables diffed
+    key-level against a recompute from the corpus — missing rows
+    merged, orphans dropped, second call a no-op."""
+    root = tmp_path / "e"
+    root.mkdir()
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"],
+                                partition_col="idp")
+    doc_t = ParquetUpsertTable(spark, str(root / "d"), ["vec_id"])
+    long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                ["vec_id", "bi"], partition_col="bkp")
+    job = EmbeddingIngestJob(spark, corpus, band_index=doc_t,
+                             band_long_index=long_t, threshold=0.9,
+                             bands=BANDS16, n_parts=16, idp_parts=8)
+    v1, v2 = _vec(1), _vec(2)
+    job.process_batch(_vdf(spark, [(1, v1), (2, v2)]), 0)
+    assert job.reconcile() == {"re_indexed": 0, "orphans_dropped": 0}
+
+    # crash A: vector 1's long rows vanished — candidates missed
+    long1 = (long_t.read().filter(F.col("vec_id") == 1)
+             .select("vec_id", "bi", "bkp"))
+    n1 = long1.count()
+    long_t.delete_keys(long1)
+    out = job.reconcile()
+    assert out == {"re_indexed": n1, "orphans_dropped": 0}
+    job.process_batch(_vdf(spark, [(3, _near(v1, "n3"))]), 1)
+    assert {r.vec_id for r in corpus.read().collect()} == {1, 2}
+
+    # crash B: vector 2 left the corpus, index rows remained
+    corpus.delete_keys(spark.createDataFrame(
+        [(2,)], "vec_id bigint"))
+    out = job.reconcile()
+    assert out["orphans_dropped"] > 0
+    assert {r.vec_id for r in doc_t.read().collect()} == {1}
+    assert {r.vec_id for r in long_t.read().collect()} == {1}
+    assert job.reconcile() == {"re_indexed": 0, "orphans_dropped": 0}

@@ -322,3 +322,78 @@ def test_timestamp_retention_delete_and_read(spark, tmp_path):
         and os.stat(os.path.join(r, n)).st_ino
         == inode[os.path.relpath(os.path.join(r, n), newbase)])
     assert carried >= 2  # day-2 and day-3 segments untouched
+
+
+# ----------------------------------------------------- bloom skipping
+
+
+def test_bloom_point_lookup_prunes_unsorted_files(spark, tmp_path):
+    """The takedown-by-id case: ids are hash-scattered so every file's
+    [min, max] spans the whole domain (interval stats prune nothing);
+    the per-file bloom still narrows an equality probe to ~1 file, and
+    every present id is FOUND (false negatives impossible)."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           partition_col="p",
+                           stats_cols=["k"], bloom_cols=["k"])
+    # 4 hash-interleaved files (one per p): every file's k range spans
+    # the whole domain
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(400)],
+        "k bigint, s string, p int")
+    t.merge(rows.repartition(1))
+
+    _v, all_kept, total = t.files_for([("k", ">=", 0)])
+    assert total == 4 and len(all_kept) == 4   # intervals: no pruning
+
+    pruned_counts = []
+    for probe in (1, 102, 203, 304):
+        _v, kept, _tot = t.files_for([("k", "=", probe)])
+        pruned_counts.append(len(kept))
+        rows = t.read_where(("k", "=", probe)).collect()
+        assert [r.k for r in rows] == [probe]   # always found
+    # bloom fp ~1%: overwhelmingly 1 file per probe
+    assert sum(pruned_counts) <= 6, pruned_counts
+
+    # absent id: provably nowhere -> zero files, zero rows
+    _v, kept, _tot = t.files_for([("k", "=", 9999)])
+    assert kept == [] or len(kept) <= 1         # fp tolerance
+    assert t.read_where(("k", "=", 9999)).count() == 0
+
+
+def test_bloom_type_guard_and_range_ops_unaffected(spark, tmp_path):
+    """A mistyped literal can't produce a wrong skip, and blooms never
+    participate in range predicates."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           stats_cols=["k"], bloom_cols=["s"])
+    t.merge(spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "k bigint, s string").coalesce(1))
+    # string bloom, unbloomable literal types -> keep (never a skip)
+    _v, kept, _tot = t.files_for([("s", "=", 1.5)])
+    assert len(kept) == 1
+    _v, kept, _tot = t.files_for([("s", "=", None)])
+    assert len(kept) == 1
+    # present / absent strings
+    assert t.read_where(("s", "=", "alpha")).count() == 1
+    _v, kept, _tot = t.files_for([("s", "=", "zzz")])
+    assert kept == []
+    # range op on the bloomed col ignores the bloom (interval on "s"
+    # still applies via stats_cols? "s" is not in stats_cols -> kept)
+    assert t.read_where(("s", ">=", "a")).count() == 2
+
+
+def test_bloom_carries_forward_and_survives_delete(spark, tmp_path):
+    """Bloom entries ride the same carry-forward as interval stats;
+    after delete_where removes a file's rows, probes for its ids
+    return empty (the rewritten file's bloom no longer claims them)."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           partition_col="p",
+                           stats_cols=["n"], bloom_cols=["k"])
+    t.merge(_df(spark, _rows(0, 20, 0)).coalesce(1))
+    t.merge(_df(spark, _rows(20, 40, 1)).coalesce(1))
+    man = load_manifest(t._data_dir(t.current_version()))
+    assert all("__bloom__" in st and "k" in st["__bloom__"]
+               for st in man["files"].values())
+    assert t.delete_where(("n", ">=", 200)) == 20   # drops p=1 rows
+    _v, kept, _tot = t.files_for([("k", "=", 25)])
+    assert kept == []
+    assert t.read_where(("k", "=", 5)).count() == 1
