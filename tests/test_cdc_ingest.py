@@ -166,3 +166,63 @@ def test_kafka_compacted_topic_takedown_e2e(spark, tmp_path):
         _snap(_recompute_topk(spark, state, queries, k=3,
                               shortlist=10))
     assert job.stats["deleted"] == 1
+
+
+def test_semantic_cdc_takedown_ungates_same_batch(spark, tmp_path):
+    """Mixin symmetry on the semantic job: a tombstone for a gating
+    vector and a near-dup of it in the SAME batch — end-of-batch
+    semantics admit the newcomer (the gate vector is gone first)."""
+    from tests.test_delete_propagation import _mk_sem, _near
+    from tests.test_delete_propagation import _vec as _dvec
+
+    job = _mk_sem(spark, tmp_path / "s")
+    v1, v2 = _dvec(1), _dvec(2)
+    job.process_batch(spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id bigint, embedding array<double>"), 0)
+
+    stats = job.process_cdc_batch(spark.createDataFrame(
+        [(1, None, 10), (30, _near(v1, "n30"), 11)],
+        "vec_id bigint, embedding array<double>, off bigint"),
+        1, order_col="off")
+    assert stats == {"tombstones": 1, "deleted": 1, "upserts": 1}
+    assert {r.vec_id for r in job.corpus.read().collect()} == {2, 30}
+    assert {r.vec_id for r in job.cluster_index.read().collect()} \
+        == {2, 30}
+
+
+def test_embedding_cdc_full_index_shape(spark, tmp_path):
+    """Mixin symmetry on the sign-LSH job at the full three-table
+    shape: one CDC batch mixing takedown + update + insert leaves
+    corpus AND both band tables at the net state."""
+    from tests.test_delete_propagation import BANDS16, _near
+    from tests.test_delete_propagation import _vec as _dvec
+    from aether_firebase_consumer_spark.streaming.embedding_ingest \
+        import EmbeddingIngestJob
+
+    root = tmp_path / "e"
+    root.mkdir()
+    corpus = ParquetUpsertTable(spark, str(root / "c"), ["vec_id"],
+                                partition_col="idp")
+    doc_t = ParquetUpsertTable(spark, str(root / "d"), ["vec_id"])
+    long_t = ParquetUpsertTable(spark, str(root / "l"),
+                                ["vec_id", "bi"], partition_col="bkp")
+    job = EmbeddingIngestJob(spark, corpus, band_index=doc_t,
+                             band_long_index=long_t, threshold=0.9,
+                             bands=BANDS16, n_parts=16, idp_parts=8)
+    v1, v2 = _dvec(1), _dvec(2)
+    job.process_batch(spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id bigint, embedding array<double>"), 0)
+
+    stats = job.process_cdc_batch(spark.createDataFrame(
+        [(1, None, 10),                      # takedown
+         (2, _dvec(22), 11),                 # update
+         (40, _near(v1, "n40"), 12)],        # insert (un-gated now)
+        "vec_id bigint, embedding array<double>, off bigint"),
+        1, order_col="off")
+    assert stats == {"tombstones": 1, "deleted": 1, "upserts": 2}
+    want = {2, 40}
+    assert {r.vec_id for r in corpus.read().collect()} == want
+    assert {r.vec_id for r in doc_t.read().collect()} == want
+    assert {r.vec_id for r in long_t.read().collect()} == want
+    # reconcile agrees the family is consistent after the CDC batch
+    assert job.reconcile() == {"re_indexed": 0, "orphans_dropped": 0}
