@@ -46,7 +46,7 @@ _MANIFEST = "_STATS.json"
 #: writer — keep the file rather than trust an inexact max
 _MAX_STR = 64
 
-_OPS = ("<", "<=", ">", ">=", "=", "==")
+_OPS = ("<", "<=", ">", ">=", "=", "==", "in")
 
 _EPOCH_DT = None  # initialized lazily to keep the import cheap
 
@@ -285,6 +285,10 @@ def keeps(stats: dict, col: str, op: str, value) -> bool:
     if op not in _OPS:
         raise ValueError(f"unsupported skip operator {op!r} "
                          f"(supported: {_OPS})")
+    if op == "in":
+        # disjunction: keep iff ANY member might be present. The id-
+        # LIST takedown shape — one manifest pass, not one per id.
+        return any(keeps(stats, col, "=", v) for v in value)
     if op in ("=", "=="):
         bloom = stats.get("__bloom__", {}).get(col)
         if bloom is not None and not bloom_might_contain(bloom, value):

@@ -248,9 +248,12 @@ class ParquetUpsertTable:
         cond = None
         for c, op, val in predicates:
             col = F.col(c)
-            e = {"<": col < val, "<=": col <= val, ">": col > val,
-                 ">=": col >= val, "=": col == val,
-                 "==": col == val}[op]
+            if op == "in":
+                e = col.isin(list(val))
+            else:
+                e = {"<": col < val, "<=": col <= val, ">": col > val,
+                     ">=": col >= val, "=": col == val,
+                     "==": col == val}[op]
             cond = e if cond is None else cond & e
         return cond
 

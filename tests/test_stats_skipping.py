@@ -397,3 +397,36 @@ def test_bloom_carries_forward_and_survives_delete(spark, tmp_path):
     _v, kept, _tot = t.files_for([("k", "=", 25)])
     assert kept == []
     assert t.read_where(("k", "=", 5)).count() == 1
+
+
+def test_in_list_point_lookup_and_delete(spark, tmp_path):
+    """The id-LIST takedown shape: one ("k", "in", ids) predicate
+    prunes with blooms in a single manifest pass, reads exactly the
+    listed rows, and delete_where removes them rewriting only the
+    files that might hold them."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["k"],
+                           partition_col="p",
+                           stats_cols=["k"], bloom_cols=["k"])
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(400)],
+        "k bigint, s string, p int")
+    t.merge(rows.repartition(1))
+
+    ids = [3, 101, 9999]                    # 9999 absent
+    _v, kept, total = t.files_for([("k", "in", ids)])
+    assert total == 4 and len(kept) <= 3    # bloom-pruned disjunction
+    got = sorted(r.k for r in t.read_where(("k", "in", ids)).collect())
+    assert got == [3, 101]
+
+    assert t.delete_where(("k", "in", ids)) == 2
+    assert t.read().count() == 398
+    assert t.read_where(("k", "in", ids)).count() == 0
+
+
+def test_keeps_in_semantics():
+    from aether_firebase_consumer_spark.sinks.stats import keeps
+    st = {"n": [10, 20]}
+    assert keeps(st, "n", "in", [1, 15])     # one member inside
+    assert not keeps(st, "n", "in", [1, 25])  # all outside
+    assert not keeps(st, "n", "in", [])       # empty list: no match
+    assert keeps(st, "n", "in", ["x", 12])    # incomparable member kept
