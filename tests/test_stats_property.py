@@ -103,3 +103,15 @@ def test_int_str_never_alias_in_bloom():
     assert bloom_might_contain(bloom, 17)
     sbloom = build_bloom(["5", "17"])
     assert bloom_might_contain(sbloom, "5")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(ints, min_size=1, max_size=50),
+       st.lists(ints, min_size=0, max_size=8))
+def test_in_list_never_false_skips(values, probes):
+    stats = {"c": [min(values), max(values)]}
+    bloom = build_bloom(values)
+    if bloom is not None:
+        stats["__bloom__"] = {"c": bloom}
+    if any(v in probes for v in values):
+        assert keeps(stats, "c", "in", probes)
