@@ -52,12 +52,21 @@ _EPOCH_DT = None  # initialized lazily to keep the import cheap
 
 
 def _to_epoch(v):
-    """datetime → epoch microseconds, date → epoch days — exact
-    integer math (float total_seconds loses sub-µs precision at 2026
-    epochs), order-preserving, so interval pruning works unchanged.
-    The engine pins the Spark session timezone to UTC
-    (session.py:38), matching parquet's UTC-adjusted timestamps; an
-    aware datetime is normalized to UTC first."""
+    """datetime AND date → epoch MICROSECONDS (a date is its midnight
+    UTC instant, days × 86_400_000_000) — exact integer math (float
+    total_seconds loses sub-µs precision at 2026 epochs),
+    order-preserving, and ONE unit for both temporal types: Spark
+    coerces a date literal against a timestamp column (and vice
+    versa) by promoting the date to its midnight timestamp, so a
+    shared micros scale makes cross-type interval pruning agree with
+    the coerced filter. (Pre-r11 manifests stored dates as epoch
+    DAYS — a plain int indistinguishable from micros, which could
+    false-skip on a cross-typed literal; bounds are now unit-TAGGED,
+    see ``_scalar``, and untagged legacy epoch bounds are simply
+    never compared against temporal literals.) The engine pins the
+    Spark session timezone to UTC (session.py:38), matching parquet's
+    UTC-adjusted timestamps; an aware datetime is normalized to UTC
+    first."""
     import datetime as dt
     global _EPOCH_DT
     if _EPOCH_DT is None:
@@ -69,15 +78,18 @@ def _to_epoch(v):
         return ((d.days * 86400 + d.seconds) * 1_000_000
                 + d.microseconds)
     if isinstance(v, dt.date):
-        return (v - _EPOCH_DT[1]).days
+        return (v - _EPOCH_DT[1]).days * 86_400_000_000
     return v
 
 
 def _scalar(v):
     """Footer stat → JSON-safe scalar, or None when it can't be
     trusted for pruning (conservative keep). Timestamps/dates are
-    stored as epoch micros/days so retention predicates
-    (``("ts", "<", cutoff)``) prune like any numeric interval."""
+    stored UNIT-TAGGED as ``{"us": epoch_micros}`` so a temporal
+    bound can never be confused with a plain int column's bound (or,
+    pre-r11, a days-scaled date bound) — ``keeps`` only compares
+    bounds and literals whose tags agree, and treats any mismatch as
+    incomparable (keep the file)."""
     import datetime as dt
     if isinstance(v, bool) or v is None:
         return None
@@ -87,7 +99,7 @@ def _scalar(v):
             # footer) would truncate — a truncated MAX understates the
             # bound, which could skip wrongly; don't trust it
             return None
-        return _to_epoch(v)
+        return {"us": _to_epoch(v)}
     if isinstance(v, int):
         return v
     if isinstance(v, float):
@@ -198,8 +210,15 @@ def file_column_stats(file_path: str, cols: list[str]) -> dict:
                 lo.pop(name, None)
                 hi.pop(name, None)
                 continue
-            lo[name] = mn if name not in lo else min(lo[name], mn)
-            hi[name] = mx if name not in hi else max(hi[name], mx)
+            # tagged temporal bounds ({"us": n}) don't support dict
+            # min/max — compare on the inner value (tags are uniform
+            # within a column: one parquet type per column)
+            def _bkey(b):
+                return b["us"] if isinstance(b, dict) else b
+            if name not in lo or _bkey(mn) < _bkey(lo[name]):
+                lo[name] = mn
+            if name not in hi or _bkey(mx) > _bkey(hi[name]):
+                hi[name] = mx
     return {c: [lo[c], hi[c]] for c in lo if c in hi}
 
 
@@ -272,11 +291,28 @@ def load_manifest(version_dir: str | None) -> dict | None:
         return None
 
 
-def _comparable(bound, value) -> bool:
-    num = (int, float)
-    if isinstance(bound, num) and isinstance(value, num):
-        return True
-    return isinstance(bound, str) and isinstance(value, str)
+def _norm(x) -> tuple | None:
+    """Bound-or-literal → ``(unit_tag, comparable_value)`` or None
+    when it can't participate in interval pruning. Tags: ``"num"``
+    (plain int/float column), ``"str"``, ``"us"`` (temporal, epoch
+    micros — stored as ``{"us": n}``, literals as datetime/date).
+    ``keeps`` compares two values ONLY when their tags agree; a
+    mismatch (including a pre-r11 manifest's untagged epoch int
+    against a temporal literal) is incomparable → keep the file —
+    never compare epoch days to micros or micros to a plain int
+    column again (the r10 ADVICE false-skip)."""
+    import datetime as dt
+    if isinstance(x, dict):
+        return ("us", x["us"]) if set(x) == {"us"} else None
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, (dt.datetime, dt.date)):
+        return ("us", _to_epoch(x))
+    if isinstance(x, (int, float)):
+        return ("num", x)
+    if isinstance(x, str):
+        return ("str", x)
+    return None
 
 
 def keeps(stats: dict, col: str, op: str, value) -> bool:
@@ -296,10 +332,11 @@ def keeps(stats: dict, col: str, op: str, value) -> bool:
     bounds = stats.get(col)
     if not bounds:
         return True
-    mn, mx = bounds
-    value = _to_epoch(value)  # datetime/date literal → stored unit
-    if not (_comparable(mn, value) and _comparable(mx, value)):
-        return True
+    mn, mx, val = _norm(bounds[0]), _norm(bounds[1]), _norm(value)
+    if mn is None or mx is None or val is None \
+            or mn[0] != val[0] or mx[0] != val[0]:
+        return True  # unit/type mismatch → incomparable → keep
+    mn, mx, value = mn[1], mx[1], val[1]
     if op == "<":
         return mn < value
     if op == "<=":

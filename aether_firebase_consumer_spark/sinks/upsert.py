@@ -207,7 +207,13 @@ class ParquetUpsertTable:
             except OSError:
                 if not os.path.isdir(dst):
                     raise
-        tmp = f"{self._version_file()}.tmp{v}"
+        # per-process tmp name: a reader rolling this commit forward
+        # can run _finish_commit concurrently with the committing
+        # writer — a SHARED tmp path would let one process os.replace/
+        # os.unlink a tmp the other already consumed (FileNotFoundError
+        # crashing a read path)
+        tmp = (f"{self._version_file()}.tmp{v}."
+               f"{os.getpid()}.{uuid.uuid4().hex[:6]}")
         with open(tmp, "w") as fh:
             fh.write(str(v))
         # never move the pointer backwards: a v6 roll-forward racing a
@@ -507,14 +513,27 @@ class ParquetUpsertTable:
         the delete degrades to a full filtered rewrite (correct,
         unpruned). Returns the number of rows deleted; a predicate
         matching nothing commits nothing."""
+        from aether_firebase_consumer_spark.sinks.stats import (
+            load_manifest,
+            prune_files,
+        )
+
         parent = self.current_version()
         current = self._read_at(parent)
         if current is None or not predicates:
             return 0
         cond = self._pred_cond(predicates)
         hit = F.coalesce(cond, F.lit(False))
-        plan = self.files_for(list(predicates))
+        # pin the skip plan to the SAME version the read and the
+        # publish use: files_for() would re-read current_version(),
+        # which can advance past `parent` under a concurrent writer —
+        # kept relpaths from the newer manifest resolved against the
+        # parent's directory turn a retryable conflict into a hard
+        # path-not-found read failure
         base = self._data_dir(parent)
+        manifest = load_manifest(base)
+        plan = None if manifest is None else \
+            (parent, *prune_files(manifest, list(predicates)))
         if plan is not None:
             _v, kept, total = plan
             if not kept:

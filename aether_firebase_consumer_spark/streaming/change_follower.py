@@ -84,6 +84,17 @@ class ChangeFeedFollower:
         schema: key columns + ``change_type`` (insert/update/delete)
         + ``version``."""
         cursor = self._read_cursor()
+        if cursor is None:
+            # the constructor wrote a cursor; None here means the
+            # checkpoint was deleted or corrupted SINCE — resuming at
+            # a guessed position would silently skip or replay
+            # history, so refuse loudly (recreate the follower, or
+            # bootstrap() after a retention gap)
+            raise RuntimeError(
+                f"change-feed checkpoint {self.checkpoint_path} is "
+                "missing or corrupt — re-create the follower with an "
+                "explicit from_version, or bootstrap() to resync from "
+                "the current snapshot")
         current = self.table.current_version()
         if current <= cursor:
             return None
@@ -93,6 +104,31 @@ class ChangeFeedFollower:
         """Durably advance the cursor past ``version`` — call only
         after the polled batch is applied downstream."""
         self._write_cursor(version)
+
+    def bootstrap(self, handler) -> int:
+        """Recovery past the retention window: when the cursor
+        predates the oldest retained version, :meth:`poll` rightly
+        raises (the in-between history is gone) — the only sound
+        resync is a SNAPSHOT re-sync. ``handler(inserts_df, version)``
+        receives every CURRENT row's keys as ``insert`` change rows
+        (same schema as a poll batch: key cols + change_type +
+        version); the consumer must treat the batch as authoritative —
+        rebuild, or delete-all-then-apply — because deletions that
+        happened inside the gap are represented only by ABSENCE from
+        the snapshot. The cursor then jumps to the snapshot version,
+        so the next poll resumes incremental. Returns the version
+        bootstrapped to. Crash-safe like :meth:`process`: the cursor
+        moves only after the handler returns."""
+        current = self.table.current_version()
+        if current < 0:
+            raise ValueError("cannot bootstrap from an empty table")
+        snapshot = (self.table.read_version(current)
+                    .select(*self.table.key_cols)
+                    .withColumn("change_type", F.lit("insert"))
+                    .withColumn("version", F.lit(current)))
+        handler(snapshot, current)
+        self.commit(current)
+        return current
 
     def process(self, handler) -> int | None:
         """One loop step: poll; if there are changes, run

@@ -12,6 +12,7 @@ import datetime as dt
 from hypothesis import given, settings, strategies as st
 
 from aether_firebase_consumer_spark.sinks.stats import (
+    _scalar,
     _to_epoch,
     build_bloom,
     bloom_might_contain,
@@ -89,9 +90,65 @@ def test_epoch_mapping_is_order_isomorphic(a, b):
        st.datetimes(min_value=dt.datetime(1970, 1, 2),
                     max_value=dt.datetime(2100, 1, 1)))
 def test_timestamp_interval_never_false_skips(values, op, lit):
-    stats = {"c": [_to_epoch(min(values)), _to_epoch(max(values))]}
+    # _scalar models what the manifest actually stores: unit-tagged
+    # {"us": micros} bounds
+    stats = {"c": [_scalar(min(values)), _scalar(max(values))]}
     if any(_matches(v, op, lit) for v in values):
         assert keeps(stats, "c", op, lit)
+
+
+def _promote(v):
+    """Spark's date→timestamp coercion for a mixed comparison: a date
+    is its midnight instant."""
+    if isinstance(v, dt.datetime):
+        return v
+    return dt.datetime(v.year, v.month, v.day)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.one_of(
+           st.dates(min_value=dt.date(1970, 1, 2),
+                    max_value=dt.date(2100, 1, 1)),
+           st.datetimes(min_value=dt.datetime(1970, 1, 2),
+                        max_value=dt.datetime(2100, 1, 1))),
+           min_size=1, max_size=40),
+       st.sampled_from(_OPS),
+       st.one_of(
+           st.dates(min_value=dt.date(1970, 1, 2),
+                    max_value=dt.date(2100, 1, 1)),
+           st.datetimes(min_value=dt.datetime(1970, 1, 2),
+                        max_value=dt.datetime(2100, 1, 1))))
+def test_cross_typed_temporal_never_false_skips(values, op, lit):
+    """The r10 ADVICE defect: a date literal against a timestamp
+    column (or vice versa) compared epoch DAYS to epoch MICROS and
+    could false-skip. Bounds and literals now share one micros scale,
+    so pruning agrees with Spark's date→timestamp promotion for every
+    type mixture. (A homogeneous-date column vs a datetime literal
+    exercises the date-bounds-as-micros path; mixtures model a column
+    plus a differently-typed literal.)"""
+    vals = [_promote(v) for v in values]
+    plit = _promote(lit)
+    stats = {"c": [_scalar(min(vals)), _scalar(max(vals))]}
+    if any(_matches(v, op, plit) for v in vals):
+        assert keeps(stats, "c", op, lit)
+
+
+def test_legacy_untagged_epoch_bounds_always_keep():
+    """A pre-r11 manifest stored temporal bounds as PLAIN ints (days
+    or micros) — indistinguishable from an int column's bounds, so a
+    temporal literal must never be compared against them (either unit
+    guess can false-skip). Tag mismatch → keep."""
+    legacy_days = {"c": [19_700, 19_710]}            # epoch days
+    legacy_us = {"c": [1_700_000_000_000_000, 1_700_086_400_000_000]}
+    for stats in (legacy_days, legacy_us):
+        for lit in (dt.date(2023, 12, 15),
+                    dt.datetime(2023, 12, 15, 12, 0, 0)):
+            for op in _OPS:
+                assert keeps(stats, "c", op, lit)
+    # and the converse: tagged temporal bounds vs a plain-int literal
+    tagged = {"c": [{"us": 0}, {"us": 86_400_000_000}]}
+    for op in _OPS:
+        assert keeps(tagged, "c", op, 5)
 
 
 def test_int_str_never_alias_in_bloom():
