@@ -724,3 +724,101 @@ def docs_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = table.read_where(("doc_id", "=", pid))
         out = part if out is None else out.unionByName(part)
     return out.select("doc_id", "lang", "n_chars")
+
+
+_CDF_TABLE: dict[str, object] = {}
+
+
+@register(
+    "docs_change_feed_recorded",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ),
+    ins AS (   -- v1 also inserts shadow docs for doc_id % 997 = 0
+      SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+      FROM base WHERE doc_id % 997 = 0
+    ),
+    s1 AS (    -- state after the v1 merge
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM base
+      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+    ),
+    del2 AS (SELECT doc_id FROM s1 WHERE n_chars >= 1000),
+    s2 AS (SELECT * FROM s1 WHERE n_chars < 1000),
+    del3 AS (SELECT doc_id FROM s2 WHERE doc_id % 101 = 0),
+    feed AS (
+      SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+             doc_id
+      FROM base
+      UNION ALL
+      SELECT 1, 'update', doc_id FROM base WHERE doc_id % 10 = 3
+      UNION ALL SELECT 1, 'insert', doc_id FROM ins
+      UNION ALL SELECT 2, 'delete', doc_id FROM del2
+      UNION ALL SELECT 3, 'delete', doc_id FROM del3
+    )
+    SELECT version, change_type,
+           COUNT(*) AS n_changes,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM feed
+    GROUP BY version, change_type
+    """,
+)
+def docs_change_feed_recorded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time change-data-feed (round 11): a lang-partitioned
+    ``ParquetUpsertTable`` of the documents corpus runs a fixed op
+    script — v0 full merge, v1 merge of (updates: n_chars+1000 for
+    doc_id%10==3; byte-identical re-merges for doc_id%10==6, which
+    must NOT appear in the feed; inserts: shadow ids +10M for
+    doc_id%997==0), v2 ``delete_where(n_chars >= 1000)``, v3
+    partition-pruned ``delete_keys`` of surviving doc_id%101==0 —
+    and the query aggregates ``change_feed(0)`` per (version,
+    change_type). Every version's rows come from the `_changes/`
+    recording each op committed atomically with its data (O(changed
+    rows); no version diff is ever computed), so the oracle — which
+    re-derives the expected delta set in pure SQL — checks both the
+    recorder's semantics (updates exclude no-op rewrites; deletes
+    reflect prior state) and the read path. The reference has no
+    change history at all (1-by-1 Firestore pushes,
+    /root/reference/firebase/app/artifacts.py:302-327). Table builds
+    once per (process, sf_dir) — the persisted-index-query
+    convention; repeated runs measure the recorded-feed read."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    table = _CDF_TABLE.get(sf_dir)
+    if table is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_cdf_")
+        table = ParquetUpsertTable(spark, root, ["doc_id"],
+                                   partition_col="lang",
+                                   stats_cols=["n_chars"],
+                                   retain_versions=8)
+        table.merge(docs)                                      # v0
+        updates = (docs.filter(F.col("doc_id") % 10 == 3)
+                   .withColumn("n_chars", F.col("n_chars") + 1000))
+        noops = docs.filter(F.col("doc_id") % 10 == 6)
+        inserts = (docs.filter(F.col("doc_id") % 997 == 0)
+                   .withColumn("doc_id",
+                               F.col("doc_id") + 10_000_000))
+        table.merge(updates.unionByName(noops)
+                    .unionByName(inserts))                     # v1
+        table.delete_where(("n_chars", ">=", 1000))            # v2
+        survivors = table.read().filter(F.col("doc_id") % 101 == 0)
+        table.delete_keys(survivors.select("doc_id", "lang"))  # v3
+        _CDF_TABLE[sf_dir] = table
+    feed = table.change_feed(0)
+    return (feed.groupBy(F.col("version").cast("bigint").alias("version"),
+                         "change_type")
+            .agg(F.count("*").cast("bigint").alias("n_changes"),
+                 F.sum("doc_id").cast("bigint").alias("sum_id"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

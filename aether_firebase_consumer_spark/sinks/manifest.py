@@ -43,7 +43,11 @@ def _file_md5(path: str) -> str:
 
 def _data_files(root: str) -> list[str]:
     out = []
-    for base, _dirs, files in os.walk(root):
+    for base, dirs, files in os.walk(root):
+        # a version's _changes recording is bookkeeping, not dataset
+        # content — freezing it would stamp one version's change rows
+        # onto whatever version number the snapshot later imports as
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.endswith(".parquet"):
                 out.append(os.path.relpath(os.path.join(base, fn),

@@ -139,6 +139,9 @@ class ParquetUpsertTable:
                 "bloom_cols requires stats_cols (the bloom filters "
                 "live in the stats manifest; pass stats_cols=[...] — "
                 "they may be different columns)")
+        #: (files_scanned, files_total) of the last merge's moved-key
+        #: scan when manifest key stats pruned it; None = full scan
+        self.last_moved_scan: tuple | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer / commit protocol ------------------------------
@@ -312,6 +315,149 @@ class ParquetUpsertTable:
               .parquet(*[os.path.join(base, r) for r in kept]))
         return df.filter(cond) if cond is not None else df
 
+    # -- change recording (commit-time CDF, round 11) --------------------
+    #
+    # changes(v) used to be a full-outer join of two COMPLETE versions —
+    # O(table) per version, so a follower N versions behind rescanned
+    # the whole table N times per poll (the takedown-propagation loop's
+    # 100 TB wall). Every write op already touches exactly the data it
+    # changes, so each now RECORDS its key-level delta as parquet under
+    # `_changes/` inside the staged version dir — committed atomically
+    # with the data by the same CAS publish (the stats-manifest
+    # pattern), invisible to data readers (underscore prefix), GC'd
+    # with its version. changes(v) reads the recording when present and
+    # falls back to the diff for versions without one (pre-r11 history,
+    # import_snapshot). Determinism: recordings are derived by reading
+    # BACK the staged files (never by re-evaluating the caller's batch
+    # plan, which may be non-deterministic between the data write and a
+    # second evaluation), diffed against the parent's touched
+    # partitions only — hardlink-carried partitions are inode-identical
+    # and provably contribute no changes.
+    _CHANGES_DIR = "_changes"
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        try:
+            return any(n.endswith(".parquet") for n in os.listdir(path))
+        except OSError:
+            return False
+
+    def _write_changes(self, staged: str, changes: DataFrame) -> None:
+        path = os.path.join(staged, self._CHANGES_DIR)
+        out = changes.select(*self.key_cols, "change_type")
+        out.write.mode("overwrite").parquet(path)
+        if not self._has_parquet(path):
+            # an all-empty-partitions write leaves no files; a change
+            # feed must still be READABLE as "no changes" (one
+            # schema-ful empty file)
+            out.repartition(1).write.mode("overwrite").parquet(path)
+
+    def _diff_frames(self, old: DataFrame | None,
+                     new: DataFrame) -> DataFrame:
+        """Key-level diff of two row sets as (key_cols...,
+        change_type ∈ insert/update/delete): full-outer join on the
+        keys with a canonical row-hash comparison over the columns
+        both sides share — schema evolution (O14) compares only
+        common columns. Shared by the commit-time recorders and the
+        legacy-version fallback in :meth:`changes`, so recorded and
+        recomputed feeds agree by construction."""
+        if old is None:
+            return new.select(*self.key_cols).withColumn(
+                "change_type", F.lit("insert"))
+        common = [c for c in new.columns
+                  if c in set(old.columns) and c not in self.key_cols]
+
+        def rhash(df: DataFrame, tag: str) -> DataFrame:
+            h = F.md5(F.to_json(F.struct(
+                *[F.col(c) for c in sorted(common)])))
+            return df.select(*self.key_cols, h.alias(f"_h_{tag}"))
+
+        joined = rhash(old, "old").join(rhash(new, "new"),
+                                        self.key_cols, "full_outer")
+        return (joined.withColumn(
+            "change_type",
+            F.when(F.col("_h_old").isNull(), F.lit("insert"))
+             .when(F.col("_h_new").isNull(), F.lit("delete"))
+             .when(F.col("_h_old") != F.col("_h_new"), F.lit("update")))
+            .where(F.col("change_type").isNotNull())
+            .select(*self.key_cols, "change_type"))
+
+    @staticmethod
+    def _staged_has_data(staged: str) -> bool:
+        for root, dirs, names in os.walk(staged):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if any(n.endswith(".parquet") for n in names):
+                return True
+        return False
+
+    def _record_changes(self, staged: str, old: DataFrame | None) -> None:
+        """Record the staged write's delta vs ``old`` (the parent rows
+        of the REWRITTEN scope only — for a partition-pruned write,
+        the touched partitions; carried hardlinks are unchanged by
+        construction). Reads the staged files back, so the recording
+        reflects exactly what was written. A rewrite that emptied its
+        whole scope leaves no staged files yet (hardlinks land after
+        recording) — the new side is then empty by definition."""
+        if self._staged_has_data(staged):
+            new = (self.spark.read.option("mergeSchema", "true")
+                   .parquet(staged))
+        else:
+            new = old.limit(0)
+        self._write_changes(staged, self._diff_frames(old, new))
+
+    def _moved_scan_source(self, batch1: DataFrame, parent: int,
+                           untouched: Column) -> DataFrame | None:
+        """The frame the moved-key semi-join scans (round 11): by
+        default every untouched partition's rows — the one per-merge
+        cost that grows with TABLE size rather than batch size. When
+        the stats manifest covers key columns, prune that scan with
+        the batch's key RANGE: one 1-row aggregate (min/max per
+        stat-covered key col) collected to the driver, then only
+        parent files whose key intervals intersect the batch's range
+        are scanned. Exactness: a pruned file provably contains no row
+        whose stat-covered key col falls in the batch's [min, max],
+        so no row of it can equi-match any batch key (null keys never
+        equi-match, and parquet bounds exclude nulls, so null rows in
+        pruned files are irrelevant). Returns None when pruning proves
+        NO file can hold a moved key. ``last_moved_scan`` records
+        (files_scanned, files_total) for tests/ops; None = unpruned
+        full scan."""
+        from aether_firebase_consumer_spark.sinks.stats import (
+            load_manifest,
+            prune_files,
+        )
+
+        self.last_moved_scan = None
+        current = self._read_at(parent)
+        full = current.filter(untouched)
+        stat_keys = [k for k in self.key_cols
+                     if self.stats_cols and k in self.stats_cols]
+        if not stat_keys or parent < 0:
+            return full
+        base = self._data_dir(parent)
+        manifest = load_manifest(base)
+        if manifest is None:
+            return full
+        aggs = []
+        for k in stat_keys:
+            aggs += [F.min(k).alias(f"_mn_{k}"),
+                     F.max(k).alias(f"_mx_{k}")]
+        row = batch1.agg(*aggs).collect()[0]  # exactly one row
+        preds = []
+        for k in stat_keys:
+            mn, mx = row[f"_mn_{k}"], row[f"_mx_{k}"]
+            if mn is None or mx is None:
+                return full  # all-null key col: nothing provable
+            preds += [(k, ">=", mn), (k, "<=", mx)]
+        kept, total = prune_files(manifest, preds)
+        self.last_moved_scan = (len(kept), total)
+        if not kept:
+            return None
+        return (self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, r) for r in kept])
+                .filter(untouched))
+
     # -- merge ----------------------------------------------------------
     @_retrying
     def merge(self, batch: DataFrame,
@@ -347,6 +493,7 @@ class ParquetUpsertTable:
             if self.partition_col:
                 writer = writer.partitionBy(self.partition_col)
             writer.parquet(target)
+            self._record_changes(target, None)
             self._publish(target, parent, commit_meta)
             return
         if not self.partition_col:
@@ -354,6 +501,10 @@ class ParquetUpsertTable:
                                 self.key_cols, "left_anti")
             keep.unionByName(batch1, allowMissingColumns=True) \
                 .write.mode("overwrite").parquet(target)
+            # an unpartitioned merge rewrites the whole table, so its
+            # recording diffs full old vs full new — same cost shape
+            # as the merge itself
+            self._record_changes(target, current)
             self._publish(target, parent, commit_meta)
             return
         pc = self.partition_col
@@ -370,15 +521,17 @@ class ParquetUpsertTable:
         # would hide a key moving OUT of the null partition and leave
         # its stale copy hardlinked into the new version
         untouched = ~F.coalesce(_touched_filter(pc, touched), F.lit(False))
-        moved = (current.filter(untouched)
-                 .join(batch1.select(*self.key_cols),
-                       self.key_cols, "left_semi")
-                 .select(pc).distinct())
+        moved_src = self._moved_scan_source(batch1, parent, untouched)
+        moved = (moved_src.join(batch1.select(*self.key_cols),
+                                self.key_cols, "left_semi")
+                 .select(pc).distinct()) if moved_src is not None \
+            else None
         seen = {hive_partition_value(t) for t in touched}
-        for r in moved.collect():  # bounded by batch key count
-            if hive_partition_value(r[0]) not in seen:
-                touched.append(r[0])
-                seen.add(hive_partition_value(r[0]))
+        if moved is not None:
+            for r in moved.collect():  # bounded by batch key count
+                if hive_partition_value(r[0]) not in seen:
+                    touched.append(r[0])
+                    seen.add(hive_partition_value(r[0]))
         keep = (current.filter(_touched_filter(pc, touched))
                 .join(batch1.select(*self.key_cols),
                       self.key_cols, "left_anti"))
@@ -387,6 +540,15 @@ class ParquetUpsertTable:
         # full-document set semantics, like the reference's batch.set
         (keep.unionByName(batch1, allowMissingColumns=True)
          .write.mode("overwrite").partitionBy(pc).parquet(target))
+        # record BEFORE linking: at this point the staged dir holds
+        # exactly the rewritten (touched) partitions, and every
+        # current row whose key is in the batch lives in a touched
+        # partition (the moved-key extension above guarantees it), so
+        # diffing touched-old vs staged IS the full version diff —
+        # untouched partitions are carried as hardlinks, provably
+        # unchanged. Cost ∝ batch, not table.
+        self._record_changes(
+            target, current.filter(_touched_filter(pc, touched)))
         self._link_untouched_partitions(
             self._data_dir(parent), target,
             {hive_partition_value(t) for t in touched})
@@ -443,6 +605,9 @@ class ParquetUpsertTable:
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
+        # replace is O(table) by design (every row rewritten), so its
+        # recording is the full old-vs-new diff — same cost shape
+        self._record_changes(target, self._read_at(parent))
         self._publish(target, parent, commit_meta)
 
     @_retrying
@@ -476,9 +641,14 @@ class ParquetUpsertTable:
                 # hive-style as usual)
                 remaining.repartition(1).write.mode("overwrite") \
                     .parquet(target)
+                # every partition was touched, so old = whole table;
+                # the diff records each surviving-nothing row a delete
+                self._record_changes(target, current)
                 self._publish(target, parent)
                 return
             remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
+            self._record_changes(
+                target, current.filter(_touched_filter(pc, touched)))
             self._link_untouched_partitions(
                 self._data_dir(parent), target,
                 {hive_partition_value(t) for t in touched})
@@ -493,6 +663,7 @@ class ParquetUpsertTable:
             if pc:
                 writer = writer.partitionBy(pc)
             writer.parquet(target)
+            self._record_changes(target, current)
         self._publish(target, parent)
 
     @_retrying
@@ -546,25 +717,34 @@ class ParquetUpsertTable:
             if n_del == 0:
                 return 0
             remaining = affected.filter(~hit)
+            doomed_src = affected
             carried = total - len(kept)
         else:
             n_del = current.filter(hit).count()
             if n_del == 0:
                 return 0
             remaining = current.filter(~hit)
+            doomed_src = current
             kept, carried = None, 0
+        # commit-time CDF: the doomed keys ARE the version's change
+        # rows (survivors are rewritten byte-unchanged, carried files
+        # untouched) — read from the parent's files, deterministic
+        doomed = (doomed_src.filter(hit).select(*self.key_cols)
+                  .withColumn("change_type", F.lit("delete")))
         target = self._stage_dir()
         if remaining.isEmpty() and carried == 0:
             # a file-less partitionBy write is unreadable — keep one
             # schema-ful empty file (same guard as delete_keys)
             remaining.repartition(1).write.mode("overwrite") \
                 .parquet(target)
+            self._write_changes(target, doomed)
             self._publish(target, parent)
             return n_del
         writer = remaining.write.mode("overwrite")
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
+        self._write_changes(target, doomed)
         if kept is not None:
             self._link_files_except(base, target, set(kept))
         self._publish(target, parent)
@@ -577,8 +757,12 @@ class ParquetUpsertTable:
         ``skip_rels`` into the staged dir as hardlinks — the FILE-level
         sibling of :meth:`_link_untouched_partitions` (works for
         partitioned and flat layouts alike; Spark part-file names embed
-        a per-job UUID, so a fresh-write collision cannot happen)."""
-        for root, _dirs, names in os.walk(prev_dir):
+        a per-job UUID, so a fresh-write collision cannot happen).
+        Hidden directories (the parent's ``_changes`` recording) are
+        bookkeeping, not data — carrying them would stamp the parent's
+        change rows onto the child version's feed."""
+        for root, dirs, names in os.walk(prev_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
@@ -723,6 +907,11 @@ class ParquetUpsertTable:
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
+        # row content is identical by construction — record an EMPTY
+        # change set so followers skip this version without a diff
+        self._write_changes(target, current.select(*self.key_cols)
+                            .limit(0)
+                            .withColumn("change_type", F.lit("insert")))
         self._publish(target, parent)
 
     def vacuum(self, keep_last_n: int) -> list[int]:
@@ -786,43 +975,48 @@ class ParquetUpsertTable:
         return self.spark.read.parquet(self._data_dir(version))
 
     def changes(self, version: int) -> DataFrame:
-        """Change data feed for ``version``: the key-level diff against
-        ``version - 1`` as (key_cols..., change_type ∈ insert/update/
-        delete). Computed as one full-outer join on the keys with a
+        """Change data feed for ``version`` as (key_cols...,
+        change_type ∈ insert/update/delete).
+
+        Versions written since round 11 carry a commit-time RECORDING
+        (``_changes/`` parquet inside the version dir, written by the
+        op that knew its delta) — reading it is O(changed rows), no
+        diff, and does not need ``version - 1`` retained. Versions
+        without a recording (pre-r11 history, :func:`~.manifest.
+        import_snapshot`) fall back to the key-level diff against
+        ``version - 1``: one full-outer join on the keys with a
         canonical row-hash comparison over the columns both versions
         share — schema evolution (O14) compares only common columns.
         The first version reports every key as insert."""
+        rec = os.path.join(self._data_dir(version), self._CHANGES_DIR)
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} vacuumed / not retained (have "
+                f"{self.versions()})")
+        if self._has_parquet(rec):
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(rec)
+                    .select(*self.key_cols, "change_type"))
         new = self.read_version(version)
         if version == 0:  # table creation: everything is an insert
-            return new.select(*self.key_cols).withColumn(
-                "change_type", F.lit("insert"))
+            return self._diff_frames(None, new)
         if version - 1 not in self.versions():
             raise ValueError(
-                f"version {version - 1} vacuumed; cannot diff — change "
-                f"history older than the retention window is gone")
-        old = self.read_version(version - 1)
-        common = [c for c in new.columns
-                  if c in set(old.columns) and c not in self.key_cols]
-        def rhash(df: DataFrame, tag: str) -> DataFrame:
-            h = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(common)])))
-            return df.select(*self.key_cols, h.alias(f"_h_{tag}"))
-        joined = rhash(old, "old").join(rhash(new, "new"),
-                                        self.key_cols, "full_outer")
-        return (joined.withColumn(
-            "change_type",
-            F.when(F.col("_h_old").isNull(), F.lit("insert"))
-             .when(F.col("_h_new").isNull(), F.lit("delete"))
-             .when(F.col("_h_old") != F.col("_h_new"), F.lit("update")))
-            .where(F.col("change_type").isNotNull())
-            .select(*self.key_cols, "change_type"))
+                f"version {version - 1} vacuumed and version {version} "
+                "has no commit-time recording; cannot diff — change "
+                "history older than the retention window is gone")
+        return self._diff_frames(self.read_version(version - 1), new)
 
     def change_feed(self, from_version: int = 0) -> DataFrame:
         """The concatenated change data feed from ``from_version`` to
         the current version, each row tagged with the version that
         produced it — what a downstream CDC consumer reads to catch up
-        after being offline. Raises (via :meth:`changes`) if the range
-        reaches past the retention window, rather than silently
-        skipping history."""
+        after being offline. With commit-time recordings (round 11)
+        a catch-up of N versions reads N recorded change sets —
+        O(total changed rows), never a table rescan. Raises (via
+        :meth:`changes`) if the range reaches an unrecorded version
+        past the retention window, rather than silently skipping
+        history."""
         current = self.current_version()
         if current < 0 or from_version > current:
             raise ValueError(f"no versions in range [{from_version}, "

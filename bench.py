@@ -160,7 +160,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "multimodal_id3_tags",
          "multimodal_vorbis_comment_stats",
          "docs_stats_skipped_scan",
-         "docs_point_lookup_bloom")
+         "docs_point_lookup_bloom",
+         # r11 headliners
+         "docs_change_feed_recorded")
 
 
 def headline_names() -> list[str]:

@@ -336,7 +336,10 @@ def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
     def inodes(version):
         out = {}
         root = t._data_dir(version)
-        for base, _dirs, files in os.walk(root):
+        for base, dirs, files in os.walk(root):
+            # data files only — the _changes recording is new per
+            # version by design (it records that version's delta)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for fn in files:
                 if fn.endswith(".parquet"):
                     p = os.path.join(base, fn)

@@ -192,6 +192,9 @@ def test_manifest_atomic_with_commit(spark, tmp_path):
         on_disk = set()
         base = t._data_dir(v)
         for root, _d, names in os.walk(base):
+            # the manifest is the DATA file list; `_changes`
+            # recordings are bookkeeping and rightly absent
+            _d[:] = [d for d in _d if not d.startswith(("_", "."))]
             for nm in names:
                 if nm.endswith(".parquet"):
                     on_disk.add(
@@ -214,6 +217,7 @@ def test_delete_where_rewrites_only_admitting_files(spark, tmp_path):
     base = t._data_dir(v_before)
     inodes_before = {}
     for root, _d, names in os.walk(base):
+        _d[:] = [d for d in _d if not d.startswith(("_", "."))]
         for nm in names:
             if nm.endswith(".parquet"):
                 p = os.path.join(root, nm)
