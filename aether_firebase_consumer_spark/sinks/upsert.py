@@ -1007,6 +1007,43 @@ class ParquetUpsertTable:
                 "history older than the retention window is gone")
         return self._diff_frames(self.read_version(version - 1), new)
 
+    def backfill_changes(self) -> list[int]:
+        """Write commit-time recordings for retained versions that
+        lack one (pre-r11 history, :func:`~.manifest.import_snapshot`
+        restores), so the ``table_changes`` source and the
+        O(changed rows) read path cover them too. Computes the same
+        diff :meth:`changes` falls back to (a version whose
+        predecessor was vacuumed is skipped — the diff is gone),
+        stages it inside the version dir, and RENAMES it into place
+        atomically: data files are never touched, and a concurrent
+        reader sees either no recording (and diffs) or the complete
+        recording — both agree by construction. Losing a rename race
+        to another backfiller is a no-op. Returns the versions
+        backfilled."""
+        done = []
+        vs = self.versions()
+        for v in vs:
+            rec = os.path.join(self._data_dir(v), self._CHANGES_DIR)
+            if self._has_parquet(rec):
+                continue
+            if v > 0 and v - 1 not in vs:
+                continue
+            old = self.read_version(v - 1) if v > 0 else None
+            diff = self._diff_frames(old, self.read_version(v))
+            tmp = os.path.join(self._data_dir(v),
+                               f"_changes.tmp-{uuid.uuid4().hex[:8]}")
+            out = diff.select(*self.key_cols, "change_type")
+            out.write.mode("overwrite").parquet(tmp)
+            if not self._has_parquet(tmp):
+                out.repartition(1).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, rec)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                done.append(v)
+        return done
+
     def change_feed(self, from_version: int = 0) -> DataFrame:
         """The concatenated change data feed from ``from_version`` to
         the current version, each row tagged with the version that

@@ -173,6 +173,21 @@ def test_import_snapshot_falls_back_to_diff(spark, tmp_path):
     # restore drops key 3 (replace semantics) — the diff fallback sees it
     assert _set(t.changes(v)) == [(3, "delete")]
 
+    # backfill writes the recording in place; content unchanged,
+    # idempotent, and the table_changes source now covers the version
+    assert t.backfill_changes() == [v]
+    assert t._has_parquet(_recorded_dir(t, v))
+    assert _set(t.changes(v)) == [(3, "delete")]
+    assert t.backfill_changes() == []
+    from aether_firebase_consumer_spark.streaming.table_changes_source \
+        import register_table_changes
+    register_table_changes(spark)
+    got = (spark.read.format("table_changes")
+           .option("path", t.path).option("keyCols", "k")
+           .option("startingVersion", v).load())
+    assert sorted((r.k, r.change_type, r.version)
+                  for r in got.collect()) == [(3, "delete", v)]
+
 
 def test_moved_key_scan_pruned_by_manifest_key_stats(spark, tmp_path):
     """Round-11 punch item 2: with `stats_cols` covering the key, a
