@@ -109,7 +109,8 @@ class ParquetUpsertTable:
                  retain_versions: int = 2,
                  commit_retries: int = 8,
                  stats_cols: list[str] | None = None,
-                 bloom_cols: list[str] | None = None):
+                 bloom_cols: list[str] | None = None,
+                 record_change_values: bool = False):
         if retain_versions < 2:
             raise ValueError("retain_versions must be >= 2 (current + "
                              "previous for concurrent readers)")
@@ -142,6 +143,13 @@ class ParquetUpsertTable:
         #: (files_scanned, files_total) of the last merge's moved-key
         #: scan when manifest key stats pruned it; None = full scan
         self.last_moved_scan: tuple | None = None
+        #: when True, commit-time recordings carry the POST-IMAGE of
+        #: every insert/update row (Delta-CDF-style row images), so a
+        #: downstream consumer can maintain a derived table from the
+        #: feed ALONE — no corpus re-read per poll. Deletes stay
+        #: keys-only (absence is the whole message). Costs recording
+        #: bytes ∝ changed rows' width instead of key width.
+        self.record_change_values = record_change_values
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer / commit protocol ------------------------------
@@ -344,7 +352,9 @@ class ParquetUpsertTable:
 
     def _write_changes(self, staged: str, changes: DataFrame) -> None:
         path = os.path.join(staged, self._CHANGES_DIR)
-        out = changes.select(*self.key_cols, "change_type")
+        lead = [*self.key_cols, "change_type"]
+        rest = [c for c in changes.columns if c not in lead]
+        out = changes.select(*lead, *rest)
         out.write.mode("overwrite").parquet(path)
         if not self._has_parquet(path):
             # an all-empty-partitions write leaves no files; a change
@@ -403,7 +413,21 @@ class ParquetUpsertTable:
                    .parquet(staged))
         else:
             new = old.limit(0)
-        self._write_changes(staged, self._diff_frames(old, new))
+        diff = self._diff_frames(old, new)
+        if self.record_change_values:
+            diff = self._attach_values(diff, new)
+        self._write_changes(staged, diff)
+
+    def _attach_values(self, diff: DataFrame,
+                       new: DataFrame) -> DataFrame:
+        """Join the POST-IMAGE row onto each insert/update change row
+        (``new`` has exactly one row per key, so the join is 1:1);
+        delete rows carry nulls for the value columns — their message
+        is the key's absence."""
+        ins_upd = (diff.filter(F.col("change_type") != "delete")
+                   .join(new, self.key_cols, "left"))
+        dels = diff.filter(F.col("change_type") == "delete")
+        return ins_upd.unionByName(dels, allowMissingColumns=True)
 
     def _moved_scan_source(self, batch1: DataFrame, parent: int,
                            untouched: Column) -> DataFrame | None:
@@ -1007,6 +1031,55 @@ class ParquetUpsertTable:
                 "history older than the retention window is gone")
         return self._diff_frames(self.read_version(version - 1), new)
 
+    def changes_with_values(self, version: int) -> DataFrame:
+        """Change rows for ``version`` INCLUDING post-image value
+        columns for inserts/updates (delete rows carry nulls — their
+        message is the key's absence). Reads the value-carrying
+        recording when the table was configured with
+        ``record_change_values``; otherwise (keys-only recording, or
+        no recording at all) derives the images by joining the diff
+        against the version's rows — correct but a version-sized read,
+        which is exactly what the recording exists to avoid."""
+        rec = os.path.join(self._data_dir(version), self._CHANGES_DIR)
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} vacuumed / not retained (have "
+                f"{self.versions()})")
+        if self._has_parquet(rec):
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(rec))
+            if set(df.columns) - set(self.key_cols) - {"change_type"}:
+                return df
+            # keys-only recording: a delete-only or empty version
+            # needs no images at all (deletes carry none; the feed
+            # union null-fills missing columns) — only a recording
+            # with live rows pays the version read to derive them
+            if df.filter(F.col("change_type") != "delete").isEmpty():
+                return df
+            return self._attach_values(df, self.read_version(version))
+        return self._attach_values(self.changes(version),
+                                   self.read_version(version))
+
+    def change_feed_with_values(self, from_version: int = 0) -> DataFrame:
+        """:meth:`change_feed` with post-image values — what a
+        derived-table maintainer consumes to replicate MERGE + DELETE
+        downstream without ever re-reading this table (see
+        ``streaming/change_follower.py::mirror_changes``). Versions
+        are unioned with missing columns as nulls (schema evolution:
+        a column absent in an older version's recording is null
+        there)."""
+        current = self.current_version()
+        if current < 0 or from_version > current:
+            raise ValueError(f"no versions in range [{from_version}, "
+                             f"{current}]")
+        feed = None
+        for v in range(from_version, current + 1):
+            part = self.changes_with_values(v).withColumn(
+                "version", F.lit(v))
+            feed = part if feed is None else \
+                feed.unionByName(part, allowMissingColumns=True)
+        return feed
+
     def backfill_changes(self) -> list[int]:
         """Write commit-time recordings for retained versions that
         lack one (pre-r11 history, :func:`~.manifest.import_snapshot`
@@ -1030,9 +1103,13 @@ class ParquetUpsertTable:
                 continue
             old = self.read_version(v - 1) if v > 0 else None
             diff = self._diff_frames(old, self.read_version(v))
+            if self.record_change_values:
+                diff = self._attach_values(diff, self.read_version(v))
             tmp = os.path.join(self._data_dir(v),
                                f"_changes.tmp-{uuid.uuid4().hex[:8]}")
-            out = diff.select(*self.key_cols, "change_type")
+            lead = [*self.key_cols, "change_type"]
+            out = diff.select(
+                *lead, *[c for c in diff.columns if c not in lead])
             out.write.mode("overwrite").parquet(tmp)
             if not self._has_parquet(tmp):
                 out.repartition(1).write.mode("overwrite").parquet(tmp)

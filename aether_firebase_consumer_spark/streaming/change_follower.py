@@ -76,13 +76,17 @@ class ChangeFeedFollower:
         os.replace(tmp, self.checkpoint_path)
 
     # -- consumption ----------------------------------------------------
-    def poll(self) -> tuple[DataFrame, int] | None:
+    def poll(self, values: bool = False) -> tuple[DataFrame, int] | None:
         """``(changes, up_to_version)`` for everything committed since
         the cursor, or None when caught up. Does NOT advance the
         cursor — re-polling before :meth:`commit` re-delivers the same
         batch (at-least-once). ``changes`` has the table's change-feed
         schema: key columns + ``change_type`` (insert/update/delete)
-        + ``version``."""
+        + ``version``; with ``values=True`` it additionally carries
+        the post-image value columns for inserts/updates
+        (:meth:`~.upsert.ParquetUpsertTable.change_feed_with_values`)
+        — what a derived-table maintainer needs to replicate without
+        re-reading the source."""
         cursor = self._read_cursor()
         if cursor is None:
             # the constructor wrote a cursor; None here means the
@@ -98,7 +102,9 @@ class ChangeFeedFollower:
         current = self.table.current_version()
         if current <= cursor:
             return None
-        return self.table.change_feed(cursor + 1), current
+        feed = (self.table.change_feed_with_values(cursor + 1) if values
+                else self.table.change_feed(cursor + 1))
+        return feed, current
 
     def commit(self, version: int) -> None:
         """Durably advance the cursor past ``version`` — call only
@@ -130,12 +136,12 @@ class ChangeFeedFollower:
         self.commit(current)
         return current
 
-    def process(self, handler) -> int | None:
+    def process(self, handler, values: bool = False) -> int | None:
         """One loop step: poll; if there are changes, run
         ``handler(changes_df, up_to_version)`` and commit. Returns the
         version processed up to, or None when caught up. A handler
         crash leaves the cursor untouched, so the batch re-delivers."""
-        got = self.poll()
+        got = self.poll(values=values)
         if got is None:
             return None
         changes, up_to = got
@@ -166,3 +172,45 @@ def propagate_deletes(follower: ChangeFeedFollower, job) -> int:
         state["n"] = job.delete(dead)
 
     return 0 if follower.process(handler) is None else state["n"]
+
+
+def mirror_changes(follower: ChangeFeedFollower,
+                   target) -> int | None:
+    """Derived-table maintenance from the feed ALONE (round 11): apply
+    one polled batch of value-carrying changes to ``target`` (another
+    :class:`~.upsert.ParquetUpsertTable` with the same key columns) —
+    MERGE the post-images, delete the tombstoned keys — and commit the
+    cursor. The source table must carry value recordings
+    (``record_change_values=True``) for this to stay O(changed rows);
+    keys-only feeds fall back to version-sized image derivation inside
+    ``changes_with_values``.
+
+    Per-key collapse first: one poll can span several versions, and a
+    key updated in v5 then deleted in v6 must end ABSENT — the same
+    latest-per-key-by-order rule the CDC tombstone mixin applies to
+    Kafka offsets (``streaming/cdc.py``), with the version as the
+    order. Deletes apply before merges (end-of-state semantics), and
+    both downstream ops are idempotent, so an at-least-once replay of
+    the batch converges — exactly-once EFFECT on the mirror.
+
+    Returns the version mirrored up to, or None when caught up. This
+    is log-shipped replication in the lake: the reference has nothing
+    like it (its sink is write-only, per-doc pushes with no history —
+    ``/root/reference/firebase/app/artifacts.py:302-327``)."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        latest_per_key,
+    )
+
+    keys = follower.table.key_cols
+
+    def handler(changes: DataFrame, _up_to: int) -> None:
+        final = latest_per_key(changes, keys, "version")
+        dead = (final.filter(F.col("change_type") == "delete")
+                .select(*keys))
+        live = (final.filter(F.col("change_type") != "delete")
+                .drop("change_type", "version"))
+        if not dead.isEmpty():
+            target.delete_keys(dead)
+        target.merge(live)
+
+    return follower.process(handler, values=True)

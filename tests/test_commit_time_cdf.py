@@ -273,3 +273,62 @@ def test_follower_bootstrap_after_retention_gap(spark, tmp_path):
         propagate_deletes,
     )
     assert propagate_deletes(f, job) == 1
+
+
+def test_change_values_and_mirror_replication(spark, tmp_path):
+    """Value-carrying CDF + mirror_changes: a second table is
+    maintained from the feed ALONE (no source re-read) and stays
+    row-identical to the source through merges, updates, per-key
+    update-then-delete across one poll, predicate deletes, and
+    optimize. The log-shipped-replication arc."""
+    from aether_firebase_consumer_spark.streaming.change_follower \
+        import mirror_changes
+
+    src = ParquetUpsertTable(spark, str(tmp_path / "src"), ["k"],
+                             partition_col="p", retain_versions=20,
+                             record_change_values=True)
+    dst = ParquetUpsertTable(spark, str(tmp_path / "dst"), ["k"],
+                             partition_col="p", retain_versions=5)
+    f = ChangeFeedFollower(src, str(tmp_path / "ckpt"), from_version=0)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k bigint, v string, p string")
+
+    def snap(t):
+        d = t.read()
+        return sorted((r.k, r.v, r.p) for r in d.collect()) \
+            if d is not None else []
+
+    src.merge(df([(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]))
+    assert mirror_changes(f, dst) == src.current_version()
+    assert snap(dst) == snap(src)
+
+    # post-image check: the update's recorded value is the NEW row
+    src.merge(df([(2, "B2", "x"), (4, "d", "z")]))
+    cv = src.changes_with_values(src.current_version())
+    got = {(r.k, r.change_type, r.v, r.p) for r in cv.collect()}
+    assert got == {(2, "update", "B2", "x"), (4, "insert", "d", "z")}
+
+    # several versions in ONE poll, incl. update-then-delete of key 4
+    # (must end absent) and a key moving partitions
+    src.merge(df([(4, "d2", "z"), (1, "a2", "y")]))   # update + move
+    src.delete_where(("k", "=", 4))
+    src.delete_keys(spark.createDataFrame([(3,)], "k bigint"))
+    src.optimize(num_files=2)
+    assert mirror_changes(f, dst) == src.current_version()
+    assert snap(dst) == snap(src)
+    assert mirror_changes(f, dst) is None            # caught up
+
+    # keys-only source still mirrors (image derivation fallback)
+    src2 = ParquetUpsertTable(spark, str(tmp_path / "src2"), ["k"],
+                              retain_versions=20)
+    dst2 = ParquetUpsertTable(spark, str(tmp_path / "dst2"), ["k"],
+                              retain_versions=5)
+    f2 = ChangeFeedFollower(src2, str(tmp_path / "ckpt2"),
+                            from_version=0)
+    src2.merge(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k bigint, v string"))
+    src2.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    assert mirror_changes(f2, dst2) == src2.current_version()
+    d2 = dst2.read()
+    assert sorted((r.k, r.v) for r in d2.collect()) == [(2, "b")]
