@@ -32,7 +32,16 @@ recovery path is :meth:`~.change_follower.ChangeFeedFollower.
 bootstrap`-style snapshot resync.
 
 Rows: ``key_cols..., change_type string, version bigint`` — the same
-schema ``ParquetUpsertTable.change_feed`` returns.
+schema ``ParquetUpsertTable.change_feed`` returns. With
+``.option("includeValues", "true")`` the non-key columns of the table
+(probed at stream start) are appended after the keys: post-image
+values for inserts/updates when the table records them
+(``record_change_values=True``), nulls otherwise and on deletes —
+``change_feed_with_values`` as a stream, enough to maintain a full
+mirror downstream (see ``tests/test_table_changes_source.py::
+test_streaming_mirror_include_values``). The source itself never
+derives images from a version read: it stays O(changed rows) by
+construction.
 
 The reference pushes every change 1-by-1 into its sink as it polls
 (``/root/reference/firebase/app/artifacts.py:302-327``) with no way
@@ -125,25 +134,48 @@ def _arrow_to_ddl(field) -> str:
 
 
 class ChangeVersionPartition(InputPartition):
-    """One table version's recorded change files."""
+    """One table version's recorded change files. ``value_fields`` is
+    a list of pickled-through ``pyarrow.Field``s for includeValues
+    streams — recordings from delete-only versions (or keys-only
+    tables) may lack value columns, and the executor must still emit
+    the DECLARED schema (missing columns null-filled with the right
+    arrow type)."""
 
     def __init__(self, files: list[str], version: int,
-                 key_cols: list[str]):
+                 key_cols: list[str], value_fields=None):
         self.files = files
         self.version = version
         self.key_cols = key_cols
+        self.value_fields = value_fields or []
 
 
 def _read_version_partition(p: ChangeVersionPartition) -> Iterator:
     import pyarrow as pa
     import pyarrow.parquet as pq
-    cols = list(p.key_cols) + ["change_type"]
+    names = (list(p.key_cols)
+             + [f.name for f in p.value_fields] + ["change_type"])
     for f in p.files:
-        tb = pq.read_table(f, columns=cols)
-        tb = tb.select(cols)  # enforce declared column order
-        tb = tb.append_column(
-            "version", pa.array([p.version] * len(tb), pa.int64()))
-        yield from tb.to_batches()
+        pf = pq.ParquetFile(f)
+        present = [c for c in names if c in pf.schema_arrow.names]
+        tb = pf.read(columns=present)
+        arrays, fields = [], []
+        want = {fd.name: fd for fd in p.value_fields}
+        for c in names:
+            if c in present:
+                col = tb.column(c)
+                fd = want.get(c)
+                if fd is not None and col.type != fd.type:
+                    col = col.cast(fd.type)  # schema-evolved recording
+                arrays.append(col)
+                fields.append(pa.field(c, col.type))
+            else:
+                fd = want[c]  # only value columns can be absent
+                arrays.append(pa.nulls(len(tb), fd.type))
+                fields.append(pa.field(c, fd.type))
+        arrays.append(pa.array([p.version] * len(tb), pa.int64()))
+        fields.append(pa.field("version", pa.int64()))
+        out = pa.table(arrays, schema=pa.schema(fields))
+        yield from out.to_batches()
 
 
 def _opts_path(options: dict) -> str:
@@ -163,10 +195,44 @@ def _opts_key_cols(options: dict) -> list[str]:
     return [c.strip() for c in kc.split(",") if c.strip()]
 
 
+def _opts_include_values(options: dict) -> bool:
+    v = options.get("includevalues") or options.get("includeValues")
+    return str(v).lower() == "true"
+
+
+def _data_probe_file(path: str, version: int) -> str | None:
+    """One data parquet file of ``version`` (for schema probing)."""
+    vdir = os.path.join(path, f"v{version}")
+    for root, dirs, names in os.walk(vdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                return os.path.join(root, n)
+    return None
+
+
+def _value_fields(path: str, key_cols: list[str]):
+    """The table's non-key columns as arrow fields, probed from the
+    current version's data — the value half of an includeValues
+    stream's schema, fixed at stream start (standard Spark source
+    behavior under evolution)."""
+    import pyarrow.parquet as pq
+    v = _version_of(path)
+    probe = _data_probe_file(path, v) if v >= 0 else None
+    if probe is None:
+        raise ValueError(
+            f"table_changes: no data file at version v{v} of {path} "
+            "to derive value columns from — pass .schema(...)")
+    arrow = pq.ParquetFile(probe).schema_arrow
+    return [f for f in arrow if f.name not in set(key_cols)]
+
+
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self._path = _opts_path(options)
         self._key_cols = _opts_key_cols(options)
+        self._value_fields = (_value_fields(self._path, self._key_cols)
+                              if _opts_include_values(options) else [])
         sv = options.get("startingversion") or \
             options.get("startingVersion")
         self._starting = None if sv is None else int(sv)
@@ -204,7 +270,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
         prev = self._floor if self._floor is not None else -(1 << 62)
         self._floor = max(prev, s, e)
         per_version = _require_recordings(self._path, s, e)
-        return [ChangeVersionPartition(files, v, self._key_cols)
+        return [ChangeVersionPartition(files, v, self._key_cols,
+                                       self._value_fields)
                 for v, files in sorted(per_version.items())]
 
     def read(self, partition: ChangeVersionPartition):
@@ -224,6 +291,8 @@ class TableChangesBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self._path = _opts_path(options)
         self._key_cols = _opts_key_cols(options)
+        self._value_fields = (_value_fields(self._path, self._key_cols)
+                              if _opts_include_values(options) else [])
         sv = options.get("startingversion") or \
             options.get("startingVersion")
         self._starting = int(sv) if sv is not None else 0
@@ -232,7 +301,8 @@ class TableChangesBatchReader(DataSourceReader):
         current = _version_of(self._path)
         per_version = _require_recordings(
             self._path, self._starting - 1, current)
-        return [ChangeVersionPartition(files, v, self._key_cols)
+        return [ChangeVersionPartition(files, v, self._key_cols,
+                                       self._value_fields)
                 for v, files in sorted(per_version.items())]
 
     def read(self, partition: ChangeVersionPartition):
@@ -282,6 +352,10 @@ class TableChangesDataSource(DataSource):
                 f"table_changes: key columns {missing} not present in "
                 f"{probe[0]} — wrong keyCols for this table?")
         ddl = ", ".join(_arrow_to_ddl(fields[c]) for c in key_cols)
+        if _opts_include_values(options):
+            vals = _value_fields(path, key_cols)
+            if vals:
+                ddl += ", " + ", ".join(_arrow_to_ddl(f) for f in vals)
         return f"{ddl}, change_type string, version bigint"
 
     def reader(self, schema) -> TableChangesBatchReader:

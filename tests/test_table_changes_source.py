@@ -138,6 +138,96 @@ def test_unrecorded_version_fails_loudly(spark, table, tmp_path):
         [(4, "insert", 3)]
 
 
+def test_batch_include_values_matches_feed(spark, tmp_path):
+    """includeValues=true on a value-carrying table reproduces
+    change_feed_with_values exactly: post-images on inserts/updates,
+    nulls on deletes — O(changed rows), no version read."""
+    register_table_changes(spark)
+    t = ParquetUpsertTable(spark, str(tmp_path / "tv"), ["k"],
+                           retain_versions=20,
+                           record_change_values=True)
+    t.merge(_kdf(spark, [(1, "a"), (2, "b")]))
+    t.merge(_kdf(spark, [(2, "B"), (3, "c")]))
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    got = _reader(spark, t, includeValues="true")
+    assert got.columns == ["k", "v", "change_type", "version"]
+    want = (t.change_feed_with_values(0)
+            .select("k", "v", "change_type", "version"))
+    assert sorted(map(tuple, got.collect()), key=repr) == \
+        sorted(map(tuple, want.collect()), key=repr)
+    # delete rows carry null values through the source too
+    assert [r.v for r in got.filter("change_type = 'delete'")
+            .collect()] == [None]
+
+
+def test_include_values_keys_only_recording_nullfills(spark, table):
+    """A table WITHOUT record_change_values has keys-only recordings;
+    an includeValues stream still emits the declared full schema, with
+    value columns null — the source never pays a version-sized read to
+    derive images (that derivation is change_feed_with_values' job)."""
+    t = table
+    t.merge(_kdf(spark, [(1, "a"), (2, "b")]))
+    got = _reader(spark, t, includeValues="true")
+    assert got.columns == ["k", "v", "change_type", "version"]
+    rows = got.collect()
+    assert sorted((r.k, r.change_type) for r in rows) == \
+        [(1, "insert"), (2, "insert")]
+    assert all(r.v is None for r in rows)
+
+
+def test_streaming_mirror_include_values(spark, tmp_path):
+    """Log-shipped replication as a STANDARD streaming query: an
+    includeValues table_changes stream drives a mirror table via
+    foreachBatch (latest-per-key collapse, delete-before-merge); a
+    checkpointed restart neither replays nor loses, and the mirror
+    ends row-identical to the source through updates and deletes."""
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        latest_per_key,
+    )
+    register_table_changes(spark)
+    src = ParquetUpsertTable(spark, str(tmp_path / "src"), ["k"],
+                             retain_versions=20,
+                             record_change_values=True)
+    mirror = ParquetUpsertTable(spark, str(tmp_path / "mir"), ["k"],
+                                retain_versions=5)
+    src.merge(_kdf(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    ckpt = str(tmp_path / "ck")
+
+    def apply_batch(df, epoch_id):
+        final = latest_per_key(df, ["k"], "version")
+        dead = (final.filter(F.col("change_type") == "delete")
+                .select("k"))
+        live = (final.filter(F.col("change_type") != "delete")
+                .drop("change_type", "version"))
+        if not dead.isEmpty():
+            mirror.delete_keys(dead)
+        mirror.merge(live)
+
+    def run_once():
+        q = (spark.readStream.format("table_changes")
+             .option("path", src.path).option("keyCols", "k")
+             .option("includeValues", "true")
+             .option("startingVersion", 0).load()
+             .writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    def snap(t):
+        return sorted(map(tuple, t.read().collect()))
+    assert snap(mirror) == snap(src)
+
+    # update + delete + insert across several versions, then restart:
+    # update-then-delete of k=2 must end ABSENT in the mirror
+    src.merge(_kdf(spark, [(1, "A"), (2, "b2")]))
+    src.merge(_kdf(spark, [(4, "d")]))
+    src.delete_keys(spark.createDataFrame([(2,)], "k bigint"))
+    run_once()
+    assert snap(mirror) == snap(src)
+    assert sorted(r.k for r in mirror.read().collect()) == [1, 3, 4]
+
+
 def test_e2e_takedown_stream_survives_restart(spark, tmp_path):
     """The production shape: corpus retention deletes flow through a
     checkpointed streaming query into the ANN index's pruned delete;
