@@ -291,23 +291,243 @@ def build_manifest(staged_dir: str, cols: list[str],
             "bloom_cols": list(bloom_cols or [])}
 
 
+# -- sharded manifests (round 11) -------------------------------------
+#
+# One JSON per version works until the file count does: the scale
+# probe (`tools/manifest_scale_probe.py`) measured a 1M-file manifest
+# at 1.8 GB / ~9 s to parse — and the flat writer RE-SERIALIZES every
+# entry on every commit even when the commit touched one partition.
+# Delta's answer is sharded parquet checkpoints; the equivalent here
+# is one shard JSON per hive partition directory under `_STATS.d/`,
+# with the root `_STATS.json` holding only per-shard file counts and
+# content signatures. Two costs become proportional to the work:
+#   * WRITE — a shard whose relpath set is unchanged from the parent
+#     version is HARDLINKED (same trick as the data files): zero
+#     parse, zero serialization; only touched shards are rebuilt.
+#   * READ — a probe carrying an equality predicate on the partition
+#     column parses only the shards whose DIRECTORY NAME admits it
+#     (`prune_files(..., partition_col=...)`); everything else stays
+#     unopened. Interval/bloom pruning then applies per file within
+#     the parsed shards, exactly as before.
+# Unpartitioned layouts keep the flat single-JSON format, and flat
+# manifests written before this change load and prune unchanged.
+
+_SHARD_DIR = "_STATS.d"
+
+
+def _shard_of(rel: str) -> str:
+    """Top-level hive partition dir of a relpath, or '' (root)."""
+    head, sep, _ = rel.partition(os.sep)
+    return head if sep and "=" in head else ""
+
+
+def _shard_fname(shard: str) -> str:
+    # shard names always contain '='; the root sentinel never does,
+    # so the two can't collide
+    return (shard or "__root__") + ".json"
+
+
+def _shard_sig(rels: list[str]) -> str:
+    """Content signature of a shard's file LIST (not stats): equal
+    sig ⇒ identical relpaths ⇒ every entry inherits verbatim, so the
+    parent's shard JSON is byte-correct for the child too."""
+    import hashlib
+    h = hashlib.md5()
+    for r in sorted(rels):
+        h.update(r.encode("utf-8"))
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+class ShardedManifest:
+    """Lazy view over a sharded per-version manifest. Shard file→stats
+    maps parse on first touch; ``loaded`` records which shards paid a
+    parse (tests pin the only-my-shard claim). ``get``/``[]`` keep the
+    flat-dict contract (``man["files"]`` merges all shards) for
+    callers that want the whole file list."""
+
+    def __init__(self, version_dir: str, doc: dict):
+        self._dir = version_dir
+        self._doc = doc
+        self.shards: dict = doc.get("shards", {})
+        self.loaded: set = set()
+        self._cache: dict = {}
+        self._all: dict | None = None
+
+    def shard_path(self, shard: str) -> str:
+        return os.path.join(self._dir, _SHARD_DIR, _shard_fname(shard))
+
+    def shard_files(self, shard: str) -> dict:
+        files = self._cache.get(shard)
+        if files is None:
+            # load_manifest verified every declared shard exists, so a
+            # read failure here is real corruption — raise rather than
+            # silently treating the shard as empty (the manifest is
+            # the authoritative file list; an "empty" shard would DROP
+            # its files from pruned reads)
+            with open(self.shard_path(shard)) as fh:
+                files = json.load(fh).get("files", {})
+            self._cache[shard] = files
+            self.loaded.add(shard)
+        return files
+
+    @property
+    def total_files(self) -> int:
+        return sum(m.get("n", 0) for m in self.shards.values())
+
+    def _all_files(self) -> dict:
+        if self._all is None:
+            merged: dict = {}
+            for s in self.shards:
+                merged.update(self.shard_files(s))
+            self._all = merged
+        return self._all
+
+    def get(self, key, default=None):
+        if key == "files":
+            return self._all_files()
+        return self._doc.get(key, default)
+
+    def __getitem__(self, key):
+        if key == "files":
+            return self._all_files()
+        return self._doc[key]
+
+    def __contains__(self, key) -> bool:
+        return key == "files" or key in self._doc
+
+
+def _shard_admits(shard: str, partition_col: str | None,
+                  predicates: list[tuple]) -> bool:
+    """Name-level shard pruning: False only when the hive directory
+    name PROVES no row under it satisfies the conjunction. Only
+    equality ops on the partition column prune (range ops would need
+    a typed compare against a string dir name — keep). Exactness: the
+    dir name is Spark's %-escaped rendering of the partition value;
+    unescaping and comparing against ``hive_partition_value(literal)``
+    is the same value→string map the merge path trusts for partition
+    identity, and the null directory never equi-matches anything
+    (SQL: ``pc = x`` is never true for null pc)."""
+    if not shard or not partition_col:
+        return True
+    col, _, dirval = shard.partition("=")
+    if col != partition_col:
+        return True
+    from urllib.parse import unquote
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HIVE_DEFAULT_PARTITION,
+        hive_partition_value,
+    )
+    is_null_dir = dirval == HIVE_DEFAULT_PARTITION
+    val = None if is_null_dir else unquote(dirval)
+    for c, op, v in predicates:
+        if c != partition_col:
+            continue
+        if op in ("=", "=="):
+            if is_null_dir or hive_partition_value(v) != val:
+                return False
+        elif op == "in":
+            if is_null_dir or \
+                    val not in {hive_partition_value(x) for x in v}:
+                return False
+    return True
+
+
+def _write_sharded(staged_dir: str, cols: list[str],
+                   bloom_cols: list[str] | None,
+                   by_shard: dict, parent) -> None:
+    sdir = os.path.join(staged_dir, _SHARD_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    parent_sharded = isinstance(parent, ShardedManifest)
+    parent_by_shard: dict = {}
+    if parent is not None and not parent_sharded:
+        # one-time transition from a flat parent: group its entries
+        for rel, e in parent.get("files", {}).items():
+            parent_by_shard.setdefault(_shard_of(rel), {})[rel] = e
+    shards_meta: dict = {}
+    for shard, rels in by_shard.items():
+        sig = _shard_sig(rels)
+        out = os.path.join(sdir, _shard_fname(shard))
+        pmeta = parent.shards.get(shard) if parent_sharded else None
+        if pmeta is not None and pmeta.get("sig") == sig:
+            try:
+                # identical file list → inherit the shard VERBATIM as
+                # a hardlink: zero parse, zero serialization — the
+                # manifest-side twin of the data files' carry
+                os.link(parent.shard_path(shard), out)
+                shards_meta[shard] = dict(pmeta)
+                continue
+            except OSError:
+                pass  # cross-device / missing: rebuild below
+        if parent_sharded and pmeta is not None:
+            pfiles = parent.shard_files(shard)
+        else:
+            pfiles = parent_by_shard.get(shard, {})
+        files: dict = {}
+        for rel in rels:
+            if rel in pfiles:
+                files[rel] = pfiles[rel]
+            else:
+                full = os.path.join(staged_dir, rel)
+                entry = file_column_stats(full, cols)
+                if bloom_cols:
+                    bl = file_blooms(full, bloom_cols)
+                    if bl:
+                        entry["__bloom__"] = bl
+                files[rel] = entry
+        with open(out, "w") as fh:
+            json.dump({"files": files}, fh)
+        shards_meta[shard] = {"n": len(rels), "sig": sig}
+    root = {"cols": list(cols), "bloom_cols": list(bloom_cols or []),
+            "sharded": True, "shards": shards_meta}
+    with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
+        json.dump(root, fh)
+
+
 def write_manifest(staged_dir: str, cols: list[str],
                    parent_dir: str | None,
                    bloom_cols: list[str] | None = None) -> None:
     parent = load_manifest(parent_dir) if parent_dir else None
-    manifest = build_manifest(staged_dir, cols, parent, bloom_cols)
-    with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
+    by_shard: dict = {}
+    for root, dirs, names in os.walk(staged_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in names:
+            if name.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, name),
+                                      staged_dir)
+                by_shard.setdefault(_shard_of(rel), []).append(rel)
+    if set(by_shard) <= {""}:
+        # unpartitioned layout: flat single-JSON manifest
+        manifest = build_manifest(staged_dir, cols, parent, bloom_cols)
+        with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        return
+    _write_sharded(staged_dir, cols, bloom_cols, by_shard, parent)
 
 
-def load_manifest(version_dir: str | None) -> dict | None:
+def load_manifest(version_dir: str | None):
+    """The version's manifest: a flat dict (unpartitioned / pre-shard
+    format) or a lazy :class:`ShardedManifest`. None when absent or
+    structurally incomplete — skipping then degrades to a full
+    filtered read, which is always correct."""
     if not version_dir:
         return None
     try:
         with open(os.path.join(version_dir, _MANIFEST)) as fh:
-            return json.load(fh)
+            doc = json.load(fh)
     except OSError:
         return None
+    if not doc.get("sharded"):
+        return doc
+    sdir = os.path.join(version_dir, _SHARD_DIR)
+    try:
+        have = set(os.listdir(sdir))
+    except OSError:
+        return None
+    if any(_shard_fname(s) not in have for s in doc.get("shards", {})):
+        return None  # partial/corrupt: the file list can't be trusted
+    return ShardedManifest(version_dir, doc)
 
 
 def _norm(x) -> tuple | None:
@@ -367,12 +587,27 @@ def keeps(stats: dict, col: str, op: str, value) -> bool:
     return mn <= value <= mx  # "=" / "=="
 
 
-def prune_files(manifest: dict,
-                predicates: list[tuple]) -> tuple[list[str], int]:
+def prune_files(manifest, predicates: list[tuple],
+                partition_col: str | None = None) -> tuple[list[str],
+                                                           int]:
     """Relpaths whose stats admit the conjunction of
     ``(col, op, value)`` predicates, plus the version's total file
-    count."""
+    count. On a :class:`ShardedManifest`, shards whose directory name
+    excludes an equality predicate on ``partition_col`` are pruned
+    WITHOUT being parsed — a point probe on a 10k-partition table
+    parses one shard, not one 1.8 GB document."""
+    preds = list(predicates)
+    if isinstance(manifest, ShardedManifest):
+        kept = []
+        for shard in manifest.shards:
+            if not _shard_admits(shard, partition_col, preds):
+                continue
+            kept += [rel for rel, stats
+                     in manifest.shard_files(shard).items()
+                     if all(keeps(stats, c, op, v)
+                            for c, op, v in preds)]
+        return sorted(kept), manifest.total_files
     files = manifest.get("files", {})
     kept = [rel for rel, stats in files.items()
-            if all(keeps(stats, c, op, v) for c, op, v in predicates)]
+            if all(keeps(stats, c, op, v) for c, op, v in preds)]
     return sorted(kept), len(files)

@@ -292,7 +292,8 @@ class ParquetUpsertTable:
         manifest = load_manifest(self._data_dir(v))
         if manifest is None:
             return None
-        kept, total = prune_files(manifest, list(predicates))
+        kept, total = prune_files(manifest, list(predicates),
+                                  partition_col=self.partition_col)
         return v, kept, total
 
     def read_where(self, *predicates: tuple) -> DataFrame | None:
@@ -473,7 +474,8 @@ class ParquetUpsertTable:
             if mn is None or mx is None:
                 return full  # all-null key col: nothing provable
             preds += [(k, ">=", mn), (k, "<=", mx)]
-        kept, total = prune_files(manifest, preds)
+        kept, total = prune_files(manifest, preds,
+                                  partition_col=self.partition_col)
         self.last_moved_scan = (len(kept), total)
         if not kept:
             return None
@@ -728,7 +730,8 @@ class ParquetUpsertTable:
         base = self._data_dir(parent)
         manifest = load_manifest(base)
         plan = None if manifest is None else \
-            (parent, *prune_files(manifest, list(predicates)))
+            (parent, *prune_files(manifest, list(predicates),
+                                  partition_col=self.partition_col))
         if plan is not None:
             _v, kept, total = plan
             if not kept:

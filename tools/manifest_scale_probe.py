@@ -86,6 +86,70 @@ def time_synthetic(n_files: int) -> dict:
             "point_kept": len(kept_pt), "total": total}
 
 
+def write_sharded_synthetic(n_files: int, n_shards: int,
+                            root: str) -> None:
+    """The same synthetic entries laid out in the round-11 SHARDED
+    format: one JSON per partition dir under _STATS.d plus the root
+    counts+sigs doc — what `write_manifest` produces for a
+    partitioned table."""
+    import hashlib
+
+    bloom = build_bloom(range(1000))
+    os.makedirs(os.path.join(root, "_STATS.d"), exist_ok=True)
+    shards_meta = {}
+    for s in range(n_shards):
+        files = {}
+        rels = []
+        for i in range(s, n_files, n_shards):
+            lo = i * 1000
+            rel = f"p={s}/part-{i:06d}.parquet"
+            rels.append(rel)
+            files[rel] = {"k": [lo, lo + 999],
+                          "ts": [{"us": lo * 1_000_000},
+                                 {"us": (lo + 1000) * 1_000_000}],
+                          "__bloom__": {"k": bloom}}
+        h = hashlib.md5()
+        for r in sorted(rels):
+            h.update(r.encode())
+            h.update(b"\0")
+        with open(os.path.join(root, "_STATS.d", f"p={s}.json"),
+                  "w") as fh:
+            json.dump({"files": files}, fh)
+        shards_meta[f"p={s}"] = {"n": len(rels), "sig": h.hexdigest()}
+    with open(os.path.join(root, "_STATS.json"), "w") as fh:
+        json.dump({"cols": ["k", "ts"], "bloom_cols": ["k"],
+                   "sharded": True, "shards": shards_meta}, fh)
+
+
+def time_sharded(n_files: int, n_shards: int = 1024) -> dict:
+    """End-to-end sharded point probe: load root doc + parse ONLY the
+    admitted shard — the cost a partition-equality takedown lookup
+    pays on a table of ``n_files`` total files."""
+    from aether_firebase_consumer_spark.sinks.stats import (
+        load_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="manifest_shard_probe_")
+    write_sharded_synthetic(n_files, n_shards, root)
+    # file 0 (shard p=0) covers k∈[0,999] and the representative
+    # bloom was built over range(1000), so k=5 both interval- and
+    # bloom-admits exactly that one file — the probe returns kept=1
+    target, some_k = 0, 5
+    t0 = time.perf_counter()
+    man = load_manifest(root)
+    kept, total = prune_files(
+        man, [("p", "=", target), ("k", "=", some_k)],
+        partition_col="p")
+    dt = time.perf_counter() - t0
+    assert man.loaded == {f"p={target}"}, man.loaded
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    return {"tier": "sharded", "n_files": n_files,
+            "n_shards": n_shards,
+            "point_probe_s": round(dt, 3),
+            "shards_parsed": 1, "kept": len(kept), "total": total}
+
+
 def time_real(spark, n_partitions: int = 256) -> dict:
     from pyspark.sql import functions as F
     from aether_firebase_consumer_spark.sinks.upsert import (
@@ -108,6 +172,7 @@ def time_real(spark, n_partitions: int = 256) -> dict:
 
 def main() -> None:
     out = [time_synthetic(n) for n in (10_000, 100_000, 1_000_000)]
+    out += [time_sharded(n) for n in (10_000, 100_000, 1_000_000)]
     if "--no-spark" not in sys.argv:
         from aether_firebase_consumer_spark.session import get_spark
         out.append(time_real(get_spark("manifest_probe")))
