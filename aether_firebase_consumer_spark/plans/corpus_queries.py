@@ -728,10 +728,10 @@ def docs_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDF_TABLE: dict[str, object] = {}
 
-
-@register(
-    "docs_change_feed_recorded",
-    oracle="""
+#: shared by ``docs_change_feed_recorded`` (table-API read) and
+#: ``docs_table_changes_source`` (DataSource read): both read paths
+#: must agree with the same SQL re-derivation of the op script.
+_CDF_FEED_ORACLE = """
     WITH base AS (
       SELECT doc_id, lang, n_chars FROM documents
     ),
@@ -766,8 +766,10 @@ _CDF_TABLE: dict[str, object] = {}
            MAX(doc_id) AS max_id
     FROM feed
     GROUP BY version, change_type
-    """,
-)
+    """
+
+
+@register("docs_change_feed_recorded", oracle=_CDF_FEED_ORACLE)
 def docs_change_feed_recorded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-time change-data-feed (round 11): a lang-partitioned
     ``ParquetUpsertTable`` of the documents corpus runs a fixed op
@@ -787,6 +789,14 @@ def docs_change_feed_recorded(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/firebase/app/artifacts.py:302-327). Table builds
     once per (process, sf_dir) — the persisted-index-query
     convention; repeated runs measure the recorded-feed read."""
+    feed = _cdf_fixture(spark, sf_dir).change_feed(0)
+    return _cdf_agg(feed)
+
+
+def _cdf_fixture(spark: SparkSession, sf_dir: str):
+    """The shared CDF fixture table (op script in
+    :func:`docs_change_feed_recorded`'s docstring), built once per
+    (process, sf_dir)."""
     import tempfile
 
     from aether_firebase_consumer_spark.sinks.upsert import (
@@ -815,10 +825,40 @@ def docs_change_feed_recorded(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors = table.read().filter(F.col("doc_id") % 101 == 0)
         table.delete_keys(survivors.select("doc_id", "lang"))  # v3
         _CDF_TABLE[sf_dir] = table
-    feed = table.change_feed(0)
+    return table
+
+
+def _cdf_agg(feed: DataFrame) -> DataFrame:
     return (feed.groupBy(F.col("version").cast("bigint").alias("version"),
                          "change_type")
             .agg(F.count("*").cast("bigint").alias("n_changes"),
                  F.sum("doc_id").cast("bigint").alias("sum_id"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+@register("docs_table_changes_source", oracle=_CDF_FEED_ORACLE)
+def docs_table_changes_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The same recorded change feed read through the
+    ``table_changes`` Python DataSource (round 11 —
+    ``streaming/table_changes_source.py``): ``spark.read.format(
+    "table_changes")`` plans one InputPartition per version holding
+    that version's ``_changes/`` recording and reads them via pyarrow
+    on the executors — the batch twin of the streaming source whose
+    checkpointed cursor drives downstream index maintenance. Sharing
+    :data:`_CDF_FEED_ORACLE` with ``docs_change_feed_recorded`` pins
+    BOTH read paths (table API and DataSource) to the same SQL
+    re-derivation of the op script, so a drift in either one fails
+    its gate. The aggregation is identical; only the scan differs."""
+    from aether_firebase_consumer_spark.streaming.table_changes_source import (  # noqa: E501
+        register_table_changes,
+    )
+
+    table = _cdf_fixture(spark, sf_dir)
+    register_table_changes(spark)
+    feed = (spark.read.format("table_changes")
+            .option("path", table.path)
+            .option("keyCols", "doc_id")
+            .option("startingVersion", 0).load())
+    return _cdf_agg(feed)

@@ -162,7 +162,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_stats_skipped_scan",
          "docs_point_lookup_bloom",
          # r11 headliners
-         "docs_change_feed_recorded")
+         "docs_change_feed_recorded",
+         "docs_table_changes_source")
 
 
 def headline_names() -> list[str]:
