@@ -621,6 +621,31 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_TABLE: dict[str, object] = {}
 
 
+def _stats_fixture(spark: SparkSession, sf_dir: str):
+    """The shared stats-manifest fixture: raw documents in a
+    lang-partitioned ``ParquetUpsertTable`` with an ``n_chars``
+    interval manifest, zorder-optimized so per-file ranges are
+    narrow; built once per (process, sf_dir)."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+
+    table = _STATS_TABLE.get(sf_dir)
+    if table is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_stats_idx_")
+        table = ParquetUpsertTable(spark, root, ["doc_id"],
+                                   partition_col="lang",
+                                   stats_cols=["n_chars"])
+        table.merge(docs)
+        table.optimize(zorder_cols=["n_chars"])
+        _STATS_TABLE[sf_dir] = table
+    return table
+
+
 @register(
     "docs_stats_skipped_scan",
     oracle="""
@@ -649,25 +674,8 @@ def docs_stats_skipped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table builds once per (process, sf_dir), the convention of the
     other persisted-index queries: in production it persists, so
     repeated runs measure the skipped scan."""
-    import tempfile
-
-    from aether_firebase_consumer_spark.sinks.upsert import (
-        ParquetUpsertTable,
-    )
-
-    table = _STATS_TABLE.get(sf_dir)
-    if table is None:
-        docs = load_table(spark, sf_dir, "documents") \
-            .select("doc_id", "lang", "n_chars")
-        root = tempfile.mkdtemp(prefix="docs_stats_idx_")
-        table = ParquetUpsertTable(spark, root, ["doc_id"],
-                                   partition_col="lang",
-                                   stats_cols=["n_chars"])
-        table.merge(docs)
-        table.optimize(zorder_cols=["n_chars"])
-        _STATS_TABLE[sf_dir] = table
-    pruned = table.read_where(("n_chars", ">=", 400),
-                              ("n_chars", "<", 900))
+    pruned = _stats_fixture(spark, sf_dir).read_where(
+        ("n_chars", ">=", 400), ("n_chars", "<", 900))
     return (pruned.groupBy("lang")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("sum_chars"),
@@ -835,6 +843,37 @@ def _cdf_agg(feed: DataFrame) -> DataFrame:
                  F.sum("doc_id").cast("bigint").alias("sum_id"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+@register(
+    "docs_metadata_rowcounts",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def docs_metadata_rowcounts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """``SELECT lang, COUNT(*) GROUP BY lang`` answered from the
+    sharded stats manifest's ROOT DOCUMENT alone (round 11 —
+    ``ParquetUpsertTable.partition_row_counts``): per-shard exact row
+    sums recorded from parquet footers at commit time, so the count
+    opens ZERO data files and parses ZERO shards — the Delta-style
+    metadata answer a 100 TB ``COUNT(*)`` wants (Spark's own
+    count-star still scans footers file by file; this is one driver
+    JSON read regardless of table size). Exactness: the manifest file
+    list is authoritative, footer counts are exact, hardlink carry
+    preserves content, and every row under ``lang=v`` has lang = v by
+    layout — pinned here against DuckDB's real scan. Reuses the
+    ``docs_stats_skipped_scan`` fixture table (raw documents merged +
+    zorder-optimized; builds once per process)."""
+    table = _stats_fixture(spark, sf_dir)
+    counts = table.partition_row_counts()
+    return spark.createDataFrame(
+        [(lang, int(n)) for lang, n in counts],
+        "lang string, n_docs bigint")
 
 
 @register("docs_table_changes_source", oracle=_CDF_FEED_ORACLE)

@@ -198,7 +198,10 @@ def bloom_might_contain(bloom: dict, value) -> bool:
 def file_column_stats(file_path: str, cols: list[str]) -> dict:
     """``{col: [min, max]}`` for ``cols`` from one parquet file's
     footer — metadata only, no data pages. Columns whose bounds can't
-    be trusted are omitted (the file is then never skipped on them)."""
+    be trusted are omitted (the file is then never skipped on them).
+    The reserved ``__rows__`` key records the footer's exact row
+    count — free here, and it makes the manifest answer COUNT(*) (and
+    per-partition counts, via the shard meta) without any scan."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(file_path).metadata
@@ -234,7 +237,9 @@ def file_column_stats(file_path: str, cols: list[str]) -> dict:
                 lo[name] = mn
             if name not in hi or _bkey(mx) > _bkey(hi[name]):
                 hi[name] = mx
-    return {c: [lo[c], hi[c]] for c in lo if c in hi}
+    out = {c: [lo[c], hi[c]] for c in lo if c in hi}
+    out["__rows__"] = md.num_rows
+    return out
 
 
 def file_blooms(file_path: str, bloom_cols: list[str]) -> dict:
@@ -478,7 +483,14 @@ def _write_sharded(staged_dir: str, cols: list[str],
                 files[rel] = entry
         with open(out, "w") as fh:
             json.dump({"files": files}, fh)
-        shards_meta[shard] = {"n": len(rels), "sig": sig}
+        meta = {"n": len(rels), "sig": sig}
+        if all("__rows__" in e for e in files.values()):
+            # exact shard row count from footer metadata — lets the
+            # root doc answer COUNT(*) / per-partition counts without
+            # opening a single shard (entries inherited from pre-rows
+            # manifests may lack it; then the shard just doesn't know)
+            meta["rows"] = sum(e["__rows__"] for e in files.values())
+        shards_meta[shard] = meta
     root = {"cols": list(cols), "bloom_cols": list(bloom_cols or []),
             "sharded": True, "shards": shards_meta}
     with open(os.path.join(staged_dir, _MANIFEST), "w") as fh:
@@ -585,6 +597,55 @@ def keeps(stats: dict, col: str, op: str, value) -> bool:
     if op == ">=":
         return mx >= value
     return mn <= value <= mx  # "=" / "=="
+
+
+def row_count(manifest) -> int | None:
+    """Exact total row count from metadata alone — the manifest's
+    file list is authoritative and parquet footer row counts are
+    exact, so this is COUNT(*) with zero file scans. None when any
+    entry predates row recording (callers fall back to a real
+    count)."""
+    if isinstance(manifest, ShardedManifest):
+        total = 0
+        for m in manifest.shards.values():
+            r = m.get("rows")
+            if r is None:
+                return None
+            total += r
+        return total
+    total = 0
+    for st in manifest.get("files", {}).values():
+        r = st.get("__rows__")
+        if r is None:
+            return None
+        total += r
+    return total
+
+
+def partition_row_counts(manifest) -> list[tuple] | None:
+    """``[(partition value STRING, exact rows), ...]`` straight from
+    the sharded root doc — ``SELECT pc, COUNT(*) GROUP BY pc`` with
+    zero file opens (exact because every row under ``pc=v`` has
+    pc = v by layout). The null partition reports value None. None on
+    flat manifests, root-level files, or pre-rows shard meta; typed
+    reconstruction of the value string is the caller's job."""
+    if not isinstance(manifest, ShardedManifest):
+        return None
+    from urllib.parse import unquote
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        HIVE_DEFAULT_PARTITION,
+    )
+    out = []
+    for shard, m in sorted(manifest.shards.items()):
+        r = m.get("rows")
+        if r is None or not shard:
+            return None
+        _, _, dirval = shard.partition("=")
+        val = None if dirval == HIVE_DEFAULT_PARTITION \
+            else unquote(dirval)
+        out.append((val, r))
+    return out
 
 
 def prune_files(manifest, predicates: list[tuple],

@@ -324,6 +324,44 @@ class ParquetUpsertTable:
               .parquet(*[os.path.join(base, r) for r in kept]))
         return df.filter(cond) if cond is not None else df
 
+    def row_count(self) -> int | None:
+        """Exact ``COUNT(*)`` of the current version from the stats
+        manifest alone — zero file scans (the manifest file list is
+        authoritative; parquet footer row counts are exact; hardlink
+        carry preserves content byte-for-byte). None when the version
+        has no manifest or predates row recording — fall back to
+        ``read().count()``. The Delta-style metadata answer a 100 TB
+        ``SELECT COUNT(*)`` wants."""
+        from aether_firebase_consumer_spark.sinks.stats import (
+            load_manifest,
+            row_count,
+        )
+
+        v = self.current_version()
+        if v < 0:
+            return None
+        manifest = load_manifest(self._data_dir(v))
+        return None if manifest is None else row_count(manifest)
+
+    def partition_row_counts(self) -> list[tuple] | None:
+        """``[(partition value STRING, exact rows), ...]`` of the
+        current version from the sharded manifest's root doc — a
+        ``GROUP BY partition_col`` count with zero file opens. The
+        null partition reports value None; reconstructing the typed
+        partition value from its hive string is the caller's job.
+        None when unavailable (no manifest / flat layout)."""
+        from aether_firebase_consumer_spark.sinks.stats import (
+            load_manifest,
+            partition_row_counts,
+        )
+
+        v = self.current_version()
+        if v < 0:
+            return None
+        manifest = load_manifest(self._data_dir(v))
+        return None if manifest is None else \
+            partition_row_counts(manifest)
+
     # -- change recording (commit-time CDF, round 11) --------------------
     #
     # changes(v) used to be a full-outer join of two COMPLETE versions —

@@ -163,7 +163,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_point_lookup_bloom",
          # r11 headliners
          "docs_change_feed_recorded",
-         "docs_table_changes_source")
+         "docs_table_changes_source",
+         "docs_metadata_rowcounts")
 
 
 def headline_names() -> list[str]:

@@ -50,7 +50,8 @@ def test_partitioned_table_writes_sharded_layout(spark, tmp_path):
         root = json.load(fh)
     assert root["sharded"] is True
     assert set(root["shards"]) == {f"p={i}" for i in range(4)}
-    assert all(set(m) == {"n", "sig"} for m in root["shards"].values())
+    assert all(set(m) == {"n", "sig", "rows"}
+               for m in root["shards"].values())
     shard_files = set(os.listdir(os.path.join(vdir, "_STATS.d")))
     assert shard_files == {f"p={i}.json" for i in range(4)}
     # flat-dict compat: man["files"] is the authoritative file list
@@ -218,6 +219,62 @@ def test_optimize_rebuilds_touched_shards(spark, tmp_path):
     assert set(man["files"]) == _on_disk(vdir)
     got = sorted(r.k for r in t.read_where(("k", ">=", 200)).collect())
     assert got == sorted(200 + i for i in range(8))
+
+
+def test_metadata_row_counts(spark, tmp_path):
+    """COUNT(*) and GROUP BY partition counts from the manifest alone
+    — exact through merges, deletes, null partitions, and OPTIMIZE;
+    no file is opened (the counts come from root-doc sums)."""
+    rows = [(i, i % 3, f"v{i}") for i in range(30)] + \
+        [(90, None, "np"), (91, None, "np2")]
+    t = _mk(spark, tmp_path, rows=rows)
+
+    def check(t):
+        assert t.row_count() == t.read().count()
+        got = dict(t.partition_row_counts())
+        want = {(None if r.p is None else str(r.p)): r.n for r in
+                t.read().groupBy("p").agg(
+                    F.count("*").alias("n")).collect()}
+        assert got == want
+
+    check(t)
+    # the root doc alone answers: no shard is ever parsed
+    man = load_manifest(t._data_dir(t.current_version()))
+    from aether_firebase_consumer_spark.sinks.stats import (
+        partition_row_counts as prc,
+        row_count as rc,
+    )
+    assert rc(man) == 32 and len(prc(man)) == 4
+    assert man.loaded == set()
+    # counts track merges (update + insert), deletes, and optimize
+    t.merge(spark.createDataFrame([(0, 0, "upd"), (200, 1, "ins")],
+                                  "k bigint, p int, v string"))
+    check(t)
+    t.delete_where(("p", "=", 2))
+    check(t)
+    t.delete_keys(spark.createDataFrame([(91,)], "k bigint"))
+    check(t)
+    t.optimize()
+    check(t)
+
+
+def test_flat_row_count(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "f"), ["k"],
+                           stats_cols=["k"])
+    t.merge(spark.createDataFrame([(i, "x") for i in range(25)],
+                                  "k bigint, v string"))
+    assert t.row_count() == 25
+    assert t.partition_row_counts() is None  # flat: no shard meta
+    # pre-rows manifests answer None, never a wrong count
+    import json as _json
+    vdir = t._data_dir(t.current_version())
+    with open(os.path.join(vdir, "_STATS.json")) as fh:
+        doc = _json.load(fh)
+    for st in doc["files"].values():
+        st.pop("__rows__", None)
+    with open(os.path.join(vdir, "_STATS.json"), "w") as fh:
+        _json.dump(doc, fh)
+    assert t.row_count() is None
 
 
 def test_point_lookup_bloom_on_sharded(spark, tmp_path):
