@@ -113,9 +113,12 @@ def _require_recordings(path: str, start: int, end: int) -> dict:
     return out
 
 
-def _arrow_to_ddl(field) -> str:
+def _arrow_type_ddl(t) -> str | None:
+    """Spark DDL for an arrow type, or None when unmapped (the
+    caller raises with the column name). Lists recurse — an
+    includeValues stream over an embedding table needs
+    ``array<double>`` value columns."""
     import pyarrow as pa
-    t = field.type
     m = {pa.int8(): "tinyint", pa.int16(): "smallint",
          pa.int32(): "int", pa.int64(): "bigint",
          pa.float32(): "float", pa.float64(): "double",
@@ -123,14 +126,25 @@ def _arrow_to_ddl(field) -> str:
          pa.binary(): "binary", pa.large_binary(): "binary",
          pa.bool_(): "boolean", pa.date32(): "date"}
     if t in m:
-        return f"{field.name} {m[t]}"
+        return m[t]
     if pa.types.is_timestamp(t):
-        return f"{field.name} timestamp"
+        return "timestamp"
     if pa.types.is_decimal(t):
-        return f"{field.name} decimal({t.precision},{t.scale})"
-    raise ValueError(
-        f"table_changes: key column {field.name!r} has arrow type "
-        f"{t} — pass an explicit .schema(...) for this table")
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _arrow_type_ddl(t.value_type)
+        return None if inner is None else f"array<{inner}>"
+    return None
+
+
+def _arrow_to_ddl(field) -> str:
+    ddl = _arrow_type_ddl(field.type)
+    if ddl is None:
+        raise ValueError(
+            f"table_changes: column {field.name!r} has arrow type "
+            f"{field.type} — pass an explicit .schema(...) for this "
+            "table")
+    return f"{field.name} {ddl}"
 
 
 class ChangeVersionPartition(InputPartition):

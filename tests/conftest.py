@@ -25,6 +25,7 @@ SLOW_MODULES = frozenset({
     "test_delete_propagation", "test_cdc_ingest", "test_stats_skipping",
     "test_change_follower", "test_commit_time_cdf",
     "test_table_changes_source", "test_manifest_shards",
+    "test_pipeline_full_arc",
     # kafka e2e (wire broker round-trips, group membership, txns)
     "test_kafka_py", "test_kafka_group", "test_kafka_transactions",
     "test_kafka_security", "test_kafka_real_broker",
