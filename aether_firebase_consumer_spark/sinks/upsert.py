@@ -1168,7 +1168,14 @@ class ParquetUpsertTable:
         produced it — what a downstream CDC consumer reads to catch up
         after being offline. With commit-time recordings (round 11)
         a catch-up of N versions reads N recorded change sets —
-        O(total changed rows), never a table rescan. Raises (via
+        O(total changed rows), never a table rescan — and when EVERY
+        version in range has a recording the plan is ONE multi-path
+        scan with the version parsed from the recording's directory
+        name (``/v{n}/_changes/``), not an N-way union: a consumer
+        thousands of versions behind gets a constant-size plan instead
+        of a plan that grows with its lag. Falls back to the
+        per-version loop (diff fallback, loud unrecorded-version
+        errors) when any recording is missing. Raises (via
         :meth:`changes`) if the range reaches an unrecorded version
         past the retention window, rather than silently skipping
         history."""
@@ -1176,9 +1183,30 @@ class ParquetUpsertTable:
         if current < 0 or from_version > current:
             raise ValueError(f"no versions in range [{from_version}, "
                              f"{current}]")
+        recs = []
+        for v in range(from_version, current + 1):
+            rec = os.path.join(self._data_dir(v), self._CHANGES_DIR)
+            if not self._has_parquet(rec):
+                recs = None
+                break
+            recs.append(rec)
+        if recs is not None:
+            # single scan; the LAST /v{n}/_changes/ segment is the
+            # version (a table root that itself contains such a
+            # segment can't confuse it)
+            ver = (F.element_at(
+                F.regexp_extract_all(
+                    F.input_file_name(),
+                    F.lit(r"/v(\d+)/_changes/"), F.lit(1)), -1)
+                .cast("long"))
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*recs)
+                    .select(*self.key_cols, "change_type")
+                    .withColumn("version", ver))
         feed = None
         for v in range(from_version, current + 1):
-            part = self.changes(v).withColumn("version", F.lit(v))
+            part = self.changes(v).withColumn(
+                "version", F.lit(v).cast("long"))
             feed = part if feed is None else feed.unionByName(part)
         return feed
 

@@ -222,6 +222,45 @@ def test_moved_key_scan_pruned_by_manifest_key_stats(spark, tmp_path):
         [(305, "update"), (710, "update")]
 
 
+def test_change_feed_single_scan_plan(spark, tmp_path):
+    """A fully-recorded range plans as ONE multi-path scan (version
+    parsed from the recording directory name), not an N-way union —
+    a consumer far behind gets a constant-size plan. Output is
+    row-identical to the per-version loop, and a recording gap falls
+    back to the loop (which still raises loudly where it should)."""
+    t = _t(spark, tmp_path / "t", partition_col="p")
+    for i in range(6):
+        t.merge(spark.createDataFrame([(i, i % 2, f"v{i}")],
+                                      "k bigint, p int, v string"))
+    t.delete_keys(spark.createDataFrame([(2,)], "k bigint"))
+    feed = t.change_feed(0)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # all 7 versions present with the right types and rows
+    rows = sorted((r.k, r.change_type, r.version)
+                  for r in feed.collect())
+    assert rows == [(0, "insert", 0), (1, "insert", 1),
+                    (2, "delete", 6), (2, "insert", 2),
+                    (3, "insert", 3), (4, "insert", 4),
+                    (5, "insert", 5)]
+    # loop fallback agrees where both paths are available
+    legacy = None
+    for v in range(0, t.current_version() + 1):
+        part = t.changes(v).withColumn("version",
+                                       F.lit(v).cast("long"))
+        legacy = part if legacy is None else legacy.unionByName(part)
+    assert rows == sorted((r.k, r.change_type, r.version)
+                          for r in legacy.collect())
+    # knock out one recording: the fallback unions + diffs instead
+    import shutil
+    shutil.rmtree(_recorded_dir(t, 3))
+    feed2 = t.change_feed(0)
+    plan2 = feed2._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan2
+    assert rows == sorted((r.k, r.change_type, r.version)
+                          for r in feed2.collect())
+
+
 def test_follower_bootstrap_after_retention_gap(spark, tmp_path):
     from tests.test_ann_ingest import (
         _df, _mk_job, _recompute_topk, _snap, _vec,
