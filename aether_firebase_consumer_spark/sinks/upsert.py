@@ -1101,6 +1101,46 @@ class ParquetUpsertTable:
         return self._attach_values(self.changes(version),
                                    self.read_version(version))
 
+    def _recording_value_safe(self, rec: str) -> bool:
+        """Can this recording be read VERBATIM as value-carrying
+        change rows? True when every file either has value columns
+        (delete rows inside them already carry nulls), is empty, or
+        provably holds only delete rows (parquet footer min==max==
+        'delete' on change_type) — then mergeSchema null-fill IS the
+        correct image set. A keys-only file that may hold live rows
+        (pre-``record_change_values`` history) returns False: its
+        images must be derived from the version read. Footers only —
+        no data pages."""
+        import pyarrow.parquet as pq
+
+        lead = set(self.key_cols) | {"change_type"}
+        try:
+            names = [n for n in os.listdir(rec)
+                     if n.endswith(".parquet")]
+        except OSError:
+            return False
+        for name in names:
+            pf = pq.ParquetFile(os.path.join(rec, name))
+            if any(c not in lead for c in pf.schema_arrow.names):
+                continue  # value-carrying file
+            md = pf.metadata
+            if md.num_rows == 0:
+                continue
+            ct = None
+            for ci in range(md.num_columns):
+                if md.row_group(0).column(ci).path_in_schema == \
+                        "change_type":
+                    ct = ci
+                    break
+            if ct is None:
+                return False
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ct).statistics
+                if s is None or not s.has_min_max or \
+                        s.min != "delete" or s.max != "delete":
+                    return False
+        return True
+
     def change_feed_with_values(self, from_version: int = 0) -> DataFrame:
         """:meth:`change_feed` with post-image values — what a
         derived-table maintainer consumes to replicate MERGE + DELETE
@@ -1108,15 +1148,40 @@ class ParquetUpsertTable:
         ``streaming/change_follower.py::mirror_changes``). Versions
         are unioned with missing columns as nulls (schema evolution:
         a column absent in an older version's recording is null
-        there)."""
+        there). Like :meth:`change_feed`, a range whose recordings are
+        all verbatim-readable (:meth:`_recording_value_safe`) plans as
+        ONE multi-path scan — constant plan size however far behind
+        the consumer is; any version needing image derivation falls
+        back to the per-version loop."""
         current = self.current_version()
         if current < 0 or from_version > current:
             raise ValueError(f"no versions in range [{from_version}, "
                              f"{current}]")
+        recs = []
+        for v in range(from_version, current + 1):
+            rec = os.path.join(self._data_dir(v), self._CHANGES_DIR)
+            if not self._has_parquet(rec) or \
+                    not self._recording_value_safe(rec):
+                recs = None
+                break
+            recs.append(rec)
+        if recs is not None:
+            ver = (F.element_at(
+                F.regexp_extract_all(
+                    F.input_file_name(),
+                    F.lit(r"/v(\d+)/_changes/"), F.lit(1)), -1)
+                .cast("long"))
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*recs).withColumn("version", ver))
+            tail = {"change_type", "version"}
+            vals = [c for c in df.columns
+                    if c not in set(self.key_cols) | tail]
+            return df.select(*self.key_cols, *vals,
+                             "change_type", "version")
         feed = None
         for v in range(from_version, current + 1):
             part = self.changes_with_values(v).withColumn(
-                "version", F.lit(v))
+                "version", F.lit(v).cast("long"))
             feed = part if feed is None else \
                 feed.unionByName(part, allowMissingColumns=True)
         return feed

@@ -261,6 +261,46 @@ def test_change_feed_single_scan_plan(spark, tmp_path):
                           for r in feed2.collect())
 
 
+def test_change_feed_with_values_single_scan(spark, tmp_path):
+    """The value feed also plans as ONE scan when every recording is
+    verbatim-readable (value-carrying, empty, or provably all-delete
+    by footer stats); a keys-only recording that may hold live rows
+    forces the derivation loop. Rows agree between the two paths."""
+    t = _t(spark, tmp_path / "t", record_change_values=True)
+    t.merge(spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "k bigint, v string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")],
+                                  "k bigint, v string"))
+    t.delete_keys(spark.createDataFrame([(1,)], "k bigint"))  # all-del
+    feed = t.change_feed_with_values(0)
+    assert feed.columns == ["k", "v", "change_type", "version"]
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    rows = sorted(map(tuple, feed.collect()), key=repr)
+    legacy = None
+    for v in range(0, t.current_version() + 1):
+        part = t.changes_with_values(v).withColumn(
+            "version", F.lit(v).cast("long"))
+        legacy = part if legacy is None else \
+            legacy.unionByName(part, allowMissingColumns=True)
+    assert rows == sorted(map(tuple, legacy.select(*feed.columns)
+                              .collect()), key=repr)
+    # delete rows carry nulls on the fast path too
+    assert [r.v for r in feed.filter("change_type = 'delete'")
+            .collect()] == [None]
+
+    # keys-only table with LIVE rows: images must be derived — the
+    # fast path must refuse and the loop must still be correct
+    t2 = _t(spark, tmp_path / "t2")  # no record_change_values
+    t2.merge(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    feed2 = t2.change_feed_with_values(0)
+    plan2 = feed2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2  # image derivation happened
+    assert sorted(map(tuple, feed2.select("k", "v", "change_type",
+                                          "version").collect())) == \
+        [(1, "a", "insert", 0)]
+
+
 def test_follower_bootstrap_after_retention_gap(spark, tmp_path):
     from tests.test_ann_ingest import (
         _df, _mk_job, _recompute_topk, _snap, _vec,
