@@ -274,20 +274,21 @@ class ParquetUpsertTable:
             cond = e if cond is None else cond & e
         return cond
 
-    def files_for(self, predicates: list[tuple]) -> tuple | None:
+    def files_for(self, predicates: list[tuple],
+                  version: int | None = None) -> tuple | None:
         """Data-skipping plan for a conjunction of ``(col, op,
         literal)`` predicates: ``(version, kept_relpaths,
-        total_files)`` from the current version's stats manifest, or
-        None when no manifest exists (older versions, or a table
-        without ``stats_cols``). Driver-side manifest lookup only —
-        no file is listed or opened."""
+        total_files)`` from the stats manifest of ``version`` (default
+        current), or None when no manifest exists (older versions, or
+        a table without ``stats_cols``). Driver-side manifest lookup
+        only — no file is listed or opened."""
         from aether_firebase_consumer_spark.sinks.stats import (
             load_manifest,
             prune_files,
         )
 
-        v = self.current_version()
-        if v < 0:
+        v = self.current_version() if version is None else version
+        if v < 0 or v not in self.versions():
             return None
         manifest = load_manifest(self._data_dir(v))
         if manifest is None:
@@ -296,7 +297,8 @@ class ParquetUpsertTable:
                                   partition_col=self.partition_col)
         return v, kept, total
 
-    def read_where(self, *predicates: tuple) -> DataFrame | None:
+    def read_where(self, *predicates: tuple,
+                   version: int | None = None) -> DataFrame | None:
         """Read with manifest-level file skipping: only files whose
         stats intervals admit the conjunction of ``(col, op,
         literal)`` predicates are handed to the scan, and the
@@ -304,11 +306,19 @@ class ParquetUpsertTable:
         EXACT regardless of manifest coverage (skipping is purely an
         I/O optimization; row-group pruning inside the kept files
         still applies on top). Falls back to a full filtered read when
-        the current version predates ``stats_cols``."""
+        the version predates ``stats_cols``. ``version`` time-travels
+        the skipped read to a retained version (every version carries
+        its own manifest, committed atomically with its data), raising
+        like :meth:`read_version` when it was vacuumed."""
         cond = self._pred_cond(predicates)
-        plan = self.files_for(predicates)
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version} vacuumed / not retained (have "
+                f"{self.versions()})")
+        plan = self.files_for(predicates, version=version)
         if plan is None:
-            df = self.read()
+            df = self.read() if version is None \
+                else self.read_version(version)
             if df is None:
                 return None
             return df.filter(cond) if cond is not None else df

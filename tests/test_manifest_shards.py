@@ -258,6 +258,37 @@ def test_metadata_row_counts(spark, tmp_path):
     check(t)
 
 
+def test_time_travel_read_where(spark, tmp_path):
+    """read_where(version=...) skips against THAT version's manifest
+    (committed atomically with its data): pre-delete state stays
+    queryable with pruning, results exact vs read_version + filter,
+    and a vacuumed version raises like read_version does."""
+    t = _mk(spark, tmp_path)
+    v0 = t.current_version()
+    t.delete_where(("p", "=", 1))
+    t.merge(spark.createDataFrame([(500, 2, "new")],
+                                  "k bigint, p int, v string"))
+
+    def want(v, cond):
+        return sorted(r.k for r in
+                      t.read_version(v).filter(cond).collect())
+
+    got0 = sorted(r.k for r in
+                  t.read_where(("p", "=", 1), version=v0).collect())
+    assert got0 == want(v0, "p = 1") and len(got0) == 10
+    # current version: p=1 is gone, the new row visible
+    assert t.read_where(("p", "=", 1)).count() == 0
+    assert sorted(r.k for r in
+                  t.read_where(("k", ">=", 500)).collect()) == [500]
+    # intermediate version: deletion applied, insert not yet
+    got1 = sorted(r.k for r in
+                  t.read_where(("k", ">=", 500),
+                               version=v0 + 1).collect())
+    assert got1 == []
+    with pytest.raises(ValueError, match="vacuumed|retained"):
+        t.read_where(("p", "=", 1), version=99)
+
+
 def test_flat_row_count(spark, tmp_path):
     t = ParquetUpsertTable(spark, str(tmp_path / "f"), ["k"],
                            stats_cols=["k"])

@@ -9,6 +9,7 @@ with the file source standing in for Kafka (no broker in the image).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -829,6 +830,12 @@ def test_time_travel_and_change_feed(spark, tmp_path):
     assert t.versions() == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="not retained"):
         t.read_version(0)
+    # the commit-time RECORDING keeps v1's changes readable even with
+    # v0 gone (r11: changes() needs no predecessor)...
+    assert {(r["id"], r["change_type"]) for r in t.changes(1).collect()} == \
+        {("b", "update"), ("c", "insert")}
+    # ...but without the recording the diff fallback needs v0: loud error
+    shutil.rmtree(os.path.join(t._data_dir(1), "_changes"))
     with pytest.raises(ValueError, match="vacuumed"):
         t.changes(1)
 
