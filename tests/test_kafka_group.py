@@ -28,7 +28,14 @@ from aether_firebase_consumer_spark.sources.kafka_wire import (
 @pytest.fixture()
 def broker():
     with MiniKafkaBroker(clock=lambda: 1_700_000_000_000) as b:
-        b.rebalance_timeout = 2.0
+        # generous rebalance window: under a loaded box (the full gate
+        # runs Spark + bench on all 32 threads) a member's SyncGroup
+        # can miss a 2 s window, leaving it unassigned and flaking the
+        # split/disjoint assertions — 6 s only delays FAILURE, never
+        # slows a passing run (members join within milliseconds when
+        # scheduled). Tests that exercise the timeout itself override
+        # this per-test.
+        b.rebalance_timeout = 6.0
         yield b
 
 
@@ -200,7 +207,7 @@ class _Member(threading.Thread):
             self.c.close()
 
 
-def _wait_until(pred, timeout: float = 15.0) -> bool:
+def _wait_until(pred, timeout: float = 30.0) -> bool:
     import time
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
