@@ -671,3 +671,78 @@ def lsh_candidate_pairs_xx(df: DataFrame, id_col: str, text_col: str,
                     (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
                      / F.size(F.array_union("sh_a", "sh_b")))
                     .alias("jaccard")))
+
+
+# ---------------------------------------------------------- edit distance
+
+def editdist_segments(k: int, length: int) -> list[tuple[int, int]]:
+    """PassJoin segmentation (Li et al., VLDB 2011 — public paper):
+    split ``[0, length)`` into ``k + 1`` near-even contiguous
+    segments, longer ones last, returned as (start, len) pairs. With
+    at most ``k`` edits between two strings, the pigeonhole principle
+    leaves at least one segment untouched — the basis of the lossless
+    signature join in :func:`editdist_pairs`."""
+    base, rem = divmod(length, k + 1)
+    segs, start = [], 0
+    for i in range(k + 1):
+        seg_len = base + (1 if i >= (k + 1 - rem) else 0)
+        segs.append((start, seg_len))
+        start += seg_len
+    return segs
+
+
+def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 2, prefix_len: int = 64) -> DataFrame:
+    """EXACT edit-distance near-dup join over the first
+    ``prefix_len`` characters: all pairs with
+    ``levenshtein(prefix_a, prefix_b) <= k`` among documents at least
+    ``prefix_len`` chars long, as (id_a < id_b, dist).
+
+    Scale shape — the PassJoin signature join, never the quadratic
+    verify: each document emits ``k + 1`` SEGMENT rows (its prefix
+    split into k+1 disjoint pieces at canonical positions) and at most
+    ``(k + 1)(2k + 1)`` PROBE rows (the same pieces' windows shifted
+    by δ ∈ [-k, k], clipped to the prefix bounds); candidates are the
+    equi-join on (segment index, content). LOSSLESS by pigeonhole:
+    with both prefixes exactly ``prefix_len`` chars, ≤ k edits leave
+    some segment of ``a`` untouched, and its image in ``b`` is an
+    identical contiguous substring shifted by (#ins − #del before it)
+    ∈ [-k, k], inside ``b``'s bounds — so the (seg, sig) keys collide
+    at one of the probe windows. The δ-window join is the standard
+    MapReduce shape: candidate volume is bounded by signature
+    collisions (rare 21-char substrings), never |docs|². Candidates
+    are then verified with the built-in ``levenshtein`` (JVM-side),
+    so the output is exact regardless of how tight the filter was.
+    The oracle-gated twin (``dedup_editdist``) pins this against
+    DuckDB's brute-force pairwise levenshtein."""
+    p = F.substring(F.col(text_col), 1, prefix_len)
+    base = (df.filter(F.length(F.col(text_col)) >= prefix_len)
+            .select(F.col(id_col).alias("id"), p.alias("p")))
+    segs = editdist_segments(k, prefix_len)
+    seg_rows = None
+    for i, (s, seg_len) in enumerate(segs):
+        part = base.select(
+            F.col("id").alias("id_s"), F.lit(i).alias("seg"),
+            F.substring("p", s + 1, seg_len).alias("sig"))
+        seg_rows = part if seg_rows is None else seg_rows.unionByName(part)
+    probe_rows = None
+    for i, (s, seg_len) in enumerate(segs):
+        for d in range(-k, k + 1):
+            if s + d < 0 or s + d + seg_len > prefix_len:
+                continue  # the true match always lies inside b
+            part = base.select(
+                F.col("id").alias("id_p"), F.lit(i).alias("seg"),
+                F.substring("p", s + d + 1, seg_len).alias("sig"))
+            probe_rows = part if probe_rows is None \
+                else probe_rows.unionByName(part)
+    cand = (seg_rows.join(probe_rows, ["seg", "sig"])
+            .filter(F.col("id_s") != F.col("id_p"))
+            .select(F.least("id_s", "id_p").alias("id_a"),
+                    F.greatest("id_s", "id_p").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    pa = base.select(F.col("id").alias("id_a"), F.col("p").alias("p_a"))
+    pb = base.select(F.col("id").alias("id_b"), F.col("p").alias("p_b"))
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+            .withColumn("dist", F.levenshtein("p_a", "p_b"))
+            .filter(F.col("dist") <= k)
+            .select("id_a", "id_b", "dist"))

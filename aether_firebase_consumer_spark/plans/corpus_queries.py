@@ -26,6 +26,8 @@ scale-path additions a training pipeline needs on top of it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -901,3 +903,127 @@ def docs_table_changes_source(spark: SparkSession,
             .option("keyCols", "doc_id")
             .option("startingVersion", 0).load())
     return _cdf_agg(feed)
+
+
+_IAGG_VIEW: dict[str, object] = {}
+
+
+def _iagg_fixture(spark: SparkSession, sf_dir: str):
+    """The incremental-aggregate fixture: a documents corpus table
+    recording pre+post images, run through an op script (v0 full
+    merge; v1 value updates doc_id%10==3 → n_chars+1000 composed with
+    GROUP MOVES doc_id%7==2 → lang='xx', plus shadow inserts
+    doc_id%997==0 at +10M; v2 delete_where(n_chars >= 1000); v3
+    delete_keys of surviving doc_id%101==0; v4 value updates
+    doc_id%13==5 → n_chars+7), with a ``CdfAggregateView`` on
+    (lang -> count, sum(n_chars)) refreshed MID-SCRIPT (after v2) and
+    at the end — so the maintained state provably folds across
+    multiple polls, not just one catch-up. Built once per (process,
+    sf_dir)."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    view = _IAGG_VIEW.get(sf_dir)
+    if view is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_iagg_")
+        table = ParquetUpsertTable(spark, os.path.join(root, "src"),
+                                   ["doc_id"], partition_col="lang",
+                                   retain_versions=10,
+                                   record_change_values=True,
+                                   record_change_preimages=True)
+        view = CdfAggregateView(
+            spark, os.path.join(root, "view"), table, ["lang"],
+            {"n_docs": ("count", None),
+             "sum_chars": ("sum", "n_chars")},
+            os.path.join(root, "cursor"))
+        table.merge(docs)                                      # v0
+        upd = (docs.filter((F.col("doc_id") % 10 == 3)
+                           | (F.col("doc_id") % 7 == 2))
+               .withColumn("n_chars",
+                           F.when(F.col("doc_id") % 10 == 3,
+                                  F.col("n_chars") + 1000)
+                           .otherwise(F.col("n_chars")))
+               .withColumn("lang",
+                           F.when(F.col("doc_id") % 7 == 2,
+                                  F.lit("xx"))
+                           .otherwise(F.col("lang"))))
+        ins = (docs.filter(F.col("doc_id") % 997 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        table.merge(upd.unionByName(ins))                      # v1
+        table.delete_where(("n_chars", ">=", 1000))            # v2
+        view.refresh()                 # first fold: v0..v2
+        survivors = table.read().filter(F.col("doc_id") % 101 == 0)
+        table.delete_keys(survivors.select("doc_id", "lang"))  # v3
+        bump = (table.read().filter(F.col("doc_id") % 13 == 5)
+                .withColumn("n_chars", F.col("n_chars") + 7))
+        table.merge(bump)                                      # v4
+        view.refresh()                 # second fold: v3..v4
+        _IAGG_VIEW[sf_dir] = view
+    return view
+
+
+@register(
+    "docs_incremental_agg",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ),
+    ins AS (
+      SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+      FROM base WHERE doc_id % 997 = 0
+    ),
+    s1 AS (   -- state after the v1 merge (updates compose)
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM base
+      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+    ),
+    s2 AS (SELECT * FROM s1 WHERE n_chars < 1000),
+    s3 AS (SELECT * FROM s2 WHERE doc_id % 101 <> 0),
+    s4 AS (   -- state after the v4 merge
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 5 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars
+      FROM s3
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s4
+    GROUP BY lang
+    """,
+)
+def docs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GROUP BY view maintenance from the retraction feed
+    (round 11 — ``streaming/incremental_agg.py``): a
+    ``CdfAggregateView`` maintains (lang → COUNT(*), SUM(n_chars))
+    over a documents corpus table purely from its pre+post image
+    change recordings — every refresh reads O(changed rows), reduces
+    to O(touched groups) signed deltas, and MERGEs; the corpus is
+    never re-scanned. The op script (see :func:`_iagg_fixture`)
+    exercises inserts, composed value updates, GROUP MOVES (lang
+    changes, which must subtract from the old group and add to the
+    new), predicate deletes, key deletes, and TWO separate refreshes —
+    and the oracle recomputes the final state in pure SQL, so a drift
+    anywhere in the retraction algebra (signs, null handling, fence,
+    fold) fails the hash gate. ``IncrementalRollup`` (append-only)
+    cannot express this; the reference recomputes nothing at all
+    (1-by-1 forwards, /root/reference/firebase/app/artifacts.py:
+    302-327). Fixture builds once per (process, sf_dir); repeated
+    runs measure the view read."""
+    view = _iagg_fixture(spark, sf_dir)
+    return (view.read()
+            .select("lang",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("sum_chars").cast("bigint")
+                    .alias("sum_chars")))

@@ -704,3 +704,38 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs_xx(docs, "doc_id", "text",
                                    k=_K, bands=_BANDS)
     return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "dedup_editdist",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 64),
+                            substr(b.text, 1, 64)) AS BIGINT) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE length(a.text) >= 64 AND length(b.text) >= 64
+      AND levenshtein(substr(a.text, 1, 64),
+                      substr(b.text, 1, 64)) <= 2
+    """,
+)
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance near-dup join (round 11): all document
+    pairs whose 64-char prefixes are within levenshtein distance 2,
+    found via the PassJoin pigeonhole signature join
+    (``operators.dedup.editdist_pairs``) — k+1 disjoint segments per
+    prefix equi-joined against ±k shifted windows, then a built-in
+    ``levenshtein`` verify on the candidates only. The oracle is
+    DuckDB's brute-force pairwise levenshtein over the same predicate,
+    so a false NEGATIVE anywhere in the segmentation/shift/clip logic
+    (not just a false positive) fails the hash gate. Candidate volume
+    is signature-collision bounded — at 100 TB this is the standard
+    distributed similarity-join shape (PassJoin/Ed-Join family),
+    where the quadratic pair space is never materialized."""
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    from aether_firebase_consumer_spark.operators.dedup import (
+        editdist_pairs,
+    )
+
+    pairs = editdist_pairs(docs, "doc_id", "text", k=2, prefix_len=64)
+    return pairs.select("id_a", "id_b",
+                        F.col("dist").cast("bigint").alias("dist"))

@@ -110,7 +110,8 @@ class ParquetUpsertTable:
                  commit_retries: int = 8,
                  stats_cols: list[str] | None = None,
                  bloom_cols: list[str] | None = None,
-                 record_change_values: bool = False):
+                 record_change_values: bool = False,
+                 record_change_preimages: bool = False):
         if retain_versions < 2:
             raise ValueError("retain_versions must be >= 2 (current + "
                              "previous for concurrent readers)")
@@ -150,6 +151,15 @@ class ParquetUpsertTable:
         #: keys-only (absence is the whole message). Costs recording
         #: bytes ∝ changed rows' width instead of key width.
         self.record_change_values = record_change_values
+        #: when True, commit-time recordings additionally carry the
+        #: PRE-IMAGE of every update/delete row as ``_pre_<col>``
+        #: columns (inserts carry nulls there) — the retraction feed
+        #: an incremental aggregate maintainer needs: a view
+        #: maintaining SUM/COUNT per group must SUBTRACT the old row
+        #: (from its OLD group — group moves included) and add the
+        #: new one, which post-images alone cannot express. Orthogonal
+        #: to ``record_change_values``; a view maintainer wants both.
+        self.record_change_preimages = record_change_preimages
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer / commit protocol ------------------------------
@@ -465,6 +475,8 @@ class ParquetUpsertTable:
         diff = self._diff_frames(old, new)
         if self.record_change_values:
             diff = self._attach_values(diff, new)
+        if self.record_change_preimages:
+            diff = self._attach_preimages(diff, old)
         self._write_changes(staged, diff)
 
     def _attach_values(self, diff: DataFrame,
@@ -477,6 +489,25 @@ class ParquetUpsertTable:
                    .join(new, self.key_cols, "left"))
         dels = diff.filter(F.col("change_type") == "delete")
         return ins_upd.unionByName(dels, allowMissingColumns=True)
+
+    def _attach_preimages(self, diff: DataFrame,
+                          old: DataFrame | None) -> DataFrame:
+        """Join the PRE-IMAGE row (value columns renamed
+        ``_pre_<col>``) onto each update/delete change row (``old``
+        has exactly one row per key, so the join is 1:1); insert rows
+        carry nulls there — they had no prior image. With ``old`` None
+        (table creation) every row is an insert and no pre-image
+        columns exist at all."""
+        if old is None:
+            return diff
+        pre = old.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"_pre_{c}") for c in old.columns
+              if c not in self.key_cols])
+        upd_del = (diff.filter(F.col("change_type") != "insert")
+                   .join(pre, self.key_cols, "left"))
+        ins = diff.filter(F.col("change_type") == "insert")
+        return upd_del.unionByName(ins, allowMissingColumns=True)
 
     def _moved_scan_source(self, batch1: DataFrame, parent: int,
                            untouched: Column) -> DataFrame | None:
@@ -806,6 +837,9 @@ class ParquetUpsertTable:
         # untouched) — read from the parent's files, deterministic
         doomed = (doomed_src.filter(hit).select(*self.key_cols)
                   .withColumn("change_type", F.lit("delete")))
+        if self.record_change_preimages:
+            doomed = self._attach_preimages(doomed,
+                                            doomed_src.filter(hit))
         target = self._stage_dir()
         if remaining.isEmpty() and carried == 0:
             # a file-less partitionBy write is unreadable — keep one
@@ -1099,7 +1133,15 @@ class ParquetUpsertTable:
         if self._has_parquet(rec):
             df = (self.spark.read.option("mergeSchema", "true")
                   .parquet(rec))
-            if set(df.columns) - set(self.key_cols) - {"change_type"}:
+            # pre-image columns are the RETRACTION feed's payload
+            # (changes_with_images) — the post-image API drops them
+            pres = [c for c in df.columns if c.startswith("_pre_")]
+            posts = [c for c in df.columns
+                     if c not in set(self.key_cols) | {"change_type"}
+                     and not c.startswith("_pre_")]
+            if pres:
+                df = df.drop(*pres)
+            if posts:
                 return df
             # keys-only recording: a delete-only or empty version
             # needs no images at all (deletes carry none; the feed
@@ -1111,16 +1153,47 @@ class ParquetUpsertTable:
         return self._attach_values(self.changes(version),
                                    self.read_version(version))
 
-    def _recording_value_safe(self, rec: str) -> bool:
+    @staticmethod
+    def _footer_all(md, only: str) -> bool:
+        """True when the parquet FOOTER proves every row's
+        ``change_type`` equals ``only`` (min==max==only in every row
+        group). No data pages are read."""
+        ct = None
+        for ci in range(md.num_columns):
+            if md.row_group(0).column(ci).path_in_schema == \
+                    "change_type":
+                ct = ci
+                break
+        if ct is None:
+            return False
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(ct).statistics
+            if s is None or not s.has_min_max or \
+                    s.min != only or s.max != only:
+                return False
+        return True
+
+    def _recording_safe(self, rec: str, images: bool = False) -> bool:
         """Can this recording be read VERBATIM as value-carrying
-        change rows? True when every file either has value columns
-        (delete rows inside them already carry nulls), is empty, or
-        provably holds only delete rows (parquet footer min==max==
-        'delete' on change_type) — then mergeSchema null-fill IS the
-        correct image set. A keys-only file that may hold live rows
-        (pre-``record_change_values`` history) returns False: its
-        images must be derived from the version read. Footers only —
-        no data pages."""
+        (``images=False``) or image-complete (``images=True``) change
+        rows, with mergeSchema null-fill as the correct completion?
+
+        Per file (parquet FOOTERS only — no data pages):
+
+        - post-image columns present (non-key, non-``_pre_``): a valid
+          values file (delete rows already carry nulls). For the
+          image feed it must ALSO carry ``_pre_`` columns, unless the
+          footer proves every row is an insert (inserts have no
+          pre-image by definition).
+        - ``_pre_`` columns only: image-complete iff provably
+          all-delete (a delete's whole message is key + pre-image);
+          value-safe likewise (deletes carry no post values).
+        - keys only: safe only if empty or provably all-delete
+          (values mode); never image-safe with rows (deletes need
+          their pre-image).
+
+        A False means the caller derives the missing images from the
+        version reads instead — correct, version-sized."""
         import pyarrow.parquet as pq
 
         lead = set(self.key_cols) | {"change_type"}
@@ -1131,24 +1204,27 @@ class ParquetUpsertTable:
             return False
         for name in names:
             pf = pq.ParquetFile(os.path.join(rec, name))
-            if any(c not in lead for c in pf.schema_arrow.names):
-                continue  # value-carrying file
+            cols = pf.schema_arrow.names
+            has_pre = any(c.startswith("_pre_") for c in cols)
+            has_post = any(c not in lead and not c.startswith("_pre_")
+                           for c in cols)
             md = pf.metadata
             if md.num_rows == 0:
                 continue
-            ct = None
-            for ci in range(md.num_columns):
-                if md.row_group(0).column(ci).path_in_schema == \
-                        "change_type":
-                    ct = ci
-                    break
-            if ct is None:
-                return False
-            for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(ct).statistics
-                if s is None or not s.has_min_max or \
-                        s.min != "delete" or s.max != "delete":
+            if not images:
+                if has_post:
+                    continue  # value-carrying file
+                if not self._footer_all(md, "delete"):
                     return False
+                continue
+            if has_post and has_pre:
+                continue
+            if has_post and self._footer_all(md, "insert"):
+                continue
+            if has_pre and not has_post and \
+                    self._footer_all(md, "delete"):
+                continue
+            return False
         return True
 
     def change_feed_with_values(self, from_version: int = 0) -> DataFrame:
@@ -1159,7 +1235,7 @@ class ParquetUpsertTable:
         are unioned with missing columns as nulls (schema evolution:
         a column absent in an older version's recording is null
         there). Like :meth:`change_feed`, a range whose recordings are
-        all verbatim-readable (:meth:`_recording_value_safe`) plans as
+        all verbatim-readable (:meth:`_recording_safe`) plans as
         ONE multi-path scan — constant plan size however far behind
         the consumer is; any version needing image derivation falls
         back to the per-version loop."""
@@ -1171,7 +1247,7 @@ class ParquetUpsertTable:
         for v in range(from_version, current + 1):
             rec = os.path.join(self._data_dir(v), self._CHANGES_DIR)
             if not self._has_parquet(rec) or \
-                    not self._recording_value_safe(rec):
+                    not self._recording_safe(rec):
                 recs = None
                 break
             recs.append(rec)
@@ -1185,7 +1261,8 @@ class ParquetUpsertTable:
                   .parquet(*recs).withColumn("version", ver))
             tail = {"change_type", "version"}
             vals = [c for c in df.columns
-                    if c not in set(self.key_cols) | tail]
+                    if c not in set(self.key_cols) | tail
+                    and not c.startswith("_pre_")]
             return df.select(*self.key_cols, *vals,
                              "change_type", "version")
         feed = None
@@ -1195,6 +1272,93 @@ class ParquetUpsertTable:
             feed = part if feed is None else \
                 feed.unionByName(part, allowMissingColumns=True)
         return feed
+
+    def changes_with_images(self, version: int) -> DataFrame:
+        """Change rows for ``version`` with BOTH images: post-image
+        value columns (null for deletes) and pre-image ``_pre_<col>``
+        columns (null for inserts) — the RETRACTION feed an
+        incremental aggregate maintainer consumes (see
+        ``streaming/incremental_agg.py``): each update/delete
+        subtracts its pre-image from its OLD group and each
+        insert/update adds its post-image to its new one, so the view
+        refresh is O(changed rows) with no table re-read. Verbatim
+        when the recording is image-complete
+        (:meth:`_recording_safe` with ``images=True`` — tables
+        configured with ``record_change_values`` +
+        ``record_change_preimages``); otherwise derived from the
+        version reads: post from ``version``, pre from ``version-1``
+        (raising when the predecessor needed for pre-images was
+        vacuumed — derivation would silently drop retractions)."""
+        rec = os.path.join(self._data_dir(version), self._CHANGES_DIR)
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} vacuumed / not retained (have "
+                f"{self.versions()})")
+        if self._has_parquet(rec) and \
+                self._recording_safe(rec, images=True):
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(rec))
+            return self._order_image_cols(df)
+        diff = self.changes(version)
+        post = self._attach_values(diff, self.read_version(version))
+        if version == 0:
+            return self._order_image_cols(post)
+        if version - 1 not in self.versions():
+            if diff.filter(
+                    F.col("change_type") != "insert").isEmpty():
+                return self._order_image_cols(post)
+            raise ValueError(
+                f"version {version - 1} vacuumed and version "
+                f"{version}'s recording carries no pre-images; "
+                "cannot derive the retraction feed")
+        return self._order_image_cols(
+            self._attach_preimages(post, self.read_version(version - 1)))
+
+    def _order_image_cols(self, df: DataFrame) -> DataFrame:
+        """Canonical image-feed column order: keys, post values,
+        pre-images, change_type [, version]."""
+        keys = set(self.key_cols)
+        tail = [c for c in ("change_type", "version") if c in df.columns]
+        posts = [c for c in df.columns
+                 if c not in keys and c not in tail
+                 and not c.startswith("_pre_")]
+        pres = [c for c in df.columns if c.startswith("_pre_")]
+        return df.select(*self.key_cols, *posts, *pres, *tail)
+
+    def change_feed_with_images(self, from_version: int = 0) -> DataFrame:
+        """:meth:`change_feed` with pre- AND post-images — the
+        catch-up form of :meth:`changes_with_images`. A range whose
+        recordings are all image-complete plans as ONE multi-path
+        scan (constant plan size however far behind the consumer is);
+        otherwise the per-version loop with unionByName null-fill."""
+        current = self.current_version()
+        if current < 0 or from_version > current:
+            raise ValueError(f"no versions in range [{from_version}, "
+                             f"{current}]")
+        recs = []
+        for v in range(from_version, current + 1):
+            rec = os.path.join(self._data_dir(v), self._CHANGES_DIR)
+            if not self._has_parquet(rec) or \
+                    not self._recording_safe(rec, images=True):
+                recs = None
+                break
+            recs.append(rec)
+        if recs is not None:
+            ver = (F.element_at(
+                F.regexp_extract_all(
+                    F.input_file_name(),
+                    F.lit(r"/v(\d+)/_changes/"), F.lit(1)), -1)
+                .cast("long"))
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*recs).withColumn("version", ver))
+            return self._order_image_cols(df)
+        feed = None
+        for v in range(from_version, current + 1):
+            part = self.changes_with_images(v).withColumn(
+                "version", F.lit(v).cast("long"))
+            feed = part if feed is None else \
+                feed.unionByName(part, allowMissingColumns=True)
+        return self._order_image_cols(feed)
 
     def backfill_changes(self) -> list[int]:
         """Write commit-time recordings for retained versions that
@@ -1221,6 +1385,8 @@ class ParquetUpsertTable:
             diff = self._diff_frames(old, self.read_version(v))
             if self.record_change_values:
                 diff = self._attach_values(diff, self.read_version(v))
+            if self.record_change_preimages:
+                diff = self._attach_preimages(diff, old)
             tmp = os.path.join(self._data_dir(v),
                                f"_changes.tmp-{uuid.uuid4().hex[:8]}")
             lead = [*self.key_cols, "change_type"]

@@ -76,7 +76,8 @@ class ChangeFeedFollower:
         os.replace(tmp, self.checkpoint_path)
 
     # -- consumption ----------------------------------------------------
-    def poll(self, values: bool = False) -> tuple[DataFrame, int] | None:
+    def poll(self, values: bool = False,
+             images: bool = False) -> tuple[DataFrame, int] | None:
         """``(changes, up_to_version)`` for everything committed since
         the cursor, or None when caught up. Does NOT advance the
         cursor — re-polling before :meth:`commit` re-delivers the same
@@ -86,7 +87,11 @@ class ChangeFeedFollower:
         the post-image value columns for inserts/updates
         (:meth:`~.upsert.ParquetUpsertTable.change_feed_with_values`)
         — what a derived-table maintainer needs to replicate without
-        re-reading the source."""
+        re-reading the source; with ``images=True`` it carries pre-
+        AND post-images (:meth:`~.upsert.ParquetUpsertTable.
+        change_feed_with_images`) — the retraction feed incremental
+        aggregate maintenance consumes
+        (``streaming/incremental_agg.py``)."""
         cursor = self._read_cursor()
         if cursor is None:
             # the constructor wrote a cursor; None here means the
@@ -102,8 +107,12 @@ class ChangeFeedFollower:
         current = self.table.current_version()
         if current <= cursor:
             return None
-        feed = (self.table.change_feed_with_values(cursor + 1) if values
-                else self.table.change_feed(cursor + 1))
+        if images:
+            feed = self.table.change_feed_with_images(cursor + 1)
+        elif values:
+            feed = self.table.change_feed_with_values(cursor + 1)
+        else:
+            feed = self.table.change_feed(cursor + 1)
         return feed, current
 
     def commit(self, version: int) -> None:

@@ -39,9 +39,16 @@ values for inserts/updates when the table records them
 (``record_change_values=True``), nulls otherwise and on deletes —
 ``change_feed_with_values`` as a stream, enough to maintain a full
 mirror downstream (see ``tests/test_table_changes_source.py::
-test_streaming_mirror_include_values``). The source itself never
-derives images from a version read: it stays O(changed rows) by
-construction.
+test_streaming_mirror_include_values``). With
+``.option("includeImages", "true")`` (implies includeValues) the
+pre-image twins ``_pre_<col>`` follow the post columns —
+``change_feed_with_images`` as a stream, the retraction feed that
+drives incremental aggregate maintenance
+(``streaming/incremental_agg.py::CdfAggregateView.fold_stream_batch``)
+from a standard streaming query; recordings without pre-images
+(all-insert versions) null-fill, which is exact (an insert has no
+pre-image). The source itself never derives images from a version
+read: it stays O(changed rows) by construction.
 
 The reference pushes every change 1-by-1 into its sink as it polls
 (``/root/reference/firebase/app/artifacts.py:302-327``) with no way
@@ -211,6 +218,11 @@ def _opts_key_cols(options: dict) -> list[str]:
 
 def _opts_include_values(options: dict) -> bool:
     v = options.get("includevalues") or options.get("includeValues")
+    return str(v).lower() == "true" or _opts_include_images(options)
+
+
+def _opts_include_images(options: dict) -> bool:
+    v = options.get("includeimages") or options.get("includeImages")
     return str(v).lower() == "true"
 
 
@@ -225,28 +237,50 @@ def _data_probe_file(path: str, version: int) -> str | None:
     return None
 
 
-def _value_fields(path: str, key_cols: list[str]):
+def _value_fields(path: str, key_cols: list[str],
+                  images: bool = False):
     """The table's non-key columns as arrow fields, probed from the
     current version's data — the value half of an includeValues
     stream's schema, fixed at stream start (standard Spark source
-    behavior under evolution)."""
-    import pyarrow.parquet as pq
+    behavior under evolution). With ``images`` the pre-image twins
+    (``_pre_<col>``, same types) follow the post columns — the
+    retraction feed for incremental aggregate maintenance; recordings
+    from all-insert versions lack them on disk and null-fill (an
+    insert has no pre-image by definition).
+
+    Probed with a pyarrow DATASET over the version dir, not a single
+    file: a hive-partitioned table's partition column lives in the
+    directory names, absent from every file footer — a file probe
+    would silently drop it from the stream schema (null groups in a
+    downstream aggregate). Hidden dirs (``_changes``, stats shards)
+    are skipped by pyarrow's default ignore prefixes; the recordings
+    store the partition value as a REGULAR column (they are written
+    from the staged read, where Spark materializes it), so executors
+    find it in the files they actually read."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
     v = _version_of(path)
-    probe = _data_probe_file(path, v) if v >= 0 else None
-    if probe is None:
+    if v < 0 or _data_probe_file(path, v) is None:
         raise ValueError(
             f"table_changes: no data file at version v{v} of {path} "
             "to derive value columns from — pass .schema(...)")
-    arrow = pq.ParquetFile(probe).schema_arrow
-    return [f for f in arrow if f.name not in set(key_cols)]
+    sch = ds.dataset(os.path.join(path, f"v{v}"), format="parquet",
+                     partitioning="hive").schema
+    posts = [sch.field(i) for i in range(len(sch))
+             if sch.field(i).name not in set(key_cols)]
+    if not images:
+        return posts
+    return posts + [pa.field(f"_pre_{f.name}", f.type) for f in posts]
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self._path = _opts_path(options)
         self._key_cols = _opts_key_cols(options)
-        self._value_fields = (_value_fields(self._path, self._key_cols)
-                              if _opts_include_values(options) else [])
+        self._value_fields = (
+            _value_fields(self._path, self._key_cols,
+                          images=_opts_include_images(options))
+            if _opts_include_values(options) else [])
         sv = options.get("startingversion") or \
             options.get("startingVersion")
         self._starting = None if sv is None else int(sv)
@@ -305,8 +339,10 @@ class TableChangesBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self._path = _opts_path(options)
         self._key_cols = _opts_key_cols(options)
-        self._value_fields = (_value_fields(self._path, self._key_cols)
-                              if _opts_include_values(options) else [])
+        self._value_fields = (
+            _value_fields(self._path, self._key_cols,
+                          images=_opts_include_images(options))
+            if _opts_include_values(options) else [])
         sv = options.get("startingversion") or \
             options.get("startingVersion")
         self._starting = int(sv) if sv is not None else 0
@@ -367,7 +403,8 @@ class TableChangesDataSource(DataSource):
                 f"{probe[0]} — wrong keyCols for this table?")
         ddl = ", ".join(_arrow_to_ddl(fields[c]) for c in key_cols)
         if _opts_include_values(options):
-            vals = _value_fields(path, key_cols)
+            vals = _value_fields(path, key_cols,
+                                 images=_opts_include_images(options))
             if vals:
                 ddl += ", " + ", ".join(_arrow_to_ddl(f) for f in vals)
         return f"{ddl}, change_type string, version bigint"

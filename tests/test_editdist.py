@@ -1,0 +1,99 @@
+"""PassJoin edit-distance join (round 11): the lossless-filter claim
+under test — the segment/shift/clip signature join must find EVERY
+pair within distance k (false negatives break exactness; the verify
+step already kills false positives). Stressed with hand-built edits
+at segment boundaries and a seeded random small-alphabet corpus
+(small alphabets maximize accidental collisions AND near-miss pairs)
+compared against a brute-force dynamic-programming reference."""
+
+from __future__ import annotations
+
+import random
+
+from aether_firebase_consumer_spark.operators.dedup import (
+    editdist_pairs,
+    editdist_segments,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _pairs(spark, texts, k, prefix_len):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = editdist_pairs(df, "doc_id", "text",
+                         k=k, prefix_len=prefix_len).collect()
+    return sorted((r.id_a, r.id_b, r.dist) for r in got)
+
+
+def _brute(texts, k, prefix_len):
+    pre = {i: t[:prefix_len] for i, t in enumerate(texts)
+           if len(t) >= prefix_len}
+    out = []
+    ids = sorted(pre)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = _lev(pre[ids[x]], pre[ids[y]])
+            if d <= k:
+                out.append((ids[x], ids[y], d))
+    return sorted(out)
+
+
+def test_segments_partition_exactly():
+    for k in (1, 2, 3):
+        for n in (16, 21, 64, 65):
+            segs = editdist_segments(k, n)
+            assert len(segs) == k + 1
+            assert segs[0][0] == 0
+            assert sum(l for _s, l in segs) == n
+            for (s1, l1), (s2, _l2) in zip(segs, segs[1:]):
+                assert s1 + l1 == s2
+
+
+def test_boundary_edits_found(spark):
+    base = "abcdefghijklmnop"  # prefix_len 16, k=2 -> segs 5/5/6
+    texts = [
+        base,
+        "Xbcdefghijklmnop",        # sub at pos 0
+        "abcdeXghijklmnop",        # sub at seg boundary 5
+        "abcdefghijklmnoX",        # sub at last char
+        "Xabcdefghijklmnop",       # insert at 0 (shifts everything)
+        "bcdefghijklmnopQ",        # delete at 0 (+ pad to length 16)
+        "abXcdefghijklmnoZ",       # insert mid + sub end: dist 2
+        "abcdefghijklmXYZ",        # 3 subs: dist 3, EXCLUDED at k=2
+        "short",                   # < prefix_len, excluded
+    ]
+    assert _pairs(spark, texts, 2, 16) == _brute(texts, 2, 16)
+
+
+def test_random_small_alphabet_matches_brute_force(spark):
+    rng = random.Random(11)
+    texts = []
+    for _ in range(40):
+        base = "".join(rng.choice("ab") for _ in range(20))
+        texts.append(base)
+        # mutated sibling: 0-3 random edits
+        t = list(base)
+        for _e in range(rng.randint(0, 3)):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(t))
+            if op == "s":
+                t[pos] = rng.choice("ab")
+            elif op == "i":
+                t.insert(pos, rng.choice("ab"))
+            else:
+                del t[pos]
+        # keep length >= prefix_len so both enter the join
+        texts.append(("".join(t) + "bbbb")[:24])
+    for k in (1, 2):
+        assert _pairs(spark, texts, k, 18) == _brute(texts, k, 18), \
+            f"false negative or positive at k={k}"

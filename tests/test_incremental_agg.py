@@ -1,0 +1,239 @@
+"""Retraction-based incremental aggregate maintenance (round 11):
+``CdfAggregateView`` keeps a GROUP BY view exact under inserts,
+updates, deletes, and GROUP MOVES by consuming the source table's
+pre+post image change feed. Contracts under test:
+
+1. PRE-IMAGES — recordings of a ``record_change_preimages`` table
+   carry the correct ``_pre_<col>`` values (update/delete rows), the
+   values API still excludes them, and the image feed round-trips
+   through both the verbatim fast path and the derivation fallback.
+2. EXACTNESS — after every refresh the maintained view equals the
+   full recompute of the source's current state, through an op script
+   covering insert / no-op re-merge / value update / group move /
+   delete_where / delete_keys, and across MULTIPLE refreshes.
+3. NULL SEMANTICS — SUM is NULL for a group whose every value is
+   NULL; retracting the last non-null value returns the group to
+   NULL (not 0).
+4. FENCING — a crash between the view's merge and the cursor commit
+   (simulated by rolling the checkpoint back) does not double-apply;
+   a partially-overlapping re-poll applies only the unapplied suffix.
+5. VANISH — fully-retracted groups disappear from read() and
+   compact() reclaims their stored rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.incremental_agg import (
+    CdfAggregateView,
+)
+
+
+def _source(spark, root, **kw):
+    kw.setdefault("retain_versions", 20)
+    kw.setdefault("record_change_values", True)
+    kw.setdefault("record_change_preimages", True)
+    return ParquetUpsertTable(spark, str(root), ["k"],
+                              partition_col="g", **kw)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k int, g string, x int")
+
+
+def _view(spark, tmp, src, **kw):
+    return CdfAggregateView(
+        spark, str(tmp / "view"), src, ["g"],
+        {"n": ("count", None), "sx": ("sum", "x")},
+        str(tmp / "cursor"), **kw)
+
+
+def _recompute(src):
+    cur = src.read()
+    if cur is None:
+        return []
+    got = (cur.groupBy("g")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx")).collect())
+    return sorted((r.g, r.n, r.sx) for r in got)
+
+
+def _read(view):
+    df = view.read()
+    return [] if df is None else \
+        sorted((r.g, r.n, r.sx) for r in df.collect())
+
+
+def test_preimages_recorded_and_views_agree(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    src.merge(_rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    src.merge(_rows(spark, [(2, "a", 25),        # value update
+                            (3, "c", 31),        # group move b -> c
+                            (4, "b", 40)]))      # insert
+    src.delete_keys(_rows(spark, [(1, "a", 0)]).select("k", "g"))
+
+    img = src.changes_with_images(1)
+    by_key = {r.k: r for r in img.collect()}
+    assert by_key[2].change_type == "update"
+    assert (by_key[2]._pre_x, by_key[2].x) == (20, 25)
+    assert (by_key[2]._pre_g, by_key[2].g) == ("a", "a")
+    assert (by_key[3]._pre_g, by_key[3].g) == ("b", "c")
+    assert by_key[4].change_type == "insert"
+    assert by_key[4]._pre_x is None and by_key[4].x == 40
+
+    dele = {r.k: r for r in src.changes_with_images(2).collect()}
+    assert dele[1].change_type == "delete"
+    assert (dele[1]._pre_x, dele[1]._pre_g) == (10, "a")
+    assert dele[1].x is None  # no post-image for a delete
+
+    # the post-image values API must NOT leak pre-image columns
+    vals = src.changes_with_values(1)
+    assert not [c for c in vals.columns if c.startswith("_pre_")]
+    feed = src.change_feed_with_values(0)
+    assert not [c for c in feed.columns if c.startswith("_pre_")]
+
+    # verbatim fast path and derivation fallback agree row-for-row
+    fast = src.changes_with_images(1)
+    slow = src._order_image_cols(
+        src._attach_preimages(
+            src._attach_values(src.changes(1), src.read_version(1)),
+            src.read_version(0)))
+    key = ["k", "x", "_pre_x", "_pre_g", "change_type"]
+    assert sorted(map(tuple, fast.select(*key).collect())) == \
+        sorted(map(tuple, slow.select(*key).collect()))
+
+
+def test_view_matches_recompute_through_op_script(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src)
+
+    src.merge(_rows(spark, [(1, "a", 1), (2, "a", 2), (3, "b", 3),
+                            (4, "b", 4), (5, "c", 5)]))
+    assert view.refresh() == 0
+    assert _read(view) == _recompute(src)
+
+    # update + no-op re-merge + group move + insert, then refresh
+    src.merge(_rows(spark, [(2, "a", 20),   # value update
+                            (3, "b", 3),    # byte-identical no-op
+                            (4, "c", 4),    # group move b -> c
+                            (6, "d", 6)]))  # insert
+    src.delete_where(("x", ">=", 20))       # kills k=2
+    assert view.refresh() == 2
+    assert _read(view) == _recompute(src)
+
+    # multi-version catch-up in ONE refresh
+    src.delete_keys(_rows(spark, [(5, "c", 0)]).select("k", "g"))
+    src.merge(_rows(spark, [(7, "a", 70), (1, "e", 100)]))  # move a->e
+    assert view.refresh() == 4
+    assert _read(view) == _recompute(src)
+    assert view.refresh() is None  # caught up
+
+
+def test_sum_null_semantics_under_retraction(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", None), (2, "a", 7),
+                            (3, "b", None)]))
+    view.refresh()
+    got = dict((r.g, r.sx) for r in view.read().collect())
+    assert got == {"a": 7, "b": None}
+    # retract the only non-null value: 'a' must return to NULL, not 0
+    src.delete_keys(_rows(spark, [(2, "a", 0)]).select("k", "g"))
+    view.refresh()
+    got = dict((r.g, r.sx) for r in view.read().collect())
+    assert got == {"a": None, "b": None}
+    assert _read(view) == _recompute(src)
+
+
+def test_replay_fence_no_double_apply(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    view.refresh()
+    before = _read(view)
+    # crash between merge and cursor commit: roll the checkpoint back
+    view.follower._write_cursor(-1)
+    assert view.refresh() == 0      # re-poll of the same range
+    assert _read(view) == before    # fenced: applied nothing twice
+
+    # partially-overlapping re-poll: v1 lands, cursor again rolled
+    # back to -1 — only v1 (version > applied) may apply
+    src.merge(_rows(spark, [(3, "a", 30)]))
+    view.follower._write_cursor(-1)
+    assert view.refresh() == 1
+    assert _read(view) == _recompute(src)
+
+
+def test_vanish_and_compact(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    view.refresh()
+    src.delete_keys(_rows(spark, [(1, "a", 0)]).select("k", "g"))
+    view.refresh()
+    assert _read(view) == [("b", 1, 2)]
+    stored = view.table.read().count()
+    assert stored == 2  # retracted group still stored (_rows == 0)
+    view.compact()
+    assert view.table.read().count() == 1
+    assert _read(view) == [("b", 1, 2)]
+    # a later insert re-creates the group from its delta alone
+    src.merge(_rows(spark, [(9, "a", 90)]))
+    view.refresh()
+    assert _read(view) == _recompute(src)
+
+
+def test_min_max_rejected(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    with pytest.raises(ValueError, match="retractable"):
+        CdfAggregateView(spark, str(tmp_path / "v"), src, ["g"],
+                         {"m": ("min", "x")}, str(tmp_path / "c"))
+
+
+def test_streaming_fold_via_table_changes(spark, tmp_path):
+    """The production shape: a table_changes includeImages stream
+    drives the view via foreachBatch -> fold_stream_batch — the
+    cursor lives in Spark's checkpoint, the version fence upgrades
+    the engine's at-least-once replay to exactly-once effect. A
+    checkpointed restart neither double-folds nor loses versions,
+    through updates, group moves, and deletes."""
+    from aether_firebase_consumer_spark.streaming.table_changes_source import (  # noqa: E501
+        register_table_changes,
+    )
+
+    register_table_changes(spark)
+    src = _source(spark, tmp_path / "src")
+    view = CdfAggregateView(
+        spark, str(tmp_path / "view"), src, ["g"],
+        {"n": ("count", None), "sx": ("sum", "x")})
+    src.merge(_rows(spark, [(1, "a", 1), (2, "a", 2), (3, "b", 3)]))
+    ckpt = str(tmp_path / "ck")
+
+    def run_once():
+        q = (spark.readStream.format("table_changes")
+             .option("path", src.path).option("keyCols", "k")
+             .option("includeImages", "true")
+             .option("startingVersion", 0).load()
+             .writeStream.foreachBatch(view.fold_stream_batch)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert _read(view) == _recompute(src)
+
+    src.merge(_rows(spark, [(2, "b", 20),     # group move a -> b
+                            (4, "c", None)]))  # null-valued insert
+    src.delete_keys(_rows(spark, [(1, "a", 0)]).select("k", "g"))
+    run_once()                                 # restart from checkpoint
+    assert _read(view) == _recompute(src)
+    assert view.refresh.__doc__  # poll-mode refresh must stay intact
+
+    # refresh() without a follower refuses loudly (streaming mode)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="streaming mode"):
+        view.refresh()
