@@ -719,22 +719,29 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
     base = (df.filter(F.length(F.col(text_col)) >= prefix_len)
             .select(F.col(id_col).alias("id"), p.alias("p")))
     segs = editdist_segments(k, prefix_len)
-    seg_rows = None
-    for i, (s, seg_len) in enumerate(segs):
-        part = base.select(
-            F.col("id").alias("id_s"), F.lit(i).alias("seg"),
-            F.substring("p", s + 1, seg_len).alias("sig"))
-        seg_rows = part if seg_rows is None else seg_rows.unionByName(part)
-    probe_rows = None
-    for i, (s, seg_len) in enumerate(segs):
-        for d in range(-k, k + 1):
-            if s + d < 0 or s + d + seg_len > prefix_len:
-                continue  # the true match always lies inside b
-            part = base.select(
-                F.col("id").alias("id_p"), F.lit(i).alias("seg"),
-                F.substring("p", s + d + 1, seg_len).alias("sig"))
-            probe_rows = part if probe_rows is None \
-                else probe_rows.unionByName(part)
+    # ONE scan per side via explode-over-array, not a (k+1)- and a
+    # (k+1)(2k+1)-way union of re-scans: the signature generation is
+    # a pure per-row projection, so its parallelism should be scan
+    # parallelism — and whole-stage codegen keeps the substring
+    # battery in one pass over the prefix
+    seg_arr = F.array(*[
+        F.struct(F.lit(i).alias("seg"),
+                 F.substring("p", s + 1, seg_len).alias("sig"))
+        for i, (s, seg_len) in enumerate(segs)])
+    seg_rows = (base.select(F.col("id").alias("id_s"),
+                            F.explode(seg_arr).alias("e"))
+                .select("id_s", "e.seg", "e.sig"))
+    probe_structs = [
+        F.struct(F.lit(i).alias("seg"),
+                 F.substring("p", s + d + 1, seg_len).alias("sig"))
+        for i, (s, seg_len) in enumerate(segs)
+        for d in range(-k, k + 1)
+        # clipped windows: the true match always lies inside b
+        if 0 <= s + d and s + d + seg_len <= prefix_len]
+    probe_rows = (base.select(F.col("id").alias("id_p"),
+                              F.explode(F.array(*probe_structs))
+                              .alias("e"))
+                  .select("id_p", "e.seg", "e.sig"))
     cand = (seg_rows.join(probe_rows, ["seg", "sig"])
             .filter(F.col("id_s") != F.col("id_p"))
             .select(F.least("id_s", "id_p").alias("id_a"),

@@ -966,6 +966,7 @@ def _iagg_fixture(spark: SparkSession, sf_dir: str):
                 .withColumn("n_chars", F.col("n_chars") + 7))
         table.merge(bump)                                      # v4
         view.refresh()                 # second fold: v3..v4
+        view._iagg_root = root         # for sibling views (holistic)
         _IAGG_VIEW[sf_dir] = view
     return view
 
@@ -1027,3 +1028,77 @@ def docs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_docs").cast("bigint").alias("n_docs"),
                     F.col("sum_chars").cast("bigint")
                     .alias("sum_chars")))
+
+
+_IAGG_HOLISTIC: dict[str, object] = {}
+
+
+@register(
+    "docs_incremental_agg_holistic",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ),
+    ins AS (
+      SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+      FROM base WHERE doc_id % 997 = 0
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM base
+      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+    ),
+    s2 AS (SELECT * FROM s1 WHERE n_chars < 1000),
+    s3 AS (SELECT * FROM s2 WHERE doc_id % 101 <> 0),
+    s4 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 5 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars
+      FROM s3
+    )
+    SELECT lang,
+           MIN(n_chars) AS mn_chars,
+           MAX(n_chars) AS mx_chars,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_chars
+    FROM s4
+    GROUP BY lang
+    """,
+)
+def docs_incremental_agg_holistic(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """HOLISTIC aggregates maintained incrementally (round 11):
+    MIN/MAX via dirty-group recompute (clean refreshes fold
+    least/greatest with zero source reads; refreshes that retract a
+    non-null value recompute ONLY the dirty groups' extrema,
+    partition-pruned on lang) and exact COUNT(DISTINCT n_chars) via
+    the per-(group, value) helper multiset — over the SAME op script
+    and source table as :func:`docs_incremental_agg` (composed
+    updates, lang group-moves, predicate + key deletes). The oracle
+    recomputes the final state's min/max/distinct in SQL, so a stale
+    extremum after a retraction, a multiset miscount under duplicate
+    values, or a missed group move fails the hash gate. This view
+    attaches AFTER the ops ran — one catch-up refresh folds v0..v4 —
+    complementing the sibling query's two-refresh schedule."""
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    view = _IAGG_HOLISTIC.get(sf_dir)
+    if view is None:
+        sibling = _iagg_fixture(spark, sf_dir)
+        root = sibling._iagg_root
+        view = CdfAggregateView(
+            spark, os.path.join(root, "hview"), sibling.source,
+            ["lang"],
+            {"mn_chars": ("min", "n_chars"),
+             "mx_chars": ("max", "n_chars"),
+             "nd_chars": ("count_distinct", "n_chars")},
+            os.path.join(root, "hcursor"))
+        view.refresh()
+        _IAGG_HOLISTIC[sf_dir] = view
+    return (view.read()
+            .select("lang", "mn_chars", "mx_chars",
+                    F.col("nd_chars").cast("bigint").alias("nd_chars")))

@@ -90,6 +90,24 @@ def hive_partition_value(v) -> str:
     return str(v)
 
 
+def _anti_by_keys(left: DataFrame, keys_df: DataFrame,
+                  key_cols: list[str]) -> DataFrame:
+    """NULL-SAFE ``left ANTI JOIN keys_df ON key_cols``: the
+    name-list join form uses null-unsafe equality, under which a
+    null-keyed row in ``left`` never matches a null key in the batch
+    — a MERGE would then keep the old row alongside the new one
+    (silent duplicate) and a DELETE would never delete it. Null keys
+    are pathological for a document table but perfectly legal for a
+    GROUP BY view maintained through this table (SQL groups nulls),
+    so key matching is ``<=>`` throughout."""
+    l, r = left.alias("l"), keys_df.select(*key_cols).alias("r")
+    cond = None
+    for k in key_cols:
+        e = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = e if cond is None else cond & e
+    return l.join(r, cond, "left_anti")
+
+
 def _touched_filter(pc: str, touched: list) -> Column:
     """Null-safe ``pc IN touched``: ``isin`` never matches null, so a
     batch carrying a null partition value must OR in ``isNull`` or the
@@ -602,8 +620,7 @@ class ParquetUpsertTable:
             self._publish(target, parent, commit_meta)
             return
         if not self.partition_col:
-            keep = current.join(batch1.select(*self.key_cols),
-                                self.key_cols, "left_anti")
+            keep = _anti_by_keys(current, batch1, self.key_cols)
             keep.unionByName(batch1, allowMissingColumns=True) \
                 .write.mode("overwrite").parquet(target)
             # an unpartitioned merge rewrites the whole table, so its
@@ -637,9 +654,8 @@ class ParquetUpsertTable:
                 if hive_partition_value(r[0]) not in seen:
                     touched.append(r[0])
                     seen.add(hive_partition_value(r[0]))
-        keep = (current.filter(_touched_filter(pc, touched))
-                .join(batch1.select(*self.key_cols),
-                      self.key_cols, "left_anti"))
+        keep = _anti_by_keys(current.filter(_touched_filter(pc, touched)),
+                             batch1, self.key_cols)
         # allowMissingColumns: document streams evolve (O14); a batch
         # adding or dropping a column merges with nulls on either side —
         # full-document set semantics, like the reference's batch.set
@@ -730,9 +746,9 @@ class ParquetUpsertTable:
         pc = self.partition_col
         if pc and pc in keys.columns:
             touched = [r[0] for r in keys.select(pc).distinct().collect()]
-            remaining = (current.filter(_touched_filter(pc, touched))
-                         .join(keys.select(*self.key_cols),
-                               self.key_cols, "left_anti"))
+            remaining = _anti_by_keys(
+                current.filter(_touched_filter(pc, touched)),
+                keys, self.key_cols)
             if remaining.isEmpty() and not any(
                     os.path.isdir(os.path.join(self._data_dir(parent), d))
                     and "=" in d and unquote(d.split("=", 1)[1])
@@ -758,8 +774,7 @@ class ParquetUpsertTable:
                 self._data_dir(parent), target,
                 {hive_partition_value(t) for t in touched})
         else:
-            remaining = current.join(keys.select(*self.key_cols),
-                                     self.key_cols, "left_anti")
+            remaining = _anti_by_keys(current, keys, self.key_cols)
             if remaining.isEmpty():
                 # deleting every row must still leave one schema-ful
                 # (empty) parquet file, or the version is unreadable

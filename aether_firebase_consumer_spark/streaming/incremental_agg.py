@@ -26,10 +26,25 @@ group with no non-null values, which a plain running sum of
 ``coalesce(x, 0)`` cannot express — so each sum measure stores a
 companion non-null contribution count and :meth:`read` re-derives
 ``NULL`` when it is zero. ``AVG`` is sum/count at read time (storing
-it would break additivity); ``MIN``/``MAX`` are deliberately
-unsupported — they are not retractable from deltas alone (deleting
-the current minimum needs the runner-up, i.e. a per-group recompute;
-use ``IncrementalRollup`` for append-only min/max or recompute).
+it would break additivity).
+
+``MIN``/``MAX`` are holistic — not retractable from deltas alone
+(deleting the current minimum needs the runner-up) — so they take
+the standard two-regime treatment: inserts and update post-images
+fold additively (``least``/``greatest`` against the stored
+extremum); any refresh that RETRACTS a non-null value from a group
+marks it DIRTY and recomputes that group's min/max from the source,
+scanning only dirty groups' rows (partition-pruned when the group
+column is the source's partition column). Clean refreshes — the
+overwhelmingly common append/update-grow case — never touch the
+source at all.
+
+``COUNT(DISTINCT x)`` is exact and fully incremental via the
+standard helper-multiset design (Flink's distinct-agg state): a
+per-measure helper table keyed by (group, value) maintains how many
+live source rows carry each pair — the same retraction fold, null
+values excluded — and the distinct count is derived at read time as
+COUNT(*) over live helper rows. No approximation, no recompute.
 
 Exactly-once EFFECT: refreshes are additive, not idempotent, so a
 crash between the view's merge and the cursor commit must not
@@ -67,12 +82,17 @@ def _nn(name: str) -> str:
     return f"_nn_{name}"
 
 
+def _dirty(name: str) -> str:
+    return f"_dirty_{name}"
+
+
 class CdfAggregateView:
     """A ``GROUP BY`` aggregate table maintained from a source
     table's retraction feed.
 
-    ``specs`` maps output column -> ("count", None) | ("sum",
-    value_col). The source table should be configured with
+    ``specs`` maps output column -> ("count", None) | ("sum" | "min"
+    | "max" | "count_distinct", value_col). The source table should be
+    configured with
     ``record_change_values=True`` and ``record_change_preimages=True``
     so refreshes stay O(changed rows); without them the image feed
     falls back to version-sized derivation (correct, slower).
@@ -90,12 +110,14 @@ class CdfAggregateView:
                  partition_col: str | None = None,
                  from_version: int = 0):
         for name, (kind, _col) in specs.items():
-            if kind not in ("count", "sum"):
+            if kind not in ("count", "sum", "min", "max",
+                            "count_distinct"):
                 raise ValueError(
                     f"unsupported aggregate {kind!r} for {name!r} — "
-                    "only count/sum are retractable from deltas "
-                    "(min/max need per-group recompute; see "
-                    "IncrementalRollup for the append-only case)")
+                    "count/sum fold from deltas; min/max via "
+                    "dirty-group recompute; count_distinct via a "
+                    "(group, value) helper multiset; avg = sum/count "
+                    "at read")
         self.spark = spark
         self.source = source
         self.group_cols = group_cols
@@ -108,6 +130,21 @@ class CdfAggregateView:
                                from_version=from_version)
         self.table = ParquetUpsertTable(spark, path, group_cols,
                                         partition_col=partition_col)
+        #: one helper MULTISET table per count_distinct measure, keyed
+        #: by (group_cols..., value): `_rows` counts live source rows
+        #: carrying that exact (group, value) pair, maintained by the
+        #: same retraction fold — the standard exact-distinct design
+        #: (Flink's distinct-agg state). The distinct count is derived
+        #: at read time as COUNT(*) over live helper rows per group —
+        #: O(|distinct pairs in touched groups|), fully incremental.
+        #: Each helper fences with its OWN cdf_cursor so a crash
+        #: between the helper's merge and the main fold converges.
+        self._helpers = {
+            name: ParquetUpsertTable(
+                spark, f"{path}__cd_{name}", [*group_cols, "_val"],
+                partition_col=partition_col)
+            for name, (kind, _col) in specs.items()
+            if kind == "count_distinct"}
 
     # -- signed contributions --------------------------------------------
     def _pre_col(self, c: str):
@@ -127,7 +164,7 @@ class CdfAggregateView:
         (which the corresponding change_type filter never reads)."""
         need = set(self.group_cols)
         for _name, (kind, col) in self.specs.items():
-            if kind == "sum":
+            if kind in ("sum", "min", "max", "count_distinct"):
                 need.add(col)
         for c in sorted(need - set(self.source.key_cols)):
             have_post = c in feed.columns
@@ -160,10 +197,27 @@ class CdfAggregateView:
                  for c in self.group_cols]
             meas = [F.lit(sign).cast("bigint").alias(_ROWS)]
             for name, (kind, col) in self.specs.items():
+                if kind == "count_distinct":
+                    continue  # maintained in the helper multiset
                 if kind == "count":
                     meas.append(F.lit(sign).cast("bigint").alias(name))
                     continue
                 v = self._pre_col(col) if pre else F.col(col)
+                if kind in ("min", "max"):
+                    # post rows carry a CANDIDATE value (may improve
+                    # the stored extremum); pre rows retract — any
+                    # non-null retraction dirties the group, because
+                    # the retracted value may BE the stored extremum
+                    meas.append(
+                        (F.lit(None).cast(feed.schema[col].dataType
+                                          if col in feed.columns
+                                          else "double")
+                         if pre else v).alias(name))
+                    meas.append(
+                        (F.when(v.isNotNull(), 1).otherwise(0)
+                         if pre else F.lit(0))
+                        .cast("bigint").alias(_dirty(name)))
+                    continue
                 meas.append((F.coalesce(v, F.lit(0)) * sign).alias(name))
                 meas.append(
                     F.when(v.isNotNull(), sign).otherwise(0)
@@ -179,10 +233,20 @@ class CdfAggregateView:
         contrib = self._contribs(feed)
         aggs = [F.sum(_ROWS).cast("bigint").alias(_ROWS)]
         for name, (kind, _col) in self.specs.items():
-            aggs.append(F.sum(name).alias(name))
+            if kind == "count_distinct":
+                continue  # maintained in the helper multiset
+            if kind == "min":
+                aggs.append(F.min(name).alias(name))
+            elif kind == "max":
+                aggs.append(F.max(name).alias(name))
+            else:
+                aggs.append(F.sum(name).alias(name))
             if kind == "sum":
                 aggs.append(F.sum(_nn(name)).cast("bigint")
                             .alias(_nn(name)))
+            elif kind in ("min", "max"):
+                aggs.append(F.sum(_dirty(name)).cast("bigint")
+                            .alias(_dirty(name)))
         return contrib.groupBy(*self.group_cols).agg(*aggs)
 
     # -- refresh ----------------------------------------------------------
@@ -194,24 +258,112 @@ class CdfAggregateView:
         meta = {"cdf_cursor": up_to}
         current = self.table.read()
         if current is None:
-            self.table.merge(delta, commit_meta=meta)
-            return
-        d, c = delta.alias("d"), current.alias("c")
-        on = [F.col(f"d.{k}") == F.col(f"c.{k}")
-              for k in self.group_cols]
-        names = [_ROWS]
-        for name, (kind, _col) in self.specs.items():
-            names.append(name)
-            if kind == "sum":
-                names.append(_nn(name))
-        folded = [F.col(f"d.{k}").alias(k) for k in self.group_cols]
-        for name in names:
-            old, new = F.col(f"c.{name}"), F.col(f"d.{name}")
-            folded.append(
-                (F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0)))
-                .alias(name))
-        self.table.merge(d.join(c, on, "left").select(*folded),
-                         commit_meta=meta)
+            out = delta
+        else:
+            d, c = delta.alias("d"), current.alias("c")
+            # null-safe: NULL is a legal SQL group — an unsafe join
+            # would miss the stored null-group row and fold the delta
+            # as a fresh group (duplicate rows in the view)
+            on = [F.col(f"d.{k}").eqNullSafe(F.col(f"c.{k}"))
+                  for k in self.group_cols]
+            folded = [F.col(f"d.{k}").alias(k) for k in self.group_cols]
+            add_names = [_ROWS]
+            for name, (kind, _col) in self.specs.items():
+                if kind in ("count", "sum"):
+                    add_names.append(name)
+                if kind == "sum":
+                    add_names.append(_nn(name))
+            for name in add_names:
+                old, new = F.col(f"c.{name}"), F.col(f"d.{name}")
+                folded.append(
+                    (F.coalesce(old, F.lit(0))
+                     + F.coalesce(new, F.lit(0))).alias(name))
+            for name, (kind, _col) in self.specs.items():
+                if kind not in ("min", "max"):
+                    continue
+                old, new = F.col(f"c.{name}"), F.col(f"d.{name}")
+                best = F.least(old, new) if kind == "min" \
+                    else F.greatest(old, new)
+                # least/greatest ignore nulls (SQL semantics): an
+                # unseen group starts at the delta candidate
+                folded.append(best.alias(name))
+                folded.append(
+                    (F.coalesce(F.col(f"c.{_dirty(name)}"), F.lit(0))
+                     + F.coalesce(F.col(f"d.{_dirty(name)}"), F.lit(0)))
+                    .alias(_dirty(name)))
+            out = d.join(c, on, "left").select(*folded)
+        out = self._recompute_dirty(out, up_to)
+        self.table.merge(out, commit_meta=meta)
+
+    def _recompute_dirty(self, folded: DataFrame,
+                         up_to: int) -> DataFrame:
+        """min/max are not retractable from deltas: when a refresh
+        RETRACTS a non-null value from a group (delete, or an
+        update's pre-image), the stored extremum may have been that
+        very value — those groups are marked DIRTY and their min/max
+        measures recomputed from the source (the standard
+        holistic-aggregate answer; count/sum stay delta-folded). The
+        recompute scans ONLY dirty groups' rows — partition-pruned
+        when the group column is the source's partition column — at
+        the version this fold covers (pinned so replays converge;
+        falls back to the current read if it was vacuumed). Clean
+        refreshes (inserts, updates that only add) skip all of this:
+        no flag, no scan."""
+        mm = [(name, kind, col) for name, (kind, col)
+              in self.specs.items() if kind in ("min", "max")]
+        if not mm:
+            return folded
+        dirty_flag = None
+        for name, _kind, _col in mm:
+            f = F.col(_dirty(name)) > 0
+            dirty_flag = f if dirty_flag is None else dirty_flag | f
+        dirty = folded.filter(dirty_flag).select(*self.group_cols)
+        if dirty.isEmpty():
+            return folded.select(
+                *[c for c in folded.columns]).withColumns(
+                {_dirty(n): F.lit(0).cast("bigint")
+                 for n, _k, _c in mm})
+        try:
+            src = self.source.read_version(up_to)
+        except ValueError:
+            src = self.source.read()
+        s, g = src.alias("s"), F.broadcast(dirty.alias("g"))
+        on = None
+        for k in self.group_cols:
+            e = F.col(f"s.{k}").eqNullSafe(F.col(f"g.{k}"))
+            on = e if on is None else on & e
+        aggs = [(F.min(f"s.{col}") if kind == "min"
+                 else F.max(f"s.{col}")).alias(f"_rc_{name}")
+                for name, kind, col in mm]
+        recomp = (s.join(g, on, "left_semi")
+                  .groupBy(*[F.col(f"s.{k}").alias(k)
+                             for k in self.group_cols])
+                  .agg(*aggs))
+        fo, rc = folded.alias("fo"), recomp.alias("rc")
+        on2 = None
+        for k in self.group_cols:
+            e = F.col(f"fo.{k}").eqNullSafe(F.col(f"rc.{k}"))
+            on2 = e if on2 is None else on2 & e
+        out = [F.col(f"fo.{k}").alias(k) for k in self.group_cols]
+        for c in folded.columns:
+            if c in self.group_cols:
+                continue
+            if c.startswith("_dirty_"):
+                out.append(F.lit(0).cast("bigint").alias(c))
+                continue
+            name = c
+            spec = self.specs.get(name)
+            if spec and spec[0] in ("min", "max"):
+                # dirty group: the recompute is authoritative (a
+                # fully-retracted group joins nothing — null, which
+                # read() hides once _rows hits 0); clean group: fold
+                out.append(
+                    F.when(F.col(f"fo.{_dirty(name)}") > 0,
+                           F.col(f"rc._rc_{name}"))
+                    .otherwise(F.col(f"fo.{name}")).alias(name))
+            else:
+                out.append(F.col(f"fo.{name}").alias(name))
+        return fo.join(rc, on2, "left").select(*out)
 
     def refresh(self) -> int | None:
         """One maintenance step: poll the retraction feed, apply the
@@ -230,18 +382,71 @@ class CdfAggregateView:
         if got is None:
             return None
         feed, up_to = got
+        self._fold_all(feed, up_to)
+        self.follower.commit(up_to)
+        return up_to
+
+    def _applied(self, table: ParquetUpsertTable | None = None) -> int:
+        meta = (table or self.table).commit_meta() or {}
+        applied = meta.get("cdf_cursor")
+        return -1 if applied is None else int(applied)
+
+    def _fold_all(self, feed: DataFrame, up_to: int) -> None:
+        """Fold one feed slice into the main table and every
+        count_distinct helper, each fenced by its OWN applied-through
+        cursor (a crash between any two folds replays only the folds
+        that did not commit — every table converges independently)."""
         applied = self._applied()
         if applied < up_to:
             self._apply(
                 self._delta(feed.filter(F.col("version") > applied)),
                 up_to)
-        self.follower.commit(up_to)
-        return up_to
+        for name, helper in self._helpers.items():
+            a = self._applied(helper)
+            if a < up_to:
+                self._fold_helper(
+                    name, helper,
+                    feed.filter(F.col("version") > a), up_to)
 
-    def _applied(self) -> int:
-        meta = self.table.commit_meta() or {}
-        applied = meta.get("cdf_cursor")
-        return -1 if applied is None else int(applied)
+    def _fold_helper(self, name: str, helper: ParquetUpsertTable,
+                     feed: DataFrame, up_to: int) -> None:
+        """Fold one feed slice into a count_distinct helper: signed
+        multiset counts per (group, value), null values excluded
+        (``COUNT(DISTINCT x)`` ignores them)."""
+        col = self.specs[name][1]
+        feed = self._normalize(feed)
+
+        def side(sign: int) -> DataFrame:
+            pre = sign < 0
+            v = self._pre_col(col) if pre else F.col(col)
+            src = feed.filter(
+                F.col("change_type") != ("insert" if pre else "delete"))
+            g = [(self._pre_col(c) if pre else F.col(c)).alias(c)
+                 for c in self.group_cols]
+            return (src.filter(v.isNotNull())
+                    .select(*g, v.alias("_val"),
+                            F.lit(sign).cast("bigint").alias(_ROWS)))
+
+        delta = (side(+1).unionByName(side(-1))
+                 .groupBy(*self.group_cols, "_val")
+                 .agg(F.sum(_ROWS).cast("bigint").alias(_ROWS)))
+        meta = {"cdf_cursor": up_to}
+        current = helper.read()
+        if current is None:
+            helper.merge(delta, commit_meta=meta)
+            return
+        d, c = delta.alias("d"), current.alias("c")
+        on = None
+        for k in [*self.group_cols, "_val"]:
+            e = F.col(f"d.{k}").eqNullSafe(F.col(f"c.{k}"))
+            on = e if on is None else on & e
+        folded = [F.col(f"d.{k}").alias(k)
+                  for k in [*self.group_cols, "_val"]]
+        folded.append(
+            (F.coalesce(F.col(f"c.{_ROWS}"), F.lit(0))
+             + F.coalesce(F.col(f"d.{_ROWS}"), F.lit(0))).alias(_ROWS))
+        helper.merge(d.join(c, on, "left").select(*folded),
+                     commit_meta=meta)
 
     def fold_stream_batch(self, batch_df: DataFrame,
                           _epoch_id: int | None = None) -> None:
@@ -259,31 +464,51 @@ class CdfAggregateView:
         strictly stronger (it survives a fresh checkpoint lineage)."""
         if batch_df.isEmpty():
             return
-        applied = self._applied()
         up_to = batch_df.agg(
             F.max("version").alias("v")).collect()[0][0]
-        if up_to is None or int(up_to) <= applied:
+        if up_to is None:
             return
-        self._apply(
-            self._delta(batch_df.filter(F.col("version") > applied)),
-            int(up_to))
+        self._fold_all(batch_df, int(up_to))
 
     # -- read / maintenance ------------------------------------------------
     def read(self) -> DataFrame | None:
         """The view as a query would see it: groups with live rows
         only, SQL aggregate semantics (``SUM`` is NULL for a group
-        whose every value is NULL; ``COUNT(*)`` counts rows)."""
+        whose every value is NULL; ``COUNT(*)`` counts rows;
+        ``COUNT(DISTINCT x)`` ignores NULLs and is 0 when every value
+        is NULL — derived per read from the helper multiset's live
+        (group, value) rows, O(|distinct pairs|))."""
         t = self.table.read()
         if t is None:
             return None
-        live = t.filter(F.col(_ROWS) > 0)
-        out = [F.col(c) for c in self.group_cols]
+        live = t.filter(F.col(_ROWS) > 0).alias("v")
+        joined = set()
+        for name, helper in self._helpers.items():
+            h = helper.read()
+            if h is None:
+                continue
+            cnt = (h.filter(F.col(_ROWS) > 0)
+                   .groupBy(*self.group_cols)
+                   .agg(F.count("*").cast("bigint").alias(name))
+                   .alias(f"cd_{name}"))
+            on = None
+            for k in self.group_cols:
+                e = F.col(f"v.{k}").eqNullSafe(F.col(f"cd_{name}.{k}"))
+                on = e if on is None else on & e
+            live = live.join(cnt, on, "left")
+            joined.add(name)
+        out = [F.col(f"v.{c}").alias(c) for c in self.group_cols]
         for name, (kind, _col) in self.specs.items():
-            if kind == "count":
-                out.append(F.col(name))
-            else:
-                out.append(F.when(F.col(_nn(name)) > 0, F.col(name))
-                           .alias(name))
+            if kind == "sum":
+                out.append(
+                    F.when(F.col(f"v.{_nn(name)}") > 0,
+                           F.col(f"v.{name}")).alias(name))
+            elif kind == "count_distinct":
+                src = (F.col(f"cd_{name}.{name}") if name in joined
+                       else F.lit(None).cast("bigint"))
+                out.append(F.coalesce(src, F.lit(0)).alias(name))
+            else:  # count is exact as stored; min/max are maintained
+                out.append(F.col(f"v.{name}").alias(name))
         return live.select(*out)
 
     def compact(self) -> None:
@@ -291,9 +516,10 @@ class CdfAggregateView:
         they are invisible to :meth:`read` already; this reclaims the
         rows. Safe any time: a later insert for the group simply
         re-creates it from its delta."""
-        t = self.table.read()
-        if t is None:
-            return
-        dead = t.filter(F.col(_ROWS) <= 0).select(*self.group_cols)
-        if not dead.isEmpty():
-            self.table.delete_keys(dead)
+        for tbl in [self.table, *self._helpers.values()]:
+            t = tbl.read()
+            if t is None:
+                continue
+            dead = t.filter(F.col(_ROWS) <= 0).select(*tbl.key_cols)
+            if not dead.isEmpty():
+                tbl.delete_keys(dead)

@@ -164,7 +164,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          # r11 headliners
          "docs_change_feed_recorded",
          "docs_table_changes_source",
-         "docs_metadata_rowcounts")
+         "docs_metadata_rowcounts",
+         "docs_incremental_agg",
+         "dedup_editdist")
 
 
 def headline_names() -> list[str]:

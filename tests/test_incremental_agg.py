@@ -52,6 +52,10 @@ def _view(spark, tmp, src, **kw):
         str(tmp / "cursor"), **kw)
 
 
+
+def _nsort(rows):
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
 def _recompute(src):
     cur = src.read()
     if cur is None:
@@ -59,13 +63,13 @@ def _recompute(src):
     got = (cur.groupBy("g")
            .agg(F.count("*").cast("bigint").alias("n"),
                 F.sum("x").cast("bigint").alias("sx")).collect())
-    return sorted((r.g, r.n, r.sx) for r in got)
+    return _nsort((r.g, r.n, r.sx) for r in got)
 
 
 def _read(view):
     df = view.read()
     return [] if df is None else \
-        sorted((r.g, r.n, r.sx) for r in df.collect())
+        _nsort((r.g, r.n, r.sx) for r in df.collect())
 
 
 def test_preimages_recorded_and_views_agree(spark, tmp_path):
@@ -187,11 +191,88 @@ def test_vanish_and_compact(spark, tmp_path):
     assert _read(view) == _recompute(src)
 
 
-def test_min_max_rejected(spark, tmp_path):
+def test_unknown_kind_rejected(spark, tmp_path):
     src = _source(spark, tmp_path / "src")
-    with pytest.raises(ValueError, match="retractable"):
+    with pytest.raises(ValueError, match="unsupported aggregate"):
         CdfAggregateView(spark, str(tmp_path / "v"), src, ["g"],
-                         {"m": ("min", "x")}, str(tmp_path / "c"))
+                         {"m": ("median", "x")}, str(tmp_path / "c"))
+
+
+def _mm_view(spark, tmp, src):
+    return CdfAggregateView(
+        spark, str(tmp / "mmview"), src, ["g"],
+        {"n": ("count", None), "sx": ("sum", "x"),
+         "mn": ("min", "x"), "mx": ("max", "x")},
+        str(tmp / "mmcursor"))
+
+
+def _mm_recompute(src):
+    cur = src.read()
+    if cur is None:
+        return []
+    got = (cur.groupBy("g")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx")).collect())
+    return _nsort((r.g, r.n, r.sx, r.mn, r.mx) for r in got)
+
+
+def _mm_read(view):
+    df = view.read()
+    return [] if df is None else \
+        _nsort((r.g, r.n, r.sx, r.mn, r.mx) for r in df.collect())
+
+
+def test_min_max_maintained_through_retractions(spark, tmp_path):
+    src = _source(spark, tmp_path / "src")
+    view = _mm_view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", 5), (2, "a", 9), (3, "a", 1),
+                            (4, "b", 7), (5, "b", None)]))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+
+    # delete the current minimum of 'a': dirty recompute must find
+    # the runner-up (5), not keep the stale 1
+    src.delete_keys(_rows(spark, [(3, "a", 0)]).select("k", "g"))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+
+    # clean refresh (insert-only) must fold additively: a NEW maximum
+    # arrives without any retraction
+    src.merge(_rows(spark, [(6, "a", 11), (7, "b", 2)]))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+
+    # update that moves the max of 'a' DOWN (retracts 11, posts 4):
+    # dirty path again; also a group move b -> a in the same version
+    src.merge(_rows(spark, [(6, "a", 4), (7, "a", 2)]))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+
+    # retract the last non-null value of 'b': min/max return to NULL
+    src.delete_keys(_rows(spark, [(4, "b", 0)]).select("k", "g"))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+    got = {r.g: (r.mn, r.mx) for r in view.read().collect()}
+    assert got["b"] == (None, None)
+
+
+def test_null_group_is_one_group(spark, tmp_path):
+    """NULL is a legal SQL group: the null-safe fold join and the
+    table's null-safe key matching must keep ONE stored row for it
+    across refreshes (an unsafe join would duplicate it)."""
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, None, 1), (2, None, 2), (3, "a", 3)]))
+    view.refresh()
+    assert _read(view) == _recompute(src)
+    src.merge(_rows(spark, [(4, None, 4)]))   # second fold, same group
+    src.delete_keys(_rows(spark, [(1, None, 0)]).select("k", "g"))
+    view.refresh()
+    assert _read(view) == _recompute(src)
+    nulls = [r for r in view.read().collect() if r.g is None]
+    assert len(nulls) == 1 and (nulls[0].n, nulls[0].sx) == (2, 6)
 
 
 def test_streaming_fold_via_table_changes(spark, tmp_path):
@@ -237,3 +318,59 @@ def test_streaming_fold_via_table_changes(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="streaming mode"):
         view.refresh()
+
+
+def test_count_distinct_maintained(spark, tmp_path):
+    """Exact COUNT(DISTINCT x) through the helper multiset: duplicate
+    values collapse, retracting ONE copy of a duplicated value leaves
+    the count unchanged, retracting the LAST copy drops it, NULLs are
+    ignored (0 for an all-null group), and group moves carry the
+    value between helper groups."""
+    src = _source(spark, tmp_path / "src")
+    view = CdfAggregateView(
+        spark, str(tmp_path / "cdview"), src, ["g"],
+        {"n": ("count", None), "nd": ("count_distinct", "x")},
+        str(tmp_path / "cdcursor"))
+
+    def recompute():
+        got = (src.read().groupBy("g")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.countDistinct("x").cast("bigint").alias("nd"))
+               .collect())
+        return _nsort((r.g, r.n, r.nd) for r in got)
+
+    def read():
+        return _nsort((r.g, r.n, r.nd)
+                      for r in view.read().collect())
+
+    src.merge(_rows(spark, [(1, "a", 5), (2, "a", 5), (3, "a", 7),
+                            (4, "b", None), (5, "b", 9)]))
+    view.refresh()
+    assert read() == recompute() == [("a", 3, 2), ("b", 2, 1)]
+
+    # retract ONE copy of the duplicated 5 (update 5 -> 7): distinct
+    # count stays 2 (5 survives via k=2; 7 already present)
+    src.merge(_rows(spark, [(1, "a", 7)]))
+    view.refresh()
+    assert read() == recompute() == [("a", 3, 2), ("b", 2, 1)]
+
+    # retract the LAST copy of 5, and null out b's only value
+    src.merge(_rows(spark, [(2, "a", 7), (5, "b", None)]))
+    view.refresh()
+    assert read() == recompute() == [("a", 3, 1), ("b", 2, 0)]
+
+    # group move carries the value: k=3 moves a -> b with x=7
+    src.merge(_rows(spark, [(3, "b", 7)]))
+    view.refresh()
+    assert read() == recompute() == [("a", 2, 1), ("b", 3, 1)]
+
+    # fence: replay must not double-count the multiset
+    view.follower._write_cursor(-1)
+    view.refresh()
+    assert read() == recompute()
+
+    # compact reclaims fully-retracted helper rows too
+    view.compact()
+    helper = view._helpers["nd"]
+    assert helper.read().filter(F.col("_rows") <= 0).isEmpty()
+    assert read() == recompute()
