@@ -1102,3 +1102,110 @@ def docs_incremental_agg_holistic(spark: SparkSession,
     return (view.read()
             .select("lang", "mn_chars", "mx_chars",
                     F.col("nd_chars").cast("bigint").alias("nd_chars")))
+
+
+_JOINVIEW: dict[str, object] = {}
+
+
+@register(
+    "docs_join_view",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    dim0 AS (
+      SELECT lang, ascii(lang) AS weight FROM langs WHERE lang <> 'zh'
+    ),
+    dim1 AS (   -- v1: weight bump for en + late insert of zh
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN weight + 1000
+                  ELSE weight END AS weight
+      FROM dim0
+      UNION ALL SELECT 'zh', ascii('zh')
+    ),
+    dim2 AS (SELECT * FROM dim1 WHERE lang <> 'fr'),  -- v2: delete fr
+    f1 AS (     -- fact v1: composed update incl. JOIN-KEY MOVES
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    f2 AS (SELECT * FROM f1 WHERE doc_id % 101 <> 0)  -- fact v2
+    SELECT f2.doc_id, f2.lang, f2.n_chars,
+           CAST(d.weight AS INT) AS dim_weight
+    FROM f2 LEFT JOIN dim2 d USING (lang)
+    """,
+)
+def docs_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental enrich-join view (round 11 —
+    ``streaming/join_view.py``): a ``CdfJoinView`` maintains
+    documents LEFT JOIN a per-lang dim table from BOTH change feeds.
+    The op script exercises every maintenance regime: fact inserts,
+    composed fact updates including JOIN-KEY MOVES (lang→'xx', which
+    has no dim row → LEFT JOIN null), fact key deletes, dim value
+    updates (en weight bump re-enriches only en docs through the
+    IN-list data-skipping read), a LATE dim insert ('zh' arrives
+    after the facts — its docs backfill from null), and a dim delete
+    ('fr' → its docs re-enrich to null). Two refreshes split the
+    script, and the oracle re-derives the final fact and dim states
+    in SQL and re-joins — so a missed fan-in, a stale enrichment, or
+    a fence regression fails the hash gate. The fact table is never
+    re-joined in full: fact folds enrich O(changed rows), dim folds
+    re-enrich O(affected fact rows). Fixture builds once per
+    (process, sf_dir); repeated runs measure the view read."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    view = _JOINVIEW.get(sf_dir)
+    if view is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_joinview_")
+        fact = ParquetUpsertTable(
+            spark, os.path.join(root, "fact"), ["doc_id"],
+            partition_col="lang", retain_versions=10,
+            record_change_values=True)
+        dim = ParquetUpsertTable(
+            spark, os.path.join(root, "dim"), ["lang"],
+            retain_versions=10)
+        view = CdfJoinView(
+            spark, os.path.join(root, "view"), fact, dim, "lang",
+            os.path.join(root, "fck"), os.path.join(root, "dck"),
+            dim_prefix="dim_")
+        dim.merge(docs.select("lang").distinct()
+                  .filter(F.col("lang") != "zh")
+                  .withColumn("weight", F.ascii("lang")))   # dim v0
+        fact.merge(docs)                                    # fact v0
+        view.refresh()
+        upd = (dim.read().filter(F.col("lang") == "en")
+               .withColumn("weight", F.col("weight") + 1000))
+        late = (docs.select("lang").distinct()
+                .filter(F.col("lang") == "zh")
+                .withColumn("weight", F.ascii("lang")))
+        dim.merge(upd.unionByName(late))                    # dim v1
+        dim.delete_keys(
+            spark.createDataFrame([("fr",)], "lang string"))  # dim v2
+        fupd = (docs.filter((F.col("doc_id") % 10 == 3)
+                            | (F.col("doc_id") % 7 == 2))
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 10 == 3,
+                                   F.col("n_chars") + 1000)
+                            .otherwise(F.col("n_chars")))
+                .withColumn("lang",
+                            F.when(F.col("doc_id") % 7 == 2,
+                                   F.lit("xx"))
+                            .otherwise(F.col("lang"))))
+        fact.merge(fupd)                                    # fact v1
+        doomed = fact.read().filter(F.col("doc_id") % 101 == 0)
+        fact.delete_keys(doomed.select("doc_id", "lang"))   # fact v2
+        view.refresh()
+        _JOINVIEW[sf_dir] = view
+    return (view.read()
+            .select("doc_id", "lang", "n_chars",
+                    F.col("dim_weight").cast("int")
+                    .alias("dim_weight")))

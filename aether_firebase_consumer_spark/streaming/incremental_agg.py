@@ -448,6 +448,68 @@ class CdfAggregateView:
         helper.merge(d.join(c, on, "left").select(*folded),
                      commit_meta=meta)
 
+    def rebuild(self) -> int:
+        """Recovery past the retention window (the view analogue of
+        ``ChangeFeedFollower.bootstrap``): when the cursor predates
+        the oldest retained source version, :meth:`refresh` rightly
+        raises — the in-between history is gone — and the only sound
+        resync is a FULL RECOMPUTE at the source's current version.
+        Rebuilds the stored accumulators (and every count_distinct
+        helper multiset) with exactly the semantics the folds
+        maintain, replaces the tables atomically with the cursor
+        pinned to the snapshot version, jumps the follower, and
+        resumes incremental from there. Crash-safe by rerun: each
+        table's replace is atomic and stamps the snapshot cursor, so
+        a partial rebuild is simply rebuilt again. Returns the
+        version rebuilt to; raises on an empty source (nothing to
+        rebuild a view OF — use a fresh view instead)."""
+        src = self.source.read()
+        v = self.source.current_version()
+        if src is None or v < 0:
+            raise ValueError("cannot rebuild a view over an empty "
+                             "source table")
+        meta = {"cdf_cursor": v}
+        aggs = [F.count("*").cast("bigint").alias(_ROWS)]
+        for name, (kind, col) in self.specs.items():
+            if kind == "count":
+                aggs.append(F.count("*").cast("bigint").alias(name))
+            elif kind == "sum":
+                # stored sum accumulates coalesce(x, 0); the non-null
+                # counter re-derives SQL NULL at read — reproduce both
+                aggs.append(F.sum(F.coalesce(F.col(col), F.lit(0)))
+                            .alias(name))
+                aggs.append(F.count(col).cast("bigint")
+                            .alias(_nn(name)))
+            elif kind == "min":
+                aggs.append(F.min(col).alias(name))
+                aggs.append(F.lit(0).cast("bigint").alias(_dirty(name)))
+            elif kind == "max":
+                aggs.append(F.max(col).alias(name))
+                aggs.append(F.lit(0).cast("bigint").alias(_dirty(name)))
+        self.table.replace(src.groupBy(*self.group_cols).agg(*aggs),
+                           commit_meta=meta)
+        for name, helper in self._helpers.items():
+            col = self.specs[name][1]
+            multiset = (src.filter(F.col(col).isNotNull())
+                        .groupBy(*self.group_cols,
+                                 F.col(col).alias("_val"))
+                        .agg(F.count("*").cast("bigint").alias(_ROWS)))
+            if multiset.isEmpty():
+                # all-null measure: replace() rightly refuses an empty
+                # batch — clear any stale multiset instead
+                cur = helper.read()
+                if cur is not None:
+                    helper.delete_keys(cur.select(*helper.key_cols))
+                continue
+            helper.replace(multiset, commit_meta=meta)
+        if self.follower is not None:
+            self.follower.commit(v)
+        # streaming mode (no follower): the cursor lives in Spark's
+        # checkpoint, which this rebuild cannot move — restart the
+        # stream from a FRESH checkpoint with startingVersion = v + 1
+        # (same contract as ChangeFeedFollower.bootstrap)
+        return v
+
     def fold_stream_batch(self, batch_df: DataFrame,
                           _epoch_id: int | None = None) -> None:
         """``foreachBatch`` adapter for a ``table_changes`` stream

@@ -166,7 +166,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_table_changes_source",
          "docs_metadata_rowcounts",
          "docs_incremental_agg",
-         "dedup_editdist")
+         "dedup_editdist",
+         "docs_incremental_agg_holistic",
+         "docs_join_view")
 
 
 def headline_names() -> list[str]:

@@ -374,3 +374,51 @@ def test_count_distinct_maintained(spark, tmp_path):
     helper = view._helpers["nd"]
     assert helper.read().filter(F.col("_rows") <= 0).isEmpty()
     assert read() == recompute()
+
+
+def test_rebuild_past_retention(spark, tmp_path):
+    """The recovery arc: vacuum the source past the view's cursor so
+    refresh raises (history is GONE), rebuild from the snapshot —
+    including min/max and the count_distinct helper — then resume
+    incremental folding."""
+    src = _source(spark, tmp_path / "src", retain_versions=2)
+    view = CdfAggregateView(
+        spark, str(tmp_path / "rview"), src, ["g"],
+        {"n": ("count", None), "sx": ("sum", "x"),
+         "mn": ("min", "x"), "nd": ("count_distinct", "x")},
+        str(tmp_path / "rcursor"))
+    src.merge(_rows(spark, [(1, "a", 5), (2, "a", 5), (3, "b", 7)]))
+    view.refresh()
+
+    # three more versions; retention keeps only the last two
+    src.merge(_rows(spark, [(4, "b", 9)]))
+    src.delete_keys(_rows(spark, [(1, "a", 0)]).select("k", "g"))
+    src.merge(_rows(spark, [(5, "c", None)]))
+    src.vacuum(keep_last_n=1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        view.refresh()          # gap: unrecorded history vacuumed
+
+    v = view.rebuild()
+    assert v == src.current_version()
+
+    def recompute():
+        got = (src.read().groupBy("g")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("sx"),
+                    F.min("x").alias("mn"),
+                    F.countDistinct("x").cast("bigint").alias("nd"))
+               .collect())
+        return _nsort((r.g, r.n, r.sx, r.mn, r.nd) for r in got)
+
+    def read():
+        return _nsort((r.g, r.n, r.sx, r.mn, r.nd)
+                      for r in view.read().collect())
+
+    assert read() == recompute()
+    # incremental resumes cleanly after the jump
+    src.merge(_rows(spark, [(6, "a", 5), (3, "b", 70)]))
+    src.delete_keys(_rows(spark, [(4, "b", 0)]).select("k", "g"))
+    assert view.refresh() == src.current_version()
+    assert read() == recompute()

@@ -1,0 +1,216 @@
+"""Incremental enrich-join view (round 11): ``CdfJoinView`` maintains
+``fact LEFT JOIN dim`` from both change feeds. Contracts under test:
+
+1. EXACTNESS — after a refresh with both feeds drained the view
+   equals the full re-join, through fact inserts/updates/deletes,
+   JOIN-KEY MOVES (a fact row changing its dim), dim value updates,
+   dim inserts (late-arriving dims backfill enrichment), and dim
+   deletes (LEFT JOIN nulls).
+2. PRUNED FAN-IN — a dim change re-enriches through the IN-list
+   data-skipping read: on a join-key-clustered fact the files_for
+   plan keeps a strict subset of files.
+3. REGRESSION FENCE — a crash-replayed OLD fact slice must not
+   overwrite newer post-images.
+4. STREAMING — two table_changes streams drive the view via the
+   foreachBatch adapters, surviving checkpointed restarts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aether_firebase_consumer_spark.sinks.upsert import ParquetUpsertTable
+from aether_firebase_consumer_spark.streaming.join_view import CdfJoinView
+
+
+def _fact(spark, root, **kw):
+    kw.setdefault("retain_versions", 20)
+    kw.setdefault("record_change_values", True)
+    kw.setdefault("stats_cols", ["jk"])
+    kw.setdefault("bloom_cols", ["jk"])
+    return ParquetUpsertTable(spark, str(root), ["k"], **kw)
+
+
+def _dim(spark, root, **kw):
+    kw.setdefault("retain_versions", 20)
+    return ParquetUpsertTable(spark, str(root), ["jk"], **kw)
+
+
+def _frows(spark, rows):
+    return spark.createDataFrame(rows, "k int, jk string, x int")
+
+
+def _drows(spark, rows):
+    return spark.createDataFrame(rows, "jk string, attr int")
+
+
+def _mk(spark, tmp):
+    fact = _fact(spark, tmp / "fact")
+    dim = _dim(spark, tmp / "dim")
+    view = CdfJoinView(spark, str(tmp / "view"), fact, dim, "jk",
+                       str(tmp / "fck"), str(tmp / "dck"))
+    return fact, dim, view
+
+
+def _recompute(fact, dim):
+    f = fact.read()
+    if f is None:
+        return []
+    d = dim.read()
+    if d is not None:
+        d = d.select("jk", F.col("attr").alias("dim_attr"))
+        f = f.join(d, "jk", "left")
+    else:
+        f = f.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted((r.k, r.jk, r.x, r.dim_attr) for r in f.collect())
+
+
+def _read(view):
+    df = view.read()
+    if df is None:
+        return []
+    if "dim_attr" not in df.columns:
+        df = df.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted((r.k, r.jk, r.x, r.dim_attr)
+                  for r in df.collect())
+
+
+def test_join_view_matches_rejoin_through_op_script(spark, tmp_path):
+    fact, dim, view = _mk(spark, tmp_path)
+    dim.merge(_drows(spark, [("a", 1), ("b", 2)]))
+    fact.merge(_frows(spark, [(1, "a", 10), (2, "a", 20),
+                              (3, "b", 30), (4, "zz", 40)]))  # zz: no dim
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+
+    # dim value update + dim delete + late dim insert (backfills zz)
+    dim.merge(_drows(spark, [("a", 100), ("zz", 9)]))
+    dim.delete_keys(_drows(spark, [("b", 0)]).select("jk"))
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+    got = {r.k: r.dim_attr for r in view.read().collect()}
+    assert got[3] is None      # dim 'b' deleted -> LEFT JOIN null
+    assert got[4] == 9         # late dim backfilled
+
+    # fact update incl. JOIN-KEY MOVE + fact delete + fact insert
+    fact.merge(_frows(spark, [(1, "zz", 11),   # a -> zz
+                              (5, "a", 50)]))
+    fact.delete_keys(_frows(spark, [(2, "a", 0)]).select("k"))
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+    got = {r.k: r.dim_attr for r in view.read().collect()}
+    assert got[1] == 9 and got[5] == 100
+
+    # both sides caught up: refresh is a no-op
+    assert view.refresh() == {"fact": None, "dim": None}
+
+
+def test_dim_fanin_prunes_fact_files(spark, tmp_path):
+    """On a jk-partitioned fact, a one-dim-key change plans a strict
+    file subset through the manifest (partition + IN-list path)."""
+    fact = _fact(spark, tmp_path / "fact", partition_col="jk")
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"))
+    rows = [(i, f"jk{i % 8}", i) for i in range(400)]
+    fact.merge(_frows(spark, rows))
+    dim.merge(_drows(spark, [(f"jk{i}", i) for i in range(8)]))
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+
+    dim.merge(_drows(spark, [("jk3", 333)]))
+    plan = fact.files_for([("jk", "in", ["jk3"])])
+    assert plan is not None
+    _v, kept, total = plan
+    assert total > 1 and len(kept) < total, \
+        f"no pruning: {len(kept)}/{total}"
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+
+
+def test_old_slice_replay_cannot_regress(spark, tmp_path):
+    fact, dim, view = _mk(spark, tmp_path)
+    dim.merge(_drows(spark, [("a", 1)]))
+    fact.merge(_frows(spark, [(1, "a", 10)]))      # fact v0
+    view.refresh()
+    fact.merge(_frows(spark, [(1, "a", 99)]))      # fact v1 (newer)
+    view.refresh()
+    assert {r.x for r in view.read().collect()} == {99}
+    # crash-replay of the OLD slice: roll the follower back to -1 so
+    # the next poll re-delivers v0+v1; the fence (version > applied)
+    # must keep 99, not regress to 10
+    view.fact_follower._write_cursor(-1)
+    view.refresh()
+    assert {r.x for r in view.read().collect()} == {99}
+    assert _read(view) == _recompute(fact, dim)
+
+
+def test_streaming_two_feeds_drive_view(spark, tmp_path):
+    from aether_firebase_consumer_spark.streaming.table_changes_source import (  # noqa: E501
+        register_table_changes,
+    )
+
+    register_table_changes(spark)
+    fact = _fact(spark, tmp_path / "fact")
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk")
+    dim.merge(_drows(spark, [("a", 1), ("b", 2)]))
+    fact.merge(_frows(spark, [(1, "a", 10), (2, "b", 20)]))
+
+    def run_once():
+        qf = (spark.readStream.format("table_changes")
+              .option("path", fact.path).option("keyCols", "k")
+              .option("includeValues", "true")
+              .option("startingVersion", 0).load()
+              .writeStream.foreachBatch(view.fold_fact_batch)
+              .option("checkpointLocation", str(tmp_path / "fck"))
+              .start())
+        qf.processAllAvailable()
+        qf.stop()
+        qd = (spark.readStream.format("table_changes")
+              .option("path", dim.path).option("keyCols", "jk")
+              .option("startingVersion", 0).load()
+              .writeStream.foreachBatch(view.fold_dim_batch)
+              .option("checkpointLocation", str(tmp_path / "dck"))
+              .start())
+        qd.processAllAvailable()
+        qd.stop()
+
+    run_once()
+    assert _read(view) == _recompute(fact, dim)
+
+    fact.merge(_frows(spark, [(1, "b", 11), (3, "a", 30)]))
+    dim.merge(_drows(spark, [("b", 200)]))
+    dim.delete_keys(_drows(spark, [("a", 0)]).select("jk"))
+    run_once()                         # restart from checkpoints
+    assert _read(view) == _recompute(fact, dim)
+
+
+def test_join_view_rebuild_past_retention(spark, tmp_path):
+    import pytest as _pytest
+
+    fact = _fact(spark, tmp_path / "fact", retain_versions=2)
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"))
+    dim.merge(_drows(spark, [("a", 1), ("b", 2)]))
+    fact.merge(_frows(spark, [(1, "a", 10), (2, "b", 20)]))
+    view.refresh()
+
+    fact.merge(_frows(spark, [(3, "a", 30)]))
+    fact.delete_keys(_frows(spark, [(2, "b", 0)]).select("k"))
+    fact.merge(_frows(spark, [(4, "b", 40)]))
+    fact.vacuum(keep_last_n=1)
+    with _pytest.raises(ValueError):
+        view.refresh()
+
+    got = view.rebuild()
+    assert got == {"fact": fact.current_version(),
+                   "dim": dim.current_version()}
+    assert _read(view) == _recompute(fact, dim)
+
+    # incremental resumes on both sides
+    dim.merge(_drows(spark, [("a", 111)]))
+    fact.merge(_frows(spark, [(5, "a", 50)]))
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
