@@ -1209,3 +1209,126 @@ def docs_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars",
                     F.col("dim_weight").cast("int")
                     .alias("dim_weight")))
+
+
+_CHAIN: dict[str, object] = {}
+
+
+@register(
+    "docs_view_chain",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    dim0 AS (
+      SELECT lang, ascii(lang) AS weight FROM langs WHERE lang <> 'zh'
+    ),
+    dim1 AS (
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN weight + 1000
+                  ELSE weight END AS weight
+      FROM dim0
+      UNION ALL SELECT 'zh', ascii('zh')
+    ),
+    dim2 AS (SELECT * FROM dim1 WHERE lang <> 'fr'),
+    f1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    f2 AS (SELECT * FROM f1 WHERE doc_id % 101 <> 0)
+    SELECT CAST(d.weight AS INT) AS dim_weight,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f2.n_chars) AS BIGINT) AS sum_chars
+    FROM f2 LEFT JOIN dim2 d USING (lang)
+    GROUP BY 1
+    """,
+)
+def docs_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED incremental views (round 11): source documents →
+    ``CdfJoinView`` (enrich with the per-lang dim) → that view's own
+    table records ITS retraction feed (``table_kwargs``) →
+    ``CdfAggregateView`` grouping by the ENRICHED attribute
+    (dim_weight). Every hop maintains O(its own changed rows): a dim
+    weight update moves whole lang cohorts between downstream groups
+    (pre-images carry the OLD dim_weight, so the aggregate retracts
+    from the right group); dim deletes and never-enriched langs land
+    in the NULL group (null-safe fold + null-safe table keys); fact
+    deletes shrink their group. Same op script as
+    :func:`docs_join_view`, aggregated — the oracle re-derives final
+    fact and dim states in SQL, re-joins, and groups, so a phantom
+    change row (a no-op re-enrichment leaking into the feed) or a
+    missed cohort move fails the hash gate. The reference has neither
+    joins nor aggregates nor change history; this is three derived
+    artifacts maintained from one CDC arc."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    agg = _CHAIN.get(sf_dir)
+    if agg is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_chain_")
+        fact = ParquetUpsertTable(
+            spark, os.path.join(root, "fact"), ["doc_id"],
+            partition_col="lang", retain_versions=10,
+            record_change_values=True)
+        dim = ParquetUpsertTable(
+            spark, os.path.join(root, "dim"), ["lang"],
+            retain_versions=10)
+        view = CdfJoinView(
+            spark, os.path.join(root, "view"), fact, dim, "lang",
+            os.path.join(root, "fck"), os.path.join(root, "dck"),
+            table_kwargs={"record_change_values": True,
+                          "record_change_preimages": True,
+                          "retain_versions": 20})
+        agg = CdfAggregateView(
+            spark, os.path.join(root, "agg"), view.table,
+            ["dim_weight"],
+            {"n_docs": ("count", None),
+             "sum_chars": ("sum", "n_chars")},
+            os.path.join(root, "aggck"))
+        dim.merge(docs.select("lang").distinct()
+                  .filter(F.col("lang") != "zh")
+                  .withColumn("weight", F.ascii("lang")))
+        fact.merge(docs)
+        view.refresh()
+        agg.refresh()
+        upd = (dim.read().filter(F.col("lang") == "en")
+               .withColumn("weight", F.col("weight") + 1000))
+        late = (docs.select("lang").distinct()
+                .filter(F.col("lang") == "zh")
+                .withColumn("weight", F.ascii("lang")))
+        dim.merge(upd.unionByName(late))
+        dim.delete_keys(
+            spark.createDataFrame([("fr",)], "lang string"))
+        fupd = (docs.filter((F.col("doc_id") % 10 == 3)
+                            | (F.col("doc_id") % 7 == 2))
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 10 == 3,
+                                   F.col("n_chars") + 1000)
+                            .otherwise(F.col("n_chars")))
+                .withColumn("lang",
+                            F.when(F.col("doc_id") % 7 == 2,
+                                   F.lit("xx"))
+                            .otherwise(F.col("lang"))))
+        fact.merge(fupd)
+        doomed = fact.read().filter(F.col("doc_id") % 101 == 0)
+        fact.delete_keys(doomed.select("doc_id", "lang"))
+        view.refresh()
+        agg.refresh()
+        _CHAIN[sf_dir] = agg
+    return (agg.read()
+            .select(F.col("dim_weight").cast("int").alias("dim_weight"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("sum_chars").cast("bigint")
+                    .alias("sum_chars")))

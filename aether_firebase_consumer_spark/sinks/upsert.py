@@ -427,8 +427,51 @@ class ParquetUpsertTable:
         except OSError:
             return False
 
-    def _write_changes(self, staged: str, changes: DataFrame) -> None:
+    @staticmethod
+    def _type_hints(*dfs) -> dict:
+        """First non-VOID type per column name across ``dfs`` (None
+        entries skipped) — the repair map for :meth:`_repair_void`."""
+        from pyspark.sql.types import NullType
+
+        hints: dict = {}
+        for df in dfs:
+            if df is None:
+                continue
+            for f in df.schema.fields:
+                if f.name not in hints and \
+                        not isinstance(f.dataType, NullType):
+                    hints[f.name] = f.dataType
+        return hints
+
+    def _repair_void(self, df: DataFrame, hints: dict) -> DataFrame:
+        """Cast VOID (NullType) columns to a concrete type before
+        RECORDING them. VOID leaks in exactly one way: a staged
+        partition directory whose every value is null reads back with
+        the partition column type-INFERRED from the directory names —
+        all ``__HIVE_DEFAULT_PARTITION__`` → NullType. A recording
+        written with a VOID column poisons every later mergeSchema
+        read of the feed (VOID and STRING cannot merge). The repair
+        takes the true type from the caller's batch / the parent
+        version (``hints``); an all-null column stays all-null —
+        only its declared type changes. StringType is the last-resort
+        default (a table that has NEVER seen a non-null value for the
+        column): partition values ARE strings on disk, so later
+        non-null batches agree. Found by the randomized op-script
+        property test (tests/test_view_property.py)."""
+        from pyspark.sql.types import NullType, StringType
+
+        for f in df.schema.fields:
+            if not isinstance(f.dataType, NullType):
+                continue
+            base = f.name[5:] if f.name.startswith("_pre_") else f.name
+            dt = hints.get(base, StringType())
+            df = df.withColumn(f.name, F.col(f.name).cast(dt))
+        return df
+
+    def _write_changes(self, staged: str, changes: DataFrame,
+                       hints: dict | None = None) -> None:
         path = os.path.join(staged, self._CHANGES_DIR)
+        changes = self._repair_void(changes, hints or {})
         lead = [*self.key_cols, "change_type"]
         rest = [c for c in changes.columns if c not in lead]
         out = changes.select(*lead, *rest)
@@ -477,14 +520,19 @@ class ParquetUpsertTable:
                 return True
         return False
 
-    def _record_changes(self, staged: str, old: DataFrame | None) -> None:
+    def _record_changes(self, staged: str, old: DataFrame | None,
+                        batch: DataFrame | None = None) -> None:
         """Record the staged write's delta vs ``old`` (the parent rows
         of the REWRITTEN scope only — for a partition-pruned write,
         the touched partitions; carried hardlinks are unchanged by
         construction). Reads the staged files back, so the recording
         reflects exactly what was written. A rewrite that emptied its
         whole scope leaves no staged files yet (hardlinks land after
-        recording) — the new side is then empty by definition."""
+        recording) — the new side is then empty by definition.
+        ``batch`` (the caller's input frame) supplies authoritative
+        column types for the VOID repair (see :meth:`_repair_void`)
+        — the staged read-back loses the partition column's type when
+        every value in it is null."""
         if self._staged_has_data(staged):
             new = (self.spark.read.option("mergeSchema", "true")
                    .parquet(staged))
@@ -495,7 +543,8 @@ class ParquetUpsertTable:
             diff = self._attach_values(diff, new)
         if self.record_change_preimages:
             diff = self._attach_preimages(diff, old)
-        self._write_changes(staged, diff)
+        self._write_changes(staged, diff,
+                            hints=self._type_hints(batch, old))
 
     def _attach_values(self, diff: DataFrame,
                        new: DataFrame) -> DataFrame:
@@ -616,7 +665,7 @@ class ParquetUpsertTable:
             if self.partition_col:
                 writer = writer.partitionBy(self.partition_col)
             writer.parquet(target)
-            self._record_changes(target, None)
+            self._record_changes(target, None, batch=batch1)
             self._publish(target, parent, commit_meta)
             return
         if not self.partition_col:
@@ -626,7 +675,7 @@ class ParquetUpsertTable:
             # an unpartitioned merge rewrites the whole table, so its
             # recording diffs full old vs full new — same cost shape
             # as the merge itself
-            self._record_changes(target, current)
+            self._record_changes(target, current, batch=batch1)
             self._publish(target, parent, commit_meta)
             return
         pc = self.partition_col
@@ -669,7 +718,8 @@ class ParquetUpsertTable:
         # untouched partitions are carried as hardlinks, provably
         # unchanged. Cost ∝ batch, not table.
         self._record_changes(
-            target, current.filter(_touched_filter(pc, touched)))
+            target, current.filter(_touched_filter(pc, touched)),
+            batch=batch1)
         self._link_untouched_partitions(
             self._data_dir(parent), target,
             {hive_partition_value(t) for t in touched})
@@ -728,7 +778,8 @@ class ParquetUpsertTable:
         writer.parquet(target)
         # replace is O(table) by design (every row rewritten), so its
         # recording is the full old-vs-new diff — same cost shape
-        self._record_changes(target, self._read_at(parent))
+        self._record_changes(target, self._read_at(parent),
+                             batch=batch1)
         self._publish(target, parent, commit_meta)
 
     @_retrying
@@ -861,14 +912,16 @@ class ParquetUpsertTable:
             # schema-ful empty file (same guard as delete_keys)
             remaining.repartition(1).write.mode("overwrite") \
                 .parquet(target)
-            self._write_changes(target, doomed)
+            self._write_changes(target, doomed,
+                                hints=self._type_hints(current))
             self._publish(target, parent)
             return n_del
         writer = remaining.write.mode("overwrite")
         if self.partition_col:
             writer = writer.partitionBy(self.partition_col)
         writer.parquet(target)
-        self._write_changes(target, doomed)
+        self._write_changes(target, doomed,
+                            hints=self._type_hints(current))
         if kept is not None:
             self._link_files_except(base, target, set(kept))
         self._publish(target, parent)
@@ -1402,6 +1455,7 @@ class ParquetUpsertTable:
                 diff = self._attach_values(diff, self.read_version(v))
             if self.record_change_preimages:
                 diff = self._attach_preimages(diff, old)
+            diff = self._repair_void(diff, self._type_hints(old))
             tmp = os.path.join(self._data_dir(v),
                                f"_changes.tmp-{uuid.uuid4().hex[:8]}")
             lead = [*self.key_cols, "change_type"]

@@ -108,7 +108,8 @@ class CdfAggregateView:
                  specs: dict[str, tuple[str, str | None]],
                  checkpoint_path: str | None = None,
                  partition_col: str | None = None,
-                 from_version: int = 0):
+                 from_version: int = 0,
+                 table_kwargs: dict | None = None):
         for name, (kind, _col) in specs.items():
             if kind not in ("count", "sum", "min", "max",
                             "count_distinct"):
@@ -128,8 +129,18 @@ class CdfAggregateView:
         self.follower = None if checkpoint_path is None else \
             ChangeFeedFollower(source, checkpoint_path,
                                from_version=from_version)
+        #: table_kwargs passes through to the VIEW's own table (e.g.
+        #: record_change_values/record_change_preimages so the view's
+        #: accumulator table emits its OWN retraction feed — views
+        #: then CHAIN: a second view can maintain a coarser aggregate
+        #: over this one, each hop O(its own changed rows)). Note the
+        #: raw accumulators (_rows, _nn_*, _dirty_*) are what chain —
+        #: a downstream SUM over this view's count/sum columns is
+        #: exact; chaining over read()-derived NULL semantics is not
+        #: expressible through the raw feed.
         self.table = ParquetUpsertTable(spark, path, group_cols,
-                                        partition_col=partition_col)
+                                        partition_col=partition_col,
+                                        **(table_kwargs or {}))
         #: one helper MULTISET table per count_distinct measure, keyed
         #: by (group_cols..., value): `_rows` counts live source rows
         #: carrying that exact (group, value) pair, maintained by the

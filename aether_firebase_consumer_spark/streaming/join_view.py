@@ -66,7 +66,8 @@ class CdfJoinView:
                  fact_checkpoint: str | None = None,
                  dim_checkpoint: str | None = None,
                  dim_prefix: str = "dim_",
-                 partition_col: str | None = None):
+                 partition_col: str | None = None,
+                 table_kwargs: dict | None = None):
         if join_key in fact.key_cols:
             raise ValueError(
                 "join_key must be a fact VALUE column (a key column "
@@ -85,8 +86,14 @@ class CdfJoinView:
             ChangeFeedFollower(fact, fact_checkpoint, from_version=0)
         self.dim_follower = None if dim_checkpoint is None else \
             ChangeFeedFollower(dim, dim_checkpoint, from_version=0)
+        #: table_kwargs passes through to the view's own table —
+        #: record_change_values/record_change_preimages make the
+        #: enriched table emit its OWN retraction feed, so views
+        #: CHAIN: e.g. a CdfAggregateView grouping by a dim attribute
+        #: over this denormalized table, each hop O(its changed rows)
         self.table = ParquetUpsertTable(spark, path, fact.key_cols,
-                                        partition_col=partition_col)
+                                        partition_col=partition_col,
+                                        **(table_kwargs or {}))
 
     # -- enrichment -------------------------------------------------------
     def _dim_enriched(self) -> DataFrame:

@@ -168,7 +168,8 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_incremental_agg",
          "dedup_editdist",
          "docs_incremental_agg_holistic",
-         "docs_join_view")
+         "docs_join_view",
+         "docs_view_chain")
 
 
 def headline_names() -> list[str]:

@@ -37,6 +37,7 @@ SLOW_MODULES = frozenset({
     "test_sources_multimodal",
     # registry-wide sweeps + property tests
     "test_queries_oracle", "test_physical_plans", "test_property",
+    "test_view_property",
     "test_clustering",
 })
 

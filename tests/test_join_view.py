@@ -214,3 +214,67 @@ def test_join_view_rebuild_past_retention(spark, tmp_path):
     fact.merge(_frows(spark, [(5, "a", 50)]))
     view.refresh()
     assert _read(view) == _recompute(fact, dim)
+
+
+def test_view_chaining_join_then_agg(spark, tmp_path):
+    """Views COMPOSE through the CDF: the join view's table records
+    its own retraction feed (table_kwargs), and a CdfAggregateView
+    over that denormalized table maintains GROUP BY dim_attr —
+    source -> enrich -> aggregate, every hop O(its own changed rows),
+    exact through dim updates that MOVE whole groups and fact
+    deletes. The no-op exclusion matters here: a dim fold re-merging
+    unchanged fact rows must not produce phantom change rows for the
+    downstream aggregate."""
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    fact = _fact(spark, tmp_path / "fact")
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(
+        spark, str(tmp_path / "view"), fact, dim, "jk",
+        str(tmp_path / "fck"), str(tmp_path / "dck"),
+        table_kwargs={"record_change_values": True,
+                      "record_change_preimages": True,
+                      "retain_versions": 20})
+    agg = CdfAggregateView(
+        spark, str(tmp_path / "agg"), view.table, ["dim_attr"],
+        {"n": ("count", None), "sx": ("sum", "x")},
+        str(tmp_path / "aggck"))
+
+    def recompute():
+        f = fact.read()
+        d = dim.read().select("jk", F.col("attr").alias("dim_attr"))
+        got = (f.join(d, "jk", "left").groupBy("dim_attr")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("sx")).collect())
+        return sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                      for r in got)
+
+    def read():
+        return sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                      for r in agg.read().collect())
+
+    dim.merge(_drows(spark, [("a", 1), ("b", 2)]))
+    fact.merge(_frows(spark, [(1, "a", 10), (2, "a", 20),
+                              (3, "b", 30), (4, "zz", 40)]))
+    view.refresh()
+    agg.refresh()
+    assert read() == recompute()
+
+    # dim value update MOVES every 'a' fact row to a new group; dim
+    # delete moves 'b' rows to the null group; fact delete shrinks it
+    dim.merge(_drows(spark, [("a", 111)]))
+    dim.delete_keys(_drows(spark, [("b", 0)]).select("jk"))
+    fact.delete_keys(_frows(spark, [(3, "b", 0)]).select("k"))
+    view.refresh()
+    agg.refresh()
+    assert read() == recompute()
+
+    # catch-up chain: several upstream refreshes, ONE downstream
+    fact.merge(_frows(spark, [(5, "a", 50)]))
+    view.refresh()
+    dim.merge(_drows(spark, [("zz", 7)]))
+    view.refresh()
+    agg.refresh()
+    assert read() == recompute()
