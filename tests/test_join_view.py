@@ -124,6 +124,10 @@ def test_dim_fanin_prunes_fact_files(spark, tmp_path):
     _v, kept, total = plan
     assert total > 1 and len(kept) < total, \
         f"no pruning: {len(kept)}/{total}"
+    # I/O-level pin, not just the manifest plan: the scan the dim
+    # fold runs must touch ONLY the affected partition's files
+    files = fact.read_where(("jk", "in", ["jk3"])).inputFiles()
+    assert files and all("jk=jk3" in f for f in files), files
     view.refresh()
     assert _read(view) == _recompute(fact, dim)
 
