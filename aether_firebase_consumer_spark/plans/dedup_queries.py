@@ -739,3 +739,55 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = editdist_pairs(docs, "doc_id", "text", k=2, prefix_len=64)
     return pairs.select("id_a", "id_b",
                         F.col("dist").cast("bigint").alias("dist"))
+
+
+@register(
+    "dedup_editdist_groups",
+    oracle="""
+    WITH RECURSIVE verified AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      WHERE length(a.text) >= 64 AND length(b.text) >= 64
+        AND levenshtein(substr(a.text, 1, 64),
+                        substr(b.text, 1, 64)) <= 2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS id, LEAST(src, MIN(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT id, component,
+           CAST(id = component AS BOOLEAN) AS keep
+    FROM comp
+    """,
+)
+def dedup_editdist_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup GROUPS with a keep decision (round 11):
+    the PassJoin pairs (``dedup_editdist``) feed min-label connected
+    components, and the canonical (minimum-id) member of each
+    component is kept — the takedown-grade artifact a near-dup family
+    of typo'd / lightly-edited documents resolves to. Composition of
+    two already-gated operators (``editdist_pairs`` ×
+    ``connected_components``), re-gated end to end: the oracle chains
+    DuckDB's brute-force levenshtein join into the same recursive-CTE
+    labeling used by ``dedup_components``, so drift in either stage
+    OR in their composition fails the hash gate."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        connected_components,
+        editdist_pairs,
+    )
+
+    docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = editdist_pairs(docs, "doc_id", "text", k=2, prefix_len=64) \
+        .select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.withColumn("keep", F.col("id") == F.col("component"))
