@@ -422,3 +422,55 @@ def test_rebuild_past_retention(spark, tmp_path):
     src.delete_keys(_rows(spark, [(4, "b", 0)]).select("k", "g"))
     assert view.refresh() == src.current_version()
     assert read() == recompute()
+
+
+def test_view_maintenance_under_job_lifecycle(spark, tmp_path):
+    """View maintenance as an OPERABLE control-plane job (O18): the
+    table_changes -> foreachBatch fold runs as a standard
+    StreamingQuery under SparkJob — start / pause / resume with the
+    cursor in the job's checkpoint. Changes landing WHILE PAUSED fold
+    exactly once after resume (checkpoint restart + version fence),
+    and the job reports NORMAL/PAUSED/STOPPED through the same
+    lifecycle surface every other job uses."""
+    from aether_firebase_consumer_spark.control.jobs import (
+        JobStatus,
+        SparkJob,
+    )
+    from aether_firebase_consumer_spark.streaming.table_changes_source import (  # noqa: E501
+        register_table_changes,
+    )
+
+    register_table_changes(spark)
+    src = _source(spark, tmp_path / "src")
+    view = CdfAggregateView(
+        spark, str(tmp_path / "view"), src, ["g"],
+        {"n": ("count", None), "sx": ("sum", "x")})
+    src.merge(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+
+    def start_fn(ckpt):
+        return (spark.readStream.format("table_changes")
+                .option("path", src.path).option("keyCols", "k")
+                .option("includeImages", "true")
+                .option("startingVersion", 0).load()
+                .writeStream.foreachBatch(view.fold_stream_batch)
+                .option("checkpointLocation", ckpt).start())
+
+    job = SparkJob("t1", "agg-view", start_fn, str(tmp_path / "ck"))
+    job.start()
+    assert job.get_status() == JobStatus.NORMAL
+    job.query.processAllAvailable()
+    assert _read(view) == _recompute(src)
+
+    job.pause()
+    assert job.get_status() == JobStatus.PAUSED
+    # changes land while the job is down
+    src.merge(_rows(spark, [(1, "b", 10), (3, "a", 30)]))
+    src.delete_keys(_rows(spark, [(2, "b", 0)]).select("k", "g"))
+
+    job.resume()
+    job.query.processAllAvailable()
+    assert job.get_status() == JobStatus.NORMAL
+    assert _read(view) == _recompute(src)
+
+    job.stop()
+    assert job.get_status() == JobStatus.STOPPED
