@@ -100,3 +100,98 @@ def test_random_op_scripts_view_equals_recompute(spark, tmp_path, seed):
             assert _read(view) == _recompute(src), \
                 f"seed {seed} diverged at step {step}"
     assert _read(view) == _recompute(src), f"seed {seed} final state"
+
+
+JKS = ["j1", "j2", "j3", None]
+
+
+def _jscript(rng, n_keys=12, n_ops=8):
+    ops = []
+    for _ in range(n_ops):
+        kind = rng.choice(["fmerge", "fmerge", "fdel",
+                           "dmerge", "ddel", "refresh"])
+        if kind == "fmerge":
+            ks = rng.sample(range(n_keys), rng.randint(1, 4))
+            ops.append(("fmerge",
+                        [(k, rng.choice(JKS), rng.choice(VALUES))
+                         for k in ks]))
+        elif kind == "fdel":
+            ops.append(("fdel",
+                        rng.sample(range(n_keys), rng.randint(1, 2))))
+        elif kind == "dmerge":
+            jks = rng.sample(["j1", "j2", "j3"], rng.randint(1, 2))
+            ops.append(("dmerge",
+                        [(j, rng.randint(1, 99)) for j in jks]))
+        elif kind == "ddel":
+            ops.append(("ddel", rng.choice(["j1", "j2", "j3"])))
+        else:
+            ops.append(("refresh", None))
+    ops.append(("refresh", None))
+    return ops
+
+
+def _jrecompute(fact, dim):
+    f = fact.read()
+    if f is None:
+        return []
+    d = dim.read()
+    if d is not None:
+        f = f.join(d.select("jk", F.col("attr").alias("dim_attr")),
+                   "jk", "left")
+    else:
+        f = f.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted(((r.k,), (r.jk is None, r.jk), r.x, r.dim_attr)
+                  for r in f.collect())
+
+
+def _jread(view):
+    df = view.read()
+    if df is None:
+        return []
+    if "dim_attr" not in df.columns:
+        df = df.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted(((r.k,), (r.jk is None, r.jk), r.x, r.dim_attr)
+                  for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_random_op_scripts_join_view_equals_rejoin(spark, tmp_path,
+                                                   seed):
+    """Random fact/dim op interleavings (null join keys, dim deletes,
+    join-key moves, refreshes at random points): after every refresh
+    the maintained join view equals the full re-join."""
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    rng = random.Random(seed)
+    fact = ParquetUpsertTable(
+        spark, str(tmp_path / "fact"), ["k"], retain_versions=40,
+        record_change_values=True)
+    dim = ParquetUpsertTable(
+        spark, str(tmp_path / "dim"), ["jk"], retain_versions=40)
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"))
+    flive = False
+    for step, (op, arg) in enumerate(_jscript(rng)):
+        if op == "fmerge":
+            fact.merge(spark.createDataFrame(
+                arg, "k int, jk string, x int"))
+            flive = True
+        elif op == "fdel" and flive:
+            fact.delete_keys(spark.createDataFrame(
+                [(k,) for k in arg], "k int"))
+        elif op == "dmerge":
+            dim.merge(spark.createDataFrame(
+                arg, "jk string, attr int"))
+        elif op == "ddel" and dim.current_version() >= 0:
+            dim.delete_keys(spark.createDataFrame(
+                [(arg,)], "jk string"))
+        elif op == "refresh" and flive:
+            view.refresh()
+            assert _jread(view) == _jrecompute(fact, dim), \
+                f"seed {seed} diverged at step {step}"
+    if flive:
+        view.refresh()
+        assert _jread(view) == _jrecompute(fact, dim), \
+            f"seed {seed} final state"
