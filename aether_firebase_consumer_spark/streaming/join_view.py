@@ -111,17 +111,22 @@ class CdfJoinView:
               for c in d.columns if c != self.join_key])
 
     def _enrich(self, fact_rows: DataFrame) -> DataFrame:
-        """LEFT JOIN ``fact_rows`` against the dim's current state —
-        the dim side is broadcast (dims are the small side by
-        definition; Spark falls back to a shuffle join automatically
-        if it is not)."""
+        """LEFT JOIN ``fact_rows`` against the dim's current state.
+        Deliberately NO explicit broadcast hint: ``F.broadcast`` is a
+        HARD hint Spark honors even for a dim too big to fit the
+        driver (OOM, not a graceful fallback). Catalyst/AQE already
+        auto-broadcasts sides under
+        ``spark.sql.autoBroadcastJoinThreshold`` at plan/run time —
+        the common small-dim case gets the broadcast join anyway, and
+        a genuinely large dim gets a sound shuffle join instead of a
+        blown driver."""
         dim = self._dim_enriched()
         if dim is None:
             # no dim yet: the view is the bare fact rows; enrichment
             # columns appear on a later dim fold via the MERGE's
             # schema evolution (unionByName allowMissingColumns)
             return fact_rows
-        return fact_rows.join(F.broadcast(dim), self.join_key, "left")
+        return fact_rows.join(dim, self.join_key, "left")
 
     # -- cursors ----------------------------------------------------------
     def _cursors(self) -> dict:
