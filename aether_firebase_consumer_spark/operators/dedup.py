@@ -681,7 +681,15 @@ def editdist_segments(k: int, length: int) -> list[tuple[int, int]]:
     segments, longer ones last, returned as (start, len) pairs. With
     at most ``k`` edits between two strings, the pigeonhole principle
     leaves at least one segment untouched — the basis of the lossless
-    signature join in :func:`editdist_pairs`."""
+    signature join in :func:`editdist_pairs`. The pigeonhole argument
+    needs ``k + 1`` NON-EMPTY segments: a zero-length segment's
+    empty-string signature collides across every document (a quadratic
+    candidate blowup with no error), so short lengths are rejected."""
+    if k < 1 or length < k + 1:
+        raise ValueError(
+            f"editdist segmentation needs k >= 1 and length >= k + 1 "
+            f"(got k={k}, length={length}): k+1 non-empty segments "
+            "are required for the pigeonhole signature join")
     base, rem = divmod(length, k + 1)
     segs, start = [], 0
     for i in range(k + 1):
@@ -752,4 +760,104 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.join(pa, "id_a").join(pb, "id_b")
             .withColumn("dist", F.levenshtein("p_a", "p_b"))
             .filter(F.col("dist") <= k)
+            .select("id_a", "id_b", "dist"))
+
+
+def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 2) -> DataFrame:
+    """FULL-TEXT exact edit-distance near-dup join (round 12): all
+    pairs with ``levenshtein(text_a, text_b) <= k`` over WHOLE
+    documents of any length ``>= k + 1`` — lifting both limits of
+    :func:`editdist_pairs` (64-char prefix scope; docs shorter than
+    the prefix silently excluded) via the variable-length PassJoin
+    scheme (Li et al., VLDB 2011).
+
+    Scale shape — same as the prefix version, with per-row COMPUTED
+    segment geometry instead of literals: each document of length
+    ``l`` indexes its ``k + 1`` segments keyed by ``(l, seg_idx,
+    content)``; each document of length ``m`` probes the segment
+    positions of every candidate length ``l ∈ [m - k, m]`` (length
+    filtering is free: ``|m - l| > k`` implies distance ``> k``),
+    emitting the substrings at positions shifted by ``δ ∈ [-k, k]``
+    and clipped to its bounds — ``(k+1)²(2k+1)`` probe rows per doc
+    at most (45 for k=2), all built in ONE whole-stage-codegen
+    projection (integer division/modulo on the length column; no
+    Python). LOSSLESS by the same pigeonhole: ≤ k edits leave some
+    segment of the SHORTER string untouched, and its image in the
+    longer one is an identical substring shifted by the net
+    insertions/deletions before it ∈ [-k, k]. Candidates equi-join on
+    ``(l, seg, content)`` — collision-bounded, never |docs|² — and
+    the built-in banded ``levenshtein(·, ·, k)`` verifies exactly.
+
+    Documents shorter than ``k + 1`` characters cannot be segmented
+    (the pigeonhole needs k+1 non-empty pieces) and are EXCLUDED from
+    both sides — at k=2 that is only 1-and-2-char strings; pair them
+    by brute force in the caller if they matter."""
+    if k < 1:
+        raise ValueError(f"editdist join needs k >= 1 (got {k})")
+    base = (df.filter(F.length(F.col(text_col)) >= k + 1)
+            .select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("t"),
+                    F.length(F.col(text_col)).alias("m")))
+
+    def seg_geometry(l):
+        """(start, len) column pairs of the k+1 segments of an
+        l-length string: near-even split, longer segments last —
+        byte-for-byte the plan of :func:`editdist_segments`, as
+        integer column arithmetic."""
+        b, rem = (l / (k + 1)).cast("int"), l % (k + 1)
+        out = []
+        for i in range(k + 1):
+            plus_ones = F.greatest(F.lit(0), F.lit(i) - (k + 1 - rem))
+            start = F.lit(i) * b + plus_ones
+            seg_len = b + F.when(F.lit(i) >= (k + 1) - rem, 1) \
+                           .otherwise(0)
+            out.append((start, seg_len))
+        return out
+
+    idx_structs = [
+        F.struct(F.col("m").alias("l"), F.lit(i).alias("seg"),
+                 F.col("t").substr(start + 1, seg_len).alias("sig"))
+        for i, (start, seg_len) in enumerate(seg_geometry(F.col("m")))]
+    seg_rows = (base.select(F.col("id").alias("id_s"),
+                            F.explode(F.array(*idx_structs)).alias("e"))
+                .select("id_s", "e.l", "e.seg", "e.sig"))
+    # two-level explode keeps the generated code small (one flat
+    # (k+1)²(2k+1)-struct projection duplicates the geometry
+    # arithmetic 45× and blows janino's method-size limit — whole
+    # rows fall back to interpreted eval): level 1 emits the (k+1)²
+    # (candidate length, segment, position, seg_len) geometry rows,
+    # level 2 the 2k+1 shifted substrings per geometry row. Both are
+    # narrow pipelined explodes in one stage — no extra shuffle.
+    geo_structs = []
+    for dl in range(-k, 1):
+        l = F.col("m") + dl
+        for i, (start, seg_len) in enumerate(seg_geometry(l)):
+            geo_structs.append(
+                F.struct(l.alias("l"), F.lit(i).alias("seg"),
+                         start.alias("p"), seg_len.alias("sl")))
+    geo = (base.select("id", "t", "m",
+                       F.explode(F.array(*geo_structs)).alias("g"))
+           .filter(F.col("g.l") >= k + 1))
+    shifted = [
+        F.when((F.col("g.p") + d >= 0)
+               & (F.col("g.p") + d + F.col("g.sl") <= F.col("m")),
+               F.col("t").substr(F.col("g.p") + d + 1, F.col("g.sl")))
+        for d in range(-k, k + 1)]
+    probe_rows = (geo.select(F.col("id").alias("id_p"),
+                             F.col("g.l").alias("l"),
+                             F.col("g.seg").alias("seg"),
+                             F.explode(F.array(*shifted)).alias("sig"))
+                  .filter(F.col("sig").isNotNull()))
+    cand = (seg_rows.join(probe_rows, ["l", "seg", "sig"])
+            .filter(F.col("id_s") != F.col("id_p"))
+            .select(F.least("id_s", "id_p").alias("id_a"),
+                    F.greatest("id_s", "id_p").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("dist",
+                        F.levenshtein("t_a", "t_b", k))  # banded
+            .filter(F.col("dist") >= 0)
             .select("id_a", "id_b", "dist"))

@@ -1332,3 +1332,93 @@ def docs_view_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_docs").cast("bigint").alias("n_docs"),
                     F.col("sum_chars").cast("bigint")
                     .alias("sum_chars")))
+
+
+_TOPK_VIEW: dict[str, object] = {}
+
+
+@register(
+    "docs_incremental_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents
+    ),
+    s1 AS (   -- v1: value bumps + lang group-moves (composed)
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM base
+    ),
+    s2 AS (SELECT * FROM s1 WHERE n_chars < 1000),  -- v2: evicts tops
+    s3 AS (SELECT * FROM s2 WHERE doc_id % 101 <> 0)
+    SELECT doc_id, lang, n_chars
+    FROM s3
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) <= 3
+    """,
+)
+def docs_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TOP-K per group view (round 12 —
+    ``streaming/topk_view.py``): a ``CdfTopKView`` maintains the top-3
+    documents per lang by n_chars from the retraction feed. The op
+    script is built to EVICT maintained members: v1's +1000 bumps
+    push doc_id%10==3 rows into every top-3 (and lang moves re-home
+    doc_id%7==2 rows), then v2's ``delete_where(n_chars >= 1000)``
+    retracts exactly those members — the dirty-group recompute must
+    backfill each group's runner-ups from the pinned source version,
+    partition-pruned on lang; v3's key deletes shave survivors. Two
+    refreshes split the script (the maintained state folds across
+    polls). The oracle re-derives the final corpus state in SQL and
+    takes ``ROW_NUMBER() <= 3`` with the same (n_chars DESC NULLS
+    LAST, doc_id ASC) tie-break, so a missed eviction, a stale
+    member, or a group-move leak fails the hash gate. N=1 of this
+    shape is the reference's entire sink semantics
+    (latest-doc-per-id, /root/reference/firebase/app/helpers.py:
+    93-114) — here it is a maintained lake table. Fixture builds once
+    per (process, sf_dir); repeated runs measure the view read."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.topk_view import (
+        CdfTopKView,
+    )
+
+    view = _TOPK_VIEW.get(sf_dir)
+    if view is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_topk_")
+        table = ParquetUpsertTable(spark, os.path.join(root, "src"),
+                                   ["doc_id"], partition_col="lang",
+                                   retain_versions=10,
+                                   record_change_values=True,
+                                   record_change_preimages=True)
+        view = CdfTopKView(
+            spark, os.path.join(root, "view"), table, ["lang"],
+            "n_chars", 3, descending=True,
+            checkpoint_path=os.path.join(root, "cursor"))
+        table.merge(docs)                                      # v0
+        upd = (docs.filter((F.col("doc_id") % 10 == 3)
+                           | (F.col("doc_id") % 7 == 2))
+               .withColumn("n_chars",
+                           F.when(F.col("doc_id") % 10 == 3,
+                                  F.col("n_chars") + 1000)
+                           .otherwise(F.col("n_chars")))
+               .withColumn("lang",
+                           F.when(F.col("doc_id") % 7 == 2,
+                                  F.lit("xx"))
+                           .otherwise(F.col("lang"))))
+        table.merge(upd)                                       # v1
+        view.refresh()                 # members now include the bumps
+        table.delete_where(("n_chars", ">=", 1000))            # v2
+        survivors = table.read().filter(F.col("doc_id") % 101 == 0)
+        table.delete_keys(survivors.select("doc_id", "lang"))  # v3
+        view.refresh()                 # evictions backfill
+        _TOPK_VIEW[sf_dir] = view
+    return (view.read()
+            .select("doc_id", "lang",
+                    F.col("n_chars").cast("bigint").alias("n_chars")))

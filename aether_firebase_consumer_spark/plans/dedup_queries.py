@@ -791,3 +791,65 @@ def dedup_editdist_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.withColumn("keep", F.col("id") == F.col("component"))
+
+
+@register(
+    "dedup_editdist_full",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, substr(text, 1, 9) || substr(text, 11)
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 20000000,
+             substr(text, 1, 4) || 'Z' || substr(text, 6)
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    d AS (
+      SELECT doc_id, text, length(text) AS l
+      FROM corpus WHERE length(text) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 2
+    WHERE levenshtein(a.text, b.text) <= 2
+    """,
+)
+def dedup_editdist_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-TEXT exact edit-distance join (round 12 —
+    ``operators.dedup.editdist_pairs_full``): every document pair
+    within whole-text levenshtein distance 2, any length >= 3 —
+    lifting round 11's two limits (64-char prefix scope; docs shorter
+    than the prefix excluded) via variable-length PassJoin: per-row
+    COMPUTED segment geometry over candidate lengths [m-2, m],
+    δ-shifted window probes, equi-join on (length, segment, content),
+    banded ``levenshtein(a, b, k)`` verify. The corpus is documents
+    plus DETERMINISTIC near-dup mutants (char-10 deletion for
+    doc_id%17, char-5 'Z' substitution for doc_id%23 — the natural
+    corpus has NO full-text near-dups, so without them this oracle
+    would pin only the no-false-positive half); both sides derive the
+    mutants with the same string expressions, and the oracle
+    brute-forces levenshtein over the |len diff| <= 2 pair space
+    (a lossless prune: length gap > k forces distance > k) — so a
+    false negative in the segment geometry, the shift windows, OR the
+    length-bucket logic fails the hash gate."""
+    from aether_firebase_consumer_spark.operators.dedup import (
+        editdist_pairs_full,
+    )
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    m1 = (docs.filter(F.col("doc_id") % 17 == 0)
+          .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                  F.expr("concat(substring(text, 1, 9), "
+                         "substring(text, 11))").alias("text")))
+    m2 = (docs.filter(F.col("doc_id") % 23 == 0)
+          .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                  F.expr("concat(substring(text, 1, 4), 'Z', "
+                         "substring(text, 6))").alias("text")))
+    corpus = fan_out_for_compute(
+        docs.unionByName(m1).unionByName(m2))
+    pairs = editdist_pairs_full(corpus, "doc_id", "text", k=2)
+    return pairs.select("id_a", "id_b",
+                        F.col("dist").cast("bigint").alias("dist"))

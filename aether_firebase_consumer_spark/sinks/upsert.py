@@ -35,6 +35,7 @@ import random
 import shutil
 import time
 import uuid
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -633,7 +634,7 @@ class ParquetUpsertTable:
     # -- merge ----------------------------------------------------------
     @_retrying
     def merge(self, batch: DataFrame,
-              commit_meta: dict | None = None) -> None:
+              commit_meta: "dict | Callable | None" = None) -> None:
         """Upsert ``batch`` by key: one row per key (dropDuplicates on
         keys), replacing any existing rows with the same key.
 
@@ -752,7 +753,7 @@ class ParquetUpsertTable:
 
     @_retrying
     def replace(self, batch: DataFrame,
-                commit_meta: dict | None = None) -> None:
+                commit_meta: "dict | Callable | None" = None) -> None:
         """Atomic full-table REPLACE: write ``batch`` as the next
         version and swap the pointer — readers see the old table or the
         new one, never a mix (same crash-safety as :meth:`merge`, which
@@ -969,13 +970,22 @@ class ParquetUpsertTable:
             return None
 
     def _publish(self, staged: str, parent: int,
-                 commit_meta: dict | None = None) -> None:
+                 commit_meta: "dict | Callable | None" = None) -> None:
         """Commit the fully-staged directory ``staged`` as version
         ``parent + 1`` — the CAS step of the commit protocol (see the
         version-pointer comment block). Raises
         :class:`ConcurrentCommitError` (and removes the staged data)
-        if any other writer got there first."""
+        if any other writer got there first.
+
+        ``commit_meta`` may be a CALLABLE returning the dict: it is
+        evaluated HERE, inside the retried write body, so a caller
+        whose meta depends on concurrently-advancing state (e.g. the
+        join view stamping the other side's cursor) re-reads it fresh
+        on every retry instead of publishing a pre-conflict
+        snapshot."""
         v = parent + 1
+        if callable(commit_meta):
+            commit_meta = commit_meta()
         if commit_meta is None and parent >= 0:
             # carry the parent version's tag forward: a meta-less
             # maintenance commit (optimize, delete_keys, backfill

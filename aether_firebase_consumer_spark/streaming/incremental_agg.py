@@ -187,7 +187,22 @@ class CdfAggregateView:
             elif have_pre:
                 dt = feed.schema[f"_pre_{c}"].dataType
             else:
-                dt = self.source.read().schema[c].dataType
+                src = self.source.read()
+                if src is None or c not in src.columns:
+                    # diagnosable, not an AttributeError/KeyError: the
+                    # column is in the specs but resolvable NOWHERE —
+                    # neither feed image carries it and the source
+                    # table is empty or evolved it away
+                    raise ValueError(
+                        f"view column {c!r} cannot be resolved: the "
+                        "feed slice carries neither its post- nor "
+                        "pre-image and the source table "
+                        + ("is empty" if src is None else
+                           f"no longer has it (schema evolution? "
+                           f"source columns: {src.columns})")
+                        + " — fix the view specs or rebuild() against "
+                        "the current schema")
+                dt = src.schema[c].dataType
             if not have_post:
                 feed = feed.withColumn(c, F.lit(None).cast(dt))
             if not have_pre:
@@ -317,7 +332,7 @@ class CdfAggregateView:
         recompute scans ONLY dirty groups' rows — partition-pruned
         when the group column is the source's partition column — at
         the version this fold covers (pinned so replays converge;
-        falls back to the current read if it was vacuumed). Clean
+        raises when that version was vacuumed — rebuild()). Clean
         refreshes (inserts, updates that only add) skip all of this:
         no flag, no scan."""
         mm = [(name, kind, col) for name, (kind, col)
@@ -336,8 +351,17 @@ class CdfAggregateView:
                  for n, _k, _c in mm})
         try:
             src = self.source.read_version(up_to)
-        except ValueError:
-            src = self.source.read()
+        except ValueError as exc:
+            # do NOT silently recompute at an unpinned newer version:
+            # mid-catch-up that would pin extrema to state beyond the
+            # fold's cursor, transiently breaking "view == full
+            # recompute at the cursor" (the same contract
+            # changes_with_images enforces for vacuumed predecessors)
+            raise ValueError(
+                f"min/max dirty-group recompute needs source version "
+                f"{up_to} but it is not retained (vacuumed) — raise "
+                "retain_versions on the source, or rebuild() the view "
+                "from the current snapshot") from exc
         s, g = src.alias("s"), F.broadcast(dirty.alias("g"))
         on = None
         for k in self.group_cols:

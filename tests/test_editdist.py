@@ -97,3 +97,24 @@ def test_random_small_alphabet_matches_brute_force(spark):
     for k in (1, 2):
         assert _pairs(spark, texts, k, 18) == _brute(texts, k, 18), \
             f"false negative or positive at k={k}"
+
+
+def test_degenerate_segmentation_rejected():
+    """Round 12 (ADVICE): k < 1 or length < k + 1 would yield empty
+    segments whose signatures collide across every document — a
+    quadratic blowup; the pigeonhole argument needs k+1 non-empty
+    segments, so these are errors."""
+    import pytest
+
+    for k, length in [(0, 10), (-1, 10), (2, 2), (2, 0), (3, 3)]:
+        with pytest.raises(ValueError, match="k \\+ 1"):
+            editdist_segments(k, length)
+    assert editdist_segments(2, 3) == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_degenerate_prefix_len_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="k \\+ 1"):
+        editdist_pairs(df, "doc_id", "text", k=3, prefix_len=2).collect()

@@ -474,3 +474,43 @@ def test_view_maintenance_under_job_lifecycle(spark, tmp_path):
 
     job.stop()
     assert job.get_status() == JobStatus.STOPPED
+
+
+def test_unresolvable_measure_column_raises_clearly(spark, tmp_path):
+    """Round 12 (ADVICE): a spec naming a column that exists in
+    neither feed image nor the source schema must raise a diagnostic
+    ValueError naming the column — not AttributeError/KeyError."""
+    src = _source(spark, tmp_path / "src")
+    bad = CdfAggregateView(
+        spark, str(tmp_path / "bad"), src, ["g"],
+        {"sy": ("sum", "y")},                 # 'y' never existed
+        str(tmp_path / "badcur"))
+    src.merge(_rows(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="'y'"):
+        bad.refresh()
+
+
+def test_dirty_recompute_at_vacuumed_version_raises(spark, tmp_path):
+    """Round 12 (ADVICE): a min/max dirty-group recompute whose
+    pinned source version was vacuumed must RAISE (directing at
+    rebuild()), not silently recompute at the newer head — that would
+    transiently pin extrema past the fold's cursor."""
+    src = _source(spark, tmp_path / "src", retain_versions=20)
+    view = _mm_view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", 1), (2, "a", 9), (3, "b", 5)]))
+    view.refresh()
+    # a retraction (dirties group 'a'), polled but NOT yet folded
+    src.delete_keys(spark.createDataFrame([(2,)], "k int"))
+    got = view.follower.poll(images=True)
+    assert got is not None
+    feed, up_to = got
+    feed = feed.localCheckpoint()   # pin rows before history vanishes
+    # history moves on and the polled version gets vacuumed
+    src.merge(_rows(spark, [(4, "a", 7)]))
+    src.merge(_rows(spark, [(5, "a", 8)]))
+    src.vacuum(keep_last_n=1)
+    with pytest.raises(ValueError, match="rebuild"):
+        view._fold_all(feed, up_to)
+    # the documented recovery works
+    view.rebuild()
+    assert _mm_read(view) == _mm_recompute(src)

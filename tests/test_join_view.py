@@ -282,3 +282,154 @@ def test_view_chaining_join_then_agg(spark, tmp_path):
     view.refresh()
     agg.refresh()
     assert read() == recompute()
+
+
+def test_dim_fanin_over_cap_uses_semi_join_not_inlist(spark, tmp_path):
+    """Round 12: a dim-wide change past ``dim_fanin_cap`` must NOT
+    collect keys to the driver or build an IN-list read — the fold
+    switches to a distributed semi-join. Pinned by forcing the cap to
+    0 and poisoning ``read_where`` (the IN-list path): the fold must
+    never call it, and the result must still equal the full
+    re-join."""
+    fact = _fact(spark, tmp_path / "fact")
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"),
+                       dim_fanin_cap=0)
+    fact.merge(_frows(spark, [(i, f"jk{i % 6}", i) for i in range(60)]))
+    dim.merge(_drows(spark, [(f"jk{i}", i) for i in range(6)]))
+    view.refresh()
+    assert _read(view) == _recompute(fact, dim)
+
+    # dim-wide rewrite: every key touched
+    dim.merge(_drows(spark, [(f"jk{i}", 100 + i) for i in range(6)]))
+
+    def poisoned(*_a, **_k):
+        raise AssertionError(
+            "over-cap dim fold used the IN-list read_where path")
+    orig = fact.read_where
+    fact.read_where = poisoned
+    try:
+        view.refresh()
+    finally:
+        fact.read_where = orig
+    assert _read(view) == _recompute(fact, dim)
+    got = {r.k: r.dim_attr for r in view.read().collect()}
+    assert got[0] == 100 and got[5] == 105
+
+
+def test_dim_fanin_under_cap_still_prunes(spark, tmp_path):
+    """The cap leaves the common case alone: a small dim delta still
+    goes through the file-skipping IN-list read (pinned by poisoning
+    the full-table read the semi-join fallback would use)."""
+    fact, dim, view = _mk(spark, tmp_path)
+    fact.merge(_frows(spark, [(i, f"jk{i % 6}", i) for i in range(60)]))
+    dim.merge(_drows(spark, [(f"jk{i}", i) for i in range(6)]))
+    view.refresh()
+    dim.merge(_drows(spark, [("jk2", 222)]))
+
+    def poisoned(*_a, **_k):
+        raise AssertionError(
+            "under-cap dim fold fell into the full-read semi-join")
+    orig = fact.read
+    fact.read = poisoned
+    try:
+        view.refresh()
+    finally:
+        fact.read = orig
+    assert _read(view) == _recompute(fact, dim)
+
+
+def test_concurrent_fold_cannot_regress_other_cursor(spark, tmp_path):
+    """Round 12 (ADVICE): commit_meta is a publish-time closure — a
+    fold that raced an interleaved fold of the OTHER side re-reads
+    both cursors inside the retrying merge body, so the published
+    meta can never carry a pre-merge (regressed) snapshot of the
+    other cursor. Simulated deterministically: a dim fold commits
+    WHILE the fact fold's merge is staging."""
+    fact, dim, view = _mk(spark, tmp_path)
+    dim.merge(_drows(spark, [("a", 1)]))
+    fact.merge(_frows(spark, [(1, "a", 10)]))
+    view.refresh()
+    before = view._cursors()
+
+    # queue up one new change per side
+    dim.merge(_drows(spark, [("a", 2)]))     # dim -> version +1
+    fact.merge(_frows(spark, [(2, "a", 20)]))
+
+    got = view.fact_follower.poll(values=True)
+    assert got is not None
+    feed, f_up_to = got
+    dgot = view.dim_follower.poll()
+    assert dgot is not None
+    dfeed, d_up_to = dgot
+
+    # interleave: the dim fold lands while the fact fold is in flight
+    real_merge = view.table.merge
+    state = {"raced": False}
+
+    def racing_merge(batch, commit_meta=None):
+        if not state["raced"]:
+            state["raced"] = True
+            view._fold_dim(dfeed.filter(
+                F.col("version") > before["dim"]), d_up_to)
+        return real_merge(batch, commit_meta=commit_meta)
+
+    view.table.merge = racing_merge
+    try:
+        view._fold_fact(
+            feed.filter(F.col("version") > before["fact"]), f_up_to)
+    finally:
+        view.table.merge = real_merge
+    after = view._cursors()
+    assert state["raced"]
+    assert after["dim"] == d_up_to, \
+        f"fact fold regressed dim cursor: {after}"
+    assert after["fact"] == f_up_to
+    view.fact_follower.commit(f_up_to)
+    view.dim_follower.commit(d_up_to)
+    assert _read(view) == _recompute(fact, dim)
+
+
+def test_aligned_refresh_pins_snapshot_not_current(spark, tmp_path):
+    """Round 12: refresh_aligned must enrich with the dim AT THE
+    CAPTURED VERSION, not the current head — pinned by landing a new
+    dim commit WHILE the fact fold is merging: the view must show the
+    captured weights and the cursors must equal the captured pair."""
+    fact, dim, view = _mk(spark, tmp_path)
+    dim.merge(_drows(spark, [("a", 1)]))           # dim v0
+    fact.merge(_frows(spark, [(1, "a", 10)]))      # fact v0
+    dv_captured = dim.current_version()
+
+    real_merge = view.table.merge
+    state = {"raced": False}
+
+    def racing_merge(batch, commit_meta=None):
+        if not state["raced"]:
+            state["raced"] = True
+            dim.merge(_drows(spark, [("a", 999)]))  # lands mid-fold
+        return real_merge(batch, commit_meta=commit_meta)
+
+    view.table.merge = racing_merge
+    try:
+        got = view.refresh_aligned()
+    finally:
+        view.table.merge = real_merge
+    assert state["raced"]
+    assert got["dim"] == dv_captured
+    row = {r.k: r.dim_attr for r in view.read().collect()}
+    assert row[1] == 1, f"torn enrichment leaked: {row}"
+    # the next aligned refresh catches the post-capture commit
+    view.refresh_aligned()
+    row = {r.k: r.dim_attr for r in view.read().collect()}
+    assert row[1] == 999
+
+
+def test_aligned_refresh_streaming_mode_rejected(spark, tmp_path):
+    fact = _fact(spark, tmp_path / "fact")
+    dim = _dim(spark, tmp_path / "dim")
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        view.refresh_aligned()

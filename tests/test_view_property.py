@@ -195,3 +195,135 @@ def test_random_op_scripts_join_view_equals_rejoin(spark, tmp_path,
         view.refresh()
         assert _jread(view) == _jrecompute(fact, dim), \
             f"seed {seed} final state"
+
+
+def _jrejoin_at(spark, fact, dim, vf, vd):
+    """Full re-join pinned at an explicit (fact_version, dim_version)
+    snapshot pair — the aligned-refresh ground truth."""
+    if vf is None or vf < 0:
+        return []
+    f = fact.read_version(vf)
+    d = None if (vd is None or vd < 0) else dim.read_version(vd)
+    if d is not None:
+        f = f.join(d.select("jk", F.col("attr").alias("dim_attr")),
+                   "jk", "left")
+    else:
+        f = f.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted(((r.k,), (r.jk is None, r.jk), r.x, r.dim_attr)
+                  for r in f.collect())
+
+
+@pytest.mark.parametrize("seed", [7, 43])
+def test_aligned_refresh_equals_snapshot_rejoin(spark, tmp_path, seed):
+    """Round 12: snapshot-aligned refreshes — after EVERY
+    refresh_aligned, the view equals the full re-join at exactly the
+    (fact_cursor, dim_cursor) pair it committed, whatever the op
+    interleaving. Mixed scripts also interleave plain refresh() calls
+    (which leave documented torn states) to pin that the next aligned
+    refresh REPAIRS them back to a consistent snapshot."""
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    rng = random.Random(seed)
+    fact = ParquetUpsertTable(
+        spark, str(tmp_path / "fact"), ["k"], retain_versions=60,
+        record_change_values=True)
+    dim = ParquetUpsertTable(
+        spark, str(tmp_path / "dim"), ["jk"], retain_versions=60)
+    view = CdfJoinView(spark, str(tmp_path / "view"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"))
+    ops = []
+    for _ in range(10):
+        ops.append(rng.choice(
+            ["fmerge", "fmerge", "fdel", "dmerge", "ddel",
+             "refresh", "aligned", "aligned"]))
+    ops.append("aligned")
+    flive = False
+    for step, op in enumerate(ops):
+        if op == "fmerge":
+            ks = rng.sample(range(12), rng.randint(1, 4))
+            fact.merge(spark.createDataFrame(
+                [(k, rng.choice(JKS), rng.choice(VALUES)) for k in ks],
+                "k int, jk string, x int"))
+            flive = True
+        elif op == "fdel" and flive:
+            fact.delete_keys(spark.createDataFrame(
+                [(k,) for k in rng.sample(range(12), rng.randint(1, 2))],
+                "k int"))
+        elif op == "dmerge":
+            jks = rng.sample(["j1", "j2", "j3"], rng.randint(1, 2))
+            dim.merge(spark.createDataFrame(
+                [(j, rng.randint(1, 99)) for j in jks],
+                "jk string, attr int"))
+        elif op == "ddel" and dim.current_version() >= 0:
+            dim.delete_keys(spark.createDataFrame(
+                [(rng.choice(["j1", "j2", "j3"]),)], "jk string"))
+        elif op == "refresh" and flive:
+            view.refresh()   # documented torn-state mode
+        elif op == "aligned" and flive:
+            got = view.refresh_aligned()
+            cur = view._cursors()
+            # the committed cursors ARE the snapshot pair
+            if got["fact"] is not None:
+                assert cur["fact"] == got["fact"]
+            assert _jread(view) == _jrejoin_at(
+                spark, fact, dim, cur["fact"], cur["dim"]), \
+                f"seed {seed} torn at step {step} (cursors {cur})"
+
+
+def _topk_recompute(src, n):
+    from pyspark.sql import Window as W
+
+    cur = src.read()
+    if cur is None:
+        return []
+    w = W.partitionBy("g").orderBy(F.col("x").desc_nulls_last(),
+                                   F.col("k").asc_nulls_last())
+    got = (cur.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= n).drop("_rk").collect())
+    return sorted((r.k, (r.g is None, r.g), r.x) for r in got)
+
+
+def _topk_read(view):
+    df = view.read()
+    return [] if df is None else \
+        sorted((r.k, (r.g is None, r.g), r.x) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_random_op_scripts_topk_equals_recompute(spark, tmp_path, seed):
+    """Round 12: the same randomized op scripts drive a CdfTopKView —
+    after every refresh the maintained top-2 per group equals the
+    windowed recompute (evictions, backfills, group moves, null
+    groups/values, duplicate order values with key tie-breaks)."""
+    from aether_firebase_consumer_spark.streaming.topk_view import (
+        CdfTopKView,
+    )
+
+    rng = random.Random(seed)
+    src = ParquetUpsertTable(
+        spark, str(tmp_path / "src"), ["k"], partition_col="g",
+        retain_versions=40, record_change_values=True,
+        record_change_preimages=True)
+    view = CdfTopKView(
+        spark, str(tmp_path / "view"), src, ["g"], "x", 2,
+        checkpoint_path=str(tmp_path / "cursor"))
+    live = False
+    for step, (op, arg) in enumerate(_script(rng)):
+        if op == "merge":
+            src.merge(_rows(spark, arg))
+            live = True
+        elif op == "delete_keys" and live:
+            src.delete_keys(
+                spark.createDataFrame([(k,) for k in arg], "k int"))
+        elif op == "delete_where" and live:
+            src.delete_where(("x", ">=", arg))
+        elif op == "refresh" and live:
+            view.refresh()
+            assert _topk_read(view) == _topk_recompute(src, 2), \
+                f"seed {seed} diverged at step {step}"
+    if live:
+        view.refresh()
+        assert _topk_read(view) == _topk_recompute(src, 2), \
+            f"seed {seed} final state"
