@@ -1422,3 +1422,49 @@ def docs_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (view.read()
             .select("doc_id", "lang",
                     F.col("n_chars").cast("bigint").alias("n_chars")))
+
+
+_HLL_VIEW: dict[str, object] = {}
+
+
+@register("docs_incremental_agg_hll")  # rows-only: DuckDB cannot
+# replicate Spark's xxhash64, so the sketch estimate has no SQL twin;
+# determinism (maintained estimate == recompute-from-source sketch,
+# exactly) and accuracy (within 4 standard errors of the true count)
+# are pinned in tests/test_hll_view.py and the randomized property
+# suite instead.
+def docs_incremental_agg_hll(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """APPROXIMATE count-distinct view maintenance (round 12 —
+    ``CdfAggregateView`` with ``approx_count_distinct``): per-lang
+    HLL sketches of distinct n_chars values, maintained from the
+    retraction feed over the SAME op script as
+    :func:`docs_incremental_agg` (composed updates, group moves,
+    predicate + key deletes). Inserts fold additively into the
+    per-(lang, register) table — register max is monotone, zero
+    source reads; retractions dirty the pre-image lang and recompute
+    only its registers at the pinned version. State is capped at
+    2^p rows per group (p=12, ~1.6% standard error) vs the exact
+    multiset's O(distinct pairs) — the 100 TB shape for
+    high-cardinality distinct counts. The maintained estimate is
+    deterministic (equal to a full recompute's sketch), so this query
+    is stable across runs even though it has no SQL oracle."""
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    view = _HLL_VIEW.get(sf_dir)
+    if view is None:
+        sibling = _iagg_fixture(spark, sf_dir)
+        root = sibling._iagg_root
+        view = CdfAggregateView(
+            spark, os.path.join(root, "hllview"), sibling.source,
+            ["lang"],
+            {"nd_chars_approx": ("approx_count_distinct", "n_chars")},
+            os.path.join(root, "hllcursor"))
+        view.refresh()
+        _HLL_VIEW[sf_dir] = view
+    return (view.read()
+            .select("lang",
+                    F.col("nd_chars_approx").cast("bigint")
+                    .alias("nd_chars_approx")))

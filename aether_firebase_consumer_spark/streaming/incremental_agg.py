@@ -91,8 +91,15 @@ class CdfAggregateView:
     table's retraction feed.
 
     ``specs`` maps output column -> ("count", None) | ("sum" | "min"
-    | "max" | "count_distinct", value_col). The source table should be
-    configured with
+    | "max" | "count_distinct" | "approx_count_distinct", value_col).
+    ``approx_count_distinct`` (round 12) trades the exact multiset's
+    O(distinct (group, value) pairs) state for an HLL register table
+    bounded at ``2^hll_p`` rows per group (~1.6% standard error at
+    the default p=12) — the 100 TB answer for high-cardinality
+    distinct counts; its maintained estimate is DETERMINISTIC (equal
+    to a full recompute's sketch, which the property tests pin
+    exactly), only the count itself is approximate. The source table
+    should be configured with
     ``record_change_values=True`` and ``record_change_preimages=True``
     so refreshes stay O(changed rows); without them the image feed
     falls back to version-sized derivation (correct, slower).
@@ -109,16 +116,18 @@ class CdfAggregateView:
                  checkpoint_path: str | None = None,
                  partition_col: str | None = None,
                  from_version: int = 0,
-                 table_kwargs: dict | None = None):
+                 table_kwargs: dict | None = None,
+                 hll_p: int = 12):
         for name, (kind, _col) in specs.items():
             if kind not in ("count", "sum", "min", "max",
-                            "count_distinct"):
+                            "count_distinct", "approx_count_distinct"):
                 raise ValueError(
                     f"unsupported aggregate {kind!r} for {name!r} — "
                     "count/sum fold from deltas; min/max via "
                     "dirty-group recompute; count_distinct via a "
-                    "(group, value) helper multiset; avg = sum/count "
-                    "at read")
+                    "(group, value) helper multiset; "
+                    "approx_count_distinct via a per-group HLL "
+                    "register table; avg = sum/count at read")
         self.spark = spark
         self.source = source
         self.group_cols = group_cols
@@ -156,6 +165,21 @@ class CdfAggregateView:
                 partition_col=partition_col)
             for name, (kind, _col) in specs.items()
             if kind == "count_distinct"}
+        #: one HLL REGISTER table per approx_count_distinct measure
+        #: (round 12), keyed by (group_cols..., _idx): one row per
+        #: non-zero register holding its max rank — never more than
+        #: 2^hll_p rows per group, vs the exact multiset's O(distinct
+        #: pairs). Inserts fold additively (register max is monotone);
+        #: retractions dirty the group and recompute its registers
+        #: from the pinned source version (the min/max regime, lifted
+        #: to sketches). Same independent cdf_cursor fencing.
+        self.hll_p = int(hll_p)
+        self._hlls = {
+            name: ParquetUpsertTable(
+                spark, f"{path}__hll_{name}", [*group_cols, "_idx"],
+                partition_col=partition_col)
+            for name, (kind, _col) in specs.items()
+            if kind == "approx_count_distinct"}
 
     # -- signed contributions --------------------------------------------
     def _pre_col(self, c: str):
@@ -175,7 +199,8 @@ class CdfAggregateView:
         (which the corresponding change_type filter never reads)."""
         need = set(self.group_cols)
         for _name, (kind, col) in self.specs.items():
-            if kind in ("sum", "min", "max", "count_distinct"):
+            if kind in ("sum", "min", "max", "count_distinct",
+                        "approx_count_distinct"):
                 need.add(col)
         for c in sorted(need - set(self.source.key_cols)):
             have_post = c in feed.columns
@@ -223,8 +248,8 @@ class CdfAggregateView:
                  for c in self.group_cols]
             meas = [F.lit(sign).cast("bigint").alias(_ROWS)]
             for name, (kind, col) in self.specs.items():
-                if kind == "count_distinct":
-                    continue  # maintained in the helper multiset
+                if kind in ("count_distinct", "approx_count_distinct"):
+                    continue  # maintained in their helper tables
                 if kind == "count":
                     meas.append(F.lit(sign).cast("bigint").alias(name))
                     continue
@@ -259,8 +284,8 @@ class CdfAggregateView:
         contrib = self._contribs(feed)
         aggs = [F.sum(_ROWS).cast("bigint").alias(_ROWS)]
         for name, (kind, _col) in self.specs.items():
-            if kind == "count_distinct":
-                continue  # maintained in the helper multiset
+            if kind in ("count_distinct", "approx_count_distinct"):
+                continue  # maintained in their helper tables
             if kind == "min":
                 aggs.append(F.min(name).alias(name))
             elif kind == "max":
@@ -442,6 +467,97 @@ class CdfAggregateView:
                 self._fold_helper(
                     name, helper,
                     feed.filter(F.col("version") > a), up_to)
+        for name, helper in self._hlls.items():
+            a = self._applied(helper)
+            if a < up_to:
+                self._fold_hll(
+                    name, helper,
+                    feed.filter(F.col("version") > a), up_to)
+
+    def _fold_hll(self, name: str, helper: ParquetUpsertTable,
+                  feed: DataFrame, up_to: int) -> None:
+        """Fold one feed slice into an approx_count_distinct HLL
+        register table (round 12): inserts and update post-images
+        fold ADDITIVELY (register max is monotone — greatest against
+        the stored rank, zero source reads); any retraction of a
+        non-null value dirties its PRE-image group, whose registers
+        are recomputed from the source at the pinned version (HLL is
+        not retractable — the min/max regime, lifted to sketches).
+        Null values are excluded (COUNT DISTINCT ignores them)."""
+        from aether_firebase_consumer_spark.functions.hll import (
+            hll_registers_df,
+        )
+
+        col = self.specs[name][1]
+        feed = self._normalize(feed)
+        meta = {"cdf_cursor": up_to}
+        pre_v = self._pre_col(col)
+        dirty = (feed.filter(F.col("change_type") != "insert")
+                 .filter(pre_v.isNotNull())
+                 .select(*[self._pre_col(g).alias(g)
+                           for g in self.group_cols])
+                 .distinct())
+        have_dirty = not dirty.isEmpty()
+
+        def ns_on(a, b, cols):
+            cond = None
+            for c in cols:
+                e = F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+                cond = e if cond is None else cond & e
+            return cond
+
+        if have_dirty:
+            try:
+                src = self.source.read_version(up_to)
+            except ValueError as exc:
+                raise ValueError(
+                    f"approx_count_distinct dirty-group recompute "
+                    f"needs source version {up_to} but it is not "
+                    "retained (vacuumed) — raise retain_versions on "
+                    "the source, or rebuild() the view") from exc
+            s, g = src.alias("s"), F.broadcast(dirty.alias("g"))
+            scoped = s.join(g, ns_on("s", "g", self.group_cols),
+                            "left_semi")
+            regs = hll_registers_df(scoped, self.group_cols,
+                                    F.col(col), self.hll_p)
+            cur = helper.read()
+            if cur is not None:
+                stale = (cur.alias("c")
+                         .join(F.broadcast(dirty.alias("g")),
+                               ns_on("c", "g", self.group_cols),
+                               "left_semi")
+                         .select(*helper.key_cols))
+                if not stale.isEmpty():
+                    helper.delete_keys(stale)
+            if not regs.isEmpty():
+                helper.merge(regs)  # fence rides the LAST merge below
+        post = (feed.filter(F.col("change_type") != "delete")
+                .filter(F.col(col).isNotNull()))
+        delta = hll_registers_df(post, self.group_cols,
+                                 F.col(col), self.hll_p)
+        if have_dirty:
+            # dirty groups were just recomputed at up_to, which
+            # already includes this slice's post-images
+            delta = (delta.alias("d")
+                     .join(F.broadcast(dirty.alias("g")),
+                           ns_on("d", "g", self.group_cols),
+                           "left_anti"))
+        if delta.isEmpty():
+            # fence note: progress lives in the follower cursor;
+            # folds are idempotent per slice, so an unadvanced
+            # cdf_cursor only ever re-applies converging work
+            return
+        current = helper.read()
+        if current is None:
+            helper.merge(delta, commit_meta=meta)
+            return
+        d, c = delta.alias("d"), current.alias("c")
+        on = ns_on("d", "c", helper.key_cols)
+        folded = [F.col(f"d.{k}").alias(k) for k in helper.key_cols]
+        folded.append(F.greatest(F.col("d._rho"), F.col("c._rho"))
+                      .cast("smallint").alias("_rho"))
+        helper.merge(d.join(c, on, "left").select(*folded),
+                     commit_meta=meta)
 
     def _fold_helper(self, name: str, helper: ParquetUpsertTable,
                      feed: DataFrame, up_to: int) -> None:
@@ -537,6 +653,20 @@ class CdfAggregateView:
                     helper.delete_keys(cur.select(*helper.key_cols))
                 continue
             helper.replace(multiset, commit_meta=meta)
+        for name, helper in self._hlls.items():
+            from aether_firebase_consumer_spark.functions.hll import (
+                hll_registers_df,
+            )
+
+            col = self.specs[name][1]
+            regs = hll_registers_df(src, self.group_cols,
+                                    F.col(col), self.hll_p)
+            if regs.isEmpty():
+                cur = helper.read()
+                if cur is not None:
+                    helper.delete_keys(cur.select(*helper.key_cols))
+                continue
+            helper.replace(regs, commit_meta=meta)
         if self.follower is not None:
             self.follower.commit(v)
         # streaming mode (no follower): the cursor lives in Spark's
@@ -594,13 +724,35 @@ class CdfAggregateView:
                 on = e if on is None else on & e
             live = live.join(cnt, on, "left")
             joined.add(name)
+        for name, helper in self._hlls.items():
+            from aether_firebase_consumer_spark.functions.hll import (
+                hll_estimate,
+            )
+
+            h = helper.read()
+            if h is None:
+                continue
+            est = (h.groupBy(*self.group_cols)
+                   .agg(F.count("*").alias("_nr"),
+                        F.sum(F.pow(F.lit(2.0), -F.col("_rho")))
+                        .alias("_sp"))
+                   .select(*self.group_cols,
+                           hll_estimate(F.col("_nr"), F.col("_sp"),
+                                        self.hll_p).alias(name))
+                   .alias(f"cd_{name}"))
+            on = None
+            for k in self.group_cols:
+                e = F.col(f"v.{k}").eqNullSafe(F.col(f"cd_{name}.{k}"))
+                on = e if on is None else on & e
+            live = live.join(est, on, "left")
+            joined.add(name)
         out = [F.col(f"v.{c}").alias(c) for c in self.group_cols]
         for name, (kind, _col) in self.specs.items():
             if kind == "sum":
                 out.append(
                     F.when(F.col(f"v.{_nn(name)}") > 0,
                            F.col(f"v.{name}")).alias(name))
-            elif kind == "count_distinct":
+            elif kind in ("count_distinct", "approx_count_distinct"):
                 src = (F.col(f"cd_{name}.{name}") if name in joined
                        else F.lit(None).cast("bigint"))
                 out.append(F.coalesce(src, F.lit(0)).alias(name))

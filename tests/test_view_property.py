@@ -327,3 +327,67 @@ def test_random_op_scripts_topk_equals_recompute(spark, tmp_path, seed):
         view.refresh()
         assert _topk_read(view) == _topk_recompute(src, 2), \
             f"seed {seed} final state"
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_random_op_scripts_hll_estimate_equals_recompute(
+        spark, tmp_path, seed):
+    """Round 12: the maintained approx_count_distinct sketch is
+    DETERMINISTIC — after every refresh its estimate equals the
+    recompute-from-source sketch estimate exactly, through random
+    retraction scripts (the approximation lives in the count, never
+    in the maintenance)."""
+    from aether_firebase_consumer_spark.functions.hll import (
+        hll_estimate,
+        hll_registers_df,
+    )
+
+    p = 10
+    rng = random.Random(seed)
+    src = ParquetUpsertTable(
+        spark, str(tmp_path / "src"), ["k"], partition_col="g",
+        retain_versions=40, record_change_values=True,
+        record_change_preimages=True)
+    view = CdfAggregateView(
+        spark, str(tmp_path / "view"), src, ["g"],
+        {"nd": ("approx_count_distinct", "x")},
+        str(tmp_path / "cursor"), hll_p=p)
+
+    def recompute():
+        cur = src.read()
+        if cur is None:
+            return {}
+        regs = hll_registers_df(cur, ["g"], F.col("x"), p)
+        est = (regs.groupBy("g")
+               .agg(F.count("*").alias("_nr"),
+                    F.sum(F.pow(F.lit(2.0), -F.col("_rho")))
+                    .alias("_sp"))
+               .select("g", hll_estimate(F.col("_nr"), F.col("_sp"), p)
+                       .alias("nd")))
+        out = {(r.g is None, r.g): r.nd for r in est.collect()}
+        for r in cur.groupBy("g").count().collect():
+            out.setdefault((r.g is None, r.g), 0)
+        return out
+
+    def read():
+        df = view.read()
+        return {} if df is None else \
+            {(r.g is None, r.g): r.nd for r in df.collect()}
+
+    live = False
+    for step, (op, arg) in enumerate(_script(rng)):
+        if op == "merge":
+            src.merge(_rows(spark, arg))
+            live = True
+        elif op == "delete_keys" and live:
+            src.delete_keys(
+                spark.createDataFrame([(k,) for k in arg], "k int"))
+        elif op == "delete_where" and live:
+            src.delete_where(("x", ">=", arg))
+        elif op == "refresh" and live:
+            view.refresh()
+            assert read() == recompute(), \
+                f"seed {seed} diverged at step {step}"
+    if live:
+        view.refresh()
+        assert read() == recompute(), f"seed {seed} final state"
