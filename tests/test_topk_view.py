@@ -193,3 +193,38 @@ def test_degenerate_params_rejected(spark, tmp_path):
         CdfTopKView(spark, str(tmp_path / "v2"), src, ["k"], "x", 1)
     with pytest.raises(ValueError, match="group column"):
         CdfTopKView(spark, str(tmp_path / "v3"), src, ["x"], "x", 1)
+
+
+def test_streaming_table_changes_drives_topk(spark, tmp_path):
+    """A checkpointed table_changes stream (includeImages) drives the
+    top-k view through fold_stream_batch, surviving a restart — same
+    arc as the join/aggregate views."""
+    from aether_firebase_consumer_spark.streaming.table_changes_source import (  # noqa: E501
+        register_table_changes,
+    )
+
+    register_table_changes(spark)
+    src = _source(spark, tmp_path / "src")
+    view = CdfTopKView(spark, str(tmp_path / "view"), src, ["g"],
+                       "x", 2)  # streaming mode: no follower
+    src.merge(_rows(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)]))
+
+    def run_once():
+        q = (spark.readStream.format("table_changes")
+             .option("path", src.path).option("keyCols", "k")
+             .option("includeImages", "true")
+             .option("startingVersion", 0).load()
+             .writeStream.foreachBatch(view.fold_stream_batch)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert _read(view) == _recompute(src)
+    src.delete_keys(spark.createDataFrame([(3,)], "k int"))
+    src.merge(_rows(spark, [(4, "a", 25), (5, "b", 1)]))
+    run_once()                          # restart from the checkpoint
+    assert _read(view) == _recompute(src)
+    with pytest.raises(RuntimeError, match="streaming mode"):
+        view.refresh()
