@@ -765,12 +765,13 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
                         k: int = 2) -> DataFrame:
-    """FULL-TEXT exact edit-distance near-dup join (round 12): all
+    """FULL-TEXT exact edit-distance near-dup join (round 12): ALL
     pairs with ``levenshtein(text_a, text_b) <= k`` over WHOLE
-    documents of any length ``>= k + 1`` — lifting both limits of
+    documents of ANY length — lifting both limits of
     :func:`editdist_pairs` (64-char prefix scope; docs shorter than
     the prefix silently excluded) via the variable-length PassJoin
-    scheme (Li et al., VLDB 2011).
+    scheme (Li et al., VLDB 2011), plus a bounded brute-force bucket
+    for strings too short to segment.
 
     Scale shape — same as the prefix version, with per-row COMPUTED
     segment geometry instead of literals: each document of length
@@ -790,15 +791,24 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
     the built-in banded ``levenshtein(·, ·, k)`` verifies exactly.
 
     Documents shorter than ``k + 1`` characters cannot be segmented
-    (the pigeonhole needs k+1 non-empty pieces) and are EXCLUDED from
-    both sides — at k=2 that is only 1-and-2-char strings; pair them
-    by brute force in the caller if they matter."""
+    (the pigeonhole needs k+1 non-empty pieces); they are handled by
+    a SHORT-BUCKET completion instead: every such string is paired by
+    brute force against the (tiny) population of strings no longer
+    than ``2k`` characters — its only possible partners, since a
+    length gap over ``k`` forces distance over ``k``. The bucket is
+    bounded by the ≤2k-char population (at k=2, strings of ≤4 chars —
+    degenerate rows, not documents), so the quadratic term can never
+    touch the corpus; the result is COMPLETE over all lengths."""
     if k < 1:
         raise ValueError(f"editdist join needs k >= 1 (got {k})")
     base = (df.filter(F.length(F.col(text_col)) >= k + 1)
             .select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("t"),
                     F.length(F.col(text_col)).alias("m")))
+    short = (df.filter(F.length(F.col(text_col)) < k + 1)
+             .select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("t"),
+                     F.length(F.col(text_col)).alias("m")))
 
     def seg_geometry(l):
         """(start, len) column pairs of the k+1 segments of an
@@ -856,8 +866,30 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
             .dropDuplicates(["id_a", "id_b"]))
     ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
     tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
-    return (cand.join(ta, "id_a").join(tb, "id_b")
-            .withColumn("dist",
-                        F.levenshtein("t_a", "t_b", k))  # banded
-            .filter(F.col("dist") >= 0)
-            .select("id_a", "id_b", "dist"))
+    long_pairs = (cand.join(ta, "id_a").join(tb, "id_b")
+                  .withColumn("dist",
+                              F.levenshtein("t_a", "t_b", k))  # banded
+                  .filter(F.col("dist") >= 0)
+                  .select("id_a", "id_b", "dist"))
+    # short-bucket completion: a string shorter than k+1 chars can
+    # only match strings of length <= its own + k <= 2k; pair the
+    # short side against that bounded bucket directly. Disjoint from
+    # the signature path by construction (every pair here has a
+    # member the segmented side excluded).
+    partners = (df.filter(F.length(F.col(text_col)) <= 2 * k)
+                .select(F.col(id_col).alias("pid"),
+                        F.col(text_col).alias("pt"),
+                        F.length(F.col(text_col)).alias("pm")))
+    s = F.broadcast(short.alias("s"))
+    p = partners.alias("p")
+    short_pairs = (
+        p.join(s, (F.col("s.id") != F.col("p.pid"))
+               & (F.abs(F.col("s.m") - F.col("p.pm")) <= k))
+        .withColumn("dist", F.levenshtein(F.col("s.t"),
+                                          F.col("p.pt"), k))
+        .filter(F.col("dist") >= 0)
+        .select(F.least(F.col("s.id"), F.col("p.pid")).alias("id_a"),
+                F.greatest(F.col("s.id"), F.col("p.pid")).alias("id_b"),
+                "dist")
+        .dropDuplicates(["id_a", "id_b"]))
+    return long_pairs.unionByName(short_pairs)

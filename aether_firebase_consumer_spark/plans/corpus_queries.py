@@ -1468,3 +1468,114 @@ def docs_incremental_agg_hll(spark: SparkSession,
             .select("lang",
                     F.col("nd_chars_approx").cast("bigint")
                     .alias("nd_chars_approx")))
+
+
+_JOINVIEW_ALIGNED: dict[str, object] = {}
+
+
+@register(
+    "docs_join_view_aligned",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    dim0 AS (
+      SELECT lang, ascii(lang) AS weight FROM langs WHERE lang <> 'zh'
+    ),
+    dim1 AS (
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN weight + 1000
+                  ELSE weight END AS weight
+      FROM dim0
+      UNION ALL SELECT 'zh', ascii('zh')
+    ),
+    dim2 AS (SELECT * FROM dim1 WHERE lang <> 'fr'),
+    f1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    f2 AS (SELECT * FROM f1 WHERE doc_id % 101 <> 0)
+    SELECT f2.doc_id, f2.lang, f2.n_chars,
+           CAST(d.weight AS INT) AS dim_weight
+    FROM f2 LEFT JOIN dim2 d USING (lang)
+    """,
+)
+def docs_join_view_aligned(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """SNAPSHOT-ALIGNED join-view maintenance under the driver gate
+    (round 12 — ``CdfJoinView.refresh_aligned``): the same op script
+    and oracle as :func:`docs_join_view`, but every refresh pins both
+    folds to one captured (fact_version, dim_version) pair via time
+    travel — THREE aligned refreshes split the script at points where
+    the two sources are mutually torn (dim ahead of fact, then fact
+    ahead of dim), so each intermediate refresh lands on a consistent
+    cross-source snapshot and the final one equals the full re-join
+    at the head pair, which the oracle recomputes in SQL. Exercises
+    the versioned data-skipping read (``read_where(key IN ...,
+    version=fv)``) and pinned dim time travel on every dim fold.
+    The stronger per-refresh invariant (every refresh == re-join at
+    exactly the committed cursor pair, under random interleavings
+    including torn plain refreshes) is property-pinned in
+    tests/test_view_property.py."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    view = _JOINVIEW_ALIGNED.get(sf_dir)
+    if view is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_joinview_al_")
+        fact = ParquetUpsertTable(
+            spark, os.path.join(root, "fact"), ["doc_id"],
+            partition_col="lang", retain_versions=10,
+            record_change_values=True)
+        dim = ParquetUpsertTable(
+            spark, os.path.join(root, "dim"), ["lang"],
+            retain_versions=10)
+        view = CdfJoinView(
+            spark, os.path.join(root, "view"), fact, dim, "lang",
+            os.path.join(root, "fck"), os.path.join(root, "dck"),
+            dim_prefix="dim_")
+        dim.merge(docs.select("lang").distinct()
+                  .filter(F.col("lang") != "zh")
+                  .withColumn("weight", F.ascii("lang")))   # dim v0
+        fact.merge(docs)                                    # fact v0
+        view.refresh_aligned()
+        # dim moves ahead of the fact cursor: v1 (en bump + late zh)
+        # and v2 (delete fr) land before the next refresh
+        upd = (dim.read().filter(F.col("lang") == "en")
+               .withColumn("weight", F.col("weight") + 1000))
+        late = (docs.select("lang").distinct()
+                .filter(F.col("lang") == "zh")
+                .withColumn("weight", F.ascii("lang")))
+        dim.merge(upd.unionByName(late))                    # dim v1
+        dim.delete_keys(
+            spark.createDataFrame([("fr",)], "lang string"))  # dim v2
+        view.refresh_aligned()       # snapshot (fact v0, dim v2)
+        # fact moves ahead of the dim cursor
+        fupd = (docs.filter((F.col("doc_id") % 10 == 3)
+                            | (F.col("doc_id") % 7 == 2))
+                .withColumn("n_chars",
+                            F.when(F.col("doc_id") % 10 == 3,
+                                   F.col("n_chars") + 1000)
+                            .otherwise(F.col("n_chars")))
+                .withColumn("lang",
+                            F.when(F.col("doc_id") % 7 == 2,
+                                   F.lit("xx"))
+                            .otherwise(F.col("lang"))))
+        fact.merge(fupd)                                    # fact v1
+        doomed = fact.read().filter(F.col("doc_id") % 101 == 0)
+        fact.delete_keys(doomed.select("doc_id", "lang"))   # fact v2
+        view.refresh_aligned()       # snapshot (fact v2, dim v2)
+        _JOINVIEW_ALIGNED[sf_dir] = view
+    return (view.read()
+            .select("doc_id", "lang", "n_chars",
+                    F.col("dim_weight").cast("int")
+                    .alias("dim_weight")))

@@ -807,8 +807,7 @@ def dedup_editdist_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 23 = 0
     ),
     d AS (
-      SELECT doc_id, text, length(text) AS l
-      FROM corpus WHERE length(text) >= 3
+      SELECT doc_id, text, length(text) AS l FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
@@ -819,7 +818,7 @@ def dedup_editdist_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_editdist_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-TEXT exact edit-distance join (round 12 —
     ``operators.dedup.editdist_pairs_full``): every document pair
-    within whole-text levenshtein distance 2, any length >= 3 —
+    within whole-text levenshtein distance 2, ANY length —
     lifting round 11's two limits (64-char prefix scope; docs shorter
     than the prefix excluded) via variable-length PassJoin: per-row
     COMPUTED segment geometry over candidate lengths [m-2, m],

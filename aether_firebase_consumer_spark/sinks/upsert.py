@@ -784,10 +784,16 @@ class ParquetUpsertTable:
         self._publish(target, parent, commit_meta)
 
     @_retrying
-    def delete_keys(self, keys: DataFrame) -> None:
+    def delete_keys(self, keys: DataFrame,
+                    commit_meta: "dict | Callable | None" = None) -> None:
         """MERGE ... WHEN MATCHED DELETE: drop rows whose key appears in
         ``keys``. Partition-pruned like :meth:`merge` when the deleted
-        keys' partitions are identifiable (keys carry partition_col)."""
+        keys' partitions are identifiable (keys carry partition_col).
+        ``commit_meta`` tags the version like :meth:`merge`'s (round
+        12): a DELETE-ONLY maintenance fold has no merge to ride, yet
+        still advances state — without a tag here its fence would
+        lag the data (the aligned join view publishes cursor pairs
+        that must equal the state)."""
         from urllib.parse import unquote
 
         parent = self.current_version()
@@ -817,7 +823,7 @@ class ParquetUpsertTable:
                 # every partition was touched, so old = whole table;
                 # the diff records each surviving-nothing row a delete
                 self._record_changes(target, current)
-                self._publish(target, parent)
+                self._publish(target, parent, commit_meta)
                 return
             remaining.write.mode("overwrite").partitionBy(pc).parquet(target)
             self._record_changes(
@@ -836,7 +842,7 @@ class ParquetUpsertTable:
                 writer = writer.partitionBy(pc)
             writer.parquet(target)
             self._record_changes(target, current)
-        self._publish(target, parent)
+        self._publish(target, parent, commit_meta)
 
     @_retrying
     def delete_where(self, *predicates: tuple) -> int:

@@ -196,6 +196,17 @@ class CdfJoinView:
                 .drop("change_type", "version"))
         live = live.drop(*[c for c in live.columns
                            if c.startswith("_pre_")])
+        if live.isEmpty():
+            # DELETE-ONLY slice: there is no merge for the cursor to
+            # ride, but the deletes DO advance state — the fence must
+            # advance with them (an empty merge is a table no-op), or
+            # refresh_aligned would publish a cursor pair OLDER than
+            # the state it just created, breaking its view ==
+            # rejoin(cursor pair) contract (found by the seed-29
+            # chained-aligned property script)
+            if not dead.isEmpty():
+                self.table.delete_keys(dead, commit_meta=meta)
+            return
         if not dead.isEmpty():
             self.table.delete_keys(dead)
         self.table.merge(self._enrich(live, dim_version),

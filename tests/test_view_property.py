@@ -391,3 +391,102 @@ def test_random_op_scripts_hll_estimate_equals_recompute(
     if live:
         view.refresh()
         assert read() == recompute(), f"seed {seed} final state"
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_aligned_chain_downstream_sees_consistent_snapshots(
+        spark, tmp_path, seed):
+    """Round 12: the chained-view consistency story end to end — a
+    CdfAggregateView maintained over an ALIGNED CdfJoinView's own
+    feed. After every (aligned refresh → downstream refresh) step the
+    downstream aggregate equals GROUP BY over the pinned re-join at
+    the committed (vf, vd) pair: the downstream view can never
+    observe a torn cross-source state, because every state the join
+    view ever publishes IS a consistent snapshot."""
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+
+    rng = random.Random(seed)
+    fact = ParquetUpsertTable(
+        spark, str(tmp_path / "fact"), ["k"], retain_versions=60,
+        record_change_values=True)
+    dim = ParquetUpsertTable(
+        spark, str(tmp_path / "dim"), ["jk"], retain_versions=60)
+    view = CdfJoinView(
+        spark, str(tmp_path / "view"), fact, dim, "jk",
+        str(tmp_path / "fck"), str(tmp_path / "dck"),
+        table_kwargs={"record_change_values": True,
+                      "record_change_preimages": True,
+                      "retain_versions": 60})
+    agg = CdfAggregateView(
+        spark, str(tmp_path / "agg"), view.table, ["dim_attr"],
+        {"n": ("count", None), "sx": ("sum", "x")},
+        str(tmp_path / "aggck"))
+
+    def expected(vf, vd):
+        if vf is None or vf < 0:
+            return []
+        f = fact.read_version(vf)
+        d = None if (vd is None or vd < 0) else dim.read_version(vd)
+        if d is not None:
+            f = f.join(d.select("jk", F.col("attr").alias("dim_attr")),
+                       "jk", "left")
+        else:
+            f = f.withColumn("dim_attr", F.lit(None).cast("int"))
+        got = (f.groupBy("dim_attr")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("sx")).collect())
+        return sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                      for r in got)
+
+    def agg_read():
+        df = agg.read()
+        return [] if df is None else \
+            sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                   for r in df.collect())
+
+    # seed both sides and one aligned fold BEFORE the random script:
+    # the downstream agg groups by the ENRICHED column, which only
+    # exists in the view table once a dim has been joined at least
+    # once (creating the agg earlier raises the documented
+    # cannot-resolve diagnostic — that contract is pinned in
+    # test_view_schema_evolution / test_incremental_agg)
+    dim.merge(spark.createDataFrame([("j1", 1)], "jk string, attr int"))
+    fact.merge(spark.createDataFrame([(0, "j1", 1)],
+                                     "k int, jk string, x int"))
+    view.refresh_aligned()
+    agg.refresh()
+    flive = True
+    for step in range(12):
+        op = rng.choice(["fmerge", "fmerge", "fdel", "dmerge",
+                         "ddel", "aligned", "aligned"])
+        if op == "fmerge":
+            ks = rng.sample(range(12), rng.randint(1, 4))
+            fact.merge(spark.createDataFrame(
+                [(k, rng.choice(JKS), rng.choice(VALUES)) for k in ks],
+                "k int, jk string, x int"))
+            flive = True
+        elif op == "fdel" and flive:
+            fact.delete_keys(spark.createDataFrame(
+                [(k,) for k in rng.sample(range(12), rng.randint(1, 2))],
+                "k int"))
+        elif op == "dmerge":
+            jks = rng.sample(["j1", "j2", "j3"], rng.randint(1, 2))
+            dim.merge(spark.createDataFrame(
+                [(j, rng.randint(1, 99)) for j in jks],
+                "jk string, attr int"))
+        elif op == "ddel" and dim.current_version() >= 0:
+            dim.delete_keys(spark.createDataFrame(
+                [(rng.choice(["j1", "j2", "j3"]),)], "jk string"))
+        elif op == "aligned" and flive:
+            view.refresh_aligned()
+            agg.refresh()
+            cur = view._cursors()
+            assert agg_read() == expected(cur["fact"], cur["dim"]), \
+                f"seed {seed} downstream torn at step {step} ({cur})"
+    if flive:
+        view.refresh_aligned()
+        agg.refresh()
+        cur = view._cursors()
+        assert agg_read() == expected(cur["fact"], cur["dim"])
