@@ -433,3 +433,25 @@ def test_aligned_refresh_streaming_mode_rejected(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="checkpoint"):
         view.refresh_aligned()
+
+
+def test_delete_only_slice_advances_aligned_cursors(spark, tmp_path):
+    """Round 12 fence fix, pinned deterministically: a fact slice
+    containing ONLY deletes has no merge for the cursor to ride, but
+    it advances state — delete_keys carries the commit_meta, so
+    refresh_aligned's published cursor pair always equals the state
+    it created (found by the seed-29 chained-aligned property
+    script)."""
+    fact, dim, view = _mk(spark, tmp_path)
+    dim.merge(_drows(spark, [("a", 1)]))
+    fact.merge(_frows(spark, [(1, "a", 10), (2, "a", 20)]))
+    view.refresh_aligned()
+    before = view._cursors()
+
+    fact.delete_keys(_frows(spark, [(2, "a", 0)]).select("k"))
+    got = view.refresh_aligned()
+    after = view._cursors()
+    assert got["fact"] == after["fact"] == before["fact"] + 1, \
+        f"delete-only slice left a stale fence: {before} -> {after}"
+    assert _read(view) == _recompute(fact, dim) == \
+        [(1, "a", 10, 1)]
