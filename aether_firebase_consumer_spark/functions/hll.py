@@ -21,10 +21,15 @@ ParquetUpsertTable` keyed by (group, idx) — which is exactly how
 ``CdfAggregateView`` maintains it (``approx_count_distinct`` spec
 kind). Rank math: the 64-bit hash keeps its low ``p`` bits for the
 index (via pmod — any fixed uniform mapping works; determinism is
-what the view's exactness contract needs) and the next 52 bits for
-the rank (a bigint-safe window: ``bin()``'s string length IS the
-bit length, so rho = 53 - bitlength, exactly, with no float
-rounding), so rho ∈ [1, 53] fits a smallint.
+what the view's exactness contract needs) and the REMAINING
+``64 - p`` bits for the rank (a bigint-safe window: ``bin()``'s
+string length IS the bit length, so rho = (64 - p + 1) - bitlength,
+exactly, with no float rounding), so rho ∈ [1, 64 - p + 1] fits a
+smallint. The window MUST shrink with p: ``shiftright`` is
+arithmetic, so a fixed 52-bit mask at p > 12 would keep p - 12
+sign-extension copies of hash bit 63 in the window's top bits,
+making rho values 2..(p - 11) unreachable and biasing the estimate
+(round-12 ADVICE finding; verified by simulation at p = 13).
 """
 
 from __future__ import annotations
@@ -34,8 +39,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: rank-bit window width (bits of the hash above the index bits)
-_RANK_BITS = 52
+def _rank_bits(p: int) -> int:
+    """Width of the rank window: every hash bit above the p index
+    bits. 64 - p, never a fixed constant — see the module docstring
+    for why a constant window is wrong at p > 12."""
+    return 64 - p
 
 
 def hll_alpha(m: int) -> float:
@@ -51,20 +59,23 @@ def hll_alpha(m: int) -> float:
 
 def hll_register(value: Column, p: int) -> tuple[Column, Column]:
     """``(idx, rho)`` register contribution of one value: idx in
-    [0, 2^p), rho in [1, 53]. Deterministic (seeded xxhash64), null
-    values must be filtered by the caller (COUNT DISTINCT ignores
-    them)."""
+    [0, 2^p), rho in [1, 64 - p + 1]. Deterministic (seeded
+    xxhash64), null values must be filtered by the caller (COUNT
+    DISTINCT ignores them)."""
     if not 4 <= p <= 16:
         raise ValueError(f"hll precision p must be in [4, 16] "
                          f"(got {p}) — m = 2^p registers")
     m = 1 << p
+    rb = _rank_bits(p)
     w = F.xxhash64(value)
     idx = F.pmod(w, F.lit(m)).cast("int")
-    w2 = F.shiftright(w, p).bitwiseAND(F.lit((1 << _RANK_BITS) - 1))
+    # mask off the arithmetic shift's sign-extension bits so the
+    # window is exactly the 64 - p hash bits above the index bits
+    w2 = F.shiftright(w, p).bitwiseAND(F.lit((1 << rb) - 1))
     # bin(x) has no leading zeros: length(bin(x)) == bitlength(x);
-    # leading zeros in the 52-bit window = 52 - bitlength, rho = +1
-    rho = (F.when(w2 == 0, F.lit(_RANK_BITS + 1))
-           .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(w2)))
+    # leading zeros in the window = rb - bitlength, rho = +1
+    rho = (F.when(w2 == 0, F.lit(rb + 1))
+           .otherwise(F.lit(rb + 1) - F.length(F.bin(w2)))
            .cast("smallint"))
     return idx, rho
 
@@ -104,3 +115,57 @@ def hll_estimate(n_regs: Column, sum_pow: Column, p: int) -> Column:
 def hll_error_bound(p: int) -> float:
     """The theoretical relative standard error, 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def hll_estimate_df(regs: DataFrame, group_cols: list[str], p: int,
+                    out_col: str = "nd",
+                    rho_col: str = "_rho") -> DataFrame:
+    """Per-group cardinality estimates from a register frame (the
+    shape :func:`hll_registers_df` produces / a ``CdfAggregateView``
+    HLL helper table stores): one aggregate over at most ``2^p`` rows
+    per group."""
+    return (regs.groupBy(*group_cols)
+            .agg(F.count("*").alias("_nr"),
+                 F.sum(F.pow(F.lit(2.0), -F.col(rho_col))).alias("_sp"))
+            .select(*group_cols,
+                    hll_estimate(F.col("_nr"), F.col("_sp"), p)
+                    .alias(out_col)))
+
+
+def merge_sketch_tables(a, b, group_cols: list[str],
+                        idx_col: str = "_idx",
+                        rho_col: str = "_rho") -> DataFrame:
+    """MERGE two HLL sketches WITHOUT re-scanning either source — the
+    cross-partition / cross-tenant rollup a 100 TB user wants: union
+    the register rows and keep the max rank per (group, register).
+    EXACT by construction: each register holds the max rank over the
+    values hashed into it, and max over a union is the max of the
+    per-side maxes — so ``merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B)`` register-for-register (pinned in
+    ``tests/test_hll_view.py``), hence estimate-for-estimate.
+
+    ``a`` / ``b`` accept a register DataFrame (from
+    :func:`hll_registers_df`), a ``ParquetUpsertTable`` register
+    table, or a ``CdfAggregateView`` HLL helper (anything with a
+    ``read()``) — so two maintained views, or a view and an ad-hoc
+    sketch, combine directly. Both sides must share the same
+    precision ``p`` and hash (this module's): ranks from different
+    window widths are not comparable; the caller owns that contract
+    (p is not stored in the relational rows). A group present on one
+    side only passes through unchanged (union semantics). Cost: one
+    shuffle on (group, idx) over at most ``2 × m × |groups|`` rows —
+    independent of either source's size."""
+    def _regs(x) -> DataFrame:
+        df = x if isinstance(x, DataFrame) else x.read()
+        if df is None:
+            return None
+        return df.select(*group_cols, idx_col, rho_col)
+
+    ra, rb = _regs(a), _regs(b)
+    if ra is None and rb is None:
+        raise ValueError("both sketch sides are empty — nothing to "
+                         "merge")
+    both = ra if rb is None else rb if ra is None else \
+        ra.unionByName(rb)
+    return (both.groupBy(*group_cols, idx_col)
+            .agg(F.max(rho_col).cast("smallint").alias(rho_col)))

@@ -1470,6 +1470,67 @@ def docs_incremental_agg_hll(spark: SparkSession,
                     .alias("nd_chars_approx")))
 
 
+_HLL_MERGE: dict[str, object] = {}
+
+
+@register("docs_hll_sketch_merge")  # rows-only: like
+# docs_incremental_agg_hll, the estimate rides Spark's xxhash64 which
+# DuckDB cannot replicate; the merge EXACTNESS contract
+# (merge(sketch(A), sketch(B)) == sketch(A ∪ B), register-for-
+# register) is pinned in tests/test_hll_view.py.
+def docs_hll_sketch_merge(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Cross-table HLL sketch MERGE (round 13 — ``functions.hll.
+    merge_sketch_tables``): the documents corpus is ingested as TWO
+    independent upsert tables (doc_id parity split — two tenants /
+    partitions of a 100 TB corpus), each maintaining its own
+    per-lang ``approx_count_distinct(n_chars)`` register table via
+    ``CdfAggregateView``; the rollup merges the two REGISTER tables
+    (union + max per (lang, register) — one shuffle over at most
+    2 × 2^p × |langs| rows) and estimates, never re-scanning either
+    source. Deterministic: the merged estimate equals the
+    single-table sketch over the full corpus exactly."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.functions.hll import (
+        hll_estimate_df,
+        merge_sketch_tables,
+    )
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    p = 12
+    views = _HLL_MERGE.get(sf_dir)
+    if views is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_hll_merge_")
+        views = []
+        for side in (0, 1):
+            table = ParquetUpsertTable(
+                spark, os.path.join(root, f"src{side}"), ["doc_id"],
+                partition_col="lang", retain_versions=10,
+                record_change_values=True,
+                record_change_preimages=True)
+            table.merge(docs.filter(F.col("doc_id") % 2 == side))
+            v = CdfAggregateView(
+                spark, os.path.join(root, f"view{side}"), table,
+                ["lang"], {"nd": ("approx_count_distinct", "n_chars")},
+                os.path.join(root, f"cursor{side}"), hll_p=p)
+            v.refresh()
+            views.append(v)
+        _HLL_MERGE[sf_dir] = views
+    merged = merge_sketch_tables(views[0].hll_sketch("nd"),
+                                 views[1].hll_sketch("nd"), ["lang"])
+    return (hll_estimate_df(merged, ["lang"], p, out_col="nd_merged")
+            .select("lang", F.col("nd_merged").cast("bigint")
+                    .alias("nd_merged")))
+
+
 _JOINVIEW_ALIGNED: dict[str, object] = {}
 
 

@@ -181,6 +181,19 @@ class CdfAggregateView:
             for name, (kind, _col) in specs.items()
             if kind == "approx_count_distinct"}
 
+    def hll_sketch(self, name: str) -> ParquetUpsertTable:
+        """The maintained HLL register table behind an
+        ``approx_count_distinct`` measure — the mergeable sketch
+        handle for ``functions.hll.merge_sketch_tables`` (combine two
+        views' sketches, or a view's and an ad-hoc one, without
+        re-scanning either source). Both sides must have been built
+        at the same ``hll_p``."""
+        if name not in self._hlls:
+            raise KeyError(
+                f"{name!r} is not an approx_count_distinct measure "
+                f"of this view (has: {sorted(self._hlls)})")
+        return self._hlls[name]
+
     # -- signed contributions --------------------------------------------
     def _pre_col(self, c: str):
         """Pre-image expression for column ``c``: key columns are

