@@ -239,8 +239,16 @@ def _differential(spark, sf_dir: str, vs_prev: dict[str, float],
             controls[c] = round(
                 _time_query(spark, c, sf_dir) / prev[c], 3)
     noise_bar = max(list(controls.values()) or [1.0])
+    # when the CONTROLS themselves regressed past the threshold, the
+    # box (or a shared code path every query rides) moved — dividing
+    # suspects by that bar would silently absolve a genuinely global
+    # regression as noise (round-12 ADVICE). Stamp the whole pass
+    # inconclusive instead; the round review re-runs on an idle box.
+    controls_regressed = noise_bar >= DIFF_THRESHOLD
     record = {"controls": controls,
-              "noise_bar": round(noise_bar, 3), "suspects": {}}
+              "noise_bar": round(noise_bar, 3),
+              "controls_regressed": controls_regressed,
+              "suspects": {}}
     for n in suspects:
         rerun_t = _time_query(spark, n, sf_dir)
         rerun = round(rerun_t / prev[n], 3)
@@ -254,10 +262,14 @@ def _differential(spark, sf_dir: str, vs_prev: dict[str, float],
         if max(rerun_t, prev[n]) < 0.5:
             # a 50 ms absolute delta on a 150 ms query reads as a
             # 1.33x ratio; this box's scheduler jitter alone is that
-            # big. The verdict stands, but flag that the measurement
-            # is below the machine's resolving power so the round
-            # review weighs it accordingly.
+            # big. Below the machine's resolving power there is no
+            # adjudication to be had — demote to noise outright
+            # (round 12 reported docs_view_chain at 0.14 s absolute
+            # as "confirmed", polluting the round-over-round signal).
             entry["sub_resolution"] = True
+            entry["verdict"] = "noise"
+        elif controls_regressed:
+            entry["verdict"] = "inconclusive"
         record["suspects"][n] = entry
     return record
 
@@ -334,6 +346,9 @@ def main() -> None:
             out["confirmed_regressions"] = sorted(
                 n for n, d in diff["suspects"].items()
                 if d["verdict"] == "confirmed")[:3]
+            if diff.get("controls_regressed"):
+                # the pass could not adjudicate: the controls moved
+                out["controls_regressed"] = True
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
