@@ -763,8 +763,18 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "dist"))
 
 
+#: short-bucket completion broadcasts the < k+1-char population;
+#: F.broadcast is a HARD hint, so a corpus dominated by tiny/empty
+#: strings could OOM the driver — above this row count the completion
+#: falls back to a salted length-key equi-join instead (round-12
+#: ADVICE). 500k rows of <= k-char strings is ~15 MB serialized.
+_SHORT_BROADCAST_CAP = 500_000
+
+
 def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 2) -> DataFrame:
+                        k: int = 2,
+                        short_broadcast_cap: int = _SHORT_BROADCAST_CAP,
+                        ) -> DataFrame:
     """FULL-TEXT exact edit-distance near-dup join (round 12): ALL
     pairs with ``levenshtein(text_a, text_b) <= k`` over WHOLE
     documents of ANY length — lifting both limits of
@@ -798,7 +808,18 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
     length gap over ``k`` forces distance over ``k``. The bucket is
     bounded by the ≤2k-char population (at k=2, strings of ≤4 chars —
     degenerate rows, not documents), so the quadratic term can never
-    touch the corpus; the result is COMPLETE over all lengths."""
+    touch the corpus; the result is COMPLETE over all lengths.
+
+    The completion broadcasts the short side only while it stays
+    under ``short_broadcast_cap`` rows (one bounded count checks);
+    above the cap — a corpus pathologically heavy in tiny strings —
+    it switches to a distributed equi-join: each short row explodes
+    to its 2k+1 admissible partner lengths × a small salt range,
+    partners carry ``(length, hash-salt)``, and the join shuffles on
+    that composite key, so no driver/executor broadcast OOM is
+    possible (the per-length quadratic pairing is inherent — tiny
+    strings within k edits genuinely all match — but it executes
+    distributed across length×salt reducers)."""
     if k < 1:
         raise ValueError(f"editdist join needs k >= 1 (got {k})")
     base = (df.filter(F.length(F.col(text_col)) >= k + 1)
@@ -880,16 +901,38 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
                 .select(F.col(id_col).alias("pid"),
                         F.col(text_col).alias("pt"),
                         F.length(F.col(text_col)).alias("pm")))
-    s = F.broadcast(short.alias("s"))
-    p = partners.alias("p")
+    if short.limit(short_broadcast_cap + 1).count() \
+            <= short_broadcast_cap:
+        joined = partners.join(
+            F.broadcast(short),
+            (F.col("id") != F.col("pid"))
+            & (F.abs(F.col("m") - F.col("pm")) <= k))
+    else:
+        # salted length-key equi-join: shuffle, never broadcast. The
+        # short side fans out (2k+1) lengths x n_salt; partners hash
+        # to one salt each, so every admissible (length, salt) bucket
+        # meets exactly once.
+        n_salt = 32
+        s_exp = (short
+                 .withColumn("pm_key", F.explode(F.sequence(
+                     F.greatest(F.lit(0), F.col("m") - k),
+                     F.col("m") + k)))
+                 .withColumn("salt_s", F.explode(F.sequence(
+                     F.lit(0), F.lit(n_salt - 1)))))
+        p_salt = partners.withColumn(
+            "salt_p", F.pmod(F.xxhash64("pid"), F.lit(n_salt))
+            .cast("int"))
+        joined = (p_salt.join(
+            s_exp, (F.col("pm_key") == F.col("pm"))
+            & (F.col("salt_s") == F.col("salt_p")))
+            .filter(F.col("id") != F.col("pid")))
     short_pairs = (
-        p.join(s, (F.col("s.id") != F.col("p.pid"))
-               & (F.abs(F.col("s.m") - F.col("p.pm")) <= k))
-        .withColumn("dist", F.levenshtein(F.col("s.t"),
-                                          F.col("p.pt"), k))
+        joined
+        .withColumn("dist", F.levenshtein(F.col("t"),
+                                          F.col("pt"), k))
         .filter(F.col("dist") >= 0)
-        .select(F.least(F.col("s.id"), F.col("p.pid")).alias("id_a"),
-                F.greatest(F.col("s.id"), F.col("p.pid")).alias("id_b"),
+        .select(F.least(F.col("id"), F.col("pid")).alias("id_a"),
+                F.greatest(F.col("id"), F.col("pid")).alias("id_b"),
                 "dist")
         .dropDuplicates(["id_a", "id_b"]))
     return long_pairs.unionByName(short_pairs)

@@ -12,6 +12,7 @@ import random
 
 from aether_firebase_consumer_spark.operators.dedup import (
     editdist_pairs,
+    editdist_pairs_full,
     editdist_segments,
 )
 
@@ -97,6 +98,65 @@ def test_random_small_alphabet_matches_brute_force(spark):
     for k in (1, 2):
         assert _pairs(spark, texts, k, 18) == _brute(texts, k, 18), \
             f"false negative or positive at k={k}"
+
+
+def _pairs_full(spark, texts, k, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = editdist_pairs_full(df, "doc_id", "text", k=k, **kw).collect()
+    return sorted((r.id_a, r.id_b, r.dist) for r in got)
+
+
+def _brute_full(texts, k):
+    out = []
+    for x in range(len(texts)):
+        for y in range(x + 1, len(texts)):
+            d = _lev(texts[x], texts[y])
+            if d <= k:
+                out.append((x, y, d))
+    return sorted(out)
+
+
+def _mixed_length_corpus():
+    """Every length regime the full join must cover: empty strings,
+    the < k+1 short bucket, strings straddling the short/segmented
+    boundary, and ordinary segmented documents with edits at segment
+    boundaries."""
+    rng = random.Random(13)
+    texts = ["", "", "a", "b", "ab", "ba", "abc", "abcd", "aXcd"]
+    for _ in range(25):
+        base = "".join(rng.choice("ab") for _ in range(rng.randint(1, 30)))
+        texts.append(base)
+        t = list(base)
+        for _e in range(rng.randint(0, 3)):
+            op = rng.choice("sid")
+            pos = rng.randrange(max(len(t), 1)) if t else 0
+            if op == "s" and t:
+                t[pos] = rng.choice("ab")
+            elif op == "i":
+                t.insert(pos, rng.choice("ab"))
+            elif t:
+                del t[pos]
+        texts.append("".join(t))
+    return texts
+
+
+def test_full_join_all_lengths_matches_brute_force(spark):
+    texts = _mixed_length_corpus()
+    for k in (1, 2):
+        assert _pairs_full(spark, texts, k) == _brute_full(texts, k), \
+            f"false negative or positive at k={k}"
+
+
+def test_full_join_short_bucket_fallback_equivalent(spark):
+    """Round-12 ADVICE: the short-bucket completion hard-broadcast the
+    whole < k+1-length population; above the cap it must switch to the
+    salted length-key equi-join and return IDENTICAL pairs. cap=3
+    with 6+ short strings forces the fallback path."""
+    texts = _mixed_length_corpus()
+    assert sum(len(t) < 3 for t in texts) > 3
+    expect = _pairs_full(spark, texts, 2)
+    assert _pairs_full(spark, texts, 2, short_broadcast_cap=3) == expect
 
 
 def test_degenerate_segmentation_rejected():
