@@ -1,34 +1,63 @@
-"""Incremental TOP-K / argmax-per-group view maintenance (round 12):
-a materialized ``per-group top-N rows by an order column`` kept exact
-under inserts, updates, AND deletes from the source table's
-retraction feed — the serving shape of ``events_latest_per_user``
-(N=1 is argmax/latest-state-per-id, which is the reference's entire
-sink semantics: latest document per id,
+"""Incremental TOP-K / argmax-per-group view maintenance (round 12,
+reworked round 13): a materialized ``per-group top-N rows by an order
+column`` kept exact under inserts, updates, AND deletes from the
+source table's retraction feed — the serving shape of
+``events_latest_per_user`` (N=1 is argmax/latest-state-per-id, which
+is the reference's entire sink semantics: latest document per id,
 /root/reference/firebase/app/helpers.py:93-114 — here it is a
 maintained lake table instead of a per-doc remote write).
 
 Top-K is holistic, like MIN/MAX: an insert can only IMPROVE a group's
-membership (fold additively — rank the new candidates against the
-stored members, no source read), but a retraction can EVICT a current
-member whose replacement (the old rank N+1 row) is not in the view's
-state. So the two-regime treatment of
-``incremental_agg.CdfAggregateView``'s min/max applies, lifted from
-scalar extrema to row sets:
+membership, but a retraction can EVICT a current member whose
+replacement (the old rank N+1 row) is not in the serving set. Round
+12 answered every retraction with a dirty-group recompute from the
+pinned source version; round 13 adds an ORDER-STATISTIC BUFFER so the
+overwhelmingly common small retraction is answered from view state:
 
-- INSERT-ONLY groups fold additively: candidates = stored members ∪
-  new post-images, re-ranked, top N kept, displaced members deleted.
-  Zero source reads — the overwhelmingly common append case.
-- Any group that RETRACTS a row (delete, or an update's pre-image —
-  including the intermediate groups of a multi-hop within-slice group
-  move, read from EVERY retraction row in the slice, not just the
-  per-key-collapsed final one) is DIRTY: its membership is recomputed
-  from the source AT THE PINNED VERSION the fold covers
-  (``read_version(up_to)``, partition-pruned when a group column is
-  the source's partition column; raises when vacuumed — rebuild()).
-  Dirty sets derive from the immutable FEED, never from current view
-  state, so a crash-replayed slice re-derives the same dirty set and
-  converges (view-state-derived dirtiness would be lost by a partial
-  first attempt).
+- The SERVING table holds exactly the top-``n`` rows per group (its
+  contents and CDF feed are unchanged — downstream chained views see
+  only membership).
+- A sibling BUFFER table holds up to ``m`` more rows per group
+  (``buffer_rows``, default ``m = n``) — the ranks n+1..n+m "bench".
+  INVARIANT at every committed (serving, buffer) pair: their union is
+  the top ``n + b_G`` PREFIX of the source's ranked order per group
+  (``0 <= b_G <= m``; smaller only when the group itself is smaller
+  or retractions consumed bench rows).
+- A fold needs the source ONLY for groups where the prefix no longer
+  covers the top n: a group is DIRTY iff it retracted rows AND fewer
+  than ``n`` union rows survive the slice's changed keys. Everything
+  else — including a delete that evicts a member — re-ranks
+  ``(union − changed keys) ∪ post-images`` entirely from view state:
+  the bench row is promoted with ZERO source reads. Correctness of
+  the clean path is the prefix property: removing changed keys from a
+  prefix leaves a prefix of the surviving rows, and every other
+  changed source row arrives as a post-image, so the candidate set
+  provably contains the true top n (and the true next-m) whenever
+  ``>= n`` rows survive.
+
+CRASH SAFETY — the buffer is a VALIDATED CACHE, never a correctness
+input: it is trusted only when its own committed ``cdf_cursor``
+equals the serving table's (stamped together at the end of each
+fold). Any crash that splits them (or a fold that had nothing to
+stamp) makes the next fold CLEAR the buffer and proceed exactly like
+round 12 (retraction ⇒ dirty) while refilling the bench — degraded
+performance, identical results. The serving table's own write order
+is merge-then-delete with the fence riding the LAST serving-table op,
+so a mid-fold crash leaves a SUPERSET state whose replay converges
+(changed keys are re-collapsed from the re-delivered slice; stale
+extra rows are re-evicted by the recomputed delete set).
+
+READ CONTRACT (documented per the round-12 review): one fold is NOT
+atomic — it commits up to four versions (serving merge, serving
+delete, buffer merge, buffer delete; the common insert-only fold is
+one or two — round 12's worst case was five, with a read window where
+changed members were MISSING). Readers between the serving merge and
+the serving delete can transiently observe a SUPERSET (an evicted row
+still present next to its replacement); a downstream chained view
+folds the superset and its correction as ordinary versioned
+insert+delete changes and converges to the exact membership. Point
+readers needing a single consistent cut should read a pinned version
+(``table.read_version``) or poll after ``refresh`` returns.
 
 Determinism: membership is ``ROW_NUMBER() OVER (PARTITION BY groups
 ORDER BY order_col [DESC] NULLS LAST, key_cols NULLS LAST) <= n`` —
@@ -37,15 +66,16 @@ ties break on the key columns, nulls sort last in both directions
 oracle), so the maintained set is a pure function of source state.
 
 Exactly-once EFFECT: the applied-through version rides the final
-MERGE's ``commit_meta`` (``cdf_cursor``), each fold applies only feed
-rows ``version > applied``, and every sub-step (delete stale, merge
-recomputed, delete evicted, merge candidates) is idempotent per
-slice — the same fence as ``CdfAggregateView``.
+serving-table op's ``commit_meta`` (``cdf_cursor``), each fold
+applies only feed rows ``version > applied``, and every sub-step is
+idempotent per slice — the same fence as ``CdfAggregateView``.
 
-Scale shape: a refresh reads O(changed rows) of recordings, ranks
-O(|touched groups| × (n + changed rows per group)) candidates, and
-the dirty recompute scans only dirty groups' source rows. The view
-table itself is O(n × |groups|) — constant per group.
+Scale shape: a refresh reads O(changed rows) of recordings plus
+O(touched groups × (n + m)) view/bench rows, and hits the source only
+for buffer-exhausted groups (> m member retractions in one slice) —
+at 100 TB that turns the common "one delete evicts one member" from a
+partition scan into a bench promotion. The serving table is
+O(n × |groups|), the bench O(m × |groups|).
 """
 
 from __future__ import annotations
@@ -66,11 +96,14 @@ class CdfTopKView:
     """Per-group top-``n`` source rows by ``order_col``, maintained
     from the source's pre+post image retraction feed.
 
-    The view table is keyed by the SOURCE's key columns (each source
-    row appears at most once across all groups) and stores full
-    post-image rows, so it serves point reads like any other table.
-    The source must record ``record_change_values`` and
-    ``record_change_preimages`` for O(changed rows) refreshes."""
+    The serving table is keyed by the SOURCE's key columns (each
+    source row appears at most once across all groups) and stores
+    full post-image rows, so it serves point reads like any other
+    table. The source must record ``record_change_values`` and
+    ``record_change_preimages`` for O(changed rows) refreshes.
+    ``buffer_rows`` sizes the order-statistic bench (default = n;
+    0 disables it — every member retraction then recomputes its
+    group from the pinned source version, the round-12 behavior)."""
 
     def __init__(self, spark: SparkSession, path: str,
                  source: ParquetUpsertTable, group_cols: list[str],
@@ -78,7 +111,8 @@ class CdfTopKView:
                  checkpoint_path: str | None = None,
                  partition_col: str | None = None,
                  from_version: int = 0,
-                 table_kwargs: dict | None = None):
+                 table_kwargs: dict | None = None,
+                 buffer_rows: int | None = None):
         if n < 1:
             raise ValueError(f"top-k needs n >= 1 (got {n})")
         if order_col in group_cols:
@@ -99,6 +133,9 @@ class CdfTopKView:
         self.group_cols = list(group_cols)
         self.order_col = order_col
         self.n = int(n)
+        self.m = self.n if buffer_rows is None else int(buffer_rows)
+        if self.m < 0:
+            raise ValueError(f"buffer_rows must be >= 0 (got {self.m})")
         self.descending = bool(descending)
         self.follower = None if checkpoint_path is None else \
             ChangeFeedFollower(source, checkpoint_path,
@@ -106,6 +143,18 @@ class CdfTopKView:
         self.table = ParquetUpsertTable(spark, path, source.key_cols,
                                         partition_col=partition_col,
                                         **(table_kwargs or {}))
+        #: the order-statistic bench: plain rows keyed like the
+        #: serving table, NO change recording (it is derived cache,
+        #: nothing chains off it)
+        self.buffer = None if self.m == 0 else ParquetUpsertTable(
+            spark, f"{path}__buf", source.key_cols,
+            partition_col=partition_col)
+        #: observability for the buffer's effectiveness (tests pin
+        #: that buffered runs recompute strictly fewer groups):
+        #: retract_groups counts what the bufferless design would
+        #: have recomputed; dirty_groups what this fold actually did
+        self.stats = {"retract_groups": 0, "dirty_groups": 0,
+                      "buffer_invalidations": 0}
 
     # -- ordering ----------------------------------------------------------
     def _order_exprs(self):
@@ -118,10 +167,13 @@ class CdfTopKView:
         return [lead] + [F.col(k).asc_nulls_last()
                          for k in self.source.key_cols]
 
-    def _topn(self, rows: DataFrame) -> DataFrame:
+    def _ranked(self, rows: DataFrame) -> DataFrame:
         w = (W.partitionBy(*self.group_cols)
              .orderBy(*self._order_exprs()))
-        return (rows.withColumn("_rk", F.row_number().over(w))
+        return rows.withColumn("_rk", F.row_number().over(w))
+
+    def _topn(self, rows: DataFrame) -> DataFrame:
+        return (self._ranked(rows)
                 .filter(F.col("_rk") <= self.n).drop("_rk"))
 
     # -- fold helpers ------------------------------------------------------
@@ -146,7 +198,12 @@ class CdfTopKView:
         on = self._null_safe_on("r", "g", self.group_cols)
         return r.join(g, on, "left_anti")
 
-    def _dirty_groups(self, feed: DataFrame) -> DataFrame:
+    def _anti_keys(self, rows: DataFrame, keys: DataFrame) -> DataFrame:
+        r, k = rows.alias("r"), keys.alias("k")
+        on = self._null_safe_on("r", "k", self.source.key_cols)
+        return r.join(k, on, "left_anti")
+
+    def _retract_groups(self, feed: DataFrame) -> DataFrame:
         """Group values that RETRACTED a row anywhere in the slice:
         the pre-image groups of every update/delete row — from ALL
         slice rows, not the per-key collapse, so every intermediate
@@ -169,24 +226,116 @@ class CdfTopKView:
                           for g in self.group_cols])
                 .distinct())
 
-    def _applied(self) -> int:
-        meta = self.table.commit_meta() or {}
+    def _applied(self, table: ParquetUpsertTable | None = None) -> int:
+        meta = (table or self.table).commit_meta() or {}
         v = meta.get("cdf_cursor")
         return -1 if v is None else int(v)
+
+    def _buffer_usable(self) -> bool:
+        """The bench is trusted ONLY when its committed cursor equals
+        the serving table's — any split (crash between the two
+        tables' stamps, or a fold with nothing to stamp) degrades to
+        the bufferless regime until the bench is refilled."""
+        if self.buffer is None:
+            return False
+        return self._applied(self.buffer) == self._applied()
 
     # -- fold --------------------------------------------------------------
     def _fold(self, feed: DataFrame, up_to: int) -> None:
         meta = {"cdf_cursor": up_to}
         final = latest_per_key(feed, self.source.key_cols, "version")
-        # 1) every changed key's OLD stored row leaves the view (the
-        #    post-image re-enters below if it still ranks)
-        if self.table.read() is not None:
-            self.table.delete_keys(final.select(*self.source.key_cols))
-        dirty = self._dirty_groups(feed)
-        have_dirty = not dirty.isEmpty()
-        # 2) dirty groups: authoritative recompute at the PINNED
-        #    version this fold covers (replays converge; raises when
-        #    vacuumed — same contract as CdfAggregateView min/max)
+        changed_keys = final.select(*self.source.key_cols) \
+            .localCheckpoint()
+        retract_g = self._retract_groups(feed)
+        post_cols = [c for c in final.columns
+                     if c not in ("change_type", "version")
+                     and not c.startswith("_pre_")]
+        live = (final.filter(F.col("change_type") != "delete")
+                .select(*post_cols))
+        has_values = all(c in live.columns for c in
+                         [*self.group_cols, self.order_col])
+        live_ok = has_values and not live.isEmpty()
+        # a feed whose post-images lack the view's group/order columns
+        # cannot drive the clean (view-state) fold: its non-delete
+        # rows are invisible to the candidate set, so every retracting
+        # group must take the pinned-source recompute, which sees the
+        # hidden post-images too (round-12 semantics for this tier)
+        force_dirty = not has_values
+        touched = retract_g if not live_ok else \
+            retract_g.unionByName(
+                live.select(*self.group_cols)).distinct()
+        if touched.isEmpty():
+            # nothing this view can observe changed (e.g. a slice
+            # whose post-images lack the view's columns entirely and
+            # retracts nothing). The fence rides the next
+            # value-carrying fold — folds are idempotent per slice
+            # and progress lives in the follower cursor.
+            return
+        touched = touched.localCheckpoint()
+
+        # -- view-state union (serving + usable bench), prefix rows --
+        tbl = self.table.read()
+        usable = self._buffer_usable()
+        if self.buffer is not None and not usable:
+            # a stale bench may hold ghost rows from slices it missed
+            # — unrecoverable per-group (no way to tell which), so
+            # clear it; this fold refills touched groups, later folds
+            # refill the rest lazily via their own touches
+            stale = self.buffer.read()
+            if stale is not None and not stale.isEmpty():
+                self.buffer.delete_keys(
+                    stale.select(*self.source.key_cols))
+                self.stats["buffer_invalidations"] += 1
+        buf = self.buffer.read() if (usable and self.buffer is not None) \
+            else None
+        union = tbl
+        if union is None:
+            union = buf
+        elif buf is not None:
+            union = union.unionByName(buf, allowMissingColumns=True) \
+                .dropDuplicates(self.source.key_cols)
+        if union is not None:
+            union = self._semi_groups(union, touched)
+            survivors = self._anti_keys(union, changed_keys) \
+                .localCheckpoint()
+        else:
+            survivors = None
+
+        # -- dirty decision: retracting groups whose surviving prefix
+        #    no longer covers the top n --------------------------------
+        n_retract = 0 if retract_g.isEmpty() else retract_g.count()
+        self.stats["retract_groups"] += n_retract
+        if n_retract == 0:
+            dirty = None
+        elif survivors is None or force_dirty:
+            dirty = retract_g
+        else:
+            counts = (survivors.groupBy(*self.group_cols)
+                      .agg(F.count("*").alias("_surv")))
+            r, c = retract_g.alias("r"), counts.alias("c")
+            on = self._null_safe_on("r", "c", self.group_cols)
+            dirty = (r.join(c, on, "left")
+                     .filter(F.coalesce(F.col("_surv"), F.lit(0))
+                             < self.n)
+                     .select(*[F.col(f"r.{g}").alias(g)
+                               for g in self.group_cols]))
+        have_dirty = dirty is not None and not dirty.isEmpty()
+        if have_dirty:
+            dirty = dirty.localCheckpoint()
+            self.stats["dirty_groups"] += dirty.count()
+
+        # -- candidate set: clean groups from view state + slice
+        #    post-images; dirty groups from the pinned source ----------
+        clean = touched if not have_dirty else \
+            self._anti_groups(touched, dirty)
+        cand = None
+        if survivors is not None:
+            cand = self._semi_groups(survivors, clean)
+        if live_ok:
+            live_clean = self._semi_groups(live, clean)
+            cand = live_clean if cand is None else \
+                cand.unionByName(live_clean, allowMissingColumns=True)
+        ranked = None if cand is None else self._ranked(cand)
         if have_dirty:
             try:
                 src = self.source.read_version(up_to)
@@ -196,62 +345,58 @@ class CdfTopKView:
                     f"version {up_to} but it is not retained "
                     "(vacuumed) — raise retain_versions on the "
                     "source, or rebuild() the view") from exc
-            recomputed = self._topn(self._semi_groups(src, dirty))
-            cur = self.table.read()
-            if cur is not None:
-                stale = self._semi_groups(cur, dirty) \
-                    .select(*self.source.key_cols)
-                if not stale.isEmpty():
-                    self.table.delete_keys(stale)
-            if not recomputed.isEmpty():
-                self.table.merge(recomputed)
-        # 3) insert-only groups fold additively: stored members ∪ new
-        #    post-images, re-ranked — zero source reads
-        post_cols = [c for c in final.columns
-                     if c not in ("change_type", "version")
-                     and not c.startswith("_pre_")]
-        live = (final.filter(F.col("change_type") != "delete")
-                .select(*post_cols))
-        has_values = all(c in live.columns for c in
-                         [*self.group_cols, self.order_col])
-        if not has_values or live.isEmpty():
-            # delete-only slice (no post images): nothing to fold
-            # additively. The fence rides the next value-carrying
-            # merge — folds are idempotent per slice, progress lives
-            # in the follower cursor, and an unadvanced fence only
-            # ever re-applies (converging) work, never skips it.
+            ranked_d = self._ranked(self._semi_groups(src, dirty))
+            ranked = ranked_d if ranked is None else \
+                ranked.unionByName(ranked_d, allowMissingColumns=True)
+        if ranked is None:
             return
-        cand_groups = live.select(*self.group_cols).distinct()
-        if have_dirty:
-            cand_groups = self._anti_groups(cand_groups, dirty)
-        cand = self._semi_groups(live, cand_groups)
-        cur = self.table.read()
-        if cur is not None:
-            stored = self._semi_groups(cur, cand_groups)
-            # replays may re-deliver rows already merged: keep ONE
-            # copy per key (the feed's post-image is authoritative)
-            stored = stored.alias("s").join(
-                F.broadcast(cand.select(*self.source.key_cols)
-                            .alias("c")),
-                self._null_safe_on("s", "c", self.source.key_cols),
-                "left_anti")
-            # allowMissingColumns: the source may have evolved a new
-            # column mid-feed — older stored rows union as nulls
-            cand = cand.unionByName(stored, allowMissingColumns=True)
-        new_members = self._topn(cand)
-        if cur is not None:
-            evicted = (self._semi_groups(cur, cand_groups).alias("v")
-                       .join(new_members
-                             .select(*self.source.key_cols)
-                             .alias("m"),
-                             self._null_safe_on(
-                                 "v", "m", self.source.key_cols),
-                             "left_anti")
-                       .select(*self.source.key_cols))
-            if not evicted.isEmpty():
-                self.table.delete_keys(evicted)
-        if not new_members.isEmpty():
-            self.table.merge(new_members, commit_meta=meta)
+        ranked = ranked.localCheckpoint()
+        new_tbl = ranked.filter(F.col("_rk") <= self.n).drop("_rk")
+        new_buf = ranked.filter(
+            (F.col("_rk") > self.n)
+            & (F.col("_rk") <= self.n + self.m)).drop("_rk") \
+            if self.buffer is not None else None
+
+        # -- serving-table writes: merge THEN delete, fence on the
+        #    LAST op — a mid-fold crash leaves a replayable SUPERSET
+        #    (see the module docstring's read contract) ----------------
+        del_tbl = None
+        if tbl is not None:
+            del_tbl = self._anti_keys(
+                self._semi_groups(tbl, touched),
+                new_tbl.select(*self.source.key_cols)) \
+                .select(*self.source.key_cols)
+            if del_tbl.isEmpty():
+                del_tbl = None
+        have_new = not new_tbl.isEmpty()
+        if have_new:
+            self.table.merge(new_tbl,
+                             commit_meta=None if del_tbl is not None
+                             else meta)
+        if del_tbl is not None:
+            self.table.delete_keys(del_tbl, commit_meta=meta)
+
+        # -- bench writes, stamped LAST with the serving cursor: any
+        #    crash in between leaves the stamps split and the next
+        #    fold clears the bench (degraded, never wrong) -------------
+        if self.buffer is None:
+            return
+        buf_meta = {"cdf_cursor": self._applied()}
+        cur_buf = self.buffer.read()
+        del_buf = None
+        if cur_buf is not None:
+            del_buf = self._anti_keys(
+                self._semi_groups(cur_buf, touched),
+                new_buf.select(*self.source.key_cols)) \
+                .select(*self.source.key_cols)
+            if del_buf.isEmpty():
+                del_buf = None
+        if not new_buf.isEmpty():
+            self.buffer.merge(new_buf,
+                              commit_meta=None if del_buf is not None
+                              else buf_meta)
+        if del_buf is not None:
+            self.buffer.delete_keys(del_buf, commit_meta=buf_meta)
 
     # -- refresh / rebuild ---------------------------------------------------
     def refresh(self) -> int | None:
@@ -294,14 +439,28 @@ class CdfTopKView:
         """Recovery past the retention window: full recompute at the
         source's current version, replacing the view atomically with
         the cursor pinned (the view analogue of
-        ``ChangeFeedFollower.bootstrap``)."""
+        ``ChangeFeedFollower.bootstrap``). Refills the bench too."""
         src = self.source.read()
         v = self.source.current_version()
         if src is None or v < 0:
             raise ValueError("cannot rebuild a top-k view over an "
                              "empty source table")
-        self.table.replace(self._topn(src),
-                           commit_meta={"cdf_cursor": v})
+        ranked = self._ranked(src).localCheckpoint()
+        self.table.replace(
+            ranked.filter(F.col("_rk") <= self.n).drop("_rk"),
+            commit_meta={"cdf_cursor": v})
+        if self.buffer is not None:
+            bench = ranked.filter(
+                (F.col("_rk") > self.n)
+                & (F.col("_rk") <= self.n + self.m)).drop("_rk")
+            cur = self.buffer.read()
+            if bench.isEmpty():
+                if cur is not None:
+                    self.buffer.delete_keys(
+                        cur.select(*self.source.key_cols),
+                        commit_meta={"cdf_cursor": v})
+            else:
+                self.buffer.replace(bench, commit_meta={"cdf_cursor": v})
         if self.follower is not None:
             self.follower.commit(v)
         return v

@@ -144,11 +144,15 @@ def test_replay_fence_converges(spark, tmp_path):
 
 
 def test_vacuumed_pinned_version_raises(spark, tmp_path):
+    # buffer_rows=0 forces every member retraction onto the
+    # dirty-recompute path (the round-13 bench would otherwise answer
+    # this delete from view state, legitimately never touching the
+    # vacuumed source version)
     src = _source(spark, tmp_path / "src", retain_versions=30)
-    view = _view(spark, tmp_path, src, n=2)
+    view = _view(spark, tmp_path, src, n=2, buffer_rows=0)
     src.merge(_rows(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)]))
     view.refresh()
-    src.delete_keys(spark.createDataFrame([(1,)], "k int"))
+    src.delete_keys(spark.createDataFrame([(3,)], "k int"))
     got = view.follower.poll(images=True)
     feed, up_to = got
     feed = feed.localCheckpoint()
