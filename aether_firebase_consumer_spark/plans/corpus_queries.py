@@ -1424,6 +1424,148 @@ def docs_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").cast("bigint").alias("n_chars")))
 
 
+_CHAIN_TOPK: dict[str, object] = {}
+
+
+@register(
+    "docs_view_chain_topk",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    dim0 AS (
+      SELECT lang, ascii(lang) AS weight FROM langs WHERE lang <> 'zh'
+    ),
+    dim1 AS (
+      SELECT lang,
+             CASE WHEN lang = 'en' THEN weight + 1000
+                  ELSE weight END AS weight
+      FROM dim0
+      UNION ALL SELECT 'zh', ascii('zh')
+    ),
+    dim2 AS (SELECT * FROM dim1 WHERE lang <> 'fr'),
+    f1 AS (     -- source v1: composed update incl. group moves
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN 'xx' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ),
+    r1 AS (     -- source v2 deletes the rank-1 row of every lang
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+      FROM f1
+    ),
+    f2 AS (SELECT doc_id, lang, n_chars FROM r1 WHERE rn > 1),
+    f3 AS (SELECT * FROM f2 WHERE doc_id % 101 <> 0),  -- source v3
+    top2 AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+        FROM f3) WHERE rn <= 2
+    )
+    SELECT t.doc_id, t.lang, t.n_chars,
+           CAST(d.weight AS INT) AS dim_weight
+    FROM top2 t LEFT JOIN dim2 d USING (lang)
+    """,
+)
+def docs_view_chain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K view CHAINED into an enrich join (round 13, VERDICT r12
+    item 3): source documents → ``CdfTopKView`` (top-2 docs per lang
+    by n_chars — the ``events_latest_per_user`` serving shape, the
+    reference's whole sink is its N=1 case,
+    /root/reference/firebase/app/helpers.py:98-103) → the top-k
+    table's OWN retraction feed (``table_kwargs`` recording) drives a
+    ``CdfJoinView`` that enriches each member with the per-lang dim.
+    The op script makes the chain retract through BOTH hops: n_chars
+    bumps + lang moves churn memberships, then v2 DELETES the rank-1
+    row of every lang — the top-k view promotes each bench row (the
+    round-13 order-statistic buffer: zero source reads for m >= 1)
+    and emits delete+insert changes that the join view folds into
+    re-enriched members; dim updates (en bump, zh late insert, fr
+    delete) re-enrich members through the dim-side fan-in. The oracle
+    re-derives the final corpus state, takes the same ROW_NUMBER
+    top-2 with (n_chars DESC NULLS LAST, doc_id ASC) tie-break, and
+    re-joins the final dim — a stale member, a missed promotion, or
+    a leaked bench row fails the hash gate."""
+    import tempfile
+
+    from aether_firebase_consumer_spark.sinks.upsert import (
+        ParquetUpsertTable,
+    )
+    from aether_firebase_consumer_spark.streaming.join_view import (
+        CdfJoinView,
+    )
+    from aether_firebase_consumer_spark.streaming.topk_view import (
+        CdfTopKView,
+    )
+
+    join = _CHAIN_TOPK.get(sf_dir)
+    if join is None:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        root = tempfile.mkdtemp(prefix="docs_chain_topk_")
+        src = ParquetUpsertTable(
+            spark, os.path.join(root, "src"), ["doc_id"],
+            partition_col="lang", retain_versions=10,
+            record_change_values=True,
+            record_change_preimages=True)
+        topk = CdfTopKView(
+            spark, os.path.join(root, "topk"), src, ["lang"],
+            "n_chars", 2, descending=True,
+            checkpoint_path=os.path.join(root, "tcur"),
+            table_kwargs={"record_change_values": True,
+                          "record_change_preimages": True,
+                          "retain_versions": 20})
+        dim = ParquetUpsertTable(
+            spark, os.path.join(root, "dim"), ["lang"],
+            retain_versions=10)
+        join = CdfJoinView(
+            spark, os.path.join(root, "join"), topk.table, dim,
+            "lang", os.path.join(root, "fck"),
+            os.path.join(root, "dck"), dim_prefix="dim_")
+        dim.merge(docs.select("lang").distinct()
+                  .filter(F.col("lang") != "zh")
+                  .withColumn("weight", F.ascii("lang")))  # dim v0
+        src.merge(docs)                                    # src v0
+        upd = (docs.filter((F.col("doc_id") % 10 == 3)
+                           | (F.col("doc_id") % 7 == 2))
+               .withColumn("n_chars",
+                           F.when(F.col("doc_id") % 10 == 3,
+                                  F.col("n_chars") + 1000)
+                           .otherwise(F.col("n_chars")))
+               .withColumn("lang",
+                           F.when(F.col("doc_id") % 7 == 2,
+                                  F.lit("xx"))
+                           .otherwise(F.col("lang"))))
+        src.merge(upd)                                     # src v1
+        topk.refresh()
+        join.refresh()
+        # src v2: evict the CURRENT rank-1 row of every lang — the
+        # bench promotes each runner-up with zero source reads
+        leaders = (topk.read(with_rank=True)
+                   .filter(F.col("rank") == 1)
+                   .select("doc_id", "lang"))
+        src.delete_keys(leaders)
+        doomed = src.read().filter(F.col("doc_id") % 101 == 0)
+        src.delete_keys(doomed.select("doc_id", "lang"))   # src v3
+        dimupd = (dim.read().filter(F.col("lang") == "en")
+                  .withColumn("weight", F.col("weight") + 1000))
+        late = (docs.select("lang").distinct()
+                .filter(F.col("lang") == "zh")
+                .withColumn("weight", F.ascii("lang")))
+        dim.merge(dimupd.unionByName(late))                # dim v1
+        dim.delete_keys(
+            spark.createDataFrame([("fr",)], "lang string"))  # dim v2
+        topk.refresh()
+        join.refresh()
+        _CHAIN_TOPK[sf_dir] = join
+    return (join.read()
+            .select("doc_id", "lang", "n_chars",
+                    F.col("dim_weight").cast("int")
+                    .alias("dim_weight")))
+
+
 _HLL_VIEW: dict[str, object] = {}
 
 

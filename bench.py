@@ -185,7 +185,10 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          # r12 headliners
          "docs_incremental_topk",
          "dedup_editdist_full",
-         "docs_incremental_agg_hll")
+         "docs_incremental_agg_hll",
+         # r13 headliners
+         "docs_view_chain_topk",
+         "docs_hll_sketch_merge")
 
 
 def headline_names() -> list[str]:
