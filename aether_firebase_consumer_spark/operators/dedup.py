@@ -854,32 +854,53 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
                             F.explode(F.array(*idx_structs)).alias("e"))
                 .select("id_s", "e.l", "e.seg", "e.sig"))
     # two-level explode keeps the generated code small (one flat
-    # (k+1)²(2k+1)-struct projection duplicates the geometry
-    # arithmetic 45× and blows janino's method-size limit — whole
-    # rows fall back to interpreted eval): level 1 emits the (k+1)²
-    # (candidate length, segment, position, seg_len) geometry rows,
-    # level 2 the 2k+1 shifted substrings per geometry row. Both are
-    # narrow pipelined explodes in one stage — no extra shuffle.
+    # all-struct projection duplicates the geometry arithmetic per
+    # probe and blows janino's method-size limit — whole rows fall
+    # back to interpreted eval): level 1 emits the (k+1)² (candidate
+    # length, segment, position, seg_len, shift window) geometry
+    # rows, level 2 one shifted substring per in-window shift. Both
+    # are narrow pipelined explodes in one stage — no extra shuffle.
+    #
+    # Shift windows are MULTI-MATCH-AWARE (PassJoin, Li et al. VLDB
+    # 2011, substring-selection lemma), not the naive ±k: probing
+    # segment i (0-based) of a candidate length l from a string of
+    # length m with Δ = m - l ∈ [0, k], it suffices to emit shifts
+    #   δ ∈ [max(-i, Δ - (k - i)), min(i, Δ + (k - i))]
+    # — edits BEFORE the matching segment are bounded by both the
+    # segment index (≤ i of them can shift left) and the budget left
+    # for the segments AFTER it (k - i, net Δ of them forced by the
+    # length gap). Completeness is across segments: ≤ k edits leave
+    # some segment whose image lands inside ITS window (pinned by the
+    # brute-force parity tests). At k=2 this emits ≤ 12 probe rows
+    # per (doc, candidate length) triple instead of 45.
     geo_structs = []
     for dl in range(-k, 1):
         l = F.col("m") + dl
+        delta = -dl
         for i, (start, seg_len) in enumerate(seg_geometry(l)):
+            lo = max(-i, delta - (k - i))
+            hi = min(i, delta + (k - i))
             geo_structs.append(
                 F.struct(l.alias("l"), F.lit(i).alias("seg"),
-                         start.alias("p"), seg_len.alias("sl")))
+                         start.alias("p"), seg_len.alias("sl"),
+                         F.lit(lo).alias("lo"), F.lit(hi).alias("hi")))
     geo = (base.select("id", "t", "m",
                        F.explode(F.array(*geo_structs)).alias("g"))
            .filter(F.col("g.l") >= k + 1))
-    shifted = [
-        F.when((F.col("g.p") + d >= 0)
-               & (F.col("g.p") + d + F.col("g.sl") <= F.col("m")),
-               F.col("t").substr(F.col("g.p") + d + 1, F.col("g.sl")))
-        for d in range(-k, k + 1)]
-    probe_rows = (geo.select(F.col("id").alias("id_p"),
-                             F.col("g.l").alias("l"),
-                             F.col("g.seg").alias("seg"),
-                             F.explode(F.array(*shifted)).alias("sig"))
-                  .filter(F.col("sig").isNotNull()))
+    probe_rows = (geo
+                  .select("id", "t", "m", "g",
+                          F.explode(F.sequence(
+                              F.col("g.lo"), F.col("g.hi")))
+                          .alias("d"))
+                  .filter((F.col("g.p") + F.col("d") >= 0)
+                          & (F.col("g.p") + F.col("d") + F.col("g.sl")
+                             <= F.col("m")))
+                  .select(F.col("id").alias("id_p"),
+                          F.col("g.l").alias("l"),
+                          F.col("g.seg").alias("seg"),
+                          F.col("t").substr(
+                              F.col("g.p") + F.col("d") + 1,
+                              F.col("g.sl")).alias("sig")))
     cand = (seg_rows.join(probe_rows, ["l", "seg", "sig"])
             .filter(F.col("id_s") != F.col("id_p"))
             .select(F.least("id_s", "id_p").alias("id_a"),
