@@ -86,6 +86,14 @@ def _dirty(name: str) -> str:
     return f"_dirty_{name}"
 
 
+def _retr(name: str) -> str:
+    """Delta-only column: the most DANGEROUS retracted pre-value of a
+    min/max measure in the slice (its min for a min spec, max for a
+    max spec) — compared against the stored extremum at apply time to
+    decide dirtiness. Never stored."""
+    return f"_retr_{name}"
+
+
 class CdfAggregateView:
     """A ``GROUP BY`` aggregate table maintained from a source
     table's retraction feed.
@@ -174,6 +182,10 @@ class CdfAggregateView:
         #: from the pinned source version (the min/max regime, lifted
         #: to sketches). Same independent cdf_cursor fencing.
         self.hll_p = int(hll_p)
+        #: observability: min/max dirty-group recomputes actually run
+        #: (round 13 — the threat comparison should keep this at zero
+        #: for retractions strictly inside the range; tests pin it)
+        self.stats = {"minmax_dirty_groups": 0}
         self._hlls = {
             name: ParquetUpsertTable(
                 spark, f"{path}__hll_{name}", [*group_cols, "_idx"],
@@ -269,14 +281,22 @@ class CdfAggregateView:
                 v = self._pre_col(col) if pre else F.col(col)
                 if kind in ("min", "max"):
                     # post rows carry a CANDIDATE value (may improve
-                    # the stored extremum); pre rows retract — any
-                    # non-null retraction dirties the group, because
-                    # the retracted value may BE the stored extremum
+                    # the stored extremum); pre rows retract. A
+                    # retraction only threatens the extremum when its
+                    # value TIES-OR-BEATS it (round 13: compared at
+                    # apply time against the stored value — a delete
+                    # strictly inside the range can never move min or
+                    # max, so it no longer dirties the group). The
+                    # retraction count still rides along for the
+                    # no-stored-state case.
+                    dt = (feed.schema[col].dataType
+                          if col in feed.columns else "double")
                     meas.append(
-                        (F.lit(None).cast(feed.schema[col].dataType
-                                          if col in feed.columns
-                                          else "double")
-                         if pre else v).alias(name))
+                        (F.lit(None).cast(dt) if pre else v)
+                        .alias(name))
+                    meas.append(
+                        (v if pre else F.lit(None).cast(dt))
+                        .alias(_retr(name)))
                     meas.append(
                         (F.when(v.isNotNull(), 1).otherwise(0)
                          if pre else F.lit(0))
@@ -311,6 +331,11 @@ class CdfAggregateView:
             elif kind in ("min", "max"):
                 aggs.append(F.sum(_dirty(name)).cast("bigint")
                             .alias(_dirty(name)))
+                # the most dangerous retracted value: the one that
+                # would tie-or-beat the stored extremum first
+                aggs.append((F.min(_retr(name)) if kind == "min"
+                             else F.max(_retr(name)))
+                            .alias(_retr(name)))
         return contrib.groupBy(*self.group_cols).agg(*aggs)
 
     # -- refresh ----------------------------------------------------------
@@ -320,9 +345,15 @@ class CdfAggregateView:
         guards make an unseen group start at the delta), MERGE with
         the applied-through cursor as the atomic commit tag."""
         meta = {"cdf_cursor": up_to}
+        retr_cols = [_retr(n) for n, (k, _c) in self.specs.items()
+                     if k in ("min", "max")]
         current = self.table.read()
         if current is None:
-            out = delta
+            # no stored state to compare retractions against: the
+            # delta's retraction COUNTS drive dirtiness (conservative
+            # — only happens on the view's first fold / crash replay
+            # into an empty table). _retr is delta-only, never stored.
+            out = delta.drop(*retr_cols)
         else:
             d, c = delta.alias("d"), current.alias("c")
             # null-safe: NULL is a legal SQL group — an unsafe join
@@ -351,10 +382,24 @@ class CdfAggregateView:
                 # least/greatest ignore nulls (SQL semantics): an
                 # unseen group starts at the delta candidate
                 folded.append(best.alias(name))
+                # round 13: a retraction dirties the group ONLY when
+                # its value ties-or-beats the stored extremum (a
+                # delete strictly inside the range cannot move min or
+                # max — the extremum-bearing row provably survives).
+                # No stored extremum to compare against (unseen group
+                # on a replay, or an all-null-measure group) stays
+                # conservative: any non-null retraction dirties.
+                cnt = (F.coalesce(F.col(f"d.{_dirty(name)}"), F.lit(0))
+                       + F.coalesce(F.col(f"c.{_dirty(name)}"),
+                                    F.lit(0)))
+                retr = F.col(f"d.{_retr(name)}")
+                threat = (retr <= old) if kind == "min" \
+                    else (retr >= old)
                 folded.append(
-                    (F.coalesce(F.col(f"c.{_dirty(name)}"), F.lit(0))
-                     + F.coalesce(F.col(f"d.{_dirty(name)}"), F.lit(0)))
-                    .alias(_dirty(name)))
+                    F.when((cnt > 0) & (old.isNull()
+                                        | F.coalesce(threat, F.lit(True))),
+                           F.lit(1)).otherwise(F.lit(0))
+                    .cast("bigint").alias(_dirty(name)))
             out = d.join(c, on, "left").select(*folded)
         out = self._recompute_dirty(out, up_to)
         self.table.merge(out, commit_meta=meta)
@@ -362,17 +407,20 @@ class CdfAggregateView:
     def _recompute_dirty(self, folded: DataFrame,
                          up_to: int) -> DataFrame:
         """min/max are not retractable from deltas: when a refresh
-        RETRACTS a non-null value from a group (delete, or an
-        update's pre-image), the stored extremum may have been that
-        very value — those groups are marked DIRTY and their min/max
-        measures recomputed from the source (the standard
-        holistic-aggregate answer; count/sum stay delta-folded). The
-        recompute scans ONLY dirty groups' rows — partition-pruned
-        when the group column is the source's partition column — at
-        the version this fold covers (pinned so replays converge;
-        raises when that version was vacuumed — rebuild()). Clean
-        refreshes (inserts, updates that only add) skip all of this:
-        no flag, no scan."""
+        RETRACTS a value that TIES-OR-BEATS a group's stored extremum
+        (delete, or an update's pre-image), the stored extremum may
+        have been that very row — those groups are marked DIRTY and
+        their min/max measures recomputed from the source (the
+        standard holistic-aggregate answer; count/sum stay
+        delta-folded). Retractions strictly INSIDE the range are
+        clean since round 13: the extremum-bearing row provably
+        survives them, so the common delete touches no source at all.
+        The recompute scans ONLY dirty groups' rows —
+        partition-pruned when the group column is the source's
+        partition column — at the version this fold covers (pinned so
+        replays converge; raises when that version was vacuumed —
+        rebuild()). Clean refreshes skip all of this: no flag, no
+        scan."""
         mm = [(name, kind, col) for name, (kind, col)
               in self.specs.items() if kind in ("min", "max")]
         if not mm:
@@ -382,7 +430,9 @@ class CdfAggregateView:
             f = F.col(_dirty(name)) > 0
             dirty_flag = f if dirty_flag is None else dirty_flag | f
         dirty = folded.filter(dirty_flag).select(*self.group_cols)
-        if dirty.isEmpty():
+        n_dirty = dirty.count()
+        self.stats["minmax_dirty_groups"] += n_dirty
+        if n_dirty == 0:
             return folded.select(
                 *[c for c in folded.columns]).withColumns(
                 {_dirty(n): F.lit(0).cast("bigint")

@@ -258,6 +258,53 @@ def test_min_max_maintained_through_retractions(spark, tmp_path):
     assert got["b"] == (None, None)
 
 
+def test_interior_retractions_never_touch_the_source(spark, tmp_path):
+    """Round 13: a retraction strictly INSIDE a group's value range
+    cannot move min or max (the extremum-bearing rows provably
+    survive), so it must fold cleanly — no dirty flag, no source
+    read. Only retractions that tie-or-beat a stored extremum
+    recompute. Pinned with a poisoned read_version and the view's
+    dirty-group counter."""
+    src = _source(spark, tmp_path / "src")
+    view = _mm_view(spark, tmp_path, src)
+    src.merge(_rows(spark, [(1, "a", 1), (2, "a", 5), (3, "a", 7),
+                            (4, "a", 9), (5, "b", 3), (6, "b", 8)]))
+    view.refresh()
+    assert view.stats["minmax_dirty_groups"] == 0
+
+    orig = src.read_version
+
+    def poisoned(*_a, **_k):
+        raise AssertionError("interior retraction read the source")
+    src.read_version = poisoned
+    try:
+        # interior delete (5 in [1, 9]), interior update down (7 -> 2,
+        # still inside), and an update that IMPROVES the max (9 -> 12:
+        # its retracted pre-value 9 ties the stored max, so this one
+        # IS a threat — do it separately below, not here)
+        src.delete_keys(_rows(spark, [(2, "a", 0)]).select("k", "g"))
+        src.merge(_rows(spark, [(3, "a", 2)]))
+        view.refresh()
+    finally:
+        src.read_version = orig
+    assert _mm_read(view) == _mm_recompute(src)
+    assert view.stats["minmax_dirty_groups"] == 0
+
+    # tie-or-beat retractions DO recompute: delete the min of 'a'
+    # (value 1) — 'b' is untouched and must not be recomputed
+    src.delete_keys(_rows(spark, [(1, "a", 0)]).select("k", "g"))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+    assert view.stats["minmax_dirty_groups"] == 1
+
+    # an update that moves the max UP retracts the old max (a tie):
+    # conservative dirty is correct and converges
+    src.merge(_rows(spark, [(4, "a", 12)]))
+    view.refresh()
+    assert _mm_read(view) == _mm_recompute(src)
+    assert view.stats["minmax_dirty_groups"] == 2
+
+
 def test_null_group_is_one_group(spark, tmp_path):
     """NULL is a legal SQL group: the null-safe fold join and the
     table's null-safe key matching must keep ONE stored row for it
