@@ -40,6 +40,11 @@ query on the same checkpoint: fold progress lives in the view's
 follower cursors and the view table's ``commit_meta`` fence, so a
 resume re-delivers unseen ticks and the first refresh catches the
 view up — nothing reprocessed into the table, nothing missed.
+
+:func:`view_chain_start_fn` generalizes the same tick-then-refresh
+inversion to a whole DAG of views (source → top-k → enrich join →
+aggregate, any mix): one job, roots tick it, hops refresh in
+topological order, each fenced by its own cursor.
 """
 
 from __future__ import annotations
@@ -87,6 +92,66 @@ def aligned_refresh_start_fn(spark: SparkSession, view: CdfJoinView):
 
     def _on_tick(_batch: DataFrame, _epoch: int | None = None) -> None:
         view.refresh_aligned()
+
+    def start_fn(checkpoint: str) -> StreamingQuery:
+        return (ticks.writeStream
+                .foreachBatch(_on_tick)
+                .option("checkpointLocation", checkpoint)
+                .start())
+
+    return start_fn
+
+
+def view_chain_start_fn(spark: SparkSession, tick_tables: list,
+                        views: list):
+    """A ``start_fn(checkpoint) -> StreamingQuery`` factory that
+    maintains a whole CHAIN (DAG) of incremental views under one
+    ``SparkJob``: every change committed to any of ``tick_tables``
+    (the chain's ROOT inputs — external ingest tables, not the
+    intermediate view tables) wakes the job, which refreshes
+    ``views`` IN ORDER. List views in topological order (upstream
+    before downstream): each hop's refresh folds its source's new
+    changes and commits its own table, so the hop after it sees those
+    changes in the same wakeup — one tick drains the whole chain.
+
+    ``views`` items are either a view object with a ``refresh()``
+    method (``CdfAggregateView``, ``CdfTopKView``, ``CdfJoinView`` in
+    poll-loop mode — every view needs its checkpoint/follower paths,
+    since fold progress rides the followers exactly as in
+    :func:`aligned_refresh_start_fn`) or a ``(view, "aligned")`` pair
+    to run a ``CdfJoinView`` snapshot-aligned.
+
+    Crash/pause semantics are per-hop and inherited from the views:
+    each hop is fenced by its own cursor, so a crash mid-chain
+    replays only the hops that had not committed; a paused job
+    freezes every view at a committed state; resume re-delivers
+    unseen ticks and the first wakeup catches the whole chain up."""
+    if not tick_tables:
+        raise ValueError("view_chain_start_fn needs at least one "
+                         "root table to tick on")
+    refreshers = []
+    for item in views:
+        if isinstance(item, tuple):
+            view, mode = item
+            if mode != "aligned":
+                raise ValueError(f"unknown view mode {mode!r} — "
+                                 "use a bare view or (view, 'aligned')")
+            if view.fact_follower is None or view.dim_follower is None:
+                raise ValueError(
+                    "an aligned chain member needs both checkpoint "
+                    "paths (poll-loop mode)")
+            refreshers.append(view.refresh_aligned)
+        else:
+            refreshers.append(item.refresh)
+
+    ticks = None
+    for i, t in enumerate(tick_tables):
+        s = _tick_stream(spark, t, f"root{i}")
+        ticks = s if ticks is None else ticks.unionByName(s)
+
+    def _on_tick(_batch: DataFrame, _epoch: int | None = None) -> None:
+        for refresh in refreshers:
+            refresh()
 
     def start_fn(checkpoint: str) -> StreamingQuery:
         return (ticks.writeStream

@@ -219,6 +219,202 @@ def test_restart_on_same_checkpoint_is_exactly_once(spark, tmp_path):
         job2.stop()
 
 
+def test_view_chain_job_maintains_topk_join_chain(spark, tmp_path):
+    """Round 13: one streaming job maintains a whole view DAG —
+    source → CdfTopKView (top-2 per group) → CdfJoinView (enrich the
+    members with a dim) — refreshed in topological order per tick.
+    After every drained op batch the downstream equals the recompute
+    from the roots; pause freezes the chain at committed states;
+    resume catches the whole chain up on one wakeup."""
+    from pyspark.sql import Window as W
+
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+    from aether_firebase_consumer_spark.streaming.topk_view import (
+        CdfTopKView,
+    )
+
+    register_table_changes(spark)
+    src = ParquetUpsertTable(
+        spark, str(tmp_path / "src"), ["k"], partition_col="g",
+        retain_versions=80, record_change_values=True,
+        record_change_preimages=True)
+    dim = ParquetUpsertTable(
+        spark, str(tmp_path / "dim"), ["g"], retain_versions=80,
+        record_change_values=True)
+    topk = CdfTopKView(
+        spark, str(tmp_path / "topk"), src, ["g"], "x", 2,
+        checkpoint_path=str(tmp_path / "tcur"),
+        table_kwargs={"record_change_values": True,
+                      "record_change_preimages": True,
+                      "retain_versions": 80})
+    join = CdfJoinView(spark, str(tmp_path / "join"), topk.table,
+                       dim, "g", str(tmp_path / "fck"),
+                       str(tmp_path / "dck"))
+
+    def expected():
+        cur = src.read()
+        if cur is None:
+            return []
+        w = W.partitionBy("g").orderBy(F.col("x").desc_nulls_last(),
+                                       F.col("k").asc_nulls_last())
+        top = (cur.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= 2).drop("_rk"))
+        d = dim.read()
+        if d is not None:
+            top = top.join(d.select("g", F.col("attr")
+                                    .alias("dim_attr")), "g", "left")
+        else:
+            top = top.withColumn("dim_attr", F.lit(None).cast("int"))
+        return sorted((r.k, r.g, r.x, r.dim_attr)
+                      for r in top.collect())
+
+    def got():
+        df = join.read()
+        if df is None:
+            return []
+        if "dim_attr" not in df.columns:
+            df = df.withColumn("dim_attr", F.lit(None).cast("int"))
+        return sorted((r.k, r.g, r.x, r.dim_attr)
+                      for r in df.collect())
+
+    dim.merge(spark.createDataFrame([("a", 7), ("b", 8)],
+                                    "g string, attr int"))
+    src.merge(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10 * i) for i in range(1, 7)],
+        "k int, g string, x int"))
+    mgr = JobManager(str(tmp_path / "ck_root"))
+    job = mgr.add_job("t1", "chain",
+                      view_chain_start_fn(spark, [src, dim],
+                                          [topk, join]))
+    job.start()
+    try:
+        job.query.processAllAvailable()
+        assert got() == expected()
+
+        # evict both leaders (bench promotions ride through the
+        # chain), update the dim, insert a new leader
+        src.delete_keys(spark.createDataFrame([(6,), (5,)], "k int"))
+        dim.merge(spark.createDataFrame([("a", 70)],
+                                        "g string, attr int"))
+        job.query.processAllAvailable()
+        assert got() == expected()
+
+        job.pause()
+        src.merge(spark.createDataFrame([(9, "a", 999)],
+                                        "k int, g string, x int"))
+        frozen = got()
+        assert (9, "a", 999, 70) not in frozen  # chain frozen
+        job.resume()
+        job.query.processAllAvailable()
+        assert got() == expected()
+        assert (9, "a", 999, 70) in got()
+    finally:
+        job.stop()
+
+
+def test_view_chain_job_aligned_member_feeds_downstream_agg(
+        spark, tmp_path):
+    """An (aligned join view → aggregate) chain under one streaming
+    job: every drained state the downstream aggregate serves equals
+    GROUP BY over the re-join pinned at the join view's committed
+    cursor pair — the feature-store consistency arc, now fully under
+    the job model."""
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    register_table_changes(spark)
+    fact, dim = _tables(spark, tmp_path)
+    view = CdfJoinView(
+        spark, str(tmp_path / "view"), fact, dim, "jk",
+        str(tmp_path / "fck"), str(tmp_path / "dck"),
+        table_kwargs={"record_change_values": True,
+                      "record_change_preimages": True,
+                      "retain_versions": 80})
+    # seed so the enriched column exists before the agg is defined
+    dim.merge(spark.createDataFrame([("j1", 1)], "jk string, attr int"))
+    fact.merge(spark.createDataFrame([(0, "j1", 1)],
+                                     "k int, jk string, x int"))
+    view.refresh_aligned()
+    agg = CdfAggregateView(
+        spark, str(tmp_path / "agg"), view.table, ["dim_attr"],
+        {"n": ("count", None), "sx": ("sum", "x")},
+        str(tmp_path / "aggck"))
+
+    def expected(vf, vd):
+        f = fact.read_version(vf)
+        d = None if (vd is None or vd < 0) else dim.read_version(vd)
+        if d is not None:
+            f = f.join(d.select("jk", F.col("attr").alias("dim_attr")),
+                       "jk", "left")
+        else:
+            f = f.withColumn("dim_attr", F.lit(None).cast("int"))
+        got = (f.groupBy("dim_attr")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("sx")).collect())
+        return sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                      for r in got)
+
+    mgr = JobManager(str(tmp_path / "ck_root"))
+    job = mgr.add_job("t1", "aligned-chain",
+                      view_chain_start_fn(spark, [fact, dim],
+                                          [(view, "aligned"), agg]))
+    job.start()
+    try:
+        rng = random.Random(53)
+        for step in range(6):
+            op = rng.choice(["fmerge", "fmerge", "fdel", "dmerge",
+                             "ddel"])
+            if op == "fmerge":
+                ks = rng.sample(range(10), rng.randint(1, 3))
+                fact.merge(spark.createDataFrame(
+                    [(k, rng.choice(JKS), rng.choice(VALUES))
+                     for k in ks], "k int, jk string, x int"))
+            elif op == "fdel":
+                fact.delete_keys(spark.createDataFrame(
+                    [(rng.randrange(10),)], "k int"))
+            elif op == "dmerge":
+                dim.merge(spark.createDataFrame(
+                    [(rng.choice(["j1", "j2"]), rng.randint(1, 99))],
+                    "jk string, attr int"))
+            elif op == "ddel" and dim.current_version() >= 0:
+                dim.delete_keys(spark.createDataFrame(
+                    [(rng.choice(["j1", "j2"]),)], "jk string"))
+            job.query.processAllAvailable()
+            cur = view._cursors()
+            got = agg.read()
+            got = [] if got is None else \
+                sorted(((r.dim_attr is None, r.dim_attr), r.n, r.sx)
+                       for r in got.collect())
+            assert got == expected(cur["fact"], cur["dim"]), \
+                f"downstream torn at step {step} ({cur})"
+    finally:
+        job.stop()
+
+
+def test_view_chain_rejects_bad_specs(spark, tmp_path):
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+
+    fact, dim = _tables(spark, tmp_path)
+    view = _view(spark, tmp_path, fact, dim)
+    with pytest.raises(ValueError, match="root table"):
+        view_chain_start_fn(spark, [], [view])
+    with pytest.raises(ValueError, match="mode"):
+        view_chain_start_fn(spark, [fact], [(view, "wrong")])
+    streaming_view = CdfJoinView(
+        spark, str(tmp_path / "v2"), fact, dim, "jk")
+    with pytest.raises(ValueError, match="aligned chain member"):
+        view_chain_start_fn(spark, [fact],
+                            [(streaming_view, "aligned")])
+
+
 def test_streaming_mode_view_rejected(spark, tmp_path):
     fact, dim = _tables(spark, tmp_path)
     streaming_view = CdfJoinView(
