@@ -336,8 +336,6 @@ def main() -> None:
         # the full vs_prev map is in BENCH_DETAIL.json
         regressions = {n: r for n, r in sorted(
             vs_prev.items(), key=lambda kv: -kv[1])[:3] if r >= 1.2}
-        if regressions:
-            out["regressions"] = regressions
         diff = _differential(spark, sf_dir, vs_prev, prev)
         if diff is not None:
             detail["differential"] = diff
@@ -345,17 +343,50 @@ def main() -> None:
             # stdout stays under the driver's ~2 KB tail window: only
             # the CONFIRMED names ride the line (usually an empty
             # list); every suspect's first/rerun/adjusted/verdict
-            # record is in BENCH_DETAIL.json
+            # record is in BENCH_DETAIL.json. The raw ratio map is
+            # REDUNDANT once a differential pass adjudicated it (round
+            # 13: both maps together pushed the line to 2039 B) — the
+            # un-adjudicated "regressions" key rides only when no pass
+            # ran.
             out["confirmed_regressions"] = sorted(
                 n for n, d in diff["suspects"].items()
                 if d["verdict"] == "confirmed")[:3]
             if diff.get("controls_regressed"):
                 # the pass could not adjudicate: the controls moved
                 out["controls_regressed"] = True
+        elif regressions:
+            out["regressions"] = regressions
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(json.dumps(out, separators=(",", ":")))
+    print(_compact_line(out))
+
+
+#: the driver captures ~2 KB of stdout tail; the gate enforces
+#: < 2000 B. Leave headroom for the next few rounds' new headliners.
+_LINE_BUDGET = 1950
+
+#: optional keys dropped IN ORDER if the line still overflows (the
+#: full record is always in BENCH_DETAIL.json)
+_DROP_ORDER = ("regressions", "noise_bar", "confirmed_regressions",
+               "vs_prev_round")
+
+
+def _compact_line(out: dict) -> str:
+    """ONE stdout line under the driver's tail window, whatever this
+    round's optional keys came to: drop optional keys worst-first
+    until it fits. The mandatory contract keys (metric/value/unit/
+    queries/sf) are never dropped — if the queries map ALONE outgrows
+    the window some round, the driver's `_tail_queries` recovery
+    still reconstructs it from the truncated tail."""
+    line = json.dumps(out, separators=(",", ":"))
+    for key in _DROP_ORDER:
+        if len(line) < _LINE_BUDGET:
+            break
+        if key in out:
+            out = {k: v for k, v in out.items() if k != key}
+            line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

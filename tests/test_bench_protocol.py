@@ -71,6 +71,35 @@ def test_controls_regressed_makes_pass_inconclusive(monkeypatch):
     assert rec["suspects"]["slow_q"]["verdict"] == "inconclusive"
 
 
+def test_compact_line_drops_optional_keys_to_fit():
+    """The stdout line must stay under the driver's ~2 KB tail window
+    (gate: < 2000 B) whatever optional keys a loaded round produces —
+    round 13's gate caught a 2039 B line with both the raw ratio map
+    and the differential keys aboard. Optional keys drop worst-first;
+    the mandatory contract keys never do."""
+    import json
+
+    out = {"metric": "headline_query_wall_seconds", "value": 60.0,
+           "unit": "sec",
+           "queries": {f"query_name_{i:03d}": 1.23 for i in range(52)},
+           "sf": 0.1,
+           "vs_prev_round": 12, "vs_prev_total": 1.0,
+           "regressions": {f"long_regressed_query_{i}": 1.83
+                           for i in range(3)},
+           "noise_bar": 0.775,
+           "confirmed_regressions": [f"long_confirmed_query_{i}"
+                                     for i in range(3)]}
+    line = bench._compact_line(dict(out))
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert {"metric", "value", "queries", "sf"} <= set(parsed)
+    assert len(parsed["queries"]) == 52
+    # small dicts pass through untouched
+    small = {"metric": "m", "value": 1, "unit": "sec",
+             "queries": {"q": 1.0}, "sf": 0.1, "noise_bar": 1.0}
+    assert json.loads(bench._compact_line(dict(small))) == small
+
+
 def test_noise_when_rerun_clears(monkeypatch):
     """A suspect whose rerun lands back under the threshold is noise
     (best-of ratio logic unchanged by the round-13 edits)."""
