@@ -22,7 +22,14 @@ overwhelmingly common small retraction is answered from view state:
   INVARIANT at every committed (serving, buffer) pair: their union is
   the top ``n + b_G`` PREFIX of the source's ranked order per group
   (``0 <= b_G <= m``; smaller only when the group itself is smaller
-  or retractions consumed bench rows).
+  or retractions consumed bench rows). The prefix is guarded by the
+  BENCH ADMISSION rule: a clean fold admits an insert to the bench
+  only at a rank not beyond the group's worst surviving union row —
+  survivors carry exact relative order, but an insert ranked below
+  the prefix could be outranked by source rows the bench discarded
+  earlier, and admitting it would silently break the prefix (and
+  later serve it). Such inserts are simply not benched; the prefix
+  regrows on the group's next dirty recompute.
 - A fold needs the source ONLY for groups where the prefix no longer
   covers the top n: a group is DIRTY iff it retracted rows AND fewer
   than ``n`` union rows survive the slice's changed keys. Everything
@@ -303,7 +310,8 @@ class CdfTopKView:
 
         # -- dirty decision: retracting groups whose surviving prefix
         #    no longer covers the top n --------------------------------
-        n_retract = 0 if retract_g.isEmpty() else retract_g.count()
+        retract_g = retract_g.localCheckpoint()
+        n_retract = retract_g.count()
         self.stats["retract_groups"] += n_retract
         if n_retract == 0:
             dirty = None
@@ -319,10 +327,12 @@ class CdfTopKView:
                              < self.n)
                      .select(*[F.col(f"r.{g}").alias(g)
                                for g in self.group_cols]))
-        have_dirty = dirty is not None and not dirty.isEmpty()
-        if have_dirty:
+        n_dirty = 0
+        if dirty is not None:
             dirty = dirty.localCheckpoint()
-            self.stats["dirty_groups"] += dirty.count()
+            n_dirty = dirty.count()
+            self.stats["dirty_groups"] += n_dirty
+        have_dirty = n_dirty > 0
 
         # -- candidate set: clean groups from view state + slice
         #    post-images; dirty groups from the pinned source ----------
@@ -330,12 +340,46 @@ class CdfTopKView:
             self._anti_groups(touched, dirty)
         cand = None
         if survivors is not None:
-            cand = self._semi_groups(survivors, clean)
+            cand = self._semi_groups(survivors, clean) \
+                .withColumn("_sv", F.lit(1))
         if live_ok:
-            live_clean = self._semi_groups(live, clean)
+            live_clean = self._semi_groups(live, clean) \
+                .withColumn("_sv", F.lit(0))
             cand = live_clean if cand is None else \
                 cand.unionByName(live_clean, allowMissingColumns=True)
-        ranked = None if cand is None else self._ranked(cand)
+        new_tbl = new_buf = None
+        if cand is not None:
+            # BENCH ADMISSION is capped at the TRUSTED PREFIX: an
+            # insert's candidate rank is its true source rank only up
+            # to the worst survivor's position (survivors carry exact
+            # relative order; unseen source rows all rank below the
+            # worst survivor, but can interleave anywhere below it).
+            # Admitting a low-ranking insert past that point would
+            # put it in the bench ABOVE unseen rows that outrank it,
+            # and a later promotion would serve it — wrong results
+            # with zero dirty recomputes (round-13 review finding,
+            # reproduced; regression-pinned in test_topk_buffer).
+            # A group with NO survivors here is a genuinely NEW group
+            # (a nonempty source group always keeps >= 1 union row),
+            # so its inserts are the whole group: fully trusted.
+            ranked_c = self._ranked(cand).localCheckpoint()
+            pmax = (ranked_c.filter(F.col("_sv") == 1)
+                    .groupBy(*self.group_cols)
+                    .agg(F.max("_rk").alias("_pmax")))
+            rc, pm = ranked_c.alias("rc"), pmax.alias("pm")
+            on = self._null_safe_on("rc", "pm", self.group_cols)
+            keep = [F.col(f"rc.{c}").alias(c) for c in ranked_c.columns
+                    if c != "_sv"] + [F.col("pm._pmax").alias("_pmax")]
+            ranked_c = rc.join(pm, on, "left").select(*keep)
+            new_tbl = (ranked_c.filter(F.col("_rk") <= self.n)
+                       .drop("_rk", "_pmax"))
+            if self.buffer is not None:
+                new_buf = (ranked_c.filter(
+                    (F.col("_rk") > self.n)
+                    & (F.col("_rk") <= self.n + self.m)
+                    & (F.col("_pmax").isNull()
+                       | (F.col("_rk") <= F.col("_pmax"))))
+                    .drop("_rk", "_pmax"))
         if have_dirty:
             try:
                 src = self.source.read_version(up_to)
@@ -345,17 +389,24 @@ class CdfTopKView:
                     f"version {up_to} but it is not retained "
                     "(vacuumed) — raise retain_versions on the "
                     "source, or rebuild() the view") from exc
-            ranked_d = self._ranked(self._semi_groups(src, dirty))
-            ranked = ranked_d if ranked is None else \
-                ranked.unionByName(ranked_d, allowMissingColumns=True)
-        if ranked is None:
+            # the pinned-source recompute is authoritative: its ranks
+            # are true ranks, so the bench takes the full n+1..n+m
+            ranked_d = self._ranked(self._semi_groups(src, dirty)) \
+                .localCheckpoint()
+            tbl_d = ranked_d.filter(F.col("_rk") <= self.n).drop("_rk")
+            new_tbl = tbl_d if new_tbl is None else \
+                new_tbl.unionByName(tbl_d, allowMissingColumns=True)
+            if self.buffer is not None:
+                buf_d = ranked_d.filter(
+                    (F.col("_rk") > self.n)
+                    & (F.col("_rk") <= self.n + self.m)).drop("_rk")
+                new_buf = buf_d if new_buf is None else \
+                    new_buf.unionByName(buf_d, allowMissingColumns=True)
+        if new_tbl is None:
             return
-        ranked = ranked.localCheckpoint()
-        new_tbl = ranked.filter(F.col("_rk") <= self.n).drop("_rk")
-        new_buf = ranked.filter(
-            (F.col("_rk") > self.n)
-            & (F.col("_rk") <= self.n + self.m)).drop("_rk") \
-            if self.buffer is not None else None
+        new_tbl = new_tbl.localCheckpoint()
+        if new_buf is not None:
+            new_buf = new_buf.localCheckpoint()
 
         # -- serving-table writes: merge THEN delete, fence on the
         #    LAST op — a mid-fold crash leaves a replayable SUPERSET

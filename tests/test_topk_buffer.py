@@ -201,6 +201,52 @@ def test_split_stamp_invalidates_bench_and_stays_exact(spark, tmp_path):
     assert 99 not in {r.k for r in view.buffer.read().collect()}
 
 
+def test_low_ranking_insert_cannot_pollute_a_shrunken_bench(
+        spark, tmp_path):
+    """Round-13 review regression (reproduced pre-fix): after a
+    promotion shrinks the bench, a clean fold must NOT refill it with
+    an insert that unseen source rows outrank — the union would stop
+    being a prefix, and later member deletes would promote the stale
+    insert while counting enough survivors to stay 'clean' (wrong
+    results with zero dirty recomputes). The admission rule caps
+    bench entry at the worst survivor's rank; the pollution scenario
+    must now end exactly at the windowed recompute."""
+    src = _source(spark, tmp_path / "src")
+    view = CdfTopKView(spark, str(tmp_path / "view"), src, ["g"],
+                       "x", 2, checkpoint_path=str(tmp_path / "cur"))
+    src.merge(_rows(spark, [(1, "a", 100), (2, "a", 90), (3, "a", 80),
+                            (4, "a", 70), (5, "a", 60), (6, "a", 50)]))
+    view.refresh()
+    # delete the leader: 3 promotes from the bench, bench shrinks to {4}
+    src.delete_keys(spark.createDataFrame([(1,)], "k int"))
+    view.refresh()
+    assert {r.k for r in view.buffer.read().collect()} == {4}
+    # low-ranking insert: x=10 ranks below the UNSEEN rows 60 and 50,
+    # so it must NOT enter the bench (rank 4 > worst-survivor rank 3)
+    src.merge(_rows(spark, [(7, "a", 10)]))
+    view.refresh()
+    assert {r.k for r in view.buffer.read().collect()} == {4}
+    # two member deletes: first promotes 4 (clean), second exhausts
+    # the bench and recomputes — landing on the true runner-ups
+    # (60, 50), never the polluted 10
+    src.delete_keys(spark.createDataFrame([(2,)], "k int"))
+    view.refresh()
+    assert _read(view) == _recompute(src, 2)
+    src.delete_keys(spark.createDataFrame([(3,)], "k int"))
+    view.refresh()
+    assert _read(view) == _recompute(src, 2)
+    assert _read(view) == [(4, (False, "a"), 70), (5, (False, "a"), 60)]
+    # and a NEW group's inserts are fully trusted (no survivors =
+    # whole group): its bench fills normally
+    src.merge(_rows(spark, [(20, "z", 9), (21, "z", 8), (22, "z", 7),
+                            (23, "z", 6)]))
+    view.refresh()
+    zbench = {r.k for r in view.buffer.read()
+              .filter(F.col("g") == "z").collect()}
+    assert zbench == {22, 23}
+    assert _read(view) == _recompute(src, 2)
+
+
 def test_delete_only_slice_promotes_and_advances_fence(spark, tmp_path):
     src = _source(spark, tmp_path / "src")
     view = CdfTopKView(spark, str(tmp_path / "view"), src, ["g"],
