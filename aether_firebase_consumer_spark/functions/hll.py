@@ -30,6 +30,15 @@ arithmetic, so a fixed 52-bit mask at p > 12 would keep p - 12
 sign-extension copies of hash bit 63 in the window's top bits,
 making rho values 2..(p - 11) unreachable and biasing the estimate
 (round-12 ADVICE finding; verified by simulation at p = 13).
+
+MIGRATION NOTE: the window change means register tables PERSISTED by
+the fixed-52-bit code at p != 12 hold ranks on an incomparable scale
+(p < 12: narrower window; p > 12: the biased one). Folding new
+contributions into such a table (register max) or merging it with a
+new-code sketch mixes scales and silently skews the estimate —
+``rebuild()`` any pre-change view with a non-default precision once
+after upgrading. p = 12 (the default) is bit-identical across the
+change; no action needed.
 """
 
 from __future__ import annotations

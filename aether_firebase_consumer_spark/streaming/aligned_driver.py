@@ -142,6 +142,17 @@ def view_chain_start_fn(spark: SparkSession, tick_tables: list,
                     "paths (poll-loop mode)")
             refreshers.append(view.refresh_aligned)
         else:
+            # fail at CONFIGURATION time, not as a dead StreamingQuery
+            # on the first tick: a bare view must be in poll-loop mode
+            # (its refresh() would raise RuntimeError mid-stream)
+            if getattr(item, "follower", "absent") is None or \
+                    getattr(item, "fact_follower", "absent") is None or \
+                    getattr(item, "dim_follower", "absent") is None:
+                raise ValueError(
+                    f"chain member {type(item).__name__} was built "
+                    "without its checkpoint path(s) (streaming mode) "
+                    "— chain members need poll-loop mode, like the "
+                    "aligned driver")
             refreshers.append(item.refresh)
 
     ticks = None

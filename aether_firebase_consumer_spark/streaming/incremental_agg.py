@@ -789,20 +789,14 @@ class CdfAggregateView:
             joined.add(name)
         for name, helper in self._hlls.items():
             from aether_firebase_consumer_spark.functions.hll import (
-                hll_estimate,
+                hll_estimate_df,
             )
 
             h = helper.read()
             if h is None:
                 continue
-            est = (h.groupBy(*self.group_cols)
-                   .agg(F.count("*").alias("_nr"),
-                        F.sum(F.pow(F.lit(2.0), -F.col("_rho")))
-                        .alias("_sp"))
-                   .select(*self.group_cols,
-                           hll_estimate(F.col("_nr"), F.col("_sp"),
-                                        self.hll_p).alias(name))
-                   .alias(f"cd_{name}"))
+            est = hll_estimate_df(h, self.group_cols, self.hll_p,
+                                  out_col=name).alias(f"cd_{name}")
             on = None
             for k in self.group_cols:
                 e = F.col(f"v.{k}").eqNullSafe(F.col(f"cd_{name}.{k}"))

@@ -343,18 +343,20 @@ def main() -> None:
             # stdout stays under the driver's ~2 KB tail window: only
             # the CONFIRMED names ride the line (usually an empty
             # list); every suspect's first/rerun/adjusted/verdict
-            # record is in BENCH_DETAIL.json. The raw ratio map is
-            # REDUNDANT once a differential pass adjudicated it (round
-            # 13: both maps together pushed the line to 2039 B) — the
-            # un-adjudicated "regressions" key rides only when no pass
-            # ran.
+            # record is in BENCH_DETAIL.json. Suspects the pass
+            # ADJUDICATED leave the raw ratio map (round 13: both maps
+            # together pushed the line to 2039 B), but the
+            # 1.2–1.25 band was never adjudicated — those entries
+            # still ride, or previous rounds' visibility regresses.
             out["confirmed_regressions"] = sorted(
                 n for n, d in diff["suspects"].items()
                 if d["verdict"] == "confirmed")[:3]
             if diff.get("controls_regressed"):
                 # the pass could not adjudicate: the controls moved
                 out["controls_regressed"] = True
-        elif regressions:
+            regressions = {n: r for n, r in regressions.items()
+                           if n not in diff["suspects"]}
+        if regressions:
             out["regressions"] = regressions
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
@@ -367,9 +369,11 @@ def main() -> None:
 _LINE_BUDGET = 1950
 
 #: optional keys dropped IN ORDER if the line still overflows (the
-#: full record is always in BENCH_DETAIL.json)
-_DROP_ORDER = ("regressions", "noise_bar", "confirmed_regressions",
-               "vs_prev_round")
+#: full record is always in BENCH_DETAIL.json). confirmed_regressions
+#: drops LAST: it is the one alarm the protocol exists to surface —
+#: inert context keys go first.
+_DROP_ORDER = ("regressions", "vs_prev_round", "noise_bar",
+               "confirmed_regressions")
 
 
 def _compact_line(out: dict) -> str:

@@ -413,6 +413,10 @@ def test_view_chain_rejects_bad_specs(spark, tmp_path):
     with pytest.raises(ValueError, match="aligned chain member"):
         view_chain_start_fn(spark, [fact],
                             [(streaming_view, "aligned")])
+    # a BARE streaming-mode member fails at configuration time too,
+    # not as a dead StreamingQuery on the first tick
+    with pytest.raises(ValueError, match="chain member"):
+        view_chain_start_fn(spark, [fact], [streaming_view])
 
 
 def test_streaming_mode_view_rejected(spark, tmp_path):
