@@ -24,7 +24,36 @@ is stamped "confirmed"; otherwise "noise". stdout carries only the
 compact outcome ("confirmed_regressions" names + "noise_bar");
 BENCH_DETAIL.json carries every suspect's first/rerun/adjusted/verdict
 record, with a "sub_resolution" flag on queries whose absolute wall
-time is below what this box can adjudicate (< 0.5 s).
+time is below what this box can adjudicate.
+
+ROUND-14 HARDENING (after the r13 driver run stamped three phantom
+"confirmed" regressions a same-tree idle rerun contradicted):
+
+1. WARM-UP PASS. The whole headline list runs once UNTIMED before the
+   timed loop. Measured cause: a fresh JVM pays a 3-13x first-run
+   penalty that decays over MANY iterations, not 3 (dedup_minhash_lsh
+   on an idle box: 12.2 -> 3.7 -> 3.6 -> 3.1 -> 2.7 -> ~2.8 steady;
+   corpus_bpe_tokenize 5.0 -> 0.8), so best-of-3 lands at a
+   position-in-run-dependent warmth, and the r13 driver run's
+   late-pass controls read 0.50x/0.74x of their own early-loop
+   baselines — a ~1.3-2x thermal gradient across one run. The
+   warm-up puts every timed measurement in the same deep-warm state,
+   which is both the honest long-lived-cluster number and the only
+   state two rounds can compare across.
+2. CALIBRATION PROBE. A fixed pure-JVM job (bit_xor of xxhash64 over
+   a 2B-row range, no I/O) is timed best-of-3 after warm-up and
+   recorded on the stdout line ("calib"); the ratio vs the previous
+   round's probe joins the controls in the noise bar, so a
+   box-speed shift has a named, query-independent witness.
+3. SUB-RESOLUTION bar raised 0.5 s -> 1.0 s: sub-second swings on
+   this box (corpus_bpe_tokenize 0.40-0.84 s across same-session
+   runs) are scheduler jitter, not signal.
+4. 2-OF-3 FOR SUB-2 s SUSPECTS. A suspect whose absolute time is
+   1-2 s gets a SECOND rerun in a separate interleaved sweep; at
+   least 2 of the 3 ratio observations (first pass + both reruns)
+   must independently cross the threshold — and the minimum
+   observation must still clear the headroom-adjusted bar — before
+   "confirmed".
 """
 
 from __future__ import annotations
@@ -73,15 +102,24 @@ def _tail_queries(tail: str) -> dict[str, float]:
     return {k: v for k, v in pairs if k != "value"}
 
 
-def _prev_bench(sf) -> tuple[int, dict[str, float]]:
-    """(round, per-query timings) from the newest BENCH_r{N}.json
-    beside this script (the driver's per-round record, bench output
-    under "parsed"; truncated rounds recovered from "tail"), or
-    (-1, {}) when none exists. Only rounds at the SAME sf are
-    comparable — a different scale factor would make every ratio
-    meaningless."""
+def _tail_calib(tail: str) -> float | None:
+    """The calibration-probe seconds from a truncated stdout tail.
+    "calib" sits AFTER "sf" on the line, so `_tail_queries` never
+    sees it; a tail cut before the key simply yields None."""
+    m = re.search(r'"calib"\s*:\s*([0-9.]+)', tail)
+    return float(m.group(1)) if m else None
+
+
+def _prev_bench(sf) -> tuple[int, dict[str, float], float | None]:
+    """(round, per-query timings, calibration seconds) from the newest
+    BENCH_r{N}.json beside this script (the driver's per-round record,
+    bench output under "parsed"; truncated rounds recovered from
+    "tail"), or (-1, {}, None) when none exists. Only rounds at the
+    SAME sf are comparable — a different scale factor would make every
+    ratio meaningless. calib is None for rounds before the probe
+    existed (pre-r14)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, prev = -1, {}
+    best_n, prev, prev_calib = -1, {}, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -94,17 +132,20 @@ def _prev_bench(sf) -> tuple[int, dict[str, float]]:
         if isinstance(data.get("parsed"), dict):
             queries = data["parsed"].get("queries")
             sf_val = data.get("sf", data["parsed"].get("sf"))
+            calib = data["parsed"].get("calib")
         elif "tail" in data:  # driver artifact, stdout line truncated
             queries = _tail_queries(data.get("tail") or "")
             sf_val = data.get("sf")
+            calib = _tail_calib(data.get("tail") or "")
         else:  # a bare bench.py output line saved as-is
             queries = data.get("queries")
             sf_val = data.get("sf")
+            calib = data.get("calib")
         if sf_val != sf or not queries:
             continue
         if int(m.group(1)) > best_n:
-            best_n, prev = int(m.group(1)), queries
-    return best_n, prev
+            best_n, prev, prev_calib = int(m.group(1)), queries, calib
+    return best_n, prev, prev_calib
 
 
 def _bench_avro_container(spark, sf_dir: str) -> float:
@@ -207,6 +248,57 @@ def headline_names() -> list[str]:
 DIFF_THRESHOLD = 1.25
 DIFF_CONTROLS = ("flagship_filter_mask_route", "join_fact_fact")
 DIFF_HEADROOM = 1.15
+#: below this absolute wall time the box cannot adjudicate at all —
+#: raised from 0.5 s after r13 stamped sub-second scheduler jitter
+#: (corpus_bpe_tokenize 0.40-0.84 s same-session swings) "confirmed"
+SUB_RESOLUTION_SEC = 1.0
+#: suspects between the resolution floor and this bar get a SECOND
+#: interleaved rerun and a 2-of-3 vote before "confirmed"
+TWO_OF_THREE_BELOW_SEC = 2.0
+#: calibration probe size: ~0.9 s steady-state on the 32-thread dev
+#: box — pure codegen over range(), no I/O, no Python workers
+CALIB_ROWS = 2_000_000_000
+
+
+def _warmup(spark, sf_dir: str, names: list[str]) -> float:
+    """One UNTIMED pass of every headline query. JVM JIT tiers, the
+    codegen cache, Python worker pools, and the page cache all warm
+    over MANY iterations (measured: dedup_minhash_lsh 12.2 s on its
+    first-ever run in a fresh JVM, ~2.8 s deep-warm; the decay takes
+    ~5 iterations of itself), so without this pass each query's
+    best-of-3 lands at a warmth set by its POSITION in the run — the
+    r13 driver-box "regressions" were exactly that gradient. Returns
+    elapsed seconds (recorded in BENCH_DETAIL, never in the total)."""
+    t0 = time.time()
+    for name in names:
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def _calibrate(spark) -> float:
+    """Best-of-3 of a fixed pure-JVM probe (bit_xor of xxhash64 over a
+    CALIB_ROWS range: whole-stage codegen, zero I/O, zero Python).
+    Its round-over-round ratio is a query-independent witness of box
+    speed: if the probe moved, the box moved, and the differential
+    pass folds that into the noise bar. One untimed run first — the
+    probe pays its own codegen warmup like any query."""
+    from pyspark.sql import functions as F
+
+    def probe() -> None:
+        (spark.range(0, CALIB_ROWS, 1, 32)
+         .select(F.bit_xor(F.xxhash64("id", F.shiftright("id", 7)))
+                 .alias("h"))
+         .write.mode("overwrite").format("noop").save())
+
+    probe()
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        probe()
+        elapsed = time.time() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return best
 
 
 def _time_query(spark, name: str, sf_dir: str) -> float:
@@ -224,13 +316,18 @@ def _time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def _differential(spark, sf_dir: str, vs_prev: dict[str, float],
-                  prev: dict[str, float]) -> dict | None:
+                  prev: dict[str, float],
+                  calib_ratio: float | None = None) -> dict | None:
     """Adjudicate flagged regressions against live machine drift:
-    re-time the controls (their drift vs recorded baseline = the
-    box's CURRENT noise bar), then re-time each suspect; a suspect is
-    "confirmed" only if its best ratio survives the threshold after
-    dividing out the noise bar. Returns the full differential record
-    for BENCH_DETAIL, or None when nothing was flagged."""
+    re-time the controls (their drift vs recorded baseline — joined
+    by the calibration-probe ratio when the previous round recorded
+    one — is the box's CURRENT noise bar), then re-time each suspect;
+    a suspect is "confirmed" only if its ratio observations survive
+    the threshold after dividing out the noise bar. Suspects whose
+    absolute time sits in the 1-2 s band get a SECOND rerun in a
+    separate interleaved sweep and must win a 2-of-3 vote. Returns
+    the full differential record for BENCH_DETAIL, or None when
+    nothing was flagged."""
     suspects = [n for n, r in vs_prev.items()
                 if r >= DIFF_THRESHOLD and n not in DIFF_CONTROLS
                 and n in REGISTRY]
@@ -241,34 +338,64 @@ def _differential(spark, sf_dir: str, vs_prev: dict[str, float],
         if prev.get(c) and c in REGISTRY:
             controls[c] = round(
                 _time_query(spark, c, sf_dir) / prev[c], 3)
-    noise_bar = max(list(controls.values()) or [1.0])
-    # when the CONTROLS themselves regressed past the threshold, the
-    # box (or a shared code path every query rides) moved — dividing
-    # suspects by that bar would silently absolve a genuinely global
-    # regression as noise (round-12 ADVICE). Stamp the whole pass
-    # inconclusive instead; the round review re-runs on an idle box.
+    bar_candidates = list(controls.values())
+    if calib_ratio is not None:
+        bar_candidates.append(calib_ratio)
+    noise_bar = max(bar_candidates or [1.0])
+    # when the CONTROLS themselves (or the pure-JVM probe) regressed
+    # past the threshold, the box — or a shared code path every query
+    # rides — moved; dividing suspects by that bar would silently
+    # absolve a genuinely global regression as noise (round-12
+    # ADVICE). Stamp the whole pass inconclusive instead; the round
+    # review re-runs on an idle box.
     controls_regressed = noise_bar >= DIFF_THRESHOLD
     record = {"controls": controls,
               "noise_bar": round(noise_bar, 3),
               "controls_regressed": controls_regressed,
               "suspects": {}}
+    if calib_ratio is not None:
+        record["calib_ratio"] = round(calib_ratio, 3)
+    # pass A: one rerun per suspect
+    rerun_t = {n: _time_query(spark, n, sf_dir) for n in suspects}
+    # pass B: a second rerun for every suspect whose BASELINE
+    # magnitude is sub-2 s (a spiked rerun must not promote a small
+    # query out of the band), swept SEPARATELY so one query's two
+    # reruns never run back-to-back — a transient load spike can't
+    # hit both. Sub-resolution suspects are excluded: they are
+    # demoted to noise unconditionally below.
+    second = [n for n in suspects
+              if prev[n] < TWO_OF_THREE_BELOW_SEC
+              and max(rerun_t[n], prev[n]) >= SUB_RESOLUTION_SEC]
+    rerun2_t = {n: _time_query(spark, n, sf_dir) for n in second}
     for n in suspects:
-        rerun_t = _time_query(spark, n, sf_dir)
-        rerun = round(rerun_t / prev[n], 3)
-        best = min(vs_prev[n], rerun)
+        rerun = round(rerun_t[n] / prev[n], 3)
+        obs = [vs_prev[n], rerun]
+        entry = {"first": vs_prev[n], "rerun": rerun}
+        if n in rerun2_t:
+            rerun2 = round(rerun2_t[n] / prev[n], 3)
+            obs.append(rerun2)
+            entry["rerun2"] = rerun2
+            entry["hits"] = sum(o >= DIFF_THRESHOLD for o in obs)
+        best = min(obs)
         adjusted = round(best / max(noise_bar, 1.0), 3)
-        verdict = ("confirmed"
-                   if best >= DIFF_THRESHOLD
-                   and adjusted >= DIFF_HEADROOM else "noise")
-        entry = {"first": vs_prev[n], "rerun": rerun,
-                 "adjusted": adjusted, "verdict": verdict}
-        if max(rerun_t, prev[n]) < 0.5:
-            # a 50 ms absolute delta on a 150 ms query reads as a
-            # 1.33x ratio; this box's scheduler jitter alone is that
-            # big. Below the machine's resolving power there is no
-            # adjudication to be had — demote to noise outright
-            # (round 12 reported docs_view_chain at 0.14 s absolute
-            # as "confirmed", polluting the round-over-round signal).
+        entry["adjusted"] = adjusted
+        if n in rerun2_t:
+            # 2-of-3 vote: at least two independent observations over
+            # the threshold, and even the BEST observation must clear
+            # the headroom-adjusted bar
+            confirmed = (entry["hits"] >= 2
+                         and adjusted >= DIFF_HEADROOM)
+        else:
+            confirmed = (best >= DIFF_THRESHOLD
+                         and adjusted >= DIFF_HEADROOM)
+        entry["verdict"] = "confirmed" if confirmed else "noise"
+        if max(rerun_t[n], prev[n]) < SUB_RESOLUTION_SEC:
+            # a 150 ms absolute delta on a 500 ms query reads as a
+            # 1.3x ratio; this box's scheduler jitter alone is that
+            # big (measured 0.40-0.84 s same-session swings on
+            # corpus_bpe_tokenize). Below the machine's resolving
+            # power there is no adjudication to be had — demote to
+            # noise outright.
             entry["sub_resolution"] = True
             entry["verdict"] = "noise"
         elif controls_regressed:
@@ -286,11 +413,16 @@ def main() -> None:
 
     names = headline_names()
 
+    # untimed deep-warm pass + box-speed probe (round-14 protocol —
+    # see the module docstring); both recorded in BENCH_DETAIL
+    warmup_sec = _warmup(spark, sf_dir, names)
+    calib_sec = _calibrate(spark)
+
     timings: dict[str, float] = {}
     for name in names:
-        # best of 3: the first run pays JVM/codegen warmup that a
-        # long-lived cluster never sees per-query; min() reports the
-        # steady-state cost while still charging all real work.
+        # best of 3 from a deep-warm state: min() reports the
+        # steady-state cost a long-lived cluster sees while still
+        # charging all real work.
         # 2-decimal stdout precision: 54 queries at 3 decimals pushed
         # the ONE output line past the driver's ~2 KB tail window;
         # BENCH_DETAIL.json keeps the 3-decimal record.
@@ -301,7 +433,7 @@ def main() -> None:
     timings["avro_container"] = round(_bench_avro_container(spark, sf_dir), 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev_round, prev = _prev_bench(sf_val)
+    prev_round, prev, prev_calib = _prev_bench(sf_val)
     vs_prev = {n: round(t / prev[n], 2) for n, t in timings.items()
                if prev.get(n)}
     total = round(sum(timings.values()), 3)
@@ -312,9 +444,18 @@ def main() -> None:
         "unit": "sec",
         "queries": stdout_timings,
         "sf": sf_val,
+        # AFTER "sf" on purpose: _tail_queries splits the truncated
+        # tail at "sf" — calib must never leak into the timings map
+        "calib": round(calib_sec, 2),
     }
     detail = dict(out)
     detail["queries"] = timings  # full 3-decimal record
+    detail["calib_sec"] = round(calib_sec, 3)
+    detail["warmup_sec"] = round(warmup_sec, 3)
+    calib_ratio = (round(calib_sec / prev_calib, 3)
+                   if prev_calib else None)
+    if calib_ratio is not None:
+        detail["calib_ratio"] = calib_ratio
     if vs_prev:
         # stamp WHICH round the ratios anchor to — r9's 0.81 silently
         # compared against r7 because r8's line was unparseable
@@ -336,7 +477,8 @@ def main() -> None:
         # the full vs_prev map is in BENCH_DETAIL.json
         regressions = {n: r for n, r in sorted(
             vs_prev.items(), key=lambda kv: -kv[1])[:3] if r >= 1.2}
-        diff = _differential(spark, sf_dir, vs_prev, prev)
+        diff = _differential(spark, sf_dir, vs_prev, prev,
+                             calib_ratio=calib_ratio)
         if diff is not None:
             detail["differential"] = diff
             out["noise_bar"] = diff["noise_bar"]
@@ -372,7 +514,7 @@ _LINE_BUDGET = 1950
 #: full record is always in BENCH_DETAIL.json). confirmed_regressions
 #: drops LAST: it is the one alarm the protocol exists to surface —
 #: inert context keys go first.
-_DROP_ORDER = ("regressions", "vs_prev_round", "noise_bar",
+_DROP_ORDER = ("regressions", "vs_prev_round", "noise_bar", "calib",
                "confirmed_regressions")
 
 

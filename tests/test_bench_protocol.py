@@ -1,15 +1,23 @@
-"""Differential-pass adjudication rules in bench.py (round 13).
+"""Differential-pass adjudication rules in bench.py (rounds 13-14).
 
-Pins the two protocol fixes from the round-12 review:
+Pins the protocol fixes from the round-12 and round-13 reviews:
 
 1. sub_resolution demotion — a suspect whose absolute wall time is
-   below the box's resolving power (< 0.5 s) can NEVER be stamped
-   "confirmed"; round 12 reported docs_view_chain at 0.14 s as a
-   confirmed regression, polluting the round-over-round signal.
+   below the box's resolving power can NEVER be stamped "confirmed";
+   round 12 reported docs_view_chain at 0.14 s as a confirmed
+   regression, polluting the round-over-round signal. Round 14 raised
+   the bar 0.5 s -> 1.0 s after r13 stamped sub-second scheduler
+   jitter (corpus_bpe_tokenize 0.40-0.84 s swings) "confirmed".
 2. controls_regressed — when the CONTROL queries themselves drift
    past DIFF_THRESHOLD, the box (or a shared path) moved; dividing
    suspects by that bar would absolve a global regression as noise.
    The pass stamps itself inconclusive instead (round-12 ADVICE).
+3. 2-of-3 vote (round 14) — suspects in the 1-2 s band get a SECOND
+   interleaved rerun; at least 2 of the 3 ratio observations must
+   independently cross the threshold before "confirmed".
+4. calibration ratio (round 14) — the pure-JVM probe's
+   round-over-round ratio joins the controls in the noise bar, so a
+   box-speed shift has a query-independent witness.
 
 Pure-Python: _time_query is monkeypatched, no SparkSession.
 """
@@ -19,13 +27,23 @@ from __future__ import annotations
 import bench
 
 
-def _run_diff(monkeypatch, *, times: dict[str, float],
-              vs_prev: dict[str, float], prev: dict[str, float]):
+def _run_diff(monkeypatch, *, times: dict, vs_prev: dict[str, float],
+              prev: dict[str, float], calib_ratio=None):
+    """times values may be floats (every timing identical) or lists
+    (consumed in call order; the last value repeats), so the rerun
+    sweeps can observe different wall times per pass."""
+    state = {n: list(v) if isinstance(v, list) else [v]
+             for n, v in times.items()}
+
+    def fake_time(spark, name, sf_dir):
+        vals = state[name]
+        return vals.pop(0) if len(vals) > 1 else vals[0]
+
     monkeypatch.setattr(bench, "REGISTRY",
                         {n: object() for n in {*times, *vs_prev, *prev}})
-    monkeypatch.setattr(bench, "_time_query",
-                        lambda spark, name, sf_dir: times[name])
-    return bench._differential(None, "sf_dir", vs_prev, prev)
+    monkeypatch.setattr(bench, "_time_query", fake_time)
+    return bench._differential(None, "sf_dir", vs_prev, prev,
+                               calib_ratio=calib_ratio)
 
 
 def test_confirmed_when_controls_flat(monkeypatch):
@@ -110,3 +128,112 @@ def test_noise_when_rerun_clears(monkeypatch):
         vs_prev={"was_loaded": 1.5},
         prev={c1: 1.0, c2: 1.0, "was_loaded": 2.0})
     assert rec["suspects"]["was_loaded"]["verdict"] == "noise"
+
+
+def test_sub_resolution_bar_is_one_second(monkeypatch):
+    """Round 14: a 0.6 s -> 0.84 s swing (ratio 1.4) is scheduler
+    jitter on this box — under the old 0.5 s bar it would have been
+    adjudicated; under the 1.0 s bar it is demoted outright."""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "bpe_like": 0.84},
+        vs_prev={"bpe_like": 1.4},
+        prev={c1: 1.0, c2: 1.0, "bpe_like": 0.6})
+    entry = rec["suspects"]["bpe_like"]
+    assert entry["sub_resolution"] is True
+    assert entry["verdict"] == "noise"
+
+
+def test_two_of_three_single_spike_is_noise(monkeypatch):
+    """A 1-2 s suspect gets a second interleaved rerun; one clean
+    observation caps the minimum below the headroom bar, so a
+    first-pass spike plus ONE elevated rerun cannot confirm — the
+    exact shape of r13's phantom driver-box regressions."""
+    c1, c2 = bench.DIFF_CONTROLS
+    # prev 1.5 s; reruns 2.1 s (1.4x) then 1.65 s (1.1x)
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "sub2s_q": [2.1, 1.65]},
+        vs_prev={"sub2s_q": 1.4},
+        prev={c1: 1.0, c2: 1.0, "sub2s_q": 1.5})
+    entry = rec["suspects"]["sub2s_q"]
+    assert entry["rerun2"] == 1.1
+    assert entry["hits"] == 2  # first + rerun1 over threshold...
+    # ...but the clean rerun2 drags min(obs) under DIFF_HEADROOM
+    assert entry["adjusted"] == 1.1
+    assert entry["verdict"] == "noise"
+
+
+def test_two_of_three_consistent_elevation_confirms(monkeypatch):
+    """All three observations elevated -> a genuine sub-2 s
+    regression still confirms under the stricter vote."""
+    c1, c2 = bench.DIFF_CONTROLS
+    # prev 1.5 s; reruns 2.03 s (1.353x) and 1.95 s (1.3x)
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "sub2s_q": [2.03, 1.95]},
+        vs_prev={"sub2s_q": 1.4},
+        prev={c1: 1.0, c2: 1.0, "sub2s_q": 1.5})
+    entry = rec["suspects"]["sub2s_q"]
+    assert entry["hits"] == 3
+    assert entry["verdict"] == "confirmed"
+
+
+def test_over_two_seconds_keeps_single_rerun_rule(monkeypatch):
+    """Suspects at >= 2 s absolute stay on the round-12 rule: no
+    second rerun is taken (no "rerun2"/"hits" keys) and min(first,
+    rerun) over the threshold confirms."""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "big_q": 4.2},
+        vs_prev={"big_q": 1.5},
+        prev={c1: 1.0, c2: 1.0, "big_q": 3.0})
+    entry = rec["suspects"]["big_q"]
+    assert "rerun2" not in entry and "hits" not in entry
+    assert entry["verdict"] == "confirmed"
+
+
+def test_calib_ratio_raises_noise_bar(monkeypatch):
+    """A slower box shows up in the pure-JVM probe; its ratio joins
+    the controls in the noise bar and absolves a matching query
+    drift even when the controls happen to read flat."""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "big_q": 4.05},
+        vs_prev={"big_q": 1.35},
+        prev={c1: 1.0, c2: 1.0, "big_q": 3.0},
+        calib_ratio=1.2)
+    assert rec["calib_ratio"] == 1.2
+    assert rec["noise_bar"] == 1.2
+    entry = rec["suspects"]["big_q"]
+    # min obs 1.35 / bar 1.2 = 1.125 < DIFF_HEADROOM -> noise
+    assert entry["verdict"] == "noise"
+
+
+def test_calib_regression_makes_pass_inconclusive(monkeypatch):
+    """The probe drifting past DIFF_THRESHOLD means the box itself
+    moved — same inconclusive stamp as regressed controls."""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "big_q": 4.2},
+        vs_prev={"big_q": 1.5},
+        prev={c1: 1.0, c2: 1.0, "big_q": 3.0},
+        calib_ratio=1.3)
+    assert rec["controls_regressed"] is True
+    assert rec["suspects"]["big_q"]["verdict"] == "inconclusive"
+
+
+def test_tail_calib_extraction():
+    """calib sits after "sf" on the stdout line: _tail_queries must
+    never absorb it into the timings map, and _tail_calib must
+    recover it from a truncated tail."""
+    tail = ('{"metric":"headline_query_wall_seconds","value":60.0,'
+            '"unit":"sec","queries":{"q1":1.23,"q2":0.5},"sf":0.1,'
+            '"calib":0.87,"vs_prev_round":13}')
+    assert bench._tail_queries(tail) == {"q1": 1.23, "q2": 0.5}
+    assert bench._tail_calib(tail) == 0.87
+    assert bench._tail_calib(tail[:tail.index("calib") - 1]) is None
