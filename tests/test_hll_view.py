@@ -233,6 +233,44 @@ def test_merge_sketch_tables_one_sided_and_empty(spark, tmp_path):
         view.hll_sketch("nope")
 
 
+def test_merge_sketch_tables_p_mismatch_raises(spark, tmp_path):
+    """Round-14 (VERDICT r13 item 2): the view stamps hll_p and the
+    register-layout tag into every HLL-helper commit; merging two
+    tables built at different p raises a diagnostic naming both
+    sides instead of silently skewing the estimate. An explicit
+    ``p=`` argument pins even a one-sided stamp."""
+    from aether_firebase_consumer_spark.functions.hll import (
+        HLL_WINDOW_TAG,
+        merge_sketch_tables,
+    )
+
+    src_a = _source(spark, tmp_path / "a")
+    src_b = _source(spark, tmp_path / "b")
+    view_a = _view(spark, tmp_path, src_a, name="va", p=9)
+    view_b = _view(spark, tmp_path, src_b, name="vb", p=11)
+    src_a.merge(_rows(spark, [(i, "a", i) for i in range(50)]))
+    src_b.merge(_rows(spark, [(i, "a", i) for i in range(50)]))
+    view_a.refresh()
+    view_b.refresh()
+    ta, tb = view_a.hll_sketch("nd"), view_b.hll_sketch("nd")
+    assert ta.commit_meta()["hll_p"] == 9
+    assert ta.commit_meta()["hll_window"] == HLL_WINDOW_TAG
+    with pytest.raises(ValueError, match=r"p=9.*p=11|p=11.*p=9"):
+        merge_sketch_tables(ta, tb, ["g"])
+    # explicit p pins a single stamped side too
+    with pytest.raises(ValueError, match="mismatch"):
+        merge_sketch_tables(ta, hll_registers_df(
+            _rows(spark, [(1, "a", 7)]), ["g"], F.col("x"), 9),
+            ["g"], p=11)
+    # matching stamps (and a matching explicit p) merge fine
+    view_c = _view(spark, tmp_path, src_b, name="vc", p=9)
+    view_c.rebuild()
+    assert view_c.hll_sketch("nd").commit_meta()["hll_p"] == 9
+    merged = merge_sketch_tables(ta, view_c.hll_sketch("nd"), ["g"],
+                                 p=9)
+    assert merged.count() > 0
+
+
 @pytest.mark.parametrize("p", [13, 16])
 def test_high_precision_rank_window_unbiased(spark, p):
     """Round-12 ADVICE regression pin: shiftright is ARITHMETIC, so a

@@ -247,6 +247,66 @@ def test_low_ranking_insert_cannot_pollute_a_shrunken_bench(
     assert _read(view) == _recompute(src, 2)
 
 
+def test_noop_bench_fold_keeps_bench_trusted(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 3 / ADVICE): a fold that advances
+    the serving cursor but has NO bench rows to write (here: an
+    admission-capped insert into a benchless group) must still
+    advance the bench stamp — via a metadata-only touch commit — so
+    the next fold trusts the untouched groups' valid bench instead
+    of clearing it and paying a source recompute."""
+    src = _source(spark, tmp_path / "src")
+    view = CdfTopKView(spark, str(tmp_path / "view"), src, ["g"],
+                       "x", 2, checkpoint_path=str(tmp_path / "cur"))
+    # z: 4 rows -> bench holds z-ranks 3..4; a: 2 rows -> no bench
+    src.merge(_rows(spark, [(1, "z", 100), (2, "z", 90), (3, "z", 80),
+                            (4, "z", 70), (11, "a", 30), (12, "a", 20)]))
+    view.refresh()
+    assert {r.k for r in view.buffer.read().collect()} == {3, 4}
+    # admission-capped insert into a (rank 3 > pmax 2): nothing to
+    # merge into or delete from the bench, serving cursor advances
+    src.merge(_rows(spark, [(13, "a", 10)]))
+    view.refresh()
+    assert view._buffer_usable(), \
+        "no-op bench fold left the stamp split"
+    assert view.stats["buffer_invalidations"] == 0
+    # a z-member delete now promotes from the STILL-TRUSTED bench
+    # with zero source reads and zero invalidations
+    orig = src.read_version
+
+    def poisoned(*_a, **_k):
+        raise AssertionError("valid bench was distrusted: the fold "
+                             "read the source")
+    src.read_version = poisoned
+    try:
+        src.delete_keys(spark.createDataFrame([(1,)], "k int"))
+        view.refresh()
+    finally:
+        src.read_version = orig
+    assert view.stats["buffer_invalidations"] == 0
+    assert view.stats["dirty_groups"] == 0
+    assert _read(view) == _recompute(src, 2)
+
+
+def test_touch_is_metadata_only(spark, tmp_path):
+    """The ParquetUpsertTable.touch primitive behind the no-op bench
+    stamp: a new version, identical data (hardlinked), new meta, an
+    EMPTY change recording (followers see no changes), and the
+    guards (empty table / None meta) raise."""
+    t = _source(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="empty table"):
+        t.touch(commit_meta={"cdf_cursor": 0})
+    t.merge(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    v0 = t.current_version()
+    rows0 = sorted((r.k, r.g, r.x) for r in t.read().collect())
+    t.touch(commit_meta={"cdf_cursor": 99, "tag": "stamped"})
+    assert t.current_version() == v0 + 1
+    assert t.commit_meta() == {"cdf_cursor": 99, "tag": "stamped"}
+    assert sorted((r.k, r.g, r.x) for r in t.read().collect()) == rows0
+    assert t.changes(v0 + 1).isEmpty()
+    with pytest.raises(ValueError, match="commit_meta"):
+        t.touch(commit_meta=None)
+
+
 def test_delete_only_slice_promotes_and_advances_fence(spark, tmp_path):
     src = _source(spark, tmp_path / "src")
     view = CdfTopKView(spark, str(tmp_path / "view"), src, ["g"],
