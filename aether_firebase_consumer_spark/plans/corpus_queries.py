@@ -1673,6 +1673,54 @@ def docs_hll_sketch_merge(spark: SparkSession,
                     .alias("nd_merged")))
 
 
+_DD_VIEW: dict[str, object] = {}
+
+
+@register("docs_quantile_sketch")  # rows-only: the estimate is a DD
+# bucket midpoint (2*gamma^i/(gamma+1)) — ln/pow ULP differences
+# between engines could flip a boundary bucket, so there is no
+# bit-exact SQL twin; the canonical-state contract (maintained sketch
+# == recompute-from-source sketch, bucket-for-bucket, even under
+# deletes) and the alpha relative-value bound vs the exact discrete
+# quantiles are pinned in tests/test_dd_view.py.
+def docs_quantile_sketch(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Mergeable APPROXIMATE-QUANTILE view maintenance (round 14 —
+    ``CdfAggregateView`` with ``approx_quantile``, the DDSketch tier
+    in ``functions/ddsketch.py``): per-lang p50/p90/p99 of n_chars,
+    maintained from the retraction feed over the SAME op script as
+    :func:`docs_incremental_agg` (composed updates, group moves,
+    predicate + key deletes). Bucket counts are SIGNED, so inserts
+    AND retractions both fold additively — the only approximate
+    measure whose maintenance never reads the source (no dirty-group
+    recompute exists). State is O(log value-spread) rows per group
+    (~1.2k ceiling at alpha=1% over n_chars' range); estimates carry
+    DDSketch's guarantee: within 1% relative value error of the
+    exact rank-ceil(q*n) quantile. The 100 TB shape for per-group
+    percentile serving: a maintained O(buckets) sketch per group,
+    mergeable across tables with one O(buckets) shuffle
+    (``merge_dd_sketches``) — ``corpus_token_quantiles`` is the
+    exact-batch twin this replaces at scale."""
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    view = _DD_VIEW.get(sf_dir)
+    if view is None:
+        sibling = _iagg_fixture(spark, sf_dir)
+        root = sibling._iagg_root
+        view = CdfAggregateView(
+            spark, os.path.join(root, "ddview"), sibling.source,
+            ["lang"],
+            {"len_q": ("approx_quantile", "n_chars",
+                       (0.5, 0.9, 0.99))},
+            os.path.join(root, "ddcursor"))
+        view.refresh()
+        _DD_VIEW[sf_dir] = view
+    return (view.read()
+            .select("lang", "len_q_p50", "len_q_p90", "len_q_p99"))
+
+
 _JOINVIEW_ALIGNED: dict[str, object] = {}
 
 

@@ -99,7 +99,16 @@ class CdfAggregateView:
     table's retraction feed.
 
     ``specs`` maps output column -> ("count", None) | ("sum" | "min"
-    | "max" | "count_distinct" | "approx_count_distinct", value_col).
+    | "max" | "count_distinct" | "approx_count_distinct", value_col)
+    | ("approx_quantile", value_col[, (q, ...)]).
+    ``approx_quantile`` (round 14) maintains a mergeable DD
+    bucket-count sketch per group (``functions/ddsketch.py``):
+    estimates are within ``quantile_alpha`` relative VALUE error of
+    the exact discrete quantiles, state is O(log value-spread) rows
+    per group, and — unlike min/max/HLL — retractions fold
+    additively, so quantile maintenance NEVER recomputes from the
+    source. Read columns are ``{name}_p50`` etc. per requested
+    quantile.
     ``approx_count_distinct`` (round 12) trades the exact multiset's
     O(distinct (group, value) pairs) state for an HLL register table
     bounded at ``2^hll_p`` rows per group (~1.6% standard error at
@@ -125,17 +134,43 @@ class CdfAggregateView:
                  partition_col: str | None = None,
                  from_version: int = 0,
                  table_kwargs: dict | None = None,
-                 hll_p: int = 12):
+                 hll_p: int = 12,
+                 quantile_alpha: float = 0.01):
+        #: approx_quantile (round 14) accepts ("approx_quantile",
+        #: col) — default quantiles (0.5, 0.9, 0.99) — or
+        #: ("approx_quantile", col, (q, ...)); normalize to the
+        #: 2-tuple shape every fold site unpacks, keeping the
+        #: quantile list aside
+        self._qs: dict[str, tuple[float, ...]] = {}
+        norm = {}
+        for name, spec in specs.items():
+            if spec[0] == "approx_quantile":
+                if len(spec) == 3:
+                    kind, col, qs = spec
+                else:
+                    (kind, col), qs = spec, (0.5, 0.9, 0.99)
+                for q in qs:
+                    if not 0.0 < float(q) <= 1.0:
+                        raise ValueError(
+                            f"quantile {q} for {name!r} must be in "
+                            "(0, 1]")
+                self._qs[name] = tuple(float(q) for q in qs)
+                norm[name] = (kind, col)
+            else:
+                norm[name] = spec
+        specs = norm
         for name, (kind, _col) in specs.items():
             if kind not in ("count", "sum", "min", "max",
-                            "count_distinct", "approx_count_distinct"):
+                            "count_distinct", "approx_count_distinct",
+                            "approx_quantile"):
                 raise ValueError(
                     f"unsupported aggregate {kind!r} for {name!r} — "
                     "count/sum fold from deltas; min/max via "
                     "dirty-group recompute; count_distinct via a "
                     "(group, value) helper multiset; "
                     "approx_count_distinct via a per-group HLL "
-                    "register table; avg = sum/count at read")
+                    "register table; approx_quantile via a per-group "
+                    "DD bucket-count table; avg = sum/count at read")
         self.spark = spark
         self.source = source
         self.group_cols = group_cols
@@ -192,6 +227,23 @@ class CdfAggregateView:
                 partition_col=partition_col)
             for name, (kind, _col) in specs.items()
             if kind == "approx_count_distinct"}
+        #: one DD BUCKET-COUNT table per approx_quantile measure
+        #: (round 14), keyed by (group_cols..., _sgn, _bkt): one row
+        #: per non-empty exponential bucket with its live count —
+        #: O(log value-spread) rows per group. Counts are SIGNED
+        #: deltas, so inserts AND retractions both fold additively
+        #: (the count/sum regime — quantile maintenance never reads
+        #: the source). Estimates carry DDSketch's relative-value
+        #: guarantee: within ``quantile_alpha`` of the exact
+        #: discrete quantile. Same independent cdf_cursor fencing.
+        self.dd_alpha = float(quantile_alpha)
+        self._dds = {
+            name: ParquetUpsertTable(
+                spark, f"{path}__dd_{name}",
+                [*group_cols, "_sgn", "_bkt"],
+                partition_col=partition_col)
+            for name, (kind, _col) in specs.items()
+            if kind == "approx_quantile"}
 
     def hll_sketch(self, name: str) -> ParquetUpsertTable:
         """The maintained HLL register table behind an
@@ -199,12 +251,29 @@ class CdfAggregateView:
         handle for ``functions.hll.merge_sketch_tables`` (combine two
         views' sketches, or a view's and an ad-hoc one, without
         re-scanning either source). Both sides must have been built
-        at the same ``hll_p``."""
+        at the same ``hll_p`` — the view stamps ``hll_p`` and the
+        register-layout tag into every helper commit's meta, and
+        ``merge_sketch_tables`` raises on a stamp mismatch (round-13
+        VERDICT item 2) instead of skewing the estimate."""
         if name not in self._hlls:
             raise KeyError(
                 f"{name!r} is not an approx_count_distinct measure "
                 f"of this view (has: {sorted(self._hlls)})")
         return self._hlls[name]
+
+    def dd_sketch(self, name: str) -> ParquetUpsertTable:
+        """The maintained DD bucket-count table behind an
+        ``approx_quantile`` measure — the mergeable sketch handle for
+        ``functions.ddsketch.merge_dd_sketches`` (combine two views'
+        sketches, or a view's and an ad-hoc one, without re-scanning
+        either source). The view stamps ``dd_alpha`` and the bucket
+        layout tag into every helper commit's meta; merges validate
+        them and raise on a mismatch."""
+        if name not in self._dds:
+            raise KeyError(
+                f"{name!r} is not an approx_quantile measure of "
+                f"this view (has: {sorted(self._dds)})")
+        return self._dds[name]
 
     # -- signed contributions --------------------------------------------
     def _pre_col(self, c: str):
@@ -225,7 +294,7 @@ class CdfAggregateView:
         need = set(self.group_cols)
         for _name, (kind, col) in self.specs.items():
             if kind in ("sum", "min", "max", "count_distinct",
-                        "approx_count_distinct"):
+                        "approx_count_distinct", "approx_quantile"):
                 need.add(col)
         for c in sorted(need - set(self.source.key_cols)):
             have_post = c in feed.columns
@@ -273,7 +342,8 @@ class CdfAggregateView:
                  for c in self.group_cols]
             meas = [F.lit(sign).cast("bigint").alias(_ROWS)]
             for name, (kind, col) in self.specs.items():
-                if kind in ("count_distinct", "approx_count_distinct"):
+                if kind in ("count_distinct", "approx_count_distinct",
+                            "approx_quantile"):
                     continue  # maintained in their helper tables
                 if kind == "count":
                     meas.append(F.lit(sign).cast("bigint").alias(name))
@@ -317,7 +387,8 @@ class CdfAggregateView:
         contrib = self._contribs(feed)
         aggs = [F.sum(_ROWS).cast("bigint").alias(_ROWS)]
         for name, (kind, _col) in self.specs.items():
-            if kind in ("count_distinct", "approx_count_distinct"):
+            if kind in ("count_distinct", "approx_count_distinct",
+                        "approx_quantile"):
                 continue  # maintained in their helper tables
             if kind == "min":
                 aggs.append(F.min(name).alias(name))
@@ -536,6 +607,12 @@ class CdfAggregateView:
                 self._fold_hll(
                     name, helper,
                     feed.filter(F.col("version") > a), up_to)
+        for name, helper in self._dds.items():
+            a = self._applied(helper)
+            if a < up_to:
+                self._fold_dd(
+                    name, helper,
+                    feed.filter(F.col("version") > a), up_to)
 
     def _fold_hll(self, name: str, helper: ParquetUpsertTable,
                   feed: DataFrame, up_to: int) -> None:
@@ -549,11 +626,15 @@ class CdfAggregateView:
         Null values are excluded (COUNT DISTINCT ignores them)."""
         from aether_firebase_consumer_spark.functions.hll import (
             hll_registers_df,
+            sketch_meta,
         )
 
         col = self.specs[name][1]
         feed = self._normalize(feed)
-        meta = {"cdf_cursor": up_to}
+        # the p/layout stamp rides EVERY meta-carrying commit —
+        # commit_meta replaces wholesale, so omitting it once would
+        # erase the precision contract merge_sketch_tables validates
+        meta = {"cdf_cursor": up_to, **sketch_meta(self.hll_p)}
         pre_v = self._pre_col(col)
         dirty = (feed.filter(F.col("change_type") != "insert")
                  .filter(pre_v.isNotNull())
@@ -662,6 +743,59 @@ class CdfAggregateView:
         helper.merge(d.join(c, on, "left").select(*folded),
                      commit_meta=meta)
 
+    def _fold_dd(self, name: str, helper: ParquetUpsertTable,
+                 feed: DataFrame, up_to: int) -> None:
+        """Fold one feed slice into an approx_quantile DD bucket
+        table (round 14): signed counts per (group, sign, bucket) —
+        post-images +1, pre-images -1. PURELY additive: a retraction
+        decrements the pre-image value's bucket exactly, so unlike
+        min/max/HLL there is never a dirty-group source recompute —
+        the sketch state stays the canonical sketch of the live
+        multiset at every committed cursor (pinned against a
+        recompute sketch in tests/test_dd_view.py). Null/NaN values
+        are excluded (percentiles ignore them)."""
+        from aether_firebase_consumer_spark.functions.ddsketch import (
+            dd_bucket,
+            sketch_meta,
+        )
+
+        col = self.specs[name][1]
+        feed = self._normalize(feed)
+
+        def side(sign_val: int) -> DataFrame:
+            pre = sign_val < 0
+            v = self._pre_col(col) if pre else F.col(col)
+            src = feed.filter(
+                F.col("change_type") != ("insert" if pre else "delete"))
+            g = [(self._pre_col(c) if pre else F.col(c)).alias(c)
+                 for c in self.group_cols]
+            vd = v.cast("double")
+            bs, bi = dd_bucket(v, self.dd_alpha)
+            return (src.filter(vd.isNotNull() & ~F.isnan(vd))
+                    .select(*g, bs.alias("_sgn"), bi.alias("_bkt"),
+                            F.lit(sign_val).cast("bigint")
+                            .alias("_cnt")))
+
+        delta = (side(+1).unionByName(side(-1))
+                 .groupBy(*self.group_cols, "_sgn", "_bkt")
+                 .agg(F.sum("_cnt").cast("bigint").alias("_cnt")))
+        meta = {"cdf_cursor": up_to, **sketch_meta(self.dd_alpha)}
+        current = helper.read()
+        if current is None:
+            helper.merge(delta, commit_meta=meta)
+            return
+        d, c = delta.alias("d"), current.alias("c")
+        on = None
+        for k in helper.key_cols:
+            e = F.col(f"d.{k}").eqNullSafe(F.col(f"c.{k}"))
+            on = e if on is None else on & e
+        folded = [F.col(f"d.{k}").alias(k) for k in helper.key_cols]
+        folded.append(
+            (F.coalesce(F.col("c._cnt"), F.lit(0))
+             + F.coalesce(F.col("d._cnt"), F.lit(0))).alias("_cnt"))
+        helper.merge(d.join(c, on, "left").select(*folded),
+                     commit_meta=meta)
+
     def rebuild(self) -> int:
         """Recovery past the retention window (the view analogue of
         ``ChangeFeedFollower.bootstrap``): when the cursor predates
@@ -719,6 +853,7 @@ class CdfAggregateView:
         for name, helper in self._hlls.items():
             from aether_firebase_consumer_spark.functions.hll import (
                 hll_registers_df,
+                sketch_meta,
             )
 
             col = self.specs[name][1]
@@ -729,7 +864,26 @@ class CdfAggregateView:
                 if cur is not None:
                     helper.delete_keys(cur.select(*helper.key_cols))
                 continue
-            helper.replace(regs, commit_meta=meta)
+            helper.replace(regs, commit_meta={
+                **meta, **sketch_meta(self.hll_p)})
+        for name, helper in self._dds.items():
+            from aether_firebase_consumer_spark.functions.ddsketch import (
+                dd_sketch_df,
+            )
+            from aether_firebase_consumer_spark.functions.ddsketch import (
+                sketch_meta as dd_meta,
+            )
+
+            col = self.specs[name][1]
+            sk = dd_sketch_df(src, self.group_cols, F.col(col),
+                              self.dd_alpha)
+            if sk.isEmpty():
+                cur = helper.read()
+                if cur is not None:
+                    helper.delete_keys(cur.select(*helper.key_cols))
+                continue
+            helper.replace(sk, commit_meta={
+                **meta, **dd_meta(self.dd_alpha)})
         if self.follower is not None:
             self.follower.commit(v)
         # streaming mode (no follower): the cursor lives in Spark's
@@ -803,6 +957,23 @@ class CdfAggregateView:
                 on = e if on is None else on & e
             live = live.join(est, on, "left")
             joined.add(name)
+        for name, helper in self._dds.items():
+            from aether_firebase_consumer_spark.functions.ddsketch import (
+                dd_estimate_df,
+            )
+
+            h = helper.read()
+            if h is None:
+                continue
+            est = dd_estimate_df(h, self.group_cols, self.dd_alpha,
+                                 list(self._qs[name]),
+                                 out_prefix=name).alias(f"cd_{name}")
+            on = None
+            for k in self.group_cols:
+                e = F.col(f"v.{k}").eqNullSafe(F.col(f"cd_{name}.{k}"))
+                on = e if on is None else on & e
+            live = live.join(est, on, "left")
+            joined.add(name)
         out = [F.col(f"v.{c}").alias(c) for c in self.group_cols]
         for name, (kind, _col) in self.specs.items():
             if kind == "sum":
@@ -813,6 +984,20 @@ class CdfAggregateView:
                 src = (F.col(f"cd_{name}.{name}") if name in joined
                        else F.lit(None).cast("bigint"))
                 out.append(F.coalesce(src, F.lit(0)).alias(name))
+            elif kind == "approx_quantile":
+                # one output column per requested quantile; NULL for
+                # a group whose every value is NULL (SQL percentile
+                # over an empty set)
+                from aether_firebase_consumer_spark.functions.ddsketch import (  # noqa: E501
+                    quantile_suffix,
+                )
+
+                for q in self._qs[name]:
+                    cname = f"{name}_{quantile_suffix(q)}"
+                    src = (F.col(f"cd_{name}.{cname}")
+                           if name in joined
+                           else F.lit(None).cast("double"))
+                    out.append(src.alias(cname))
             else:  # count is exact as stored; min/max are maintained
                 out.append(F.col(f"v.{name}").alias(name))
         return live.select(*out)
@@ -827,5 +1012,14 @@ class CdfAggregateView:
             if t is None:
                 continue
             dead = t.filter(F.col(_ROWS) <= 0).select(*tbl.key_cols)
+            if not dead.isEmpty():
+                tbl.delete_keys(dead)
+        # quantile helpers count live values per bucket — a bucket
+        # folded down to zero is invisible to the estimator already
+        for tbl in self._dds.values():
+            t = tbl.read()
+            if t is None:
+                continue
+            dead = t.filter(F.col("_cnt") <= 0).select(*tbl.key_cols)
             if not dead.isEmpty():
                 tbl.delete_keys(dead)

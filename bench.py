@@ -229,7 +229,9 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_incremental_agg_hll",
          # r13 headliners
          "docs_view_chain_topk",
-         "docs_hll_sketch_merge")
+         "docs_hll_sketch_merge",
+         # r14 headliners
+         "docs_quantile_sketch")
 
 
 def headline_names() -> list[str]:
