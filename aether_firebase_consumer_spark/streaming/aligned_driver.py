@@ -108,11 +108,17 @@ def view_chain_start_fn(spark: SparkSession, tick_tables: list,
     maintains a whole CHAIN (DAG) of incremental views under one
     ``SparkJob``: every change committed to any of ``tick_tables``
     (the chain's ROOT inputs — external ingest tables, not the
-    intermediate view tables) wakes the job, which refreshes
-    ``views`` IN ORDER. List views in topological order (upstream
-    before downstream): each hop's refresh folds its source's new
-    changes and commits its own table, so the hop after it sees those
-    changes in the same wakeup — one tick drains the whole chain.
+    intermediate view tables) wakes the job, which refreshes every
+    view in TOPOLOGICAL order — derived HERE (round 14) from each
+    member's own source/table edges, not trusted from the caller's
+    list order: a mis-ordered list is silently corrected, a cycle or
+    a member whose source is neither a tick root nor an upstream
+    member's table raises at CONFIGURATION time (it would leave
+    downstream hops one tick stale on every wakeup, or permanently
+    stale, with no error to see). Each hop's refresh folds its
+    source's new changes and commits its own table, so the hop after
+    it sees those changes in the same wakeup — one tick drains the
+    whole chain.
 
     ``views`` items are either a view object with a ``refresh()``
     method (``CdfAggregateView``, ``CdfTopKView``, ``CdfJoinView`` in
@@ -126,10 +132,15 @@ def view_chain_start_fn(spark: SparkSession, tick_tables: list,
     replays only the hops that had not committed; a paused job
     freezes every view at a committed state; resume re-delivers
     unseen ticks and the first wakeup catches the whole chain up."""
+    import os
+
+    def _norm(p: str) -> str:
+        return os.path.normpath(os.path.abspath(p))
+
     if not tick_tables:
         raise ValueError("view_chain_start_fn needs at least one "
                          "root table to tick on")
-    refreshers = []
+    members = []  # (refresh_fn, input paths, output path, label)
     for item in views:
         if isinstance(item, tuple):
             view, mode = item
@@ -140,8 +151,9 @@ def view_chain_start_fn(spark: SparkSession, tick_tables: list,
                 raise ValueError(
                     "an aligned chain member needs both checkpoint "
                     "paths (poll-loop mode)")
-            refreshers.append(view.refresh_aligned)
+            refresh = view.refresh_aligned
         else:
+            view = item
             # fail at CONFIGURATION time, not as a dead StreamingQuery
             # on the first tick: a bare view must be in poll-loop mode
             # (its refresh() would raise RuntimeError mid-stream)
@@ -153,7 +165,53 @@ def view_chain_start_fn(spark: SparkSession, tick_tables: list,
                     "without its checkpoint path(s) (streaming mode) "
                     "— chain members need poll-loop mode, like the "
                     "aligned driver")
-            refreshers.append(item.refresh)
+            refresh = item.refresh
+        if hasattr(view, "fact") and hasattr(view, "dim"):
+            inputs = {_norm(view.fact.path), _norm(view.dim.path)}
+        else:
+            inputs = {_norm(view.source.path)}
+        label = f"{type(view).__name__}({view.table.path})"
+        members.append((refresh, inputs, _norm(view.table.path),
+                        label))
+
+    roots = {_norm(t.path) for t in tick_tables}
+    outputs: dict[str, int] = {}
+    for i, (_r, _in, out, label) in enumerate(members):
+        if out in outputs:
+            raise ValueError(
+                f"two chain members maintain the same table: {label} "
+                f"and {members[outputs[out]][3]} — a chain refreshes "
+                "each view table exactly once per tick")
+        outputs[out] = i
+    for _r, inputs, _out, label in members:
+        for inp in inputs:
+            if inp not in roots and inp not in outputs:
+                raise ValueError(
+                    f"chain member {label} reads {inp}, which is "
+                    "neither a tick root nor another member's table "
+                    "— its changes would never wake the job and the "
+                    "hop would serve permanently stale state. Add "
+                    "the table to tick_tables or add the view that "
+                    "maintains it to the chain.")
+    # Kahn toposort, stable within the caller's order: a member is
+    # ready once every member-maintained input has been scheduled
+    order: list[int] = []
+    scheduled: set[int] = set()
+    pending = list(range(len(members)))
+    while pending:
+        ready = [i for i in pending
+                 if {outputs[p] for p in members[i][1]
+                     if p in outputs} <= scheduled]
+        if not ready:
+            stuck = ", ".join(members[i][3] for i in pending)
+            raise ValueError(
+                f"view chain has a dependency cycle among: {stuck} "
+                "— a view cannot (transitively) read its own output")
+        for i in ready:
+            order.append(i)
+            scheduled.add(i)
+            pending.remove(i)
+    refreshers = [members[i][0] for i in order]
 
     ticks = None
     for i, t in enumerate(tick_tables):

