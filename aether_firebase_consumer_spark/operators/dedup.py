@@ -918,14 +918,25 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
     # short side against that bounded bucket directly. Disjoint from
     # the signature path by construction (every pair here has a
     # member the segmented side excluded).
+    # ONE bounded materialization decides the completion strategy AND
+    # short-circuits the empty bucket: a real corpus rarely has any
+    # sub-(k+1)-char rows, so the common case pays a single
+    # limit-(cap+1) scan and skips the completion join entirely
+    # (round-13 ADVICE — the unconditional count was a per-call
+    # driver action even for an empty bucket). When the bucket fits
+    # the cap, the materialized probe IS the whole short side, so
+    # the broadcast below re-reads it for free.
+    short_probe = short.limit(short_broadcast_cap + 1).localCheckpoint()
+    n_short = short_probe.count()
+    if n_short == 0:
+        return long_pairs
     partners = (df.filter(F.length(F.col(text_col)) <= 2 * k)
                 .select(F.col(id_col).alias("pid"),
                         F.col(text_col).alias("pt"),
                         F.length(F.col(text_col)).alias("pm")))
-    if short.limit(short_broadcast_cap + 1).count() \
-            <= short_broadcast_cap:
+    if n_short <= short_broadcast_cap:
         joined = partners.join(
-            F.broadcast(short),
+            F.broadcast(short_probe),
             (F.col("id") != F.col("pid"))
             & (F.abs(F.col("m") - F.col("pm")) <= k))
     else:

@@ -87,6 +87,39 @@ def test_concurrent_merges_both_land(spark, tmp_path):
     assert ta.current_version() == 15
 
 
+def test_touch_retries_past_concurrent_merge(spark, tmp_path):
+    """Round 14: touch() (the metadata-only commit behind the top-k
+    bench stamp) rides the same retry loop as every write — losing
+    the CAS to a concurrent merge re-derives against the NEW parent,
+    so the re-published version carries the merge's data AND the
+    touch's meta; the merge is never silently shadowed by a
+    stale-parent hardlink copy."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"), ["id"])
+    t.merge(_df(spark, [1], "base"))
+    real_link = t._link_files_except
+    raced = {"done": False}
+
+    def sneaky_link(prev_dir, target, skip_rels):
+        # a competing writer lands AFTER touch picked its parent but
+        # BEFORE it publishes — the classic lost-update window
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = ParquetUpsertTable(spark, str(tmp_path / "t"), ["id"])
+            t2.merge(_df(spark, [2], "sneak"))
+        return real_link(prev_dir, target, skip_rels)
+
+    t._link_files_except = sneaky_link
+    v_before = t.current_version()
+    t.touch(commit_meta={"cdf_cursor": 42})
+    assert raced["done"]
+    # merge (v+1) and the retried touch (v+2) BOTH landed
+    assert t.current_version() == v_before + 2
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "base", 2: "sneak"}
+    assert t.commit_meta() == {"cdf_cursor": 42}
+    assert t.changes(t.current_version()).isEmpty()
+
+
 def test_concurrent_overlapping_merges_converge(spark, tmp_path):
     """Overlapping key ranges from two writers: after both finish, each
     key holds one of the two written values (MERGE semantics, one row

@@ -393,6 +393,65 @@ def test_random_op_scripts_hll_estimate_equals_recompute(
         assert read() == recompute(), f"seed {seed} final state"
 
 
+@pytest.mark.parametrize("seed", [13, 37])
+def test_random_op_scripts_dd_sketch_is_canonical(
+        spark, tmp_path, seed):
+    """Round 14: the maintained approx_quantile DD sketch is
+    CANONICAL — after every refresh its bucket-count table equals
+    the sketch recomputed from the current source bucket-for-bucket,
+    through random retraction scripts (signed counts fold exactly in
+    both directions; there is no dirty-recompute path to hide
+    divergence). Stricter than the HLL pin, which compares
+    estimates."""
+    from aether_firebase_consumer_spark.functions.ddsketch import (
+        dd_sketch_df,
+    )
+
+    alpha = 0.02
+    rng = random.Random(seed)
+    src = ParquetUpsertTable(
+        spark, str(tmp_path / "src"), ["k"], partition_col="g",
+        retain_versions=40, record_change_values=True,
+        record_change_preimages=True)
+    view = CdfAggregateView(
+        spark, str(tmp_path / "view"), src, ["g"],
+        {"q": ("approx_quantile", "x", (0.5, 0.9))},
+        str(tmp_path / "cursor"), quantile_alpha=alpha)
+
+    def recompute():
+        cur = src.read()
+        if cur is None:
+            return []
+        sk = dd_sketch_df(cur, ["g"], F.col("x"), alpha)
+        return sorted(((r.g is None, r.g), r._sgn, r._bkt, r._cnt)
+                      for r in sk.collect())
+
+    def sketch_rows():
+        df = view.dd_sketch("q").read()
+        if df is None:
+            return []
+        return sorted(((r.g is None, r.g), r._sgn, r._bkt, r._cnt)
+                      for r in df.filter(F.col("_cnt") > 0).collect())
+
+    live = False
+    for step, (op, arg) in enumerate(_script(rng)):
+        if op == "merge":
+            src.merge(_rows(spark, arg))
+            live = True
+        elif op == "delete_keys" and live:
+            src.delete_keys(
+                spark.createDataFrame([(k,) for k in arg], "k int"))
+        elif op == "delete_where" and live:
+            src.delete_where(("x", ">=", arg))
+        elif op == "refresh" and live:
+            view.refresh()
+            assert sketch_rows() == recompute(), \
+                f"seed {seed} diverged at step {step}"
+    if live:
+        view.refresh()
+        assert sketch_rows() == recompute(), f"seed {seed} final state"
+
+
 @pytest.mark.parametrize("seed", [29])
 def test_aligned_chain_downstream_sees_consistent_snapshots(
         spark, tmp_path, seed):
