@@ -44,6 +44,15 @@ def lit_double_matrix(rows: "list[list[float]]") -> Column:
     return _LIT_CACHE[key]
 
 
+def lit_double_cube(cube: "list[list[list[float]]]") -> Column:
+    """array<array<array<double>>> literal as one memoized Literal
+    node (PQ codebooks) — see :func:`lit_doubles`."""
+    key = ("cube", tuple(tuple(map(tuple, m)) for m in cube))
+    if key not in _LIT_CACHE:
+        _LIT_CACHE[key] = F.lit([[list(r) for r in m] for m in cube])
+    return _LIT_CACHE[key]
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (left fold)."""
     return F.aggregate(
@@ -145,10 +154,27 @@ def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
     return F.array_position(scores, F.array_max(scores)).cast("int")
 
 
-def _dot_all(vec: Column, cents: list[list[float]]) -> Column:
+def _dot_all(vec: Column, cents: list[list[float]], off: int = 0,
+             minus: "Column | None" = None) -> Column:
     """All k dot products v·cᵢ as one array — one transposed fold
     carrying k running sums (addition order per entry:
-    e₀c₀+e₁c₁+…, exactly ``list_dot_product``'s)."""
+    e₀c₀+e₁c₁+…, exactly ``list_dot_product``'s).
+
+    ``off`` (r14): 0-based element offset into ``vec`` — the subspace
+    form ``element_at(vec, off+j)`` replaces ``slice(vec, off+1, d)``
+    as the fold input. Under whole-stage codegen a ``slice`` argument
+    is re-evaluated (an O(dim) array copy) on EVERY element access
+    inside the fold lambda, so the slice form pays dim² copies per
+    subspace; direct offset indexing is the same value in the same
+    fold order at O(1) per access (measured 3.2x on the IVFADC encode
+    at sf0.1/local[32]).
+
+    ``minus`` (r14): optional array column subtracted per element —
+    ``(vec[off+j] cast double) − minus[off+j]`` — the INLINE residual.
+    The alternative, folding over a precomputed
+    ``zip_with(vec, c, x−y)`` residual array, re-evaluates that O(dim)
+    zip_with on every element access for the same codegen reason.
+    Bit-identical: same cast, same subtraction, same fold order."""
     k, dim = len(cents), len(cents[0])
     # ONE JVM-parsed nested-array literal (k*dim doubles) instead of
     # dim CreateArray(k literals) nodes: identical values and fold
@@ -157,20 +183,30 @@ def _dot_all(vec: Column, cents: list[list[float]]) -> Column:
     # quantizer (the ann_ivf bench entry is mostly plan build time)
     cents_t = lit_double_matrix(
         [[float(cents[i][j]) for i in range(k)] for j in range(dim)])
+
+    def elem(j: Column) -> Column:
+        idx = j if off == 0 else j + off
+        x = F.element_at(vec, idx)
+        if minus is not None:
+            x = x.cast("double") - F.element_at(minus, idx)
+        return x
+
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(dim)),
         lit_doubles([0.0] * k),
         lambda acc, j: F.zip_with(
             acc, F.element_at(cents_t, j),
-            lambda a, c: a + F.element_at(vec, j) * c))
+            lambda a, c: a + elem(j) * c))
 
 
-def _ivf_scores(vec: Column, cents: list[list[float]]) -> Column:
+def _ivf_scores(vec: Column, cents: list[list[float]], off: int = 0,
+                minus: "Column | None" = None) -> Column:
     """All k cell scores (v·cᵢ − |cᵢ|²/2) as one array — the transposed
     fold from :func:`ivf_cell`, shared by argmax and nprobe>1; biases
-    added AFTER the fold so each entry is ``list_dot_product + bias``."""
+    added AFTER the fold so each entry is ``list_dot_product + bias``.
+    ``off``/``minus`` pass through to :func:`_dot_all` (r14)."""
     biases = ivf_cell_scores(cents)
-    return F.zip_with(_dot_all(vec, cents),
+    return F.zip_with(_dot_all(vec, cents, off=off, minus=minus),
                       lit_doubles([float(b) for b in biases]),
                       lambda s, b: s + b)
 
@@ -215,21 +251,63 @@ def pq_codebooks(seed: str, m: int, k: int, dim: int
     return [ivf_centroids(f"{seed}:sub{s}", k, d) for s in range(m)]
 
 
-def pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
+def _pq_sub_scores(vec: Column, books: list[list[list[float]]],
+                   s: Column, minus: "Column | None" = None) -> Column:
+    """Biased subspace scores for lambda-bound subspace index ``s``
+    (0-based Column): one fold over j=1..d carrying k running sums,
+    book row transposed dynamically, bias added after the fold — entry
+    order and arithmetic identical to :func:`_ivf_scores` per subspace
+    (``e₀c₀+e₁c₁+…+bias``, residual formed per element when ``minus``
+    is given)."""
+    d, k = len(books[0][0]), len(books[0])
+    books3 = lit_double_cube([[list(map(float, c)) for c in b]
+                              for b in books])
+    bias2 = lit_double_matrix([[float(v) for v in ivf_cell_scores(b)]
+                               for b in books])
+    book = F.element_at(books3, s + 1)
+
+    def elem(j: Column) -> Column:
+        x = F.element_at(vec, s * d + j)
+        if minus is not None:
+            x = x.cast("double") - F.element_at(minus, s * d + j)
+        return x
+
+    dots = F.aggregate(
+        F.sequence(F.lit(1), F.lit(d)),
+        lit_doubles([0.0] * k),
+        lambda acc, j: F.zip_with(
+            acc, F.transform(book, lambda c: F.element_at(c, j)),
+            lambda a, c: a + elem(j) * c))
+    return F.zip_with(dots, F.element_at(bias2, s + 1),
+                      lambda x, b: x + b)
+
+
+def pq_codes(vec: Column, books: list[list[list[float]]],
+             minus: "Column | None" = None) -> Column:
     """PQ encoding: array of ``m`` 1-based code ids, subspace ``s``
     assigned to argmax (subvec·c − |c|²/2) == nearest centroid by L2 —
     the same fold + first-occurrence argmax as :func:`ivf_cell`, per
     subspace, so ties break identically to the SQL oracle's
     ``list_position(scores, list_max(scores))``. At rest this is the
-    whole vector: m bytes instead of dim floats (8 vs 512 here)."""
-    d = len(books[0][0])
-    cols = []
-    for s, book in enumerate(books):
-        sub = F.slice(vec, s * d + 1, d)
-        scores = _ivf_scores(sub, book)
-        cols.append(F.array_position(
-            scores, F.array_max(scores)).cast("int"))
-    return F.array(*cols)
+    whole vector: m bytes instead of dim floats (8 vs 512 here).
+
+    r14 shape: ONE ``transform`` over the subspace index instead of m
+    independent per-subspace trees (construction and plan shrink ~m×;
+    py4j Column construction, not analysis or execution, dominated the
+    ANN bench entries), subspaces read by OFFSET into ``vec`` rather
+    than ``slice`` (a slice argument is re-evaluated O(d) per element
+    access under codegen — see :func:`_dot_all`), and ``minus``
+    encodes the residual ``vec − minus`` per element without
+    materializing the residual array. Measured med 1.27 s → 0.31 s on
+    the IVFADC encode at sf0.1/local[32]; values bit-identical (the
+    per-subspace fold order is unchanged)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda s: _pq_first_argmax(_pq_sub_scores(vec, books, s, minus)))
+
+
+def _pq_first_argmax(scores: Column) -> Column:
+    return F.array_position(scores, F.array_max(scores)).cast("int")
 
 
 def pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
@@ -237,11 +315,27 @@ def pq_lut(vec: Column, books: list[list[list[float]]]) -> Column:
     ``s*k + (code-1)`` holds ``q_sub_s · c_{s,code}`` (no bias — ADC
     approximates the inner product q·v ≈ Σ_s q_s·c_{s,code_s(v)}).
     Computed ONCE per query (m·k dots), then every corpus vector's
-    score is m array lookups + m-1 adds — the PQ trade."""
-    return F.concat(*[
-        _dot_all(F.slice(vec, s * len(books[0][0]) + 1,
-                         len(books[0][0])), book)
-        for s, book in enumerate(books)])
+    score is m array lookups + m-1 adds — the PQ trade.
+
+    r14: ``flatten(transform(s, …))`` over one lambda-bound subspace
+    index instead of ``concat`` of m per-subspace folds — identical
+    entries in identical order (flatten of array-of-arrays == concat),
+    ~m× cheaper to construct; same unbiased fold as before."""
+    d, k = len(books[0][0]), len(books[0])
+    books3 = lit_double_cube([[list(map(float, c)) for c in b]
+                              for b in books])
+
+    def sub_dots(s: Column) -> Column:
+        book = F.element_at(books3, s + 1)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            lit_doubles([0.0] * k),
+            lambda acc, j: F.zip_with(
+                acc, F.transform(book, lambda c: F.element_at(c, j)),
+                lambda a, c: a + F.element_at(vec, s * d + j) * c))
+
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)), sub_dots))
 
 
 def pq_adc_score(lut: Column, codes: Column, m: int, k: int) -> Column:

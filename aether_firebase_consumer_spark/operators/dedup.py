@@ -111,7 +111,17 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
 
     One md5 per shingle (explode), k affine permutations as integer
     math, map-side partial MIN combine — the signature shuffle carries
-    one k-int row per (id, map-partition), never the shingles."""
+    one k-int row per (id, map-partition), never the shingles.
+
+    PERF (r14): both explodes are written INLINE — the generator input
+    is the array expression itself, never an aliased computed column
+    from an upstream select. Whole-stage codegen defers projected
+    expressions into the consumer, so ``select(arr.alias("a"))`` +
+    ``explode("a")`` re-evaluates the array builder once per OUTPUT
+    row (measured 1.39 s vs 0.27 s inline for the shingle explode at
+    sf0.1/local[32] — a ~5x tax on every shingle-family query). The
+    empty-array filter the ``sh`` frame carries is unnecessary on the
+    explode path: explode of an empty array emits nothing."""
     if k % bands:
         raise ValueError(
             f"k={k} must be divisible by bands={bands}: the trailing "
@@ -121,7 +131,9 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
     sh = df.select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh")) \
            .filter(F.size("sh") > 0)
-    hashed = sh.select("id", F.explode("sh").alias("s")) \
+    hashed = df.select(F.col(id_col).alias("id"),
+                       F.explode(shingles(F.col(text_col), shingle_k))
+                       .alias("s")) \
                .select("id", portable_hash60(F.col("s")).alias("h"))
     sig = hashed.groupBy("id").agg(*[
         F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P)
@@ -136,8 +148,8 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
     ]
     banded = sig.select(
         "id", F.array(*band_cols).alias("band_keys"))
-    long = banded.select(
-        "id", F.explode("band_keys").alias("band_key"))
+    long = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("band_key"))
     return sh, long, banded
 
 
@@ -547,10 +559,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     DF ≤ cap per shingle. Without the cap (None) this is the verify
     primitive to run on pre-pruned candidates only.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), shingle_k).alias("sh")) \
-           .filter(F.size("sh") > 0)
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # INLINE explode (r14): exploding an aliased computed array column
+    # re-evaluates the shingle builder once per OUTPUT row under
+    # whole-stage codegen (measured 3.0 s vs 1.9 s for this query at
+    # sf0.1) — the generator input must be the array expression itself.
+    # No empty-set filter needed: explode of an empty array emits
+    # nothing.
+    inv = df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), shingle_k))
+                    .alias("shingle"))
     if max_doc_freq is not None:
         rare = (inv.groupBy("shingle")
                 .agg(F.count("*").alias("df_"))
@@ -592,10 +609,10 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes) as :func:`ngram_jaccard_pairs`: the join fan-out bound and
     the 100 TB posture are identical; only the final ratio differs —
     divide by the CONTAINED side's set size instead of the union."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), shingle_k).alias("sh")) \
-           .filter(F.size("sh") > 0)
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # inline explode — see ngram_jaccard_pairs (same ~1.6x win)
+    inv = df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), shingle_k))
+                    .alias("shingle"))
     if max_doc_freq is not None:
         rare = (inv.groupBy("shingle")
                 .agg(F.count("*").alias("df_"))

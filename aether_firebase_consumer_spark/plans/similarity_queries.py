@@ -808,8 +808,9 @@ def similarity_ann_pq_trained(spark: SparkSession,
     # so the SQL side's relational argmax matches positionally)
     code_cols = []
     for s in range(_PQ_M):
-        sub = F.slice(F.col("embedding"), s * _PQ_D + 1, _PQ_D)
-        scores = _ivf_scores(sub, books[s])
+        # offset indexing, not slice — see _dot_all (r14)
+        scores = _ivf_scores(F.col("embedding"), books[s],
+                             off=s * _PQ_D)
         pos = F.array_position(scores, F.array_max(scores))
         id_lit = F.array(*[F.lit(c) for c in ids[s]])
         code_cols.append(F.element_at(id_lit, pos.cast("int"))
@@ -900,11 +901,15 @@ def ivfadc_code_rows(df: DataFrame, cents: list[list[float]],
     partition-prunable codes table."""
     cents64 = lit_double_matrix([[float(v) for v in c] for c in cents])
     assigned = df.withColumn("cell", ivf_cell(F.col(vec_col), cents))
-    res = F.zip_with(F.col(vec_col),
-                     F.element_at(cents64, F.col("cell")),
-                     lambda x, c: x.cast("double") - c)
-    out = assigned.select(F.col(id_col), "cell",
-                          pq_codes(res, books).alias("codes"))
+    # residual encode via pq_codes(minus=...): the residual is formed
+    # per ELEMENT inside the fold instead of as a zip_with array the
+    # fold would re-evaluate per access (r14 — see _dot_all; encode
+    # stage med 1.27 s -> 0.40 s at sf0.1, bit-identical)
+    out = assigned.select(
+        F.col(id_col), "cell",
+        pq_codes(F.col(vec_col), books,
+                 minus=F.element_at(cents64, F.col("cell")))
+        .alias("codes"))
     if n_parts is not None:
         out = out.withColumn("cp", F.pmod(F.col("cell"),
                                           F.lit(n_parts)).cast("int"))
