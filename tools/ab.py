@@ -18,9 +18,14 @@ import statistics
 import time
 
 
-def _run(df) -> float:
+def _run(build) -> float:
+    """Time BUILD + EXECUTE, like bench.py/qtime.py: the builder runs
+    INSIDE the timed region. (The round-14 first version timed only the
+    noop write — a variant containing an eager action (localCheckpoint,
+    collect) moved its work into the untimed build and measured as a
+    phantom 2-4x win that the real bench then contradicted.)"""
     t0 = time.time()
-    df.write.mode("overwrite").format("noop").save()
+    build().write.mode("overwrite").format("noop").save()
     return time.time() - t0
 
 
@@ -29,11 +34,11 @@ def ab(spark, variants: "dict[str, callable]", rounds: int = 5,
     names = list(variants)
     for _ in range(warmup):
         for n in names:
-            _run(variants[n]())
+            _run(variants[n])
     times: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(rounds):
         for n in names:
-            times[n].append(_run(variants[n]()))
+            times[n].append(_run(variants[n]))
     for n in names:
         t = times[n]
         print(f"AB {n}: med={statistics.median(t):.3f} "
