@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from aether_firebase_consumer_spark.functions.text import shingles
+from aether_firebase_consumer_spark.functions.text import shingles, tokens
 
 
 # ---------------------------------------------------------------- exact
@@ -128,9 +128,17 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
             f"{k % bands} minhashes would be computed but silently "
             "unused, weakening the configured recall guarantee")
     rows = k // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), shingle_k).alias("sh")) \
-           .filter(F.size("sh") > 0)
+    # PERF (r14 batch 5): the empty-set cut is a PRE-filter on the raw
+    # token count (size(sh) > 0 <=> token count >= shingle_k — the
+    # shingle array is non-empty iff the sequence guard fires). The
+    # previous `.filter(F.size("sh") > 0)` on the aliased computed
+    # column re-evaluated the whole shingle builder for the filter on
+    # top of the projection (measured 1.56 s vs 0.40 s for the sh
+    # frame at sf0.1/local[32] — a ~4x tax on every verify join that
+    # streams this frame).
+    sh = df.filter(F.size(tokens(F.col(text_col))) >= shingle_k) \
+           .select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_k).alias("sh"))
     hashed = df.select(F.col(id_col).alias("id"),
                        F.explode(shingles(F.col(text_col), shingle_k))
                        .alias("s")) \
@@ -662,9 +670,11 @@ def lsh_candidate_pairs_xx(df: DataFrame, id_col: str, text_col: str,
     if k % bands:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows = k // bands
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), shingle_k).alias("sh")) \
-           .filter(F.size("sh") > 0)
+    # pre-filter on raw token count instead of size() of the computed
+    # array — see the r14 batch-5 note in _lsh_band_long
+    sh = df.filter(F.size(tokens(F.col(text_col))) >= shingle_k) \
+           .select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), shingle_k).alias("sh"))
     sig = sh.select("id", *minhash_signature_xx(F.col("sh"), k))
     band_cols = [
         F.concat_ws("|", F.lit(b),

@@ -298,29 +298,30 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: large-volume orders (sum qty > 150). The HAVING
-    pre-aggregation runs first and its (small) key set drives a
-    left-semi join — lineitem is aggregated once, not re-scanned per
-    probe."""
+    """TPC-H Q18: large-volume orders (sum qty > 150). ONE lineitem
+    aggregation serves both the HAVING filter and the output sum_qty
+    (r14: the original shape semi-joined the HAVING keys and then
+    re-joined RAW lineitem and re-aggregated it — a second full
+    lineitem shuffle plus a 5-key group-by that recomputed the value
+    the HAVING step already held; since o_orderkey is unique in
+    orders, attaching the aggregated row is equivalent
+    row-for-row). Decimal sums are exact and associative, so the
+    single-aggregation value is bit-identical to the re-aggregated
+    one. Plan: one lineitem shuffle, the (selective) big-order set
+    joins orders/customer, TakeOrderedAndProject caps the sort."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (li.groupBy("l_orderkey")
              .agg(F.sum(_dec("l_quantity")).alias("q"))
-             .filter(F.col("q") > 150)
-             .select("l_orderkey"))
+             .filter(F.col("q") > 150))
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "big_key"),
-               o.o_orderkey == F.col("big_key"), "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey",
-                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                 "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
-                "sum_qty")
+                F.col("q").cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
