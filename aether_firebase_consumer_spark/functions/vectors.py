@@ -53,6 +53,36 @@ def lit_double_cube(cube: "list[list[list[float]]]") -> Column:
     return _LIT_CACHE[key]
 
 
+def memo_col(key: tuple, build) -> Column:
+    """Memoized CONSTRUCTED expression Column — the :data:`_LIT_CACHE`
+    rationale extended from literals to whole expression trees.
+
+    Building a large vector expression (PQ encode battery, banded
+    sign-LSH keys, fold-based cosine) is pure py4j traffic: each
+    higher-order lambda costs ~50 ms of driver round trips, so an
+    IVFADC plan spent ~1.2 s per BUILD re-creating byte-identical
+    unresolved expressions (profiled: 2,036 py4j round trips, zero
+    Catalyst work). An unresolved Column is immutable and references
+    attributes by NAME, so the same instance is reusable across any
+    DataFrame that exposes those names — exactly like the memoized
+    literals it contains. Keys must capture every input that shapes
+    the tree (column names, matrix CONTENT, offsets): data-derived
+    (trained) matrices key by value, so a different corpus can never
+    hit a stale entry."""
+    got = _LIT_CACHE.get(key)
+    if got is None:
+        got = _LIT_CACHE[key] = build()
+    return got
+
+
+def _mat_key(rows) -> tuple:
+    """Content key of a centroid/codebook matrix (or cube)."""
+    return tuple(
+        tuple(r) if not isinstance(r[0], (list, tuple))
+        else tuple(map(tuple, r))
+        for r in rows)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (left fold)."""
     return F.aggregate(

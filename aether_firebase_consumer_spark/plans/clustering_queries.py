@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 
 from aether_firebase_consumer_spark.functions.vectors import (
     _ivf_scores,
+    _mat_key,
     cosine,
     ivf_cell,
     ivf_centroids,
+    memo_col,
 )
 from aether_firebase_consumer_spark.plans import REGISTRY, register
 from aether_firebase_consumer_spark.tables import fan_out_for_compute, load_table
@@ -107,7 +109,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
 
     # --- iteration 0: assign to nearest init centroid (codegen argmax)
-    a0 = emb.withColumn("c", ivf_cell(F.col("embedding"), _KM_INIT))
+    a0 = emb.withColumn("c", memo_col(("ivf_cell", "embedding", _mat_key(_KM_INIT)),
+                 lambda: ivf_cell(F.col("embedding"), _KM_INIT)))
 
     # --- update: per-(cluster, dim) mean; shuffle bounded by k*dim
     upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
@@ -125,7 +128,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_list = [[cents[c][j] for j in range(DIM)] for c in cells]
 
     # --- iteration 1: reassign against the data-derived centroids
-    scores = _ivf_scores(F.col("embedding"), cent_list)
+    scores = memo_col(("ivf_scores", "embedding", _mat_key(cent_list)),
+                      lambda: _ivf_scores(F.col("embedding"), cent_list))
     pos = F.array_position(scores, F.array_max(scores))
     cell_ids = F.array(*[F.lit(c) for c in cells])
     return emb.select(
@@ -477,7 +481,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         "vec_id", "embedding",
-        ivf_cell(F.col("embedding"), _KM_INIT).alias("cluster"))
+        memo_col(("ivf_cell", "embedding", _mat_key(_KM_INIT)),
+                 lambda: ivf_cell(F.col("embedding"), _KM_INIT)).alias("cluster"))
     return _semdedup_prune(a)
 
 
@@ -601,7 +606,8 @@ def dedup_semantic_semdedup_trained(spark: SparkSession,
     ``embedding_centroids`` cross-engine determinism pattern), the
     tie-break (score DESC, c), and the prune, all in SQL."""
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
-    a0 = emb.withColumn("c", ivf_cell(F.col("embedding"), _KM_INIT))
+    a0 = emb.withColumn("c", memo_col(("ivf_cell", "embedding", _mat_key(_KM_INIT)),
+                 lambda: ivf_cell(F.col("embedding"), _KM_INIT)))
     upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
              .groupBy("c", "pos")
              .agg(F.round(F.avg(F.col("val").cast("double")), 6)
@@ -615,7 +621,8 @@ def dedup_semantic_semdedup_trained(spark: SparkSession,
             "vec_id", F.lit(None).cast("int").alias("cluster"),
             F.lit(True).alias("kept")).limit(0)
     cent_list = [[cents[c][j] for j in range(DIM)] for c in cells]
-    scores = _ivf_scores(F.col("embedding"), cent_list)
+    scores = memo_col(("ivf_scores", "embedding", _mat_key(cent_list)),
+                      lambda: _ivf_scores(F.col("embedding"), cent_list))
     pos = F.array_position(scores, F.array_max(scores))
     cell_ids = F.array(*[F.lit(c) for c in cells])
     a = emb.select(

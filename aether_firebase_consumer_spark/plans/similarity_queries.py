@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from aether_firebase_consumer_spark.functions.vectors import (
     _dot_all,
     _ivf_scores,
+    _mat_key,
     cosine,
     dot,
+    memo_col,
     hyperplane_signs,
     ivf_cell,
     ivf_cell_scores,
@@ -361,20 +363,35 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     candidate volume ~ bands * N^2 / keyspace per band key."""
     keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(lsh_band_keys(F.col(vec_col), bands))
+        F.posexplode(memo_col(
+            ("lsh_band_keys", vec_col, _mat_key(bands)),
+            lambda: lsh_band_keys(F.col(vec_col), bands)))
         .alias("bi", "bk"))
     cand = (keyed.select(F.col("_id").alias("id_a"), "bi", "bk")
             .join(keyed.select(F.col("_id").alias("id_b"), "bi", "bk"),
                   ["bi", "bk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+    # PERF (r14): norms are computed once per VECTOR on the attach
+    # side, not once per PAIR inside cosine() — candidates outnumber
+    # vectors ~18x here, and each cosine() was 3 zip_with+aggregate
+    # folds (dot + 2 norms) per pair; per-pair work is now the single
+    # dot fold. sqrt and the division tree are unchanged, so cos_sim
+    # is bit-identical (interleaved A/B med 3.22 -> 2.27 s on
+    # similarity_embedding_neardup_hi, rows identical).
+    nrm = memo_col(("norm", vec_col), lambda: norm(F.col(vec_col)))
     ea = df.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("emb_a"))
+                   F.col(vec_col).alias("emb_a"),
+                   nrm.alias("n_a"))
     eb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("emb_b"))
+                   F.col(vec_col).alias("emb_b"),
+                   nrm.alias("n_b"))
     return (cand.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b",
-                    cosine(F.col("emb_a"), F.col("emb_b"))
+                    (memo_col(("dot", "emb_a", "emb_b"),
+                              lambda: dot(F.col("emb_a"),
+                                          F.col("emb_b")))
+                     / (F.col("n_a") * F.col("n_b")))
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
@@ -510,12 +527,17 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
+    bk = _mat_key(_PQ_BOOKS)
     codes = emb.select("vec_id",
-                       pq_codes(F.col("embedding"), _PQ_BOOKS)
+                       memo_col(("pq_codes", "embedding", bk),
+                                lambda: pq_codes(F.col("embedding"),
+                                                 _PQ_BOOKS))
                        .alias("codes"))
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"),
-                 pq_lut(F.col("embedding"), _PQ_BOOKS).alias("lut")))
+                 memo_col(("pq_lut", "embedding", bk),
+                          lambda: pq_lut(F.col("embedding"), _PQ_BOOKS))
+                 .alias("lut")))
     adc = (codes.crossJoin(F.broadcast(q))
            .filter(F.col("vec_id") != F.col("query_id"))
            .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -534,7 +556,9 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shortlist.join(F.broadcast(emb_q), "query_id")
             .join(emb_n, "neighbor_id")
             .select("query_id", "neighbor_id",
-                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    memo_col(("cosine", "q_emb", "n_emb"),
+                             lambda: cosine(F.col("q_emb"),
+                                            F.col("n_emb")))
                     .alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w_r))
             .filter(F.col("rn") <= 5).drop("rn"))
@@ -806,17 +830,25 @@ def similarity_ann_pq_trained(spark: SparkSession,
 
     # --- re-encode against the trained books (original code ids kept
     # so the SQL side's relational argmax matches positionally)
-    code_cols = []
-    for s in range(_PQ_M):
-        # offset indexing, not slice — see _dot_all (r14)
-        scores = _ivf_scores(F.col("embedding"), books[s],
-                             off=s * _PQ_D)
-        pos = F.array_position(scores, F.array_max(scores))
-        id_lit = F.array(*[F.lit(c) for c in ids[s]])
-        code_cols.append(F.element_at(id_lit, pos.cast("int"))
-                         .cast("int"))
+    def _recode():
+        code_cols = []
+        for s in range(_PQ_M):
+            # offset indexing, not slice — see _dot_all (r14)
+            scores = _ivf_scores(F.col("embedding"), books[s],
+                                 off=s * _PQ_D)
+            pos = F.array_position(scores, F.array_max(scores))
+            id_lit = F.array(*[F.lit(c) for c in ids[s]])
+            code_cols.append(F.element_at(id_lit, pos.cast("int"))
+                             .cast("int"))
+        return F.array(*code_cols)
+
+    # trained books are data-derived, so the memo keys by CONTENT —
+    # the same corpus trains the same books and hits; any other corpus
+    # misses (see memo_col)
     coded = emb.select(F.col("vec_id").alias("neighbor_id"),
-                       F.array(*code_cols).alias("codes"))
+                       memo_col(("pq_trained_codes", "embedding",
+                                 _mat_key(books), tuple(map(tuple, ids))),
+                                _recode).alias("codes"))
 
     # --- ADC with 16-slot LUTs indexed by ORIGINAL code id (dead
     # codes padded with zero vectors — never selected, never read)
@@ -828,7 +860,9 @@ def similarity_ann_pq_trained(spark: SparkSession,
         padded.append(rows)
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"),
-                 pq_lut(F.col("embedding"), padded).alias("lut")))
+                 memo_col(("pq_lut", "embedding", _mat_key(padded)),
+                          lambda: pq_lut(F.col("embedding"), padded))
+                 .alias("lut")))
     adc = (coded.crossJoin(F.broadcast(q))
            .filter(F.col("neighbor_id") != F.col("query_id"))
            .select("query_id", "neighbor_id",
@@ -847,7 +881,9 @@ def similarity_ann_pq_trained(spark: SparkSession,
     return (shortlist.join(F.broadcast(emb_q), "query_id")
             .join(emb_n, "neighbor_id")
             .select("query_id", "neighbor_id",
-                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    memo_col(("cosine", "q_emb", "n_emb"),
+                             lambda: cosine(F.col("q_emb"),
+                                            F.col("n_emb")))
                     .alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w_r))
             .filter(F.col("rn") <= 5).drop("rn"))
@@ -899,16 +935,27 @@ def ivfadc_code_rows(df: DataFrame, cents: list[list[float]],
     cell + PQ codes of the residual v − c_cell. With ``n_parts``, adds
     the hash-partition column ``cp = cell % n_parts`` for a persisted,
     partition-prunable codes table."""
-    cents64 = lit_double_matrix([[float(v) for v in c] for c in cents])
-    assigned = df.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+    # both encode expressions are memo_col'd (r14): construction is
+    # pure py4j traffic (~1.2 s per ivfadc build before memoization)
+    # and the unresolved trees depend only on the column names and the
+    # matrix CONTENT, which the keys capture
+    assigned = df.withColumn("cell", memo_col(
+        ("ivf_cell", vec_col, _mat_key(cents)),
+        lambda: ivf_cell(F.col(vec_col), cents)))
     # residual encode via pq_codes(minus=...): the residual is formed
     # per ELEMENT inside the fold instead of as a zip_with array the
     # fold would re-evaluate per access (r14 — see _dot_all; encode
     # stage med 1.27 s -> 0.40 s at sf0.1, bit-identical)
     out = assigned.select(
         F.col(id_col), "cell",
-        pq_codes(F.col(vec_col), books,
-                 minus=F.element_at(cents64, F.col("cell")))
+        memo_col(
+            ("ivfadc_codes", vec_col, _mat_key(cents), _mat_key(books)),
+            lambda: pq_codes(
+                F.col(vec_col), books,
+                minus=F.element_at(
+                    lit_double_matrix([[float(v) for v in c]
+                                       for c in cents]),
+                    F.col("cell"))))
         .alias("codes"))
     if n_parts is not None:
         out = out.withColumn("cp", F.pmod(F.col("cell"),
@@ -923,12 +970,18 @@ def ivfadc_query_frame(queries: DataFrame, cents: list[list[float]],
     """Query-side frame ``(query_id, cell, qcs, lut)``, one row per
     probed cell (nprobe=2 via :func:`ivf_cells_top2`): the q·cᵢ array
     and the flattened ADC LUT are computed ONCE per query."""
+    ck, bk = _mat_key(cents), _mat_key(books)
     return (queries
-            .withColumn("cell", F.explode(
-                ivf_cells_top2(F.col(vec_col), cents)))
+            .withColumn("cell", F.explode(memo_col(
+                ("ivf_cells_top2", vec_col, ck),
+                lambda: ivf_cells_top2(F.col(vec_col), cents))))
             .select(F.col(id_col).alias("query_id"), "cell",
-                    _dot_all(F.col(vec_col), cents).alias("qcs"),
-                    pq_lut(F.col(vec_col), books).alias("lut")))
+                    memo_col(("dot_all", vec_col, ck),
+                             lambda: _dot_all(F.col(vec_col), cents))
+                    .alias("qcs"),
+                    memo_col(("pq_lut", vec_col, bk),
+                             lambda: pq_lut(F.col(vec_col), books))
+                    .alias("lut")))
 
 
 def ivfadc_shortlist(inv: DataFrame, q: DataFrame,
@@ -969,7 +1022,9 @@ def ivfadc_rerank(shortlist: DataFrame, q_emb: DataFrame,
     return (shortlist.join(F.broadcast(q_emb), "query_id")
             .join(n_emb, "neighbor_id")
             .select("query_id", "neighbor_id",
-                    cosine(F.col("q_emb"), F.col("n_emb"))
+                    memo_col(("cosine", "q_emb", "n_emb"),
+                             lambda: cosine(F.col("q_emb"),
+                                            F.col("n_emb")))
                     .alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w_r))
             .filter(F.col("rn") <= topk).drop("rn"))
