@@ -48,6 +48,9 @@ def table_path(sf_dir: str, name: str) -> str:
 #: the captured file index cannot go stale.
 _TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
+#: (id(input frame), target) -> (input frame ref, fanned frame)
+_FAN_MEMO: dict[tuple[int, int], tuple] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
@@ -106,9 +109,20 @@ def fan_out_for_compute(df: DataFrame, min_parallelism: int | None = None
     """
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    # memoized per (input frame, target): the .rdd partition probe and
+    # the repartition wrapper cost ~20-30 ms of py4j per call, and the
+    # memoized load_table handles make the input object stable — same
+    # plan in, same plan out (r14; keying by id is safe because the
+    # memo's reference keeps the frame alive)
+    key = (id(df), target)
+    got = _FAN_MEMO.get(key)
+    if got is None:
+        if df.rdd.getNumPartitions() >= target:
+            got = df
+        else:
+            got = df.repartition(target)
+        _FAN_MEMO[key] = (df, got)
+    return _FAN_MEMO[key][1]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
