@@ -128,7 +128,7 @@ def _lsh_band_long(df: DataFrame, id_col: str, text_col: str,
             f"{k % bands} minhashes would be computed but silently "
             "unused, weakening the configured recall guarantee")
     rows = k // bands
-    # PERF (r14 batch 5): the empty-set cut is a PRE-filter on the raw
+    # PERF (r14 batch 4): the empty-set cut is a PRE-filter on the raw
     # token count (size(sh) > 0 <=> token count >= shingle_k — the
     # shingle array is non-empty iff the sequence guard fires). The
     # previous `.filter(F.size("sh") > 0)` on the aliased computed
@@ -671,7 +671,7 @@ def lsh_candidate_pairs_xx(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     rows = k // bands
     # pre-filter on raw token count instead of size() of the computed
-    # array — see the r14 batch-5 note in _lsh_band_long
+    # array — see the r14 batch-4 note in _lsh_band_long
     sh = df.filter(F.size(tokens(F.col(text_col))) >= shingle_k) \
            .select(F.col(id_col).alias("id"),
                    shingles(F.col(text_col), shingle_k).alias("sh"))
