@@ -237,3 +237,40 @@ def test_tail_calib_extraction():
     assert bench._tail_queries(tail) == {"q1": 1.23, "q2": 0.5}
     assert bench._tail_calib(tail) == 0.87
     assert bench._tail_calib(tail[:tail.index("calib") - 1]) is None
+
+
+def test_closing_control_sweep_catches_tail_degradation(monkeypatch):
+    """Round-14 rule 5: the controls are re-timed AFTER the suspect
+    reruns; a process that degrades late (plan-accumulation GC
+    pressure) shows flat controls at the opening sweep but elevated
+    ones at the close — the pass must then stamp inconclusive, not
+    promote the tail-inflated reruns to "confirmed". (Observed live:
+    docs_stats_skipped_scan reruns at 1.42x/2.46x/2.87x inside the
+    bench tail, 1.1x in a fresh same-tree process.)"""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        # call order per control: opening sweep then closing sweep
+        times={c1: [1.0, 1.6], c2: [1.0, 1.5], "slow_q": [3.2, 3.4]},
+        vs_prev={"slow_q": 1.55},
+        prev={c1: 1.0, c2: 1.0, "slow_q": 2.0})
+    assert rec["controls"] == {c1: 1.0, c2: 1.0}
+    assert rec["controls_close"] == {c1: 1.6, c2: 1.5}
+    assert rec["controls_regressed"] is True
+    assert rec["noise_bar"] >= bench.DIFF_THRESHOLD
+    assert rec["suspects"]["slow_q"]["verdict"] == "inconclusive"
+
+
+def test_closing_control_sweep_flat_keeps_confirmed(monkeypatch):
+    """A genuinely regressed suspect with FLAT controls at both
+    sweeps still confirms — the closing sweep only raises the bar
+    when the process itself moved."""
+    c1, c2 = bench.DIFF_CONTROLS
+    rec = _run_diff(
+        monkeypatch,
+        times={c1: 1.0, c2: 1.0, "slow_q": 3.0},
+        vs_prev={"slow_q": 1.5},
+        prev={c1: 1.0, c2: 1.0, "slow_q": 2.0})
+    assert rec["controls_close"] == {c1: 1.0, c2: 1.0}
+    assert rec["controls_regressed"] is False
+    assert rec["suspects"]["slow_q"]["verdict"] == "confirmed"
