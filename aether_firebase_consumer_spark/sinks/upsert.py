@@ -140,6 +140,9 @@ class ParquetUpsertTable:
         self.partition_col = partition_col
         self.retain_versions = retain_versions
         self.commit_retries = commit_retries
+        #: version (or (version, kept-files)) -> lazy DataFrame
+        #: handle of that immutable data (see _read_at / read_where)
+        self._read_memo: dict = {}
         #: columns tracked in the per-version file-stats manifest
         #: (Delta-style data skipping — see sinks/stats.py). Every
         #: commit writes `_STATS.json` into the new version dir; only
@@ -275,8 +278,19 @@ class ParquetUpsertTable:
     def _read_at(self, version: int) -> DataFrame | None:
         if version < 0:
             return None
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(self._data_dir(version)))
+        # memoized per version (r14): a version's data dir is IMMUTABLE
+        # once committed (copy-on-write versioning — a new commit is a
+        # NEW dir + atomic repoint), so re-resolving the parquet
+        # footers (~100-200 ms of driver listing/schema work) per read
+        # call buys nothing. Stale serving is impossible: a commit
+        # advances current_version(), which keys the next lookup; a
+        # vacuumed version's entry is simply never requested again.
+        got = self._read_memo.get(version)
+        if got is None:
+            got = (self.spark.read.option("mergeSchema", "true")
+                   .parquet(self._data_dir(version)))
+            self._read_memo[version] = got
+        return got
 
     # -- read -----------------------------------------------------------
     def read(self) -> DataFrame | None:
@@ -358,9 +372,17 @@ class ParquetUpsertTable:
             # touched) while preserving the version's schema
             df = self._read_at(v)
             return df.filter(F.lit(False))
-        df = (self.spark.read.option("mergeSchema", "true")
-              .option("basePath", base)
-              .parquet(*[os.path.join(base, r) for r in kept]))
+        # same immutability argument as _read_at, keyed by the exact
+        # kept-file set (the manifest prune is deterministic per
+        # version + predicates, so repeated skipped reads re-resolve
+        # the same footers)
+        mkey = (v, tuple(kept))
+        df = self._read_memo.get(mkey)
+        if df is None:
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .option("basePath", base)
+                  .parquet(*[os.path.join(base, r) for r in kept]))
+            self._read_memo[mkey] = df
         return df.filter(cond) if cond is not None else df
 
     def row_count(self) -> int | None:
