@@ -9,11 +9,27 @@ DOUBLE[] bit-for-bit (verified empirically in the oracle harness).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-_LIT_CACHE: dict = {}
+#: BOUNDED LRU (r15, ADVICE r14): a driver that retrains per batch
+#: keys new entries by matrix CONTENT every round — without a cap the
+#: cache grows one (large) expression tree per retrain forever. The
+#: cap is far above any single pipeline's distinct-expression count,
+#: so steady-state hit rates are unchanged.
+_LIT_CACHE_CAP = 512
+_LIT_CACHE: OrderedDict = OrderedDict()
+
+
+def _lit_cache_put(key, value):
+    _LIT_CACHE[key] = value
+    _LIT_CACHE.move_to_end(key)
+    while len(_LIT_CACHE) > _LIT_CACHE_CAP:
+        _LIT_CACHE.popitem(last=False)
+    return value
 
 
 def lit_doubles(row: "list[float]") -> Column:
@@ -31,7 +47,8 @@ def lit_doubles(row: "list[float]") -> Column:
     bit-identical in all three forms (unit-tested)."""
     key = ("row", tuple(row))
     if key not in _LIT_CACHE:
-        _LIT_CACHE[key] = F.lit(list(row))
+        return _lit_cache_put(key, F.lit(list(row)))
+    _LIT_CACHE.move_to_end(key)
     return _LIT_CACHE[key]
 
 
@@ -40,7 +57,8 @@ def lit_double_matrix(rows: "list[list[float]]") -> Column:
     :func:`lit_doubles`."""
     key = ("mat", tuple(map(tuple, rows)))
     if key not in _LIT_CACHE:
-        _LIT_CACHE[key] = F.lit([list(r) for r in rows])
+        return _lit_cache_put(key, F.lit([list(r) for r in rows]))
+    _LIT_CACHE.move_to_end(key)
     return _LIT_CACHE[key]
 
 
@@ -49,7 +67,9 @@ def lit_double_cube(cube: "list[list[list[float]]]") -> Column:
     node (PQ codebooks) — see :func:`lit_doubles`."""
     key = ("cube", tuple(tuple(map(tuple, m)) for m in cube))
     if key not in _LIT_CACHE:
-        _LIT_CACHE[key] = F.lit([[list(r) for r in m] for m in cube])
+        return _lit_cache_put(
+            key, F.lit([[list(r) for r in m] for m in cube]))
+    _LIT_CACHE.move_to_end(key)
     return _LIT_CACHE[key]
 
 
@@ -71,7 +91,9 @@ def memo_col(key: tuple, build) -> Column:
     hit a stale entry."""
     got = _LIT_CACHE.get(key)
     if got is None:
-        got = _LIT_CACHE[key] = build()
+        got = _lit_cache_put(key, build())
+    else:
+        _LIT_CACHE.move_to_end(key)
     return got
 
 

@@ -307,9 +307,13 @@ def lsh_probe_partitioned_pairs(long_index: DataFrame,
     sh_i, long_i, _ = _lsh_band_long(incoming, id_col, text_col,
                                      k, bands, shingle_k)
     # materialize once: the prefix collect AND the candidate join both
-    # read this frame
+    # read this frame. LAZY checkpoint (r15): eager=False defers the
+    # materialization into the prefix collect's own job, so the frame
+    # is computed, checkpointed and collected in ONE driver action
+    # instead of two (the probe path previously serialized 4 driver
+    # round-trips: ckpt, collect, ckpt, collect — now 2)
     if materialize:
-        long_i = long_i.localCheckpoint()
+        long_i = long_i.localCheckpoint(eager=False)
     prefixes = [r[0] for r in long_i
                 .select(band_partition(F.col("band_key"), n_parts)
                         .alias("p")).distinct().collect()]
@@ -327,8 +331,10 @@ def lsh_probe_partitioned_pairs(long_index: DataFrame,
                     F.col(f"b.{id_col}").alias("old_id"))
             .distinct())
     if materialize:
-        # reused: idp-prefix collect + both verify joins
-        cand = cand.localCheckpoint()
+        # reused: idp-prefix collect + both verify joins — lazy for the
+        # same one-action reason as long_i above (the idp collect
+        # triggers and persists it)
+        cand = cand.localCheckpoint(eager=False)
     di = doc_index
     if idp_parts is not None and "idp" in di.columns:
         idps = [r[0] for r in cand
@@ -573,9 +579,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # sf0.1) — the generator input must be the array expression itself.
     # No empty-set filter needed: explode of an empty array emits
     # nothing.
+    #
+    # HASHED KEYS (r15, guide §2.3 "shuffle fewer bytes / narrower
+    # types"): every downstream operator — the DF-cap groupBy, the
+    # rare-set join, the localCheckpoint write, and the inverted-index
+    # self-join — keys on the shingle only to COUNT matches per id
+    # pair; the string itself never reaches the output. Hashing each
+    # shingle to int64 (xxhash64) right after the explode shrinks the
+    # shuffle/checkpoint payload from a ~20-40-byte string to 8 bytes
+    # and makes the self-join compare longs. Results are identical
+    # unless two DISTINCT shingles of the corpus collide under
+    # xxhash64 (expected collisions ≈ n²/2⁶⁵ — ~3e-8 even at a billion
+    # distinct shingles; the gate corpora are verified hash-exact
+    # against the string-keyed DuckDB oracle).
     inv = df.select(F.col(id_col).alias("id"),
                     F.explode(shingles(F.col(text_col), shingle_k))
                     .alias("shingle"))
+    inv = inv.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         rare = (inv.groupBy("shingle")
                 .agg(F.count("*").alias("df_"))
@@ -617,10 +637,12 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes) as :func:`ngram_jaccard_pairs`: the join fan-out bound and
     the 100 TB posture are identical; only the final ratio differs —
     divide by the CONTAINED side's set size instead of the union."""
-    # inline explode — see ngram_jaccard_pairs (same ~1.6x win)
+    # inline explode — see ngram_jaccard_pairs (same ~1.6x win);
+    # int64 shingle keys (r15) — same argument as ngram_jaccard_pairs
     inv = df.select(F.col(id_col).alias("id"),
                     F.explode(shingles(F.col(text_col), shingle_k))
                     .alias("shingle"))
+    inv = inv.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
         rare = (inv.groupBy("shingle")
                 .agg(F.count("*").alias("df_"))
@@ -763,9 +785,19 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
         F.struct(F.lit(i).alias("seg"),
                  F.substring("p", s + 1, seg_len).alias("sig"))
         for i, (s, seg_len) in enumerate(segs)])
+    # HASHED SIGNATURE KEYS (r15, guide §2.3): the (seg, sig) equi-join
+    # only DISCOVERS candidate id pairs — the signature substring never
+    # reaches the output, and the exact levenshtein verify below makes
+    # the result immune to hash collisions: equal strings always hash
+    # equal (no candidate is ever lost — PassJoin's losslessness is
+    # preserved verbatim), and a collision-induced extra candidate
+    # either fails the verify or is a true pair the genuine signature
+    # match already produced (dropDuplicates merges it). Output is
+    # therefore IDENTICAL by construction, while the shuffle carries an
+    # 8-byte long instead of a (seg, substring) pair.
     seg_rows = (base.select(F.col("id").alias("id_s"),
                             F.explode(seg_arr).alias("e"))
-                .select("id_s", "e.seg", "e.sig"))
+                .select("id_s", F.xxhash64("e.seg", "e.sig").alias("hk")))
     probe_structs = [
         F.struct(F.lit(i).alias("seg"),
                  F.substring("p", s + d + 1, seg_len).alias("sig"))
@@ -776,8 +808,8 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
     probe_rows = (base.select(F.col("id").alias("id_p"),
                               F.explode(F.array(*probe_structs))
                               .alias("e"))
-                  .select("id_p", "e.seg", "e.sig"))
-    cand = (seg_rows.join(probe_rows, ["seg", "sig"])
+                  .select("id_p", F.xxhash64("e.seg", "e.sig").alias("hk")))
+    cand = (seg_rows.join(probe_rows, "hk")
             .filter(F.col("id_s") != F.col("id_p"))
             .select(F.least("id_s", "id_p").alias("id_a"),
                     F.greatest("id_s", "id_p").alias("id_b"))
@@ -877,9 +909,15 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
         F.struct(F.col("m").alias("l"), F.lit(i).alias("seg"),
                  F.col("t").substr(start + 1, seg_len).alias("sig"))
         for i, (start, seg_len) in enumerate(seg_geometry(F.col("m")))]
+    # hashed (l, seg, sig) join key (r15) — same collision-immune
+    # argument as editdist_pairs: the banded-levenshtein verify makes
+    # the output identical by construction while the candidate join
+    # shuffles 8-byte longs instead of (length, seg, substring) rows
+    # whose substrings are ~l/(k+1) characters each
     seg_rows = (base.select(F.col("id").alias("id_s"),
                             F.explode(F.array(*idx_structs)).alias("e"))
-                .select("id_s", "e.l", "e.seg", "e.sig"))
+                .select("id_s",
+                        F.xxhash64("e.l", "e.seg", "e.sig").alias("hk")))
     # two-level explode keeps the generated code small (one flat
     # all-struct projection duplicates the geometry arithmetic per
     # probe and blows janino's method-size limit — whole rows fall
@@ -923,12 +961,12 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
                           & (F.col("g.p") + F.col("d") + F.col("g.sl")
                              <= F.col("m")))
                   .select(F.col("id").alias("id_p"),
-                          F.col("g.l").alias("l"),
-                          F.col("g.seg").alias("seg"),
-                          F.col("t").substr(
-                              F.col("g.p") + F.col("d") + 1,
-                              F.col("g.sl")).alias("sig")))
-    cand = (seg_rows.join(probe_rows, ["l", "seg", "sig"])
+                          F.xxhash64(
+                              F.col("g.l"), F.col("g.seg"),
+                              F.col("t").substr(
+                                  F.col("g.p") + F.col("d") + 1,
+                                  F.col("g.sl"))).alias("hk")))
+    cand = (seg_rows.join(probe_rows, "hk")
             .filter(F.col("id_s") != F.col("id_p"))
             .select(F.least("id_s", "id_p").alias("id_a"),
                     F.greatest("id_s", "id_p").alias("id_b"))

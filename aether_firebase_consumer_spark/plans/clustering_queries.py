@@ -606,8 +606,18 @@ def dedup_semantic_semdedup_trained(spark: SparkSession,
     ``embedding_centroids`` cross-engine determinism pattern), the
     tie-break (score DESC, c), and the prune, all in SQL."""
     emb = fan_out_for_compute(load_table(spark, sf_dir, "embeddings"))
-    a0 = emb.withColumn("c", memo_col(("ivf_cell", "embedding", _mat_key(_KM_INIT)),
-                 lambda: ivf_cell(F.col("embedding"), _KM_INIT)))
+    # ONE materialization serves BOTH Lloyd passes (r15, VERDICT r14
+    # #5): the update aggregation and the reassignment each need the
+    # full (vec_id, embedding) corpus — previously two independent
+    # parquet scans (the second re-paying the scan after the driver
+    # round-trip). The LAZY checkpoint materializes inside the update
+    # job itself (no extra driver action), and the reassignment below
+    # derives from the checkpointed blocks instead of re-scanning.
+    a0 = emb.select(
+        "vec_id", "embedding",
+        memo_col(("ivf_cell", "embedding", _mat_key(_KM_INIT)),
+                 lambda: ivf_cell(F.col("embedding"), _KM_INIT))
+        .alias("c")).localCheckpoint(eager=False)
     upd = (a0.select("c", F.posexplode("embedding").alias("pos", "val"))
              .groupBy("c", "pos")
              .agg(F.round(F.avg(F.col("val").cast("double")), 6)
@@ -625,7 +635,8 @@ def dedup_semantic_semdedup_trained(spark: SparkSession,
                       lambda: _ivf_scores(F.col("embedding"), cent_list))
     pos = F.array_position(scores, F.array_max(scores))
     cell_ids = F.array(*[F.lit(c) for c in cells])
-    a = emb.select(
+    # reassign from the checkpointed iteration-0 frame, not a re-scan
+    a = a0.select(
         "vec_id", "embedding",
         F.element_at(cell_ids, pos.cast("int")).cast("int")
         .alias("cluster"))

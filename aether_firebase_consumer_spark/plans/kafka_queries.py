@@ -615,3 +615,61 @@ def kafka_headers_roundtrip_orders(spark: SparkSession,
         F.col("value").cast("string").cast("bigint").alias("o_custkey"),
         F.element_at(status, 1)["value"].cast("string")
         .alias("o_orderstatus"))
+
+
+_AVRO_DATASETS: dict[str, str] = {}
+
+
+def _orders_avro_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process and sf_dir) a deterministic orders
+    subset as 8 Avro container files; returns the dataset dir. The
+    same per-process setup convention as the broker caches above: the
+    dataset is the PERSISTED input a production scan would read, so
+    repeated builder calls measure the scan, not the write."""
+    cached = _AVRO_DATASETS.get(sf_dir)
+    if cached:
+        return cached
+    import tempfile
+
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        write_avro_dataset,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="avro_container_scan_")
+    src = (load_table(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") % 3 == 0)
+           .select("o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate")
+           .repartition(8))
+    write_avro_dataset(src, tmp, codec="null")
+    _AVRO_DATASETS[sf_dir] = tmp
+    return tmp
+
+
+@register(
+    "avro_container_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+)
+def avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jar-free ``.avro`` container scan as a REGISTERED query
+    (r15, VERDICT r14 #9): the bench-only ``avro_container`` entry sat
+    outside the registry, so the bench differential could never
+    adjudicate its drift — this twin runs the identical
+    ``read_avro_container_py`` path (binaryFile listing → mapInPandas
+    container decode) over a deterministic orders subset, under the
+    full DuckDB value-hash gate (a dropped block, a mis-decoded codec
+    frame, or a type-mapping drift breaks the hash against parquet).
+    The legacy bench entry stays untouched for round-over-round
+    comparability; this one is rerunnable by the differential like
+    every other headliner."""
+    from aether_firebase_consumer_spark.sources.avro_codec import (
+        read_avro_container_py,
+    )
+
+    return read_avro_container_py(spark,
+                                  _orders_avro_dataset(spark, sf_dir))

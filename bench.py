@@ -239,7 +239,11 @@ EXTRA = ("dedup_minhash_lsh", "dedup_minhash_lsh_fast",
          "docs_view_chain_topk",
          "docs_hll_sketch_merge",
          # r14 headliners
-         "docs_quantile_sketch")
+         "docs_quantile_sketch",
+         # r15 headliners: the adjudicable twin of the bench-only
+         # avro_container entry (VERDICT r14 #9) — the differential
+         # can rerun THIS one; the legacy entry stays for continuity
+         "avro_container_scan")
 
 
 def headline_names() -> list[str]:
