@@ -597,15 +597,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("shingle"))
     inv = inv.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
-        rare = (inv.groupBy("shingle")
-                .agg(F.count("*").alias("df_"))
-                .filter(F.col("df_") <= max_doc_freq)
-                .select("shingle"))
+        # ANTI-join against the HOT set (r15, guide §2.3/§3.2): the
+        # DF cut used to inner-join inv with `rare` (every KEPT
+        # shingle — nearly all of them), a shuffle join whose build
+        # side is corpus-sized. The complement set `hot` (stop-
+        # shingles with DF > cap) is tiny — bounded by total
+        # occurrences / cap — so the left_anti form gives AQE a
+        # build side it can broadcast at runtime, dropping the
+        # inv-side exchange of the cut entirely. Row-identical:
+        # rare/hot are complementary outputs of the same groupBy
+        # (unique keys), so inner-with-rare ≡ anti-with-hot.
+        hot = (inv.groupBy("shingle")
+               .agg(F.count("*").alias("df_"))
+               .filter(F.col("df_") > max_doc_freq)
+               .select("shingle"))
         # localCheckpoint: the capped index feeds sizes AND both join
         # sides — without it the DF-cap shuffle join re-derives 3x
         # (measured 1.2x at the sf1 probe scale, and the gap widens
         # with data since the recompute includes a growing shuffle)
-        inv = inv.join(rare, "shingle").localCheckpoint()
+        inv = inv.join(hot, "shingle", "left_anti").localCheckpoint()
     sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -644,26 +654,44 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("shingle"))
     inv = inv.select("id", F.xxhash64("shingle").alias("shingle"))
     if max_doc_freq is not None:
-        rare = (inv.groupBy("shingle")
-                .agg(F.count("*").alias("df_"))
-                .filter(F.col("df_") <= max_doc_freq)
-                .select("shingle"))
+        # anti-join against the tiny HOT set — see ngram_jaccard_pairs
+        hot = (inv.groupBy("shingle")
+               .agg(F.count("*").alias("df_"))
+               .filter(F.col("df_") > max_doc_freq)
+               .select("shingle"))
         # same 3-reference shape as ngram_jaccard_pairs: one
         # materialization of the capped index
-        inv = inv.join(rare, "shingle").localCheckpoint()
+        inv = inv.join(hot, "shingle", "left_anti").localCheckpoint()
     sizes = inv.groupBy("id").agg(F.count("*").alias("n"))
+    # HALVED self-join (r15, guide §2.3 "shuffle fewer bytes"):
+    # |A∩B| is symmetric, so the undirected a.id < b.id join carries
+    # exactly the information of the old a.id != b.id join at HALF the
+    # join output and half the pair-aggregation input — on the
+    # slowest bench query, the self-join fan-out is the dominant cost.
+    # Both directed ratios are re-emitted afterwards from one
+    # undirected row (n_common/n_a and n_common/n_b) via a 2-element
+    # explode, which is a narrow per-row operation, so the result set
+    # is IDENTICAL to evaluating both join orientations.
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.id") != F.col("b.id")))
-               .groupBy(F.col("a.id").alias("contained_id"),
-                        F.col("b.id").alias("container_id"))
+                     & (F.col("a.id") < F.col("b.id")))
+               .groupBy(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
                .agg(F.count("*").alias("n_common")))
-    na = sizes.select(F.col("id").alias("contained_id"),
-                      F.col("n").alias("n_a"))
-    return (common.join(na, "contained_id")
-            .select("contained_id", "container_id",
-                    (F.col("n_common").cast("double") / F.col("n_a"))
-                    .alias("containment"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    both = F.explode(F.array(
+        F.struct(F.col("id_a").alias("contained_id"),
+                 F.col("id_b").alias("container_id"),
+                 (F.col("n_common").cast("double") / F.col("n_a"))
+                 .alias("containment")),
+        F.struct(F.col("id_b").alias("contained_id"),
+                 F.col("id_a").alias("container_id"),
+                 (F.col("n_common").cast("double") / F.col("n_b"))
+                 .alias("containment"))))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .select(both.alias("p"))
+            .select("p.*")
             .filter(F.col("containment") >= threshold))
 
 
@@ -748,8 +776,18 @@ def editdist_segments(k: int, length: int) -> list[tuple[int, int]]:
     return segs
 
 
+#: verify-join strategy cap (r15, guide §3.1): candidate id pairs
+#: below this count broadcast (two 8-byte ids per row — 1M pairs is a
+#: ~25 MB hash relation, comfortably under Spark's broadcast limits);
+#: above it the verify joins fall back to merge-hinted sort-merge, the
+#: strategy that never collects anything and shuffles each side once.
+_CAND_BROADCAST_CAP = 1_000_000
+
+
 def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
-                   k: int = 2, prefix_len: int = 64) -> DataFrame:
+                   k: int = 2, prefix_len: int = 64,
+                   cand_broadcast_cap: int = _CAND_BROADCAST_CAP,
+                   ) -> DataFrame:
     """EXACT edit-distance near-dup join over the first
     ``prefix_len`` characters: all pairs with
     ``levenshtein(prefix_a, prefix_b) <= k`` among documents at least
@@ -814,8 +852,18 @@ def editdist_pairs(df: DataFrame, id_col: str, text_col: str,
             .select(F.least("id_s", "id_p").alias("id_a"),
                     F.greatest("id_s", "id_p").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    # adaptive verify join — same §3.1 rationale and bounded-probe
+    # pattern as editdist_pairs_full: never let a static
+    # under-estimate broadcast the corpus prefixes; broadcast the
+    # (counted, materialized) candidate pairs while they fit, fall
+    # back to a sort-merge that shuffles each side once by id
     pa = base.select(F.col("id").alias("id_a"), F.col("p").alias("p_a"))
     pb = base.select(F.col("id").alias("id_b"), F.col("p").alias("p_b"))
+    cand = cand.localCheckpoint(eager=False)
+    if cand.count() <= cand_broadcast_cap:
+        cand = F.broadcast(cand)
+    else:
+        pa, pb = pa.hint("merge"), pb.hint("merge")
     return (cand.join(pa, "id_a").join(pb, "id_b")
             .withColumn("dist", F.levenshtein("p_a", "p_b"))
             .filter(F.col("dist") <= k)
@@ -833,6 +881,7 @@ _SHORT_BROADCAST_CAP = 500_000
 def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
                         k: int = 2,
                         short_broadcast_cap: int = _SHORT_BROADCAST_CAP,
+                        cand_broadcast_cap: int = _CAND_BROADCAST_CAP,
                         ) -> DataFrame:
     """FULL-TEXT exact edit-distance near-dup join (round 12): ALL
     pairs with ``levenshtein(text_a, text_b) <= k`` over WHOLE
@@ -971,8 +1020,30 @@ def editdist_pairs_full(df: DataFrame, id_col: str, text_col: str,
             .select(F.least("id_s", "id_p").alias("id_a"),
                     F.greatest("id_s", "id_p").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    # ADAPTIVE verify join (r15, guide §3.1 "pick the strategy
+    # deliberately"; VERDICT r14 #3). Unhinted, Catalyst's static
+    # estimate put the TEXT sides under the broadcast threshold and
+    # planned BuildRight broadcasts of the corpus texts — collecting
+    # every document to the driver twice per run (measured 8.2 s for a
+    # 5 345-candidate verify at the sf1 decade) and an OOM-by-design
+    # at real scale, where the corpus can never broadcast. The
+    # candidate side (8-byte id pairs) is the side that CAN broadcast
+    # — but only usually: PassJoin does not bound candidate count on
+    # adversarial corpora, so a hard F.broadcast(cand) would trade the
+    # driver OOM for an executor one. Same resolution as the short
+    # bucket below: materialize cand (one lazy checkpoint whose write
+    # rides the counting job — the frame feeds both verify joins
+    # anyway), take its exact count, and broadcast below the cap /
+    # sort-merge above it (sf1 A/B, 5 345 candidates: broadcast-cand
+    # 0.81 s, merge 2.26 s, unhinted text broadcast 8.29 s; the merge
+    # path shuffles each side once by id and never collects).
     ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
     tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    cand = cand.localCheckpoint(eager=False)
+    if cand.count() <= cand_broadcast_cap:
+        cand, ta, tb = F.broadcast(cand), ta, tb
+    else:
+        ta, tb = ta.hint("merge"), tb.hint("merge")
     long_pairs = (cand.join(ta, "id_a").join(tb, "id_b")
                   .withColumn("dist",
                               F.levenshtein("t_a", "t_b", k))  # banded

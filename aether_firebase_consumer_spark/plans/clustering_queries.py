@@ -499,7 +499,17 @@ def _semdedup_prune(a: DataFrame) -> DataFrame:
     # — 3 references, and only the self-join pair enjoys Spark's
     # exchange reuse, so without this the k-literal argmax (the
     # heaviest expression in the query) re-evaluates per reference
-    # (measured med 5.98 s -> 2.43 s at sf0.1/local[32])
+    # (measured med 5.98 s -> 2.43 s at sf0.1/local[32]).
+    #
+    # localCheckpoint vs persist(MEMORY_AND_DISK), A/B'd r15 (VERDICT
+    # r14 #10, tools/ab_ckpt_vs_persist_r15.py): checkpoint wins at
+    # both decades (sf0.1 med 1.28 vs 1.49 s; sf1 8.87 vs 9.02 s), so
+    # it stays. CLUSTER-MODE CAVEAT: localCheckpoint truncates lineage
+    # into executor-local blocks — an executor loss mid-query is
+    # unrecoverable (the query fails and must rerun) and the frame
+    # occupies executor local storage at corpus scale. On a deployment
+    # where executor churn is expected, persist(MEMORY_AND_DISK) is
+    # the recoverable alternative at the measured ~5-15 % premium.
     a = a.localCheckpoint()
     counts = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
     a2 = (

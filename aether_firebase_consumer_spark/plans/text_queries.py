@@ -617,6 +617,17 @@ def centroid_classify(docs: DataFrame, id_col: str, label_col: str,
     # 2.87 s -> 1.98 s at sf0.1/local[32]). Checkpointing further
     # downstream (sc, nl) measured slower: each extra eager action
     # costs more than the reuse it buys.
+    #
+    # localCheckpoint vs persist(MEMORY_AND_DISK), A/B'd r15 (VERDICT
+    # r14 #10, tools/ab_ckpt_vs_persist_r15.py): checkpoint wins
+    # decisively at both decades (sf0.1 med 1.63 vs 3.59 s; sf1 2.31
+    # vs 4.79 s — the persisted InMemoryRelation blocks the pushdowns
+    # the downstream train/test filters rely on), so it stays.
+    # CLUSTER-MODE CAVEAT: localCheckpoint blocks are executor-local —
+    # an executor loss mid-query is unrecoverable (rerun the query),
+    # and at corpus scale the token-count frame sits on executor local
+    # storage; prefer persist(MEMORY_AND_DISK) where executor churn is
+    # routine, at the measured ~2x premium.
     tc = tc.localCheckpoint()
     train = tc.filter(F.col("_train"))
     test = tc.filter(~F.col("_train"))

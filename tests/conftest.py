@@ -39,6 +39,16 @@ SLOW_MODULES = frozenset({
     "test_queries_oracle", "test_physical_plans", "test_property",
     "test_view_property",
     "test_clustering",
+    # incremental-view maintenance choreography (rounds 11-13; added
+    # r15, VERDICT r14 #8: these eight modules had grown to ~620 s of
+    # the 830 s "fast" tier — multi-commit view folds, restarts and
+    # recompute-parity sweeps are exactly the slow-tier definition.
+    # The driver's verify window truncated the r14 suite at ~17%, so
+    # the default tier must complete well inside it; the slow tier
+    # remains the pre-commit gate for changes touching these files.)
+    "test_aligned_streaming", "test_topk_buffer", "test_incremental_agg",
+    "test_join_view", "test_topk_view", "test_topk_chain",
+    "test_hll_view", "test_dd_view", "test_view_schema_evolution",
 })
 
 

@@ -248,3 +248,36 @@ def test_degenerate_prefix_len_rejected(spark):
     df = spark.createDataFrame([(1, "abcdef")], "doc_id int, text string")
     with pytest.raises(ValueError, match="k \\+ 1"):
         editdist_pairs(df, "doc_id", "text", k=3, prefix_len=2).collect()
+
+
+def test_verify_join_strategies_agree(spark):
+    """r15: the verify join picks broadcast-cand below
+    _CAND_BROADCAST_CAP and merge-hinted sort-merge above it (the
+    unhinted plan broadcast the corpus TEXTS — wrong at every scale).
+    Both strategies must return identical pairs; cap=0 forces the
+    merge path on the same corpus the default (broadcast) path runs."""
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("ab") for _ in range(12))
+             for _ in range(60)]
+    # a couple of guaranteed near-dups
+    texts += [texts[0][:-1], texts[1] + "a", texts[2]]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+    def run(**kw):
+        got = editdist_pairs_full(df, "doc_id", "text", k=2, **kw).collect()
+        return sorted((r.id_a, r.id_b, r.dist) for r in got)
+
+    bcast = run()                      # candidates << cap -> broadcast
+    merge = run(cand_broadcast_cap=0)  # force the sort-merge path
+    assert bcast == merge
+    assert bcast  # the corpus above genuinely contains pairs
+
+    got_p = sorted(
+        (r.id_a, r.id_b, r.dist) for r in editdist_pairs(
+            df, "doc_id", "text", k=2, prefix_len=8,
+            cand_broadcast_cap=0).collect())
+    want_p = sorted(
+        (r.id_a, r.id_b, r.dist) for r in editdist_pairs(
+            df, "doc_id", "text", k=2, prefix_len=8).collect())
+    assert got_p == want_p

@@ -288,7 +288,13 @@ def test_registry_wide_anti_pattern_sweep(spark):
 
     from aether_firebase_consumer_spark.plans import REGISTRY, _load_all
     _load_all()
-    ARROW_PYTHON_OK = {"kafka_avro_roundtrip_customer"}
+    # avro_container_scan (r15): the registered, oracle-gated twin of
+    # the bench-only avro_container entry — it IS the jar-free Avro
+    # container decode path (binaryFile → Arrow-batched container
+    # parse), so MapInPandas is its whole point, same as the
+    # correctness-gate roundtrip next to it.
+    ARROW_PYTHON_OK = {"kafka_avro_roundtrip_customer",
+                       "avro_container_scan"}
     ROW_PYTHON_OK = {"udtf_word_ngrams"}
     # the two-phase distributed prefix scan (operators/prefix.py) ends
     # with a window over BUCKET TOTALS — #buckets rows, not the input;

@@ -77,9 +77,14 @@ def main() -> int:
     ok = ok and ", 0 fail," in out.strip().splitlines()[-1]
     results.append(ok)
 
+    # pytest.ini defaults to the fast tier (addopts -m "not slow",
+    # r15); the FULL gate must explicitly override it back to
+    # everything — a later -m on the command line wins.
     pytest_cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if fast:
         pytest_cmd += ["-m", "not slow"]
+    else:
+        pytest_cmd += ["-m", ""]
     results.append(run("pytest" + (" (fast)" if fast else ""),
                        pytest_cmd)[0])
 
